@@ -1,0 +1,14 @@
+package graft
+
+import graft.operators.Relational
+
+/** Single source of truth for every declared query (SURVEY.md §2).
+  * SparkEntry / Verify / Bench all derive from this list.
+  */
+object Registry {
+  def all: Seq[QueryDef] = Relational.defs
+
+  def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+
+  def headline: Seq[QueryDef] = all.filter(_.headline)
+}

@@ -1,0 +1,581 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** The relational query surface: TPC-H-shaped queries over the star
+  * schema (SURVEY.md §2B — the reference's SQL passthrough makes Spark
+  * SQL the legitimate replacement surface).
+  *
+  * Scale notes (100 TB design):
+  *  - every scan carries its filter/projection so parquet sees
+  *    `PushedFilters`/pruned `ReadSchema`;
+  *  - dimension tables (region/nation/supplier/part/customer) are
+  *    broadcast explicitly — fact-fact joins (orders⋈lineitem) shuffle
+  *    on their join key and AQE handles skew;
+  *  - aggregates do map-side partial aggregation (HashAggregateExec) by
+  *    construction.
+  *
+  * Oracle-exactness rules (driver hash-compares against DuckDB):
+  *  - money columns are 2-decimal values stored as doubles; casting a
+  *    column to decimal recovers the exact value, decimal arithmetic is
+  *    associative and identical in both engines, and the final cast back
+  *    to double is the same correctly-rounded conversion — so every SUM
+  *    is bit-deterministic;
+  *  - AVG is expressed as exact-decimal SUM cast to double, divided by
+  *    COUNT (identical IEEE division in both engines) — never native
+  *    avg() whose accumulation order differs;
+  *  - integer-valued computed outputs are cast to BIGINT on both sides
+  *    (DuckDB widens to BIGINT/HUGEINT natively, Spark defaults to INT);
+  *  - every result has a total ORDER BY over non-null keys (Spark and
+  *    DuckDB have different default null ordering — avoided entirely).
+  */
+object Relational {
+
+  /** money column: exact 2-decimal value recovered from its double. */
+  private def m(c: Column): Column = c.cast("decimal(12,2)")
+  /** rate column (discount/tax): exact 2-decimal in [0,1). */
+  private def r2(c: Column): Column = c.cast("decimal(4,2)")
+  /** exact decimal sum surfaced as double. */
+  private def dsum(c: Column): Column = sum(c).cast("double")
+  /** exact avg: decimal sum / count, both engines do the same IEEE op. */
+  private def davg(c: Column): Column = sum(c).cast("double") / count(c)
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // ---------------------------------------------------------------- q01
+  // TPC-H Q1: pricing summary. Single scan, partial+final hash agg.
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val li = T(s, dir).lineitem
+      val disc  = m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount")))
+      val charge = disc * (lit(1) + r2(col("l_tax")))
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(m(col("l_quantity"))).as("sum_qty"),
+          dsum(m(col("l_extendedprice"))).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(charge).as("sum_charge"),
+          davg(m(col("l_quantity"))).as("avg_qty"),
+          davg(m(col("l_extendedprice"))).as("avg_price"),
+          davg(r2(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q02
+  // Selective filter + narrow projection: both the predicate and the
+  // 4-column ReadSchema must reach the parquet scan.
+  private val q02 = QueryDef(
+    "q02_filter_pushdown",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .filter(col("l_quantity") < 3 && col("l_shipdate") >= lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // order by every output column so the compare order is total.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity < 3 AND l_shipdate >= TIMESTAMP '1998-01-01'
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""),
+  )
+
+  // ---------------------------------------------------------------- q03
+  // TPC-H Q3: top-10 revenue. customer is the small side -> broadcast;
+  // orders⋈lineitem shuffles on orderkey; top-k via TakeOrderedAndProject.
+  private val q03 = QueryDef(
+    "q03_topk_revenue",
+    (s, dir) => {
+      val t = T(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t.orders.filter(col("o_orderdate") < lit("1996-07-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t.lineitem.filter(col("l_shipdate") > lit("1996-07-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount")))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND l_shipdate > TIMESTAMP '1996-07-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q04
+  // TPC-H Q4 shape: EXISTS -> left-semi join (no row multiplication, the
+  // probe side streams).
+  private val q04 = QueryDef(
+    "q04_order_priority",
+    (s, dir) => {
+      val t = T(s, dir)
+      val ord = t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01"))
+      val li = t.lineitem.select("l_orderkey", "l_shipdate")
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  // ---------------------------------------------------------------- q05
+  // TPC-H Q5 shape: 6-way join. All dimensions broadcast; the only
+  // shuffle is orders⋈lineitem on orderkey + the final aggregation.
+  private val q05 = QueryDef(
+    "q05_region_volume",
+    (s, dir) => {
+      val t = T(s, dir)
+      val asia = t.region.filter(col("r_name") === "ASIA")
+      val nat = t.nation.join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val sup = t.supplier.select("s_suppkey", "s_nationkey")
+      t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q06
+  // TPC-H Q6: pure scan-aggregate; all three predicates push down.
+  private val q06 = QueryDef(
+    "q06_revenue_forecast",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 && col("l_quantity") < 25)
+        .agg(dsum(m(col("l_extendedprice")) * r2(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25"""),
+    headline = true,
+  )
+
+  // ---------------------------------------------------------------- q07
+  // NOT EXISTS -> left-anti join.
+  private val q07 = QueryDef(
+    "q07_cust_no_orders",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.customer
+        .join(t.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""),
+  )
+
+  // ---------------------------------------------------------------- q08
+  // Left outer join + aggregation: per-customer order stats including
+  // zero-order customers.
+  private val q08 = QueryDef(
+    "q08_cust_order_stats",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.customer.select("c_custkey", "c_name")
+        .join(t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(m(col("o_totalprice"))), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey"""),
+  )
+
+  // ---------------------------------------------------------------- q09
+  // Window: top-3 orders per customer by price (rank with total
+  // tie-break so both engines agree on every row).
+  private val q09 = QueryDef(
+    "q09_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+  )
+
+  // ---------------------------------------------------------------- q10
+  // Window: running quantity per supplier in ship order. Exact decimal
+  // accumulation -> deterministic in both engines.
+  private val q10 = QueryDef(
+    "q10_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir).lineitem
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"))
+        .withColumn("running_qty", sum(m(col("l_quantity"))).over(w).cast("double"))
+        .drop("l_quantity", "l_shipdate")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // running_qty makes the output order total for the oracle compare.
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty"""),
+  )
+
+  // ---------------------------------------------------------------- q11
+  // Distinct aggregates (expand + two-phase agg under the hood).
+  private val q11 = QueryDef(
+    "q11_distinct_counts",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  // ---------------------------------------------------------------- q12
+  // GROUP BY + HAVING on an exact-decimal sum.
+  private val q12 = QueryDef(
+    "q12_having",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .groupBy("l_partkey")
+        .agg(dsum(m(col("l_quantity"))).as("total_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 700.0)
+        .orderBy("l_partkey"),
+    Some("""SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 700.0
+      ORDER BY l_partkey"""),
+  )
+
+  // ---------------------------------------------------------------- q13
+  // Scalar function battery: string, conditional, date-part, rounding.
+  private val q13 = QueryDef(
+    "q13_scalar_funcs",
+    (s, dir) =>
+      T(s, dir).orders
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+          length(col("o_orderstatus")).cast("bigint").as("status_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority").substr(1, 1)).as("status_code"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"),
+          month(col("o_orderdate")).cast("bigint").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+          round(col("o_totalprice"), -2).as("price_100"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_name,
+      CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+      CONCAT_WS('-', o_orderstatus, SUBSTRING(o_orderpriority, 1, 1)) AS status_code,
+      CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+      CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+      CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+      ROUND(o_totalprice, -2) AS price_100
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  // ---------------------------------------------------------------- q14
+  // ROLLUP with grouping keys coalesced to a sentinel (both engines
+  // produce NULL subtotal keys; coalescing sidesteps null-ordering and
+  // null-hashing differences).
+  private val q14 = QueryDef(
+    "q14_rollup",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(m(col("l_quantity"))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""),
+  )
+
+  // ---------------------------------------------------------------- q15
+  // Set operations: UNION / INTERSECT / EXCEPT over key sets.
+  private val q15 = QueryDef(
+    "q15_setops",
+    (s, dir) => {
+      val t = T(s, dir)
+      val big = t.orders.filter(col("o_totalprice") > 250000).select("o_custkey")
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val both = big.intersect(urgent).withColumn("tag", lit("both"))
+      val bigOnly = big.except(urgent).withColumn("tag", lit("big_only"))
+      val either = big.union(urgent).distinct().withColumn("tag", lit("either"))
+      both.union(bigOnly).union(either)
+        .groupBy("tag").agg(count(lit(1)).as("n_custs"))
+        .orderBy("tag")
+    },
+    Some("""WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+      urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      tagged AS (
+        SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+        UNION ALL
+        SELECT 'big_only' AS tag, o_custkey FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+        UNION ALL
+        SELECT 'either' AS tag, o_custkey FROM (SELECT o_custkey FROM big UNION SELECT o_custkey FROM urgent))
+      SELECT tag, COUNT(*) AS n_custs FROM tagged GROUP BY tag ORDER BY tag"""),
+  )
+
+  // ---------------------------------------------------------------- q16
+  // IN-subquery -> left-semi join on the distinct key set.
+  private val q16 = QueryDef(
+    "q16_in_subquery",
+    (s, dir) => {
+      val t = T(s, dir)
+      val heavy = t.lineitem.filter(col("l_quantity") >= 48).select("l_partkey")
+      t.part.join(heavy, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_brand, p_type, p_retailprice FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+      ORDER BY p_partkey"""),
+  )
+
+  // ---------------------------------------------------------------- q17
+  // TPC-H Q17 shape: per-part average-quantity threshold. The scalar
+  // subquery becomes a broadcast-joined pre-aggregate (exact decimal avg
+  // so the threshold comparison is bit-identical in both engines).
+  private val q17 = QueryDef(
+    "q17_avg_subquery",
+    (s, dir) => {
+      val t = T(s, dir)
+      val li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum(m(col("l_quantity"))).cast("double") / count(col("l_quantity"))).as("avg_qty"))
+      li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(dsum(m(col("l_extendedprice"))).as("low_qty_revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""WITH a AS (SELECT l_partkey AS a_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS low_qty_revenue,
+        COUNT(*) AS n_rows
+      FROM lineitem JOIN a ON l_partkey = a_partkey
+      WHERE l_quantity < 0.5 * avg_qty"""),
+  )
+
+  // ---------------------------------------------------------------- q18
+  // GROUPING SETS (finer control than rollup/cube).
+  private val q18 = QueryDef(
+    "q18_grouping_sets",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.orders.createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority"""),
+  )
+
+  // ---------------------------------------------------------------- q19
+  // Time-series: monthly revenue (date_trunc to month, surfaced as DATE
+  // which both engines represent identically).
+  private val q19 = QueryDef(
+    "q19_monthly_revenue",
+    (s, dir) =>
+      T(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(m(col("o_totalprice"))).as("revenue"))
+        .orderBy("month"),
+    Some("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1 ORDER BY month"""),
+  )
+
+  // ---------------------------------------------------------------- q20
+  // Point lookup (reference A16/§2B parameterized equality shape): at
+  // scale this is a parquet scan with an exact pushed filter.
+  private val q20 = QueryDef(
+    "q20_point_lookup",
+    (s, dir) =>
+      T(s, dir).orders
+        .filter(col("o_orderkey") === 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders WHERE o_orderkey = 100"""),
+  )
+
+  // ---------------------------------------------------------------- q21
+  // Preview (reference A17: SELECT * LIMIT n) made deterministic.
+  private val q21 = QueryDef(
+    "q21_preview",
+    (s, dir) => T(s, dir).nation.orderBy("n_nationkey").limit(10),
+    Some("SELECT * FROM nation ORDER BY n_nationkey LIMIT 10"),
+  )
+
+  // ---------------------------------------------------------------- q22
+  // COUNT(*) (reference A16 test shape).
+  private val q22 = QueryDef(
+    "q22_count_star",
+    (s, dir) => T(s, dir).lineitem.agg(count(lit(1)).as("n_rows")),
+    Some("SELECT COUNT(*) AS n_rows FROM lineitem"),
+  )
+
+  // ---------------------------------------------------------------- q23
+  // Reference A20: group-by count, top-5 by count desc (the only
+  // aggregation the reference computes in its own code).
+  private val q23 = QueryDef(
+    "q23_event_type_top5",
+    (s, dir) =>
+      T(s, dir).events
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("event_type"))
+        .limit(5),
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+      GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"""),
+  )
+
+  // ---------------------------------------------------------------- q24
+  // Hourly tumbling aggregation over the events stream table (batch
+  // equivalent of the streaming window; see graft.streaming). The hour
+  // bucket is surfaced as a string so both engines agree byte-for-byte.
+  private val q24 = QueryDef(
+    "q24_hourly_events",
+    (s, dir) =>
+      T(s, dir).events
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(m(col("value"))).as("total_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT STRFTIME(DATE_TRUNC('hour', MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000)), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+  )
+
+  // ---------------------------------------------------------------- q25
+  // Sessionization in pure SQL shape: a session starts after a >30min
+  // gap; session ids via cumulative sum over a total per-user order.
+  private val q25 = QueryDef(
+    "q25_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = T(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+      flagged
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), dsum(m(col("value"))).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      flagged AS (SELECT user_id, ts, event_id, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+          OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (SELECT user_id, event_id, value,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}

@@ -1,0 +1,264 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** JSON directory ingestion with the reference pipeline's semantics
+  * (reference src/core/application.py:36-142):
+  * discover → parse (continue-on-error, whole-file atomicity) →
+  * normalize to TEXT (§1.2 contract) → tag `_source_file` lineage →
+  * union heterogeneous schemas with NULL-fill → alphabetical columns.
+  *
+  * Two execution modes:
+  *
+  *  - [[ingest]] (exact): per-file schema inference and normalization,
+  *    then `unionByName(allowMissingColumns)`. Preserves the reference's
+  *    distinction between a JSON `null` value (→ "") and a key missing
+  *    from a file entirely (→ SQL NULL) — distinguishable only when
+  *    normalization happens before cross-file union, exactly as the
+  *    reference normalizes before `all_data.extend`
+  *    (application.py:90-96). (Granularity caveat: WITHIN one file,
+  *    records missing a key that other records of the same file carry
+  *    still normalize to "" — schema inference erases per-record key
+  *    sets. Cross-file missing keys stay NULL, which is what the
+  *    reference's integration tests observe.) Malformed files are
+  *    detected by a
+  *    distributed whole-file parse probe (the `json.load` all-or-nothing
+  *    semantic, application.py:81-82) and dropped in full, with the
+  *    error recorded. Suits directories up to ~10^4 files (one inference
+  *    pass per file).
+  *
+  *  - [[ingestBulk]] (scale): one `spark.read.json` over every file —
+  *    a single distributed scan, no per-file driver loop; the path for
+  *    10^6+ files / 100 TB prefixes. Whole-file failure is derived from
+  *    the corrupt-record column grouped by `input_file_name` and
+  *    dropped via a broadcast anti-join (SURVEY.md A8's whole-file-fail
+  *    rule). Deviations (documented): a key missing from one file is
+  *    indistinguishable from an explicit null (both → ""), and a valid
+  *    file containing non-object top-level elements counts as failed
+  *    (Spark's multiLine parser marks the whole file corrupt) — the
+  *    exact mode handles both faithfully.
+  *
+  * Spark quirks the implementation works around (discovered by test):
+  *  - multiLine PERMISSIVE parsing marks the WHOLE file corrupt when any
+  *    top-level array element is a non-object → mixed files go through a
+  *    Jackson element-extraction fallback in exact mode;
+  *  - JSON schema inference prunes fields whose every value is an empty
+  *    object/array — the probe records each file's top-level keys and
+  *    pruned keys are restored as "" columns (the reference's empty→""
+  *    mapping, json_processor.py:90);
+  *  - a projection referencing only the corrupt-record column is
+  *    disallowed — the bulk corrupt-file scan includes a data column.
+  */
+object JsonIngestor {
+
+  final case class FileError(file: String, error: String)
+
+  /** Distributed whole-file probe result: `json.load` outcome plus the
+    * top-level key union and whether non-object elements appear.
+    */
+  final case class FileProbe(
+      file: String, error: Option[String], keys: Seq[String], hasNonObject: Boolean)
+
+  /** Run metrics, mirroring the reference's result dict
+    * (application.py:125-142).
+    */
+  final case class IngestReport(
+      filesDiscovered: Int,
+      filesProcessed: Int,
+      filesFailed: Int,
+      totalRecords: Long,
+      errors: Seq[FileError],
+      elapsedSec: Double,
+  ) {
+    def throughputRps: Double = if (elapsedSec > 0) totalRecords / elapsedSec else 0.0
+  }
+
+  final case class IngestResult(data: DataFrame, report: IngestReport)
+
+  private val CorruptCol = "_graft_corrupt"
+
+  private def basename(path: String): String = {
+    val p = path.stripSuffix("/")
+    p.substring(p.lastIndexOf('/') + 1)
+  }
+
+  private def probeNode(root: JsonNode): (Seq[String], Boolean) =
+    if (root.isObject) (root.fieldNames.asScala.toSeq, false)
+    else if (root.isArray) {
+      val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+      var nonObject = false
+      root.elements.asScala.foreach { el =>
+        if (el.isObject) keys ++= el.fieldNames.asScala else nonObject = true
+      }
+      (keys.toSeq, nonObject)
+    } else (Nil, true) // scalar root: valid JSON, zero records
+
+  /** One Spark job over the file list: parse each file whole (the exact
+    * `json.load` all-or-nothing semantic) and report error/keys/shape.
+    */
+  def probeFiles(spark: SparkSession, files: Seq[String]): Seq[FileProbe] = {
+    if (files.isEmpty) return Nil
+    val n = math.min(files.size, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(files, n)
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        val conf = new Configuration()
+        it.map { f =>
+          try {
+            val p = new Path(f)
+            val in = p.getFileSystem(conf).open(p)
+            val root = try mapper.readTree(in) finally in.close()
+            val (keys, nonObj) = probeNode(root)
+            FileProbe(f, None, keys, nonObj)
+          } catch {
+            case e: Exception =>
+              FileProbe(f,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)), Nil,
+                hasNonObject = false)
+          }
+        }
+      }
+      .collect()
+      .toSeq
+  }
+
+  /** Fallback reader for files whose top level mixes objects and
+    * scalars: extract object elements with Jackson (scalars dropped,
+    * reference json_processor.py:57-61) and infer over those.
+    */
+  private def readObjectElements(spark: SparkSession, file: String): DataFrame = {
+    val txt = spark.read.format("text").option("wholetext", "true").load(file)
+      .select("value").as[String](Encoders.STRING)
+    val elems: Dataset[String] = txt.flatMap { content =>
+      val root = new ObjectMapper().readTree(content)
+      if (root.isObject) Seq(root.toString)
+      else if (root.isArray) root.elements.asScala.filter(_.isObject).map(_.toString).toSeq
+      else Nil
+    }(Encoders.STRING)
+    spark.read.json(elems)
+  }
+
+  /** Exact-semantics ingestion (see object doc). */
+  def ingest(spark: SparkSession, dir: String,
+      includePatterns: Seq[String] = Nil,
+      excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns): IngestResult = {
+    val t0 = System.nanoTime()
+    val files = FileScanner.discover(dir, Seq("json"), recursive = true,
+      includePatterns, excludePatterns,
+      spark.sparkContext.hadoopConfiguration)("json")
+    val probes = probeFiles(spark, files)
+    val errors = probes.collect { case FileProbe(f, Some(e), _, _) => FileError(f, e) }
+    val good = probes.filter(_.error.isEmpty)
+
+    val perFile = good.flatMap { probe =>
+      if (probe.keys.isEmpty) None // only scalars (or empty array): 0 records
+      else {
+        val raw =
+          if (probe.hasNonObject) readObjectElements(spark, probe.file)
+          else spark.read
+            .option("multiLine", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CorruptCol)
+            .json(probe.file)
+        val clean =
+          if (raw.columns.contains(CorruptCol)) raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+          else raw
+        // restore inference-pruned always-empty keys as "" (empty->"")
+        val pruned = probe.keys.filterNot(clean.columns.contains)
+        val restored = pruned.foldLeft(clean)((df, k) => df.withColumn(k, lit("")))
+        Some(Normalizer.normalizeAll(restored)
+          .withColumn("_source_file", lit(basename(probe.file))))
+      }
+    }
+
+    val unioned = perFile match {
+      case Seq() => spark.emptyDataFrame
+      case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val data =
+      if (unioned.columns.isEmpty) unioned
+      else unioned.select(unioned.columns.sorted.map(col).toSeq: _*)
+    val total = if (data.columns.isEmpty) 0L else data.count()
+    IngestResult(data, IngestReport(
+      filesDiscovered = files.size,
+      filesProcessed = good.size,
+      filesFailed = errors.size,
+      totalRecords = total,
+      errors = errors,
+      elapsedSec = (System.nanoTime() - t0) / 1e9))
+  }
+
+  /** Single-pass bulk ingestion (see object doc). Whole-file failure =
+    * any corrupt record attributed to the file (SURVEY.md A8).
+    */
+  def ingestBulk(spark: SparkSession, dir: String,
+      includePatterns: Seq[String] = Nil,
+      excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns): IngestResult = {
+    val t0 = System.nanoTime()
+    val files = FileScanner.discover(dir, Seq("json"), recursive = true,
+      includePatterns, excludePatterns,
+      spark.sparkContext.hadoopConfiguration)("json")
+    if (files.isEmpty) {
+      return IngestResult(spark.emptyDataFrame,
+        IngestReport(0, 0, 0, 0L, Nil, (System.nanoTime() - t0) / 1e9))
+    }
+    val raw = spark.read
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(files: _*)
+      .withColumn("_source_path", input_file_name())
+
+    val hasCorrupt = raw.columns.contains(CorruptCol)
+    val dataCols = raw.columns.filterNot(c => c == CorruptCol || c == "_source_path")
+    val badFiles: Set[String] =
+      if (!hasCorrupt) Set.empty
+      else if (dataCols.isEmpty) files.toSet // every file failed to parse
+      else {
+        // Spark refuses a scan whose only referenced file column is the
+        // corrupt-record column. In multiLine mode a corrupt record is
+        // the whole unparsed file, so every data column is null: the
+        // extra isNull conjunct is a semantic no-op that keeps a real
+        // data column in the scan's required schema.
+        raw.filter(col(CorruptCol).isNotNull && col(dataCols.head).isNull)
+          .select("_source_path")
+          .distinct().collect().map(_.getString(0)).toSet
+      }
+    val errors = badFiles.toSeq.sorted.map(f => FileError(f, "corrupt record in file"))
+
+    val data =
+      if (dataCols.isEmpty) spark.emptyDataFrame
+      else {
+        // No corrupt-record filter needed: in multiLine mode every
+        // corrupt row's file is in badFiles, so the file-level
+        // atomicity filter below removes them all (and keeping the
+        // corrupt column out of the plan avoids Spark's corrupt-
+        // column-only-scan restriction under aggressive pruning).
+        val clean1 = if (hasCorrupt) raw.drop(CorruptCol) else raw
+        val clean =
+          if (badFiles.isEmpty) clean1
+          else clean1.filter(!col("_source_path").isin(badFiles.toSeq: _*))
+        Normalizer.normalizeAll(
+          clean
+            .withColumn("_source_file", element_at(split(col("_source_path"), "/"), -1))
+            .drop("_source_path"),
+          passthrough = Set("_source_file"))
+      }
+    val total = if (data.columns.isEmpty) 0L else data.count()
+    IngestResult(data, IngestReport(
+      filesDiscovered = files.size,
+      filesProcessed = files.size - badFiles.size,
+      filesFailed = badFiles.size,
+      totalRecords = total,
+      errors = errors,
+      elapsedSec = (System.nanoTime() - t0) / 1e9))
+  }
+}

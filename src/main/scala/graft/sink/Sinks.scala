@@ -1,0 +1,48 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table sinks (reference A14-A15: idempotent DDL + batched insert,
+  * sqlite_connector.py:131-222).
+  *
+  * The reference's SQLite sink becomes three Spark-native options:
+  *  - [[saveTable]]: managed table via `saveAsTable` (append = the
+  *    reference's insert-into-existing semantics; DDL-if-absent is
+  *    implicit). Parquet under the hood — the 100 TB path, partitioned
+  *    by any caller-supplied columns.
+  *  - [[saveParquet]]: plain parquet directory sink.
+  *  - [[saveJdbc]]: JDBC batch insert, `batchsize` mirroring the
+  *    reference's executemany batch_size=1000. Per-partition
+  *    transactions (weaker than the reference's single global
+  *    commit+rollback — documented; stage to a temp table for exactly-
+  *    once).
+  */
+object Sinks {
+
+  /** Returns the row count written (the reference's insert_data return). */
+  def saveTable(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Append): Long = {
+    val n = df.count()
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+    n
+  }
+
+  def saveParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def saveJdbc(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000, mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .save()
+
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+}

@@ -1,0 +1,101 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** End-to-end ingestion tests — ports of the reference's integration
+  * suite (tests/integration/test_end_to_end_processing.py and
+  * tests/unit/test_application.py; SURVEY.md §5).
+  */
+class IngestorSpec extends SparkSpec {
+
+  private def fixtureDir(): java.nio.file.Path = {
+    val dir = tmpDir("ingest")
+    // mirrors the reference's 5-file integration fixture: 3 good files
+    // (4 records total), 1 malformed, 1 ignored by extension
+    writeFile(dir, "customers.json",
+      """[{"customer_id": "C1", "name": "Ann"}, {"customer_id": "C2", "name": "Bob"}]""")
+    writeFile(dir, "orders.json",
+      """[{"order_id": "O1", "customer_id": "C1", "amount": 10.5}]""")
+    writeFile(dir, "edge.json", """{"customer_id": "C3", "extra": null}""")
+    writeFile(dir, "malformed.json", """{"broken": [1, 2""")
+    writeFile(dir, "notes.txt", "not json")
+    dir
+  }
+
+  test("continue-on-error: 3 files ok, 4 records, 1 error (test_end_to_end_processing.py:33-73)") {
+    for (mode <- Seq("exact", "bulk")) {
+      val r = if (mode == "exact") JsonIngestor.ingest(spark, fixtureDir().toString)
+              else JsonIngestor.ingestBulk(spark, fixtureDir().toString)
+      assert(r.report.filesDiscovered == 4, mode)   // .txt not classified json
+      assert(r.report.filesProcessed == 3, mode)
+      assert(r.report.filesFailed == 1, mode)
+      assert(r.report.totalRecords == 4, mode)
+      assert(r.report.errors.head.file.endsWith("malformed.json"), mode)
+      assert(r.report.throughputRps > 0, mode)
+    }
+  }
+
+  test("schema union + NULL-fill + sorted columns + lineage (:75-100)") {
+    val r = JsonIngestor.ingest(spark, fixtureDir().toString)
+    // union of keys across files, alphabetically sorted
+    assert(r.data.columns.toSeq ==
+      Seq("_source_file", "amount", "customer_id", "extra", "name", "order_id"))
+    // all TEXT
+    assert(r.data.schema.fields.forall(_.dataType.typeName == "string"))
+    // rows missing a column get NULL (missing key), not ""
+    val ann = r.data.filter(col("customer_id") === "C1" && col("name") === "Ann").collect().head
+    assert(ann.getAs[String]("order_id") == null)
+    // explicit JSON null -> "" (exact mode distinguishes the two)
+    val c3 = r.data.filter(col("customer_id") === "C3").collect().head
+    assert(c3.getAs[String]("extra") == "")
+    assert(c3.getAs[String]("name") == null)
+    // lineage column carries the basename
+    assert(r.data.select("_source_file").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("customers.json", "edge.json", "orders.json"))
+  }
+
+  test("empty directory -> zero report (test_application.py:87-98)") {
+    val r = JsonIngestor.ingest(spark, tmpDir("empty").toString)
+    assert(r.report.filesDiscovered == 0)
+    assert(r.report.totalRecords == 0)
+    assert(r.data.columns.isEmpty)
+  }
+
+  test("ignore patterns skip hidden/tmp/bak files (file_scanner.py:33-44)") {
+    val dir = tmpDir("ignored")
+    writeFile(dir, "good.json", """[{"a": 1}]""")
+    writeFile(dir, ".hidden.json", """[{"a": 2}]""")
+    writeFile(dir, "backup.json.bak", """[{"a": 3}]""")
+    writeFile(dir, "scratch.tmp", """[{"a": 4}]""")
+    val r = JsonIngestor.ingest(spark, dir.toString)
+    assert(r.report.filesDiscovered == 1)
+    assert(r.report.totalRecords == 1)
+  }
+
+  test("include patterns whitelist (file_scanner.py:204-221)") {
+    val dir = tmpDir("include")
+    writeFile(dir, "keep_1.json", """[{"a": 1}]""")
+    writeFile(dir, "skip_1.json", """[{"a": 2}]""")
+    val r = JsonIngestor.ingest(spark, dir.toString, includePatterns = Seq("keep_*"))
+    assert(r.report.filesDiscovered == 1)
+    assert(r.data.collect().head.getAs[String]("a") == "1")
+  }
+
+  test("recursive discovery (file_scanner.py:145-170)") {
+    val dir = tmpDir("rec")
+    writeFile(dir, "top.json", """[{"a": 1}]""")
+    writeFile(dir, "sub/nested.json", """[{"a": 2}]""")
+    val r = JsonIngestor.ingest(spark, dir.toString)
+    assert(r.report.totalRecords == 2)
+  }
+
+  test("scalar-only valid file contributes 0 records but no error") {
+    val dir = tmpDir("scalars")
+    writeFile(dir, "scalars.json", """[1, 2, "three"]""")
+    writeFile(dir, "real.json", """[{"a": 1}]""")
+    val r = JsonIngestor.ingest(spark, dir.toString)
+    assert(r.report.filesFailed == 0)
+    assert(r.report.totalRecords == 1)
+  }
+}

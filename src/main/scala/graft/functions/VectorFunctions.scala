@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>`/`array<double>` embedding columns,
+  * built from Spark's codegen'd higher-order functions (no UDFs in the
+  * hot path).
+  *
+  * Determinism note: `dotD` is a sequential left fold in double
+  * precision — verified bit-identical to DuckDB's `list_sum` over the
+  * same data, which is what makes cosine scores oracle-checkable.
+  */
+object VectorFunctions {
+
+  /** Elementwise cast to double (float arithmetic differs per engine —
+    * always lift to double first).
+    */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product of two double arrays: sequential left fold. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Cosine similarity; operation order fixed as dot/(||a||*||b||). */
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm2(a) * norm2(b))
+
+  /** Sign-bit locality-sensitive bucket of `v` (double array) against a
+    * fixed set of hyperplanes: bit i = [v · plane_i >= 0]. Planes are
+    * inlined as literal arrays — deterministic across runs and nodes.
+    */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(v, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+}

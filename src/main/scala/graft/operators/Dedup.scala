@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators (north-star LLM-pipeline additions,
+  * SURVEY.md §2C): exact, MinHash+LSH, SimHash, bounded n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every approximate method is
+  * shingle/signature → band/bucket → candidate join → verify —
+  * candidates are generated only inside hash buckets (never all-pairs),
+  * so the shuffles are keyed on band/bucket hashes and stay linear in
+  * corpus size for non-adversarial data. The only all-pairs operator
+  * (ngram Jaccard) is explicitly bounded and exists as the oracle-
+  * checkable verifier of the set arithmetic.
+  */
+object Dedup {
+
+  /** tokens of lowered text. */
+  private val ToksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+  /** distinct word 3-gram shingles over a staged `toks` column. */
+  private val ShinglesExpr =
+    """array_distinct(
+         CASE WHEN size(toks) >= 3
+         THEN transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' '))
+         ELSE array(array_join(toks, ' ')) END)"""
+
+  private[operators] def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(ToksExpr))
+      .withColumn("shingles", expr(ShinglesExpr))
+      .drop("toks")
+
+  // -------------------------------------------------------------- dd01
+  // Exact dedup: hash-groupBy on a content digest; keep lowest doc_id.
+  private val dd01 = QueryDef(
+    "dd01_exact_dedup",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5"),
+    Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_md5"""),
+  )
+
+  // -------------------------------------------------------------- dd02
+  /** MinHash + LSH near-dup pairs.
+    *
+    * shingle (word 3-grams) → 32-way minhash signature (xxhash64 with
+    * per-signature salt) → 8 bands × 4 rows → bucket-join inside equal
+    * band hashes → exact Jaccard verification ≥ `threshold`.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sh = withShingles(docs).select("doc_id", "shingles")
+    val sigs = (0 until numHashes).foldLeft(sh)((df, j) =>
+      df.withColumn(s"sig_$j", expr(
+        s"aggregate(shingles, cast(9223372036854775807 as bigint), (acc, x) -> least(acc, xxhash64(x, $j)))")))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
+    }
+    val exploded = sigs
+      .withColumn("bandkey", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("bandkey"))
+    val cands = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.bandkey") === col("b.bandkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dd02 = QueryDef(
+    "dd02_minhash_lsh",
+    (s, dir) => minhashPairs(Tables(s, dir).documents),
+    None, // signature hashing is engine-specific; verified by ScalaTest
+  )
+
+  // -------------------------------------------------------------- dd03
+  /** SimHash near-dup pairs: 64-bit bitwise-majority signature over
+    * token hashes, candidates from 16-bit band blocking (any pair at
+    * hamming distance ≤ 3·16-bit-bands shares a band by pigeonhole),
+    * verified with bit_count(xor) ≤ maxHamming.
+    *
+    * The signature is a typed Aggregator-style fold implemented as a
+    * deterministic Scala UDF over the token array (64 interleaved
+    * bit-majorities — outside what vectorized expressions express
+    * cleanly; a custom Catalyst Expression is the planned upgrade).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val simhash = udf { toks: Seq[String] =>
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        // splitmix64 over the (deterministic) String.hashCode
+        var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L
+        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+        h ^= (h >>> 31)
+        var i = 0
+        while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
+      }
+      (0 until 64).foldLeft(0L)((acc, i) => if (counts(i) > 0) acc | (1L << i) else acc)
+    }
+    val sh = docs.withColumn("toks", expr(ToksExpr))
+      .select(col("doc_id"), simhash(col("toks")).as("sh"))
+    val banded = sh.withColumn("band", explode(array(
+      (0 until 4).map(k => struct(lit(k).as("k"),
+        (shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL))).as("bits"))): _*)))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dd03 = QueryDef(
+    "dd03_simhash",
+    (s, dir) => simhashPairs(Tables(s, dir).documents),
+    None,
+  )
+
+  // -------------------------------------------------------------- dd04
+  // Bounded all-pairs n-gram Jaccard: the oracle-checkable verifier of
+  // the shingle-set arithmetic (doc_id < 120 keeps it O(bounded²); the
+  // scalable path is dd02's LSH candidates).
+  private val dd04 = QueryDef(
+    "dd04_ngram_jaccard",
+    (s, dir) => {
+      val sh = withShingles(Tables(s, dir).documents.filter(col("doc_id") < 120))
+        .select("doc_id", "shingles")
+      sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        .filter(col("jaccard") > 0.01)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 120),
+      g AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+          THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01
+      ORDER BY doc_a, doc_b"""),
+  )
+
+  // -------------------------------------------------------------- dd05
+  /** Embedding-cosine near-dup: sign-bit LSH bucketing (16 fixed
+    * hyperplanes) then exact cosine verification inside buckets.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
+      nPlanes: Int = 16): DataFrame = {
+    val dim = 64
+    val planes = randomPlanes(nPlanes, dim)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dd05 = QueryDef(
+    "dd05_embed_neardup",
+    (s, dir) => embeddingNearDups(Tables(s, dir).embeddings),
+    None,
+  )
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star LLM-pipeline additions,
+  * SURVEY.md §2C): media payloads are opaque `binary` columns with
+  * typed metadata; decode/feature-extract runs as a batched
+  * per-partition operator.
+  *
+  * The container ships no image/audio codecs, so [[FakeCodec]] is a
+  * clearly-marked deterministic STUB standing in for a real decoder
+  * (JNI/external process in production) — everything around it (binary
+  * schema, partition batching, feature-vector schema, metadata
+  * extraction) is real Spark plumbing and is what the tests exercise.
+  * The testdata has no media table, so the binary column is
+  * synthesized from document text bytes.
+  */
+object Multimodal {
+
+  /** STUB decoder: stands in for e.g. JPEG decode + embedding. Maps the
+    * first 8 payload bytes to floats in [0,1); deterministic.
+    */
+  object FakeCodec {
+    val FeatureDim = 8
+    def features(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < FeatureDim) {
+        out(i) = ((if (i < payload.length) payload(i) & 0xFF else 0).toFloat) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class FeatureRow(doc_id: Long, n_bytes: Long, feature: Array[Float])
+
+  /** Batched decode/feature-extract: one codec instance per partition,
+    * rows streamed through it (the Scala analogue of a pandas-batched
+    * UDF — `Dataset.mapPartitions`, not a per-row UDF).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val ds = media.select(col("doc_id"), col("payload"))
+      .as[MediaRow](Encoders.product[MediaRow])
+    ds.mapPartitions { it =>
+      // per-partition codec setup would go here (decoder init is the
+      // expensive part in real pipelines)
+      it.map(r => FeatureRow(r.doc_id, r.payload.length.toLong, FakeCodec.features(r.payload)))
+    }(Encoders.product[FeatureRow]).toDF()
+  }
+
+  /** documents.text → opaque binary payload column. */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // -------------------------------------------------------------- mm01
+  // Metadata over binary columns: byte length + content digest — pure
+  // expressions, oracle-checkable.
+  private val mm01 = QueryDef(
+    "mm01_binary_meta",
+    (s, dir) =>
+      syntheticMedia(Tables(s, dir).documents)
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS payload_md5 FROM documents ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- mm02
+  // Stubbed decode + feature extraction; aggregate of the feature
+  // space so the output is small and deterministic.
+  private val mm02 = QueryDef(
+    "mm02_feature_extract",
+    (s, dir) =>
+      extractFeatures(syntheticMedia(Tables(s, dir).documents))
+        .select(col("doc_id"), col("n_bytes"),
+          round(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + x)"), 6).as("feat_sum"))
+        .orderBy("doc_id"),
+    None, // decode stub is engine-side only; ScalaTest pins the values
+  )
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02)
+}

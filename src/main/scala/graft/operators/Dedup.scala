@@ -20,19 +20,8 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  /** tokens of lowered text. */
-  private val ToksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
-  /** distinct word 3-gram shingles over a staged `toks` column. */
-  private val ShinglesExpr =
-    """array_distinct(
-         CASE WHEN size(toks) >= 3
-         THEN transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' '))
-         ELSE array(array_join(toks, ' ')) END)"""
-
-  private[operators] def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", expr(ToksExpr))
-      .withColumn("shingles", expr(ShinglesExpr))
-      .drop("toks")
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("shingles", graft.functions.TextExpressions.word_shingles(col("text"), 3))
 
   // -------------------------------------------------------------- dd01
   // Exact dedup: hash-groupBy on a content digest; keep lowest doc_id.
@@ -54,27 +43,44 @@ object Dedup {
     * per-signature salt) → 8 bands × 4 rows → bucket-join inside equal
     * band hashes → exact Jaccard verification ≥ `threshold`.
     */
+  /** Band geometry: b bands of r rows catch pairs above roughly
+    * (1/b)^(1/r) Jaccard; 16×2 ≈ 0.25 — generous candidate recall for
+    * a 0.5 verification threshold (the exact-Jaccard verify step
+    * removes false positives, so extra candidates cost only compute).
+    */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val sh = withShingles(docs).select("doc_id", "shingles")
-    val sigs = (0 until numHashes).foldLeft(sh)((df, j) =>
-      df.withColumn(s"sig_$j", expr(
-        s"aggregate(shingles, cast(9223372036854775807 as bigint), (acc, x) -> least(acc, xxhash64(x, $j)))")))
+    // All 32 signature minima in ONE traversal of the shingle array
+    // (custom MinHashSignature expression) — no explode, no extra
+    // shuffle; an aggregate() higher-order fold here benchmarked ~10x
+    // slower (interpreted lambda per element).
+    val sigs = sh.withColumn("sig",
+      graft.functions.TextExpressions.minhash_signature(col("shingles"), numHashes))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
+        xxhash64((b * rows until (b + 1) * rows).map(j => element_at(col("sig"), j + 1)): _*)
+          .as("bh"))
     }
-    val exploded = sigs
+    // One pass: explode bands -> bucket by band hash -> expand pairs
+    // INSIDE each bucket (no self-join, so the expensive signature
+    // subtree is evaluated exactly once per doc). maxBucket guards the
+    // quadratic expansion against degenerate buckets (boilerplate docs).
+    val cands = sigs
       .withColumn("bandkey", explode(array(bandCols: _*)))
-      .select(col("doc_id"), col("bandkey"))
-    val cands = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.bandkey") === col("b.bandkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("bandkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
+           p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val withSets = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+    // Verification joins broadcast the (small) candidate set so the
+    // shingle table streams without a shuffle.
+    val withSets = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(broadcast(cands), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     withSets
       .withColumn("jaccard",
@@ -116,16 +122,22 @@ object Dedup {
       }
       (0 until 64).foldLeft(0L)((acc, i) => if (counts(i) > 0) acc | (1L << i) else acc)
     }
-    val sh = docs.withColumn("toks", expr(ToksExpr))
+    val sh = docs
+      .withColumn("toks", graft.functions.TextExpressions.tokens(col("text")))
       .select(col("doc_id"), simhash(col("toks")).as("sh"))
-    val banded = sh.withColumn("band", explode(array(
-      (0 until 4).map(k => struct(lit(k).as("k"),
-        (shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL))).as("bits"))): _*)))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+    // bucket by 16-bit band and expand pairs inside buckets (signature
+    // is a long, cheap to carry through the shuffle; no self-join)
+    sh.withColumn("band", explode(array(
+        (0 until 4).map(k => struct(lit(k).as("k"),
+          (shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL))).as("bits"))): _*)))
+      .groupBy(col("band"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
+           p -> p.a.doc_id < p.b.doc_id)""")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sh").as("sha"), col("p.b.sh").as("shb"))
       .distinct()
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)

@@ -24,21 +24,28 @@ object Text {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
-  /** tokens = non-empty runs of non-whitespace, lowercased. */
-  private val ToksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+  /** lowercased whitespace tokens via the custom Tokens expression
+    * (same semantics as filter(split(lower(text),'\s+'), _ != '') but
+    * one native traversal instead of interpreted lambdas).
+    */
+  private def toks = graft.functions.TextExpressions.tokens(col("text"))
+  private def nStop(c: org.apache.spark.sql.Column, lang: String) =
+    graft.functions.TextExpressions.stopword_count(c, Stop(lang))
 
   // -------------------------------------------------------------- txt01
   private val txt01 = QueryDef(
     "txt01_token_stats",
     (s, dir) =>
       Tables(s, dir).documents
-        .withColumn("toks", expr(ToksExpr))
+        .withColumn("toks", toks)
         .select(
           col("doc_id"),
           size(col("toks")).cast("bigint").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
           length(col("text")).cast("bigint").as("char_len"),
-          (expr("aggregate(toks, cast(0 as bigint), (acc, x) -> acc + length(x))").cast("double") /
+          // total token length == count of non-whitespace chars: lets
+          // the whole computation stay in codegen'd string ops
+          (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
             size(col("toks"))).as("avg_token_len"))
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, text,
@@ -48,7 +55,7 @@ object Text {
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         CAST(length(text) AS BIGINT) AS char_len,
-        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len
       FROM t ORDER BY doc_id"""),
   )
 
@@ -59,10 +66,9 @@ object Text {
     "txt02_quality_score",
     (s, dir) =>
       Tables(s, dir).documents
-        .withColumn("toks", expr(ToksExpr))
+        .withColumn("toks", toks)
         .withColumn("n_tokens", size(col("toks")).cast("bigint"))
-        .withColumn("n_stop", expr(
-          s"size(filter(toks, x -> x in (${sqlList(Stop("en"))})))").cast("bigint"))
+        .withColumn("n_stop", nStop(col("toks"), "en"))
         .withColumn("n_punct",
           size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("bigint"))
         .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
@@ -98,9 +104,9 @@ object Text {
     "txt03_lang_id",
     (s, dir) => {
       val langs = Seq("en", "de", "fr", "es")
-      val base = Tables(s, dir).documents.withColumn("toks", expr(ToksExpr))
+      val base = Tables(s, dir).documents.withColumn("toks", toks)
       val scored = langs.foldLeft(base)((df, l) =>
-        df.withColumn(s"s_$l", expr(s"size(filter(toks, x -> x in (${sqlList(Stop(l))})))")))
+        df.withColumn(s"s_$l", nStop(col("toks"), l)))
       scored
         .withColumn("lang_pred",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&

@@ -576,6 +576,84 @@ object Relational {
       FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
   )
 
+  // ---------------------------------------------------------------- q26
+  // CUBE over two dimensions (rollup's sibling; all 4 grouping sets).
+  private val q26 = QueryDef(
+    "q26_cube",
+    (s, dir) =>
+      T(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(m(col("o_totalprice"))).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority"),
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+  )
+
+  // ---------------------------------------------------------------- q27
+  // String pattern matching: LIKE, prefix, regexp, IN-list — all must
+  // reach the scan as pushed/residual data filters.
+  private val q27 = QueryDef(
+    "q27_string_match",
+    (s, dir) =>
+      T(s, dir).part
+        .filter(col("p_type").isin("ECONOMY", "PROMO") &&
+          col("p_name").like("%a%") &&
+          col("p_brand").startsWith("Brand#1") &&
+          col("p_name").rlike("^[a-z ]+$"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+      WHERE p_type IN ('ECONOMY', 'PROMO') AND p_name LIKE '%a%'
+        AND p_brand LIKE 'Brand#1%' AND regexp_matches(p_name, '^[a-z ]+$')
+      ORDER BY p_partkey"""),
+  )
+
+  // ---------------------------------------------------------------- q28
+  // FULL OUTER join: suppliers and customers per nation, either side
+  // may be absent (supplier covers few nations).
+  private val q28 = QueryDef(
+    "q28_full_outer",
+    (s, dir) => {
+      val t = T(s, dir)
+      val sup = t.supplier.groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cust = t.customer.groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cust, col("nk_s") === col("nk_c"), "full_outer")
+        .select(coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy("nationkey")
+    },
+    Some("""WITH s AS (SELECT s_nationkey AS nk_s, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+      c AS (SELECT c_nationkey AS nk_c, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+      SELECT COALESCE(nk_s, nk_c) AS nationkey,
+        COALESCE(n_suppliers, 0) AS n_suppliers,
+        COALESCE(n_customers, 0) AS n_customers
+      FROM s FULL OUTER JOIN c ON nk_s = nk_c ORDER BY nationkey"""),
+  )
+
+  // ---------------------------------------------------------------- q29
+  // Cartesian product (bounded: region x nation) — the explicit
+  // cross-join operator.
+  private val q29 = QueryDef(
+    "q29_cross_join",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.region.select(col("r_name"))
+        .crossJoin(t.nation.select(col("n_name")))
+        .orderBy("r_name", "n_name")
+    },
+    Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26, q27, q28, q29)
 }

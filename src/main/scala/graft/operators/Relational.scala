@@ -653,7 +653,47 @@ object Relational {
     Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
   )
 
+  // ---------------------------------------------------------------- q30
+  // Semi-structured extraction: the reference's JSON-string-preserving
+  // normalization makes JSON-path access the query-side counterpart
+  // (events.props is exactly such a column).
+  private val q30 = QueryDef(
+    "q30_json_extract",
+    (s, dir) =>
+      T(s, dir).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy("k_mod"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+      FROM events GROUP BY 1 ORDER BY k_mod"""),
+  )
+
+  // ---------------------------------------------------------------- q31
+  // Percentiles: linear-interpolated continuous quantiles (identical
+  // interpolation arithmetic in both engines — verified by the gate).
+  private val q31 = QueryDef(
+    "q31_percentiles",
+    (s, dir) => {
+      T(s, dir).lineitem.createOrReplaceTempView("graft_li_pct")
+      s.sql("""SELECT l_returnflag,
+        percentile(l_quantity, 0.5) AS p50_qty,
+        percentile(l_extendedprice, 0.9) AS p90_price,
+        CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        FROM graft_li_pct GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+      CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29)
+    q26, q27, q28, q29, q30, q31)
 }

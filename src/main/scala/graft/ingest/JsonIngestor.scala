@@ -61,10 +61,13 @@ object JsonIngestor {
   final case class FileError(file: String, error: String)
 
   /** Distributed whole-file probe result: `json.load` outcome plus the
-    * top-level key union and whether non-object elements appear.
+    * top-level key union, whether non-object elements appear, and the
+    * detected encoding (UTF-8 with BOM handling, ISO-8859-1 fallback —
+    * the reference's encoding-fallback chain, file_handler.py:133-179).
     */
   final case class FileProbe(
-      file: String, error: Option[String], keys: Seq[String], hasNonObject: Boolean)
+      file: String, error: Option[String], keys: Seq[String], hasNonObject: Boolean,
+      encoding: String = "UTF-8")
 
   /** Run metrics, mirroring the reference's result dict
     * (application.py:125-142).
@@ -115,9 +118,29 @@ object JsonIngestor {
           try {
             val p = new Path(f)
             val in = p.getFileSystem(conf).open(p)
-            val root = try mapper.readTree(in) finally in.close()
+            val bytes =
+              try {
+                val out = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](64 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+                out.toByteArray
+              } finally in.close()
+            // encoding-fallback chain: strict UTF-8 (BOM skipped by
+            // Jackson/Spark) then ISO-8859-1, which always decodes
+            val (text, enc) =
+              try {
+                val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                  .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+                  .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+                (dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString, "UTF-8")
+              } catch {
+                case _: java.nio.charset.CharacterCodingException =>
+                  (new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), "ISO-8859-1")
+              }
+            val root = mapper.readTree(text)
             val (keys, nonObj) = probeNode(root)
-            FileProbe(f, None, keys, nonObj)
+            FileProbe(f, None, keys, nonObj, enc)
           } catch {
             case e: Exception =>
               FileProbe(f,
@@ -155,7 +178,7 @@ object JsonIngestor {
       includePatterns, excludePatterns,
       spark.sparkContext.hadoopConfiguration)("json")
     val probes = probeFiles(spark, files)
-    val errors = probes.collect { case FileProbe(f, Some(e), _, _) => FileError(f, e) }
+    val errors = probes.collect { case FileProbe(f, Some(e), _, _, _) => FileError(f, e) }
     val good = probes.filter(_.error.isEmpty)
 
     val perFile = good.flatMap { probe =>
@@ -166,6 +189,7 @@ object JsonIngestor {
           else spark.read
             .option("multiLine", "true")
             .option("mode", "PERMISSIVE")
+            .option("encoding", probe.encoding)
             .option("columnNameOfCorruptRecord", CorruptCol)
             .json(probe.file)
         val clean =

@@ -693,7 +693,27 @@ object Relational {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  // ---------------------------------------------------------------- q32
+  // Approximate sketches: HLL distinct counts + approximate quantiles —
+  // the single-pass, mergeable-state path for 100 TB profiling where
+  // exact distinct/quantile shuffles would dominate. Sketch internals
+  // are engine-specific (no DuckDB oracle); RelationalSpec bounds the
+  // error against exact values.
+  private val q32 = QueryDef(
+    "q32_approx_stats",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    None,
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31)
+    q26, q27, q28, q29, q30, q31, q32)
 }

@@ -45,4 +45,22 @@ object Sinks {
 
   def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
+
+  /** Bucketed managed table: pre-partitions (and optionally pre-sorts)
+    * by the join/agg key so repeated joins between co-bucketed tables
+    * run shuffle-free — the cluster-scale answer to "this join's
+    * shuffle becomes the bottleneck at 100 TB". Verified by
+    * SinksSpec: a join of two co-bucketed tables plans with no
+    * shuffle Exchange.
+    */
+  def saveBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty)
+    val w = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -61,6 +61,15 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup on event id: duplicates arriving within the
+    * watermark horizon are dropped; state for old ids is evicted once
+    * the watermark passes (bounded state — the streaming counterpart
+    * of the batch dropDuplicates/dd01 operator).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ----- custom state: running per-user profile via mapGroupsWithState
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

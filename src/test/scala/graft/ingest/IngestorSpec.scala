@@ -90,6 +90,36 @@ class IngestorSpec extends SparkSpec {
     assert(r.report.totalRecords == 2)
   }
 
+  test("encoding fallback: latin-1 file ingests via ISO-8859-1 (file_handler.py:133-179)") {
+    val dir = tmpDir("enc")
+    val latin1 = """[{"name": "café", "city": "Zürich"}]"""
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(dir.resolve("latin.json"), latin1)
+    writeFile(dir, "utf8.json", """[{"name": "naïve"}]""") // valid UTF-8
+    val r = JsonIngestor.ingest(spark, dir.toString)
+    assert(r.report.filesFailed == 0)
+    assert(r.report.totalRecords == 2)
+    val names = r.data.select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("café", "naïve"))
+    assert(r.data.filter(col("city") === "Zürich").count() == 1)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val dir = tmpDir("dedup-stream")
+    // stage the same events file twice -> every event_id duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val stream = graft.streaming.EventStreams.readStream(spark, dir.toString)
+    graft.streaming.EventStreams.runToMemory(
+      graft.streaming.EventStreams.dedupedEvents(stream), "deduped",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val n = spark.table("deduped").count()
+    val distinct = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(n == distinct, s"expected $distinct deduped events, got $n")
+  }
+
   test("scalar-only valid file contributes 0 records but no error") {
     val dir = tmpDir("scalars")
     writeFile(dir, "scalars.json", """[1, 2, "three"]""")

@@ -1,0 +1,40 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val t = Tables(spark, sf0001)
+    Sinks.saveBucketedTable(t.orders.select("o_orderkey", "o_totalprice"),
+      "orders_b", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+    Sinks.saveBucketedTable(
+      t.lineitem.select("l_orderkey", "l_quantity"),
+      "lineitem_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(orders_b) */ o_orderkey, l_quantity, o_totalprice
+         FROM orders_b JOIN lineitem_b ON o_orderkey = l_orderkey""")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free co-bucketed join, got:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("approx sketches stay within error bounds of exact answers") {
+    val q = graft.Registry.byName("q32_approx_stats").run(spark, sf0001).collect()
+    val exact = Tables(spark, sf0001).lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.foreach { r =>
+      val (parts, p50) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - parts).toDouble / parts < 0.1,
+        s"approx distinct off >10%: ${r.getLong(1)} vs $parts")
+      assert(math.abs(r.getDouble(3) - p50) / p50 < 0.1,
+        s"approx p50 off >10%: ${r.getDouble(3)} vs $p50")
+    }
+  }
+}

@@ -145,6 +145,35 @@ object TextExpressions {
     override def prettyName: String = "graft_lsh_sign_bits"
   }
 
+  /** Indices of the `nProbe` nearest centroids (squared L2) to a
+    * double-array vector, nearest first — the IVF coarse-quantizer
+    * assignment, one traversal per row with centroids baked in.
+    */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      val dists = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, cen.length)
+        while (i < n) { val x = v(i) - cen(i); d += x * x; i += 1 }
+        dists(c) = d
+        c += 1
+      }
+      val order = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
+      new GenericArrayData(order.take(nProbe).map(_._2.asInstanceOf[Any]))
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+    override def prettyName: String = "graft_nearest_centroids"
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge
 
   def tokens(c: Column): Column = ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
@@ -156,4 +185,6 @@ object TextExpressions {
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(c), words))
   def lsh_sign_bits(c: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(LshSignBits(ColumnBridge.expression(c), planes.map(_.toArray).toArray))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(c), centroids, nProbe))
 }

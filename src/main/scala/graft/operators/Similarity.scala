@@ -67,6 +67,67 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Train an IVF coarse quantizer: plain Lloyd k-means over a bounded,
+    * deterministically-chosen sample, on the driver (centroid count and
+    * sample are small and fixed; the expensive assignment runs
+    * distributed via the NearestCentroids expression).
+    */
+  def trainCentroids(emb: DataFrame, k: Int, sampleN: Int = 2000,
+      iters: Int = 8): Array[Array[Double]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    val dim = sample.head.length
+    // deterministic init: evenly spaced sample vectors
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: corpus vectors are assigned to their nearest centroid
+    * (inverted lists); a query scores only vectors in its `nProbe`
+    * nearest cells. Candidates per query ≈ nProbe/nCells of the corpus —
+    * the standard recall/cost dial for billion-vector search.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    val centroids = trainCentroids(emb, nCells)
+    val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", element_at(nearest_centroids(col("cv"), centroids, 1), 1))
+    val q = c.filter(col("cid") < nQueries)
+      .select(col("cid").as("qid"), col("cv").as("qv"),
+        explode(nearest_centroids(col("cv"), centroids, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
   private val sim01 = QueryDef(
     "sim01_knn_brute",
     (s, dir) => bruteTopK(Tables(s, dir).embeddings),
@@ -91,5 +152,11 @@ object Similarity {
     None, // bucket assignment is engine-specific; recall vs brute in ScalaTest
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02)
+  private val sim03 = QueryDef(
+    "sim03_knn_ivf",
+    (s, dir) => ivfTopK(Tables(s, dir).embeddings),
+    None, // centroid training is engine-specific; recall vs brute in ScalaTest
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03)
 }

@@ -31,6 +31,37 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF top-k: decent recall vs brute force, planted twin found") {
+    val brute = Similarity.bruteTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nCells = 16, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    // a vector's own cell always probes first: an exact twin is found
+    import spark.implicits._
+    val v = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val withTwin = emb.select("vec_id", "embedding")
+      .union(Seq((9999L, v)).toDF("vec_id", "embedding"))
+    val twinHits = Similarity.ivfTopK(withTwin, nQueries = 8, k = 3).collect()
+      .filter(r => r.getLong(0) == 7L)
+    assert(twinHits.exists(_.getLong(1) == 9999L), "twin not found by IVF")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    val fact = (Seq.fill(5000)(1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val dim = (1L to 50L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "row_id", "name")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), 8)
+      .select("k", "row_id", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("multimodal feature stub: deterministic features from payload bytes") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")

@@ -1,6 +1,7 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Table sinks (reference A14-A15: idempotent DDL + batched insert,
   * sqlite_connector.py:131-222).
@@ -19,13 +20,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
-  /** Returns the row count written (the reference's insert_data return). */
+  /** Returns the row count written (the reference's insert_data return,
+    * A19 metrics). The count rides the write via `observe()` — ONE pass
+    * over the data, not a count scan plus a write scan.
+    */
   def saveTable(df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Append): Long = {
-    val n = df.count()
-    val w = df.write.mode(mode)
+    val obs = Observation()
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+    val w = observed.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   def saveParquet(df: DataFrame, path: String,

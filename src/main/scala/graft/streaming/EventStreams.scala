@@ -70,6 +70,30 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's most recent prior click within `horizon`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on each side is evicted once the watermark passes — the
+    * canonical bounded-state stream-stream join shape.
+    */
+  def purchaseAttribution(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   // ----- custom state: running per-user profile via mapGroupsWithState
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -22,6 +22,30 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("saveTable returns the observed row count in a single pass") {
+    val t = Tables(spark, sf0001)
+    val n = Sinks.saveTable(t.region, "region_saved",
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(n == 5L)
+    assert(Sinks.tableExists(spark, "region_saved"))
+    assert(spark.table("region_saved").count() == 5L)
+  }
+
+  test("partitioned table prunes partitions at scan time") {
+    val t = Tables(spark, sf0001)
+    Sinks.saveParquet(
+      t.orders.withColumn("o_year", year(col("o_orderdate"))),
+      "/tmp/graft_orders_part", partitionBy = Seq("o_year"))
+    val part = spark.read.parquet("/tmp/graft_orders_part")
+      .filter(col("o_year") === 1996)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"expected partition filters in:\n$plan")
+    // pruned scan reads only the matching partition's rows
+    val expected = t.orders.filter(year(col("o_orderdate")) === 1996).count()
+    assert(part.count() == expected)
+  }
+
   test("approx sketches stay within error bounds of exact answers") {
     val q = graft.Registry.byName("q32_approx_stats").run(spark, sf0001).collect()
     val exact = Tables(spark, sf0001).lineitem

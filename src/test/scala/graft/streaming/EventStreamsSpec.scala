@@ -44,6 +44,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    EventStreams.runToMemory(EventStreams.purchaseAttribution(stream), "attributed",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("attributed")
+    val batch = EventStreams.purchaseAttribution(batchEvents)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0, "expected some attributed purchases in testdata")
+  }
+
   test("mapGroupsWithState running profiles: totals match batch aggregation") {
     val stream = EventStreams.readStream(spark, eventsPath)
     EventStreams.runToMemoryUpdate(EventStreams.userProfiles(stream), "profiles")

@@ -169,10 +169,16 @@ object JsonIngestor {
     spark.read.json(elems)
   }
 
-  /** Exact-semantics ingestion (see object doc). */
+  /** Exact-semantics ingestion (see object doc). `samplingRatio` < 1
+    * samples schema inference like the reference's 10-record sample
+    * (A13, application.py:209-214) — a speed/completeness dial for
+    * wide corpora (keys outside the sample are dropped, exactly the
+    * reference's documented caveat).
+    */
   def ingest(spark: SparkSession, dir: String,
       includePatterns: Seq[String] = Nil,
-      excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns): IngestResult = {
+      excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns,
+      samplingRatio: Double = 1.0): IngestResult = {
     val t0 = System.nanoTime()
     val files = FileScanner.discover(dir, Seq("json"), recursive = true,
       includePatterns, excludePatterns,
@@ -190,6 +196,7 @@ object JsonIngestor {
             .option("multiLine", "true")
             .option("mode", "PERMISSIVE")
             .option("encoding", probe.encoding)
+            .option("samplingRatio", samplingRatio.toString)
             .option("columnNameOfCorruptRecord", CorruptCol)
             .json(probe.file)
         val clean =

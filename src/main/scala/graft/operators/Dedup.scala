@@ -211,5 +211,47 @@ object Dedup {
     None,
   )
 
+  /** Collapse near-dup pairs into clusters: iterative min-id label
+    * propagation to a fixpoint (connected components without a graph
+    * library — each round is one join + one aggregation, and rounds
+    * needed = graph diameter, which for dup clusters is tiny). Returns
+    * (doc_id, cluster_id) for every doc that appears in a pair;
+    * cluster_id = smallest doc_id in the component.
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      // each node adopts the smallest label among itself + neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count() > 0
+      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+      it += 1
+    }
+    labels
+  }
+
+  /** Keep one canonical doc per cluster (the smallest doc_id) plus all
+    * never-duplicated docs — the end-to-end "dedup the corpus" step.
+    */
+  def retainCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
 }

@@ -54,6 +54,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.95))
   }
 
+  test("clusterPairs collapses chained pairs into one component; retainCanonical keeps one") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 -> clusters {1,2,3,4}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    val docs = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.retainCanonical(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // losers 2,3,4,11 removed; canonical 1 and 10 kept; untouched docs kept
+    assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("A21 file utilities: copy/move/delete/md5/atomic write") {
+    val dir = tmpDir("fileutils")
+    val a = dir.resolve("a.txt").toString
+    graft.ingest.FileUtils.atomicWrite(a, "hello graft")
+    assert(graft.ingest.FileUtils.exists(a))
+    assert(graft.ingest.FileUtils.md5(a) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello graft".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val b = dir.resolve("b.txt").toString
+    assert(graft.ingest.FileUtils.copy(a, b))
+    assert(graft.ingest.FileUtils.exists(a) && graft.ingest.FileUtils.exists(b))
+    val c = dir.resolve("c.txt").toString
+    assert(graft.ingest.FileUtils.move(b, c))
+    assert(!graft.ingest.FileUtils.exists(b) && graft.ingest.FileUtils.exists(c))
+    assert(graft.ingest.FileUtils.delete(c))
+    assert(!graft.ingest.FileUtils.exists(c))
+  }
+
   test("exact dedup groups by content hash (dd01 semantics)") {
     val out = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

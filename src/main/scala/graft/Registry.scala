@@ -1,13 +1,14 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Text}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, Text}
 
 /** Single source of truth for every declared query (SURVEY.md §2).
   * SparkEntry / Verify / Bench all derive from this list.
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+    Relational.defs ++ Text.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++
+      AsOf.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** As-of join: each left row picks up the most recent right row with
+  * `right.ts <= left.ts` within the same key — the standard
+  * time-series enrichment operator (trades→quotes, purchases→clicks)
+  * that Spark has no built-in for.
+  *
+  * Implementation is preference-order (a), composition: tag both
+  * sides, UNION them, and run one `last(value, ignoreNulls)` window
+  * ordered by (ts, side) per key — no join at all, so there is
+  * exactly ONE shuffle (the window's partitionBy) regardless of side
+  * sizes, and no row-multiplication risk from duplicate timestamps.
+  * Equal timestamps order the right row first, giving `<=` semantics
+  * identical to DuckDB's native ASOF JOIN (which the oracle uses).
+  * A custom SparkStrategy (preference (c)) would only pay off if the
+  * window's sort became the bottleneck — at that point a sort-merge
+  * physical operator over pre-bucketed inputs is the upgrade path.
+  */
+object AsOf {
+
+  /** Left as-of join. `valueCols` are brought over from `right`
+    * (nulled where no earlier right row exists).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val tag = "_graft_side" // right=0 sorts before left=1 at equal ts
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn(tag, lit(1))
+    val r = right
+      .select((keys :+ ts).map(col) ++ valueCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn(tag, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col(tag) === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  // ---------------------------------------------------------------- ao01
+  // Each purchase picks up the same user's most recent prior (or
+  // simultaneous) click value. Right side is pre-deduplicated to one
+  // row per (user, ts) so the as-of choice is well-defined in both
+  // engines.
+  private val ao01 = QueryDef(
+    "ao01_asof_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_value"))
+        .select(col("p_event_id"), col("user_id"), col("asof_click_value").as("click_value"))
+        .orderBy("p_event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, event_type,
+        MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      p AS (SELECT event_id AS p_event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, MAX(value) AS click_value FROM e
+        WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p_event_id, p.user_id, c.click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p_event_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ao01)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, broadcast, top-k, single-shuffle as-of)
+  * must survive refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") || p.contains("l_quantity"), p.take(500))
+    assert(p.contains("DataFilters") && p.contains("l_shipdate"))
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q03: dimensions broadcast and top-k uses TakeOrderedAndProject") {
+    val p = plan("q03_topk_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q05: six-way join plans with broadcast dimensions (single fact scan)") {
+    val p = plan("q05_region_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "expected all-dimension broadcast at this SF")
+  }
+
+  test("q04: EXISTS becomes a left-semi join") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q07: NOT EXISTS becomes a left-anti join") {
+    val p = plan("q07_cust_no_orders")
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("as-of join result matches a per-row reference computation") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 9L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 6L, 3.0))
+      .toDF("k", "t", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .orderBy("lid").collect()
+    // lid=100: right at t=10 (equal ts counts, <=) -> 1.0
+    assert(out(0).getDouble(3) == 1.0)
+    // lid=101: latest right at t<=25 is t=20 -> 2.0
+    assert(out(1).getDouble(3) == 2.0)
+    // lid=102: right t=6 > 5 -> null
+    assert(out(2).isNullAt(3))
+    // lid=103: no right rows for k=3 -> null
+    assert(out(3).isNullAt(3))
+  }
+
+  test("as-of join plans with a single shuffle (window), no join operator") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "t", "v")
+    val p = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"expected join-free as-of plan:\n$p")
+    assert(p.contains("Window"))
+  }
+}

@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(!graft.ingest.FileUtils.exists(c))
   }
 
+  test("hash-sample UDAF: deterministic, partition-independent, bounded") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    val values = (1 to 500).map(i => s"value_$i")
+    val a = values.toDF("v").repartition(1)
+      .agg(Sampling.hash_sample(col("v"), 10)).collect().head.getSeq[String](0)
+    val b = values.reverse.toDF("v").repartition(13)
+      .agg(Sampling.hash_sample(col("v"), 10)).collect().head.getSeq[String](0)
+    assert(a == b, "sample must not depend on partitioning or row order")
+    assert(a.length == 10)
+    assert(a.toSet.subsetOf(values.toSet))
+    // per-group sampling works too
+    val grouped = (1 to 100).map(i => (i % 3, s"g$i")).toDF("k", "v")
+      .groupBy("k").agg(Sampling.hash_sample(col("v"), 5).as("sample"))
+      .collect()
+    assert(grouped.length == 3)
+    assert(grouped.forall(_.getSeq[String](1).length == 5))
+  }
+
   test("exact dedup groups by content hash (dd01 semantics)") {
     val out = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

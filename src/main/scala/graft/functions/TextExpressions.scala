@@ -145,6 +145,67 @@ object TextExpressions {
     override def prettyName: String = "graft_lsh_sign_bits"
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm): hash every `k`-char gram of the lowercased text with a
+    * rolling pass, then keep the minimum hash of each window of `w`
+    * consecutive grams (rightmost minimum on ties). Guarantees any
+    * shared substring of length >= w + k - 1 contributes a shared
+    * fingerprint, with output size ~2/(w+1) of the text — the compact
+    * local fingerprint for plagiarism/near-dup detection.
+    * Returns the distinct selected hashes, sorted.
+    */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2 && w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+      if (s.length < k) return new GenericArrayData(Array.empty[Any])
+      val n = s.length - k + 1
+      // polynomial rolling hash over chars, mixed through splitmix64
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      val hashes = new Array[Long](n)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      def mix(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      hashes(0) = mix(h)
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        hashes(i) = mix(h)
+        i += 1
+      }
+      val selected = new java.util.TreeSet[java.lang.Long]()
+      var start = 0
+      val lastStart = math.max(0, n - w)
+      while (start <= lastStart) {
+        var best = start
+        var j = start
+        val end = math.min(start + w, n)
+        while (j < end) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+        selected.add(hashes(best))
+        start += 1
+      }
+      val out = new Array[Any](selected.size)
+      val it = selected.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+      copy(child = c)
+    override def prettyName: String = "graft_winnow_fingerprint"
+  }
+
   /** Indices of the `nProbe` nearest centroids (squared L2) to a
     * double-array vector, nearest first — the IVF coarse-quantizer
     * assignment, one traversal per row with centroids baked in.
@@ -187,4 +248,6 @@ object TextExpressions {
     ColumnBridge.column(LshSignBits(ColumnBridge.expression(c), planes.map(_.toArray).toArray))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(c), centroids, nProbe))
+  def winnow_fingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
 }

@@ -211,6 +211,38 @@ object Dedup {
     None,
   )
 
+  // -------------------------------------------------------------- dd06
+  /** Winnowing (rolling-hash) near-dup pairs: fingerprint each doc
+    * (custom WinnowFingerprint expression — MOSS-style k-gram rolling
+    * hash + window minima), bucket on individual fingerprints, count
+    * shared fingerprints per candidate pair, keep pairs sharing at
+    * least `minShared`. Same bucket-join scale shape as MinHash LSH
+    * but with locality guarantees on contiguous shared substrings.
+    */
+  def winnowingPairs(docs: DataFrame, minShared: Int = 5,
+      k: Int = 8, w: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.winnow_fingerprint(col("text"), k, w).as("fps"))
+    val pairs = fp
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
+           p -> p.a < p.b)""")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
+  private val dd06 = QueryDef(
+    "dd06_winnowing",
+    (s, dir) => winnowingPairs(Tables(s, dir).documents),
+    None, // rolling-hash family is engine-specific; ScalaTest pins behavior
+  )
+
   /** Collapse near-dup pairs into clusters: iterative min-id label
     * propagation to a fixpoint (connected components without a graph
     * library — each round is one join + one aggregation, and rounds
@@ -253,5 +285,5 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
 }

@@ -46,7 +46,12 @@ object Text {
           // total token length == count of non-whitespace chars: lets
           // the whole computation stay in codegen'd string ops
           (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-            size(col("toks"))).as("avg_token_len"))
+            size(col("toks"))).as("avg_token_len"),
+          // BPE-ish tokenization estimate: letter runs, digit runs,
+          // and punctuation runs count separately (subword-style
+          // splitting without a vocab)
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+', 0)"))
+            .cast("bigint").as("n_bpeish"))
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, text,
         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
@@ -55,7 +60,8 @@ object Text {
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         CAST(length(text) AS BIGINT) AS char_len,
-        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_bpeish
       FROM t ORDER BY doc_id"""),
   )
 

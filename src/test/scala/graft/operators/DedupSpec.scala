@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.95))
   }
 
+  test("winnowing finds docs sharing long substrings, skips unrelated") {
+    val pairs = Dedup.winnowingPairs(corpus, minShared = 3).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L)),
+      "near dup (long shared substrings) missing")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "zq common winnow fragment xv" // > w+k-1 = 11 chars
+    val docs = Seq(
+      (0L, s"prefix one $shared suffix alpha beta gamma"),
+      (1L, s"completely different beginning $shared and another ending"),
+      (2L, "no overlap here at all just other words entirely")).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.winnow_fingerprint(col("text"), 8, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(0L) intersect fp(1L)).nonEmpty)
+    assert(fp(0L).nonEmpty && fp(2L).nonEmpty)
+  }
+
   test("clusterPairs collapses chained pairs into one component; retainCanonical keeps one") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 -> clusters {1,2,3,4}, {10,11}

@@ -713,7 +713,30 @@ object Relational {
     None,
   )
 
+  // ---------------------------------------------------------------- q33
+  // Interval/range join: equi key + date-range residual (lineitems
+  // shipped within 30 days of their order). The equi component keeps
+  // this a hash join with a residual filter — never a nested loop.
+  private val q33 = QueryDef(
+    "q33_interval_join",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(m(col("l_extendedprice"))).as("prompt_revenue"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS prompt_revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate < o_orderdate + INTERVAL 30 DAY"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32)
+    q26, q27, q28, q29, q30, q31, q32, q33)
 }

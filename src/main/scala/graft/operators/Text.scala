@@ -164,5 +164,24 @@ object Text {
       FROM documents ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04)
+  // -------------------------------------------------------------- txt05
+  // Corpus term frequencies: explode (UNNEST) + aggregate — the
+  // generator/lateral-view operator over the token arrays; top-50 with
+  // a total tie order.
+  private val txt05 = QueryDef(
+    "txt05_token_freq",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token"))
+        .limit(50),
+    Some("""SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        FROM documents)
+      GROUP BY token ORDER BY freq DESC, token LIMIT 50"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05)
 }

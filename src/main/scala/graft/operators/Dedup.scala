@@ -220,7 +220,11 @@ object Dedup {
     * but with locality guarantees on contiguous shared substrings.
     */
   def winnowingPairs(docs: DataFrame, minShared: Int = 5,
-      k: Int = 8, w: Int = 4, maxBucket: Int = 1000): DataFrame = {
+      k: Int = 8, w: Int = 4, maxBucket: Int = 50): DataFrame = {
+    // maxBucket doubles as a stop-fingerprint cutoff: a fingerprint
+    // shared by more than ~50 docs is boilerplate (common phrasing),
+    // carries no dedup signal, and would pair-expand quadratically —
+    // dropping it is the winnowing analogue of stopword removal.
     val fp = docs.select(col("doc_id"),
       graft.functions.TextExpressions.winnow_fingerprint(col("text"), k, w).as("fps"))
     val pairs = fp

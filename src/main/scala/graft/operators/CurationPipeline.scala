@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** End-to-end training-data curation: the composition every LLM data
+  * pipeline runs, built from this library's operators —
+  *
+  *   quality filter → language filter → exact dedup → near-dup
+  *   removal (MinHash LSH pairs → connected components → canonical
+  *   retention) → per-stage accounting.
+  *
+  * Everything stays a lazy DataFrame graph until the caller acts; the
+  * per-stage accounting is computed at the end. Each stage is the
+  * already-scale-shaped operator (bucket-keyed candidate generation,
+  * one-traversal expressions), so the composition inherits linear
+  * scaling.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      minDistinctRatio: Double = 0.3,
+      langs: Set[String] = Set("en"),
+      nearDupThreshold: Double = 0.8,
+  )
+
+  final case class StageCounts(input: Long, afterQuality: Long, afterLang: Long,
+      afterExact: Long, afterNearDup: Long)
+
+  final case class Result(corpus: DataFrame, counts: StageCounts)
+
+  /** Stopword-profile argmax (same heuristic as txt03); a doc passes
+    * if its best-scoring language is in the accepted set.
+    */
+  private def langPred(toks: Column, langs: Set[String]): Column = {
+    val scores = Map(
+      "en" -> TextExpressions.stopword_count(toks, Seq("the", "a", "and", "of", "to", "in", "is")),
+      "de" -> TextExpressions.stopword_count(toks, Seq("der", "die", "das", "und", "ist", "nicht")),
+      "fr" -> TextExpressions.stopword_count(toks, Seq("le", "la", "les", "et", "est", "une")),
+      "es" -> TextExpressions.stopword_count(toks, Seq("el", "los", "las", "y", "es", "una")))
+    val pred =
+      when(scores("en") >= scores("de") && scores("en") >= scores("fr") &&
+        scores("en") >= scores("es") && scores("en") > 0, "en")
+        .when(scores("de") >= scores("fr") && scores("de") >= scores("es") &&
+          scores("de") > 0, "de")
+        .when(scores("fr") >= scores("es") && scores("fr") > 0, "fr")
+        .when(scores("es") > 0, "es")
+        .otherwise("unknown")
+    pred.isin(langs.toSeq: _*)
+  }
+
+  /** Run the full curation pass over a (doc_id, text) corpus. */
+  def curate(docs: DataFrame, cfg: Config = Config()): Result = {
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("toks", TextExpressions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+
+    val quality = base.filter(
+      col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
+        col("distinct_ratio") >= cfg.minDistinctRatio)
+
+    val lang = quality.filter(langPred(col("toks"), cfg.langs))
+
+    // exact dedup: keep the smallest doc_id per content hash
+    val exactKeep = lang
+      .withColumn("_h", md5(col("text").cast("binary")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+      .drop("_h", "_rn")
+
+    // near-dup removal over the survivors
+    val pairs = Dedup.minhashPairs(
+      exactKeep.select("doc_id", "text"), threshold = cfg.nearDupThreshold)
+    val finalCorpus = Dedup.retainCanonical(exactKeep, pairs)
+      .select("doc_id", "text")
+
+    val counts = StageCounts(
+      input = docs.count(),
+      afterQuality = quality.count(),
+      afterLang = lang.count(),
+      afterExact = exactKeep.count(),
+      afterNearDup = finalCorpus.count())
+    Result(finalCorpus, counts)
+  }
+}

@@ -85,5 +85,25 @@ object Multimodal {
     None, // decode stub is engine-side only; ScalaTest pins the values
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02)
+  // -------------------------------------------------------------- mm03
+  // Chunk-level dedup (CDC-lite): fixed 64-char windows hashed and
+  // profiled corpus-wide — the payload-chunking shape used for blob
+  // dedup/delta storage, oracle-checked cross-engine.
+  private val mm03 = QueryDef(
+    "mm03_chunk_dedup",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(expr(
+          """transform(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1),
+             i -> md5(cast(substring(text, i * 64 + 1, 64) as binary)))""")).as("h"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct_chunks")),
+    Some("""WITH c AS (SELECT unnest(list_transform(
+          range(CAST(ceil(length(text) / 64.0) AS INT)),
+          i -> md5(substring(text, i * 64 + 1, 64)))) AS h
+        FROM documents)
+      SELECT COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks FROM c"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
 }

@@ -90,6 +90,18 @@ class IngestorSpec extends SparkSpec {
     assert(r.report.totalRecords == 2)
   }
 
+  test("conflicting types across files unify as TEXT (§1.3 all-TEXT schema)") {
+    val dir = tmpDir("types")
+    writeFile(dir, "ints.json", """[{"v": 42, "w": 1.5}]""")
+    writeFile(dir, "strs.json", """[{"v": "forty-two", "w": true}]""")
+    val r = JsonIngestor.ingest(spark, dir.toString)
+    assert(r.report.totalRecords == 2)
+    val vs = r.data.select("v").collect().map(_.getString(0)).sorted.toSeq
+    assert(vs == Seq("42", "forty-two"))
+    val ws = r.data.select("w").collect().map(_.getString(0)).sorted.toSeq
+    assert(ws == Seq("1.5", "true"))
+  }
+
   test("encoding fallback: latin-1 file ingests via ISO-8859-1 (file_handler.py:133-179)") {
     val dir = tmpDir("enc")
     val latin1 = """[{"name": "café", "city": "Zürich"}]"""

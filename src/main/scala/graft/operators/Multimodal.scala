@@ -57,6 +57,26 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Frame sampling: keep every `stride`-th fixed-size frame of the
+    * payload (the video keyframe-sampling shape). Pure expressions —
+    * binary slicing + sequence stepping stay in the plan, the decoder
+    * stub never runs on dropped frames.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame =
+    media.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, greatest(cast(ceil(length(payload) / $frameBytes.0) as int) - 1, 0), $stride),
+            i -> substring(payload, i * $frameBytes + 1, $frameBytes))"""))
+        .as(Seq("frame_idx", "frame")))
+
+  /** Resize a feature vector to `dim` (truncate or zero-pad) — the
+    * shape-normalization step before batching features into a model.
+    */
+  def resizeFeature(features: DataFrame, dim: Int): DataFrame =
+    features.withColumn("feature", expr(
+      s"""transform(sequence(0, ${dim - 1}),
+          i -> coalesce(try_element_at(feature, i + 1), cast(0.0 as float)))"""))
+
   // -------------------------------------------------------------- mm01
   // Metadata over binary columns: byte length + content digest — pure
   // expressions, oracle-checkable.

@@ -62,6 +62,22 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("multimodal frame sampling and feature resize") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 100)).toDF("doc_id", "text") // 100 bytes -> 7 frames of 16
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs),
+      frameBytes = 16, stride = 4).collect()
+    // frames 0 and 4 survive the stride
+    assert(frames.length == 2)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1))
+    assert(frames(0).getAs[Array[Byte]]("frame").length == 16)
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
+    val wide = Multimodal.resizeFeature(feats, 12).collect().head.getSeq[Float](2)
+    assert(wide.length == 12 && wide(8) == 0f && wide(11) == 0f)
+    val narrow = Multimodal.resizeFeature(feats, 3).collect().head.getSeq[Float](2)
+    assert(narrow.length == 3)
+  }
+
   test("multimodal feature stub: deterministic features from payload bytes") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")

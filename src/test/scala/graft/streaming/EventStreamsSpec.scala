@@ -44,6 +44,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("late data beyond the watermark is dropped across micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("late")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(dir.toString)
+    val h = 3600L * 1000000000L // one hour in nanos
+    // batch 1: events up to t=10h -> watermark advances to 10h - 2h = 8h
+    writeBatch("b1", (1L to 10L).map(i => (i, i * h, 1L, "click", 1.0, "{}")))
+    val stream = EventStreams.readStream(spark, dir.toString)
+      .filter(col("event_type") === "click")
+    val agg = EventStreams.hourlyCounts(stream, watermark = "2 hours")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_agg").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one on-time event (t=11h) and one late event (t=3h,
+      // far behind the 8h watermark -> its hour bucket is closed)
+      writeBatch("b2", Seq((100L, 11 * h, 1L, "click", 1.0, "{}"),
+        (101L, 3 * h, 1L, "click", 99.0, "{}")))
+      q.processAllAvailable()
+      // batch 3: push event time forward so all open windows close
+      writeBatch("b3", Seq((102L, 20 * h, 1L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_agg")
+    // the late event would have bumped hour t=3h to n=2 / value 100.0;
+    // emitted finalized buckets must show it was dropped
+    val hour3 = out.filter(col("hour").cast("string").startsWith("1970-01-01 03"))
+      .collect()
+    assert(hour3.length == 1 && hour3.head.getAs[Long]("n") == 1L,
+      s"late event leaked into closed window: ${hour3.toSeq}")
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val stream = EventStreams.readStream(spark, eventsPath)
     EventStreams.runToMemory(EventStreams.purchaseAttribution(stream), "attributed",

@@ -27,6 +27,17 @@ class QueryEngineSpec extends SparkSpec {
 
   test("A16: liveness SELECT 1") { assert(qe.ping()) }
 
+  test("A16: non-SELECT statements run for their effect (DDL/DML passthrough)") {
+    qe.execute("CREATE OR REPLACE TEMP VIEW qe_ddl AS SELECT 1 AS x")
+    assert(qe.execute("SELECT x FROM qe_ddl").collect().head.getInt(0) == 1)
+    qe.execute("DROP VIEW qe_ddl")
+    intercept[Exception](qe.execute("SELECT x FROM qe_ddl").collect())
+    // catalog surface (SHOW TABLES analogue of sqlite_master query)
+    spark.read.parquet(s"$sf0001/region.parquet").createOrReplaceTempView("qe_show")
+    val names = qe.execute("SHOW VIEWS").collect().map(_.getString(1))
+    assert(names.contains("qe_show"))
+  }
+
   test("A20: error summary top-k by count desc") {
     val errs = Seq(
       FileError("a.json", "ParseError: bad token"),

@@ -1,34 +1,109 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver.
+  *
+  * Methodology:
+  *  - noop-format writes force every output column to be computed
+  *    (count() would let Catalyst prune the projections under test);
+  *  - THREE interleaved passes (pass loop outside, query loop inside),
+  *    median per query — a multi-second environment stall lands in one
+  *    pass and the median discards it (best-of-two proved vulnerable:
+  *    a stall spanning both runs once inflated one query 16x);
+  *  - failures are recorded per query and surface as `"failed":[...]`
+  *    plus a nonzero exit code — a throwing query must read as a
+  *    regression, never as a near-zero "speedup";
+  *  - queries whose min/max spread exceeds 2x are listed in
+  *    `"unstable":[...]` so a suspicious number is visibly suspicious.
+  *
+  * Also benches the bucketed-layout story: orders ⋈ lineitem is timed
+  * both over plain parquet (shuffle both sides) and over co-bucketed
+  * tables (shuffle-free join), as `xb_join_plain` / `xb_join_bucketed`.
+  * Bucketed-table setup cost is NOT timed — at cluster scale bucketing
+  * is a one-off layout decision amortized over every downstream join.
+  */
 object Bench {
+  private val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen once on the smallest SF so per-query timings
     // measure the plan, not first-use classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop-format write forces every output column to be computed
-      // (count() would let Catalyst prune the projections under test);
-      // best-of-two runs damps JIT/IO noise without hiding real cost
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] =
+      SparkEntry.queries.toSeq.sortBy(_._1) ++ bucketedJoinBench(spark, sfDir)
+
+    // times(name) = successful pass times; failed(name) = first error
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failed = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to Passes; (name, fn) <- all) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      name -> math.min(once(), once())
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = all.map(_._1).flatMap(n => times.get(n).map(n -> median(_))).toMap
+    val unstable = times.collect {
+      case (n, xs) if xs.size >= 2 && xs.max / math.max(xs.min, 1e-9) > 2.0 => n
+    }.toSeq.sorted
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val unstableJson = unstable.map(jstr).mkString("[", ",", "]")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"unstable":$unstableJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Same orders ⋈ lineitem aggregation over plain parquet vs
+    * co-bucketed tables. Setup (one-off bucketed write) is untimed.
+    */
+  private def bucketedJoinBench(spark: SparkSession, sfDir: String)
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    try {
+      val t = graft.sources.Tables(spark, sfDir)
+      graft.sink.Sinks.saveBucketedTable(t.orders, "bench_orders_b",
+        Seq("o_orderkey"), 32, Seq("o_orderkey"))
+      graft.sink.Sinks.saveBucketedTable(t.lineitem, "bench_lineitem_b",
+        Seq("l_orderkey"), 32, Seq("l_orderkey"))
+      def agg(o: DataFrame, l: DataFrame): DataFrame =
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+      Seq(
+        "xb_join_plain" -> ((s: SparkSession, dir: String) => {
+          val tt = graft.sources.Tables(s, dir); agg(tt.orders, tt.lineitem)
+        }),
+        "xb_join_bucketed" -> ((s: SparkSession, _: String) =>
+          agg(s.table("bench_orders_b"), s.table("bench_lineitem_b"))))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bucketed setup failed: ${e.getMessage}")
+        Nil
+    }
   }
 }

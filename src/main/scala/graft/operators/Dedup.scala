@@ -40,7 +40,7 @@ object Dedup {
   /** MinHash + LSH near-dup pairs.
     *
     * shingle (word 3-grams) → 32-way minhash signature (xxhash64 with
-    * per-signature salt) → 8 bands × 4 rows → bucket-join inside equal
+    * per-signature salt) → 16 bands × 2 rows → bucket-join inside equal
     * band hashes → exact Jaccard verification ≥ `threshold`.
     */
   /** Band geometry: b bands of r rows catch pairs above roughly

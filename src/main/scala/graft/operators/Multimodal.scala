@@ -113,6 +113,10 @@ object Multimodal {
     "mm03_chunk_dedup",
     (s, dir) =>
       Tables(s, dir).documents
+        // empty-text guard: Spark's sequence(0, -1) defaults to step -1
+        // and would emit 2 phantom chunks where DuckDB's range(0) emits
+        // none; filtering zero-length docs keeps the engines aligned
+        .filter(length(col("text")) > 0)
         .select(explode(expr(
           """transform(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1),
              i -> md5(cast(substring(text, i * 64 + 1, 64) as binary)))""")).as("h"))
@@ -121,7 +125,7 @@ object Multimodal {
     Some("""WITH c AS (SELECT unnest(list_transform(
           range(CAST(ceil(length(text) / 64.0) AS INT)),
           i -> md5(substring(text, i * 64 + 1, 64)))) AS h
-        FROM documents)
+        FROM documents WHERE length(text) > 0)
       SELECT COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks FROM c"""),
   )
 

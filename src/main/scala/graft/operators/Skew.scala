@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SupportedJoinTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    // Build-preserving types (right/full_outer) would emit each
+    // unmatched build row saltFactor times (the build side is
+    // replicated per salt); only fact-preserving joins keep results
+    // identical to the plain join.
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving join types ${SupportedJoinTypes.mkString(", ")}; " +
+        s"got '$joinType' (right/full_outer would duplicate unmatched build rows)")
     val salted = fact.withColumn("_graft_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = build.withColumn("_graft_salt",

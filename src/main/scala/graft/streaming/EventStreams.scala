@@ -70,8 +70,10 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-stream interval join: purchases attributed to the same
-    * user's most recent prior click within `horizon`. Both sides carry
+  /** Stream-stream interval join: each purchase attributed to EVERY
+    * prior click by the same user within `horizon` (multi-touch
+    * attribution; a purchase with k qualifying clicks emits k rows —
+    * last-touch would need a post-join aggregation). Both sides carry
     * watermarks and the join condition bounds event-time distance, so
     * state on each side is evicted once the watermark passes — the
     * canonical bounded-state stream-stream join shape.
@@ -101,30 +103,46 @@ object EventStreams {
   final case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
       last_seen: java.sql.Timestamp)
 
-  private def updateProfile(
+  private def updateProfile(idleTimeoutMs: Long)(
       userId: Long, rows: Iterator[EventRow],
       state: GroupState[UserProfile]): UserProfile = {
-    val prev = state.getOption.getOrElse(
-      UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0)))
-    val next = rows.foldLeft(prev) { (p, e) =>
-      UserProfile(userId, p.n_events + 1, p.total_value + e.value,
-        if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+    if (state.hasTimedOut) {
+      // idle beyond the horizon: emit the final profile and evict —
+      // per-user state stays bounded by the active-user set
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(
+        UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0)))
+      val next = rows.foldLeft(prev) { (p, e) =>
+        UserProfile(userId, p.n_events + 1, p.total_value + e.value,
+          if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+      }
+      state.update(next)
+      state.setTimeoutTimestamp(next.last_seen.getTime + idleTimeoutMs)
+      next
     }
-    state.update(next)
-    next
   }
 
   /** Running per-user counters with custom state (the
-    * `mapGroupsWithState` surface; event-time timeout bounds state).
+    * `mapGroupsWithState` surface). Event-time timeout genuinely bounds
+    * state: a user idle past `idleTimeout` (relative to the watermark)
+    * emits its final profile and is evicted.
     */
-  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+  def userProfiles(events: DataFrame, watermark: String = "2 hours",
+      idleTimeout: String = "2 hours"): Dataset[UserProfile] = {
     implicit val rowEnc = Encoders.product[EventRow]
     implicit val profEnc = Encoders.product[UserProfile]
+    val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val ms = idleMs.days * 86400000L + idleMs.microseconds / 1000L
     events
+      .withWatermark("ts", watermark)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventRow]
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateProfile)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(updateProfile(ms))
   }
 
   /** Run a streaming query on `df` into an in-memory table and block

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.ingest.JsonIngestor
+
+/** Oracle-checked queries over the JSON ingestion path itself — the
+  * reference's semantic core (reference src/processors/json_processor.py:73-104
+  * normalization, src/core/application.py:76-108 continue-on-error with
+  * whole-file atomicity, tests/integration/test_end_to_end_processing.py:75-100
+  * heterogeneous union). The relational surface (q01-q33) oracle-checks
+  * queries over already-clean parquet; these three run [[JsonIngestor]]
+  * end-to-end over checked-in JSON fixtures (FIXTURES.md shapes) and are
+  * hash-compared against DuckDB `read_json` reproducing the same contract.
+  *
+  * Oracle-exactness notes (why these match byte-for-byte):
+  *  - fixture nested objects are written compactly with alphabetical
+  *    keys, so Spark `to_json` (schema key order, compact separators)
+  *    and DuckDB's JSON-typed column text agree;
+  *  - numeric fixtures stay in the range where Java `Double.toString`
+  *    and DuckDB's shortest-round-trip rendering coincide;
+  *  - JSON `null`/`[]` map to `''` on both sides; a key missing from a
+  *    file entirely stays SQL NULL (the reference's distinction,
+  *    preserved by per-file normalization before union);
+  *  - every output carries a total ORDER BY over non-null expressions.
+  */
+object Ingestion {
+
+  /** Checked-in fixture corpus (see FIXTURES.md; shapes distilled from
+    * the reference's tests). Absolute because the oracle SQL must name
+    * the same files for DuckDB.
+    */
+  val FixtureDir = "/root/repo/fixtures/ingest"
+
+  // -------------------------------------------------------------- ing01
+  // §1.2 normalization contract on one nested/array/null-bearing file:
+  // nested objects and arrays -> JSON strings, null and empty
+  // collections -> '', primitives -> string casts, `_source_file` tag.
+  private val ing01 = QueryDef(
+    "ing01_normalize",
+    (s, _) =>
+      JsonIngestor.ingest(s, FixtureDir, includePatterns = Seq("nested.json"))
+        .data.orderBy("order_id"),
+    Some(s"""SELECT
+      CASE WHEN customer IS NULL THEN '' ELSE CAST(customer AS VARCHAR) END AS customer,
+      CASE WHEN items IS NULL OR CAST(items AS VARCHAR) IN ('[]','null') THEN '' ELSE CAST(items AS VARCHAR) END AS items,
+      COALESCE(notes, '') AS notes,
+      COALESCE(order_id, '') AS order_id,
+      COALESCE(CAST(priority AS VARCHAR), '') AS priority,
+      CASE WHEN tags IS NULL OR CAST(tags AS VARCHAR) IN ('[]','null') THEN '' ELSE CAST(tags AS VARCHAR) END AS tags,
+      COALESCE(CAST(total AS VARCHAR), '') AS total,
+      COALESCE(CAST(vip AS VARCHAR), '') AS vip,
+      'nested.json' AS _source_file
+      FROM read_json('$FixtureDir/nested.json',
+        columns={order_id:'VARCHAR', customer:'JSON', items:'JSON', notes:'VARCHAR',
+                 priority:'BIGINT', tags:'JSON', total:'DOUBLE', vip:'BOOLEAN'})
+      ORDER BY order_id"""),
+  )
+
+  // -------------------------------------------------------------- ing02
+  // Heterogeneous multi-file union with NULL-fill: the column set is the
+  // union of both files' keys; rows keep SQL NULL for keys their file
+  // never had, '' for keys present-but-null (normalize-before-union).
+  private val ing02 = QueryDef(
+    "ing02_union_nullfill",
+    (s, _) =>
+      JsonIngestor.ingest(s, FixtureDir,
+          includePatterns = Seq("customers.json", "profile.json"))
+        .data
+        .orderBy(col("_source_file"),
+          concat(coalesce(col("customer_id"), lit("")), coalesce(col("user_id"), lit("")))),
+    Some(s"""WITH c AS (
+        SELECT COALESCE(customer_id, '') AS customer_id, COALESCE(email, '') AS email,
+          COALESCE(name, '') AS name, COALESCE(registration_date, '') AS registration_date,
+          COALESCE(status, '') AS status, 'customers.json' AS _source_file
+        FROM read_json('$FixtureDir/customers.json')),
+      p AS (
+        SELECT COALESCE(bio, '') AS bio, COALESCE(CAST(score AS VARCHAR), '') AS score,
+          COALESCE(user_id, '') AS user_id, 'profile.json' AS _source_file
+        FROM read_json('$FixtureDir/profile.json',
+          columns={user_id:'VARCHAR', bio:'VARCHAR', score:'BIGINT'}))
+      SELECT * FROM (
+        SELECT customer_id, email, name, registration_date, status,
+          CAST(NULL AS VARCHAR) AS bio, CAST(NULL AS VARCHAR) AS score,
+          CAST(NULL AS VARCHAR) AS user_id, _source_file FROM c
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), bio, score, user_id, _source_file FROM p)
+      ORDER BY _source_file, CONCAT(COALESCE(customer_id, ''), COALESCE(user_id, ''))"""),
+  )
+
+  // -------------------------------------------------------------- ing03
+  // Continue-on-error with whole-file atomicity: two malformed files in
+  // the same run contribute zero records and two error entries; the
+  // three good files ingest in full. Output = per-file record counts
+  // plus the failed-file count from the run report.
+  private val ing03 = QueryDef(
+    "ing03_error_isolation",
+    (s, _) => {
+      val res = JsonIngestor.ingest(s, FixtureDir)
+      val perFile = res.data.groupBy(col("_source_file").as("file"))
+        .agg(count(lit(1)).as("n"))
+      perFile.union(
+          s.range(1).select(lit("__files_failed__").as("file"),
+            lit(res.report.filesFailed.toLong).as("n")))
+        .orderBy("file")
+    },
+    Some(s"""SELECT * FROM (
+      SELECT 'customers.json' AS file, CAST(COUNT(*) AS BIGINT) AS n
+        FROM read_json('$FixtureDir/customers.json')
+      UNION ALL
+      SELECT 'nested.json', CAST(COUNT(*) AS BIGINT)
+        FROM read_json('$FixtureDir/nested.json')
+      UNION ALL
+      SELECT 'profile.json', CAST(COUNT(*) AS BIGINT)
+        FROM read_json('$FixtureDir/profile.json')
+      UNION ALL
+      SELECT '__files_failed__', CAST(2 AS BIGINT))
+      ORDER BY file"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03)
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the ingestion-path oracle queries (ing01-ing03) over the
+  * checked-in fixtures — the ScalaTest twin of the DuckDB gate rows.
+  */
+class IngestionQuerySpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.Registry.byName(name).run(spark, sf0001)
+
+  test("ing01 normalizes nested/array/null/empty to the TEXT contract") {
+    val rows = run("ing01_normalize").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("customer") == """{"city":"New York","name":"John Doe"}""")
+    assert(r1.getAs[String]("items").startsWith("""[{"price":999.99,"product":"Laptop""""))
+    assert(r1.getAs[String]("notes") == "") // JSON null -> ''
+    assert(r1.getAs[String]("priority") == "5")
+    assert(r1.getAs[String]("vip") == "true")
+    val r2 = rows(1)
+    assert(r2.getAs[String]("items") == "") // empty array -> ''
+    assert(r2.getAs[String]("tags") == "")
+    assert(r2.getAs[String]("total") == "0.5")
+  }
+
+  test("ing02 unions heterogeneous files: missing key NULL, null value ''") {
+    val rows = run("ing02_union_nullfill").collect()
+    assert(rows.length == 4)
+    val cust = rows.filter(_.getAs[String]("_source_file") == "customers.json")
+    assert(cust.length == 3)
+    // key absent from customers.json entirely -> SQL NULL
+    assert(cust.forall(_.isNullAt(cust.head.fieldIndex("user_id"))))
+    val prof = rows.filter(_.getAs[String]("_source_file") == "profile.json").head
+    assert(prof.getAs[String]("bio") == "") // present-but-null -> ''
+    assert(prof.getAs[String]("score") == "87")
+    assert(prof.isNullAt(prof.fieldIndex("customer_id")))
+  }
+
+  test("ing03 isolates malformed files and keeps good ones") {
+    val rows = run("ing03_error_isolation").collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+    assert(rows == Map(
+      "__files_failed__" -> 2L,
+      "customers.json" -> 3L,
+      "nested.json" -> 2L,
+      "profile.json" -> 1L))
+  }
+}

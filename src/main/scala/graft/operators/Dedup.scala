@@ -247,6 +247,109 @@ object Dedup {
     None, // rolling-hash family is engine-specific; ScalaTest pins behavior
   )
 
+  // ------------------------------------------------------- verify oracles
+  // The signature/bucket stages of dd02/dd03/dd05 are engine-specific
+  // (xxhash64 minima, splitmix64 majorities, random hyperplanes), but the
+  // VERIFY stages — exact Jaccard >= t, Hamming(bit_count∘xor) <= h,
+  // cosine >= t — are plain SQL over a deterministic candidate set. These
+  // three run the identical verify expressions over bounded candidate
+  // slices and are hash-checked against DuckDB, closing the oracle gap on
+  // the half of each dedup pipeline that decides what is a duplicate.
+
+  // dd02's verify: exact shingle-set Jaccard at dd02's 0.5 threshold,
+  // same array_intersect/array_union expression, fixed candidate slice.
+  private val dd02v = QueryDef(
+    "dd02v_verify_jaccard",
+    (s, dir) => {
+      val sh = withShingles(
+        Tables(s, dir).documents.filter(col("doc_id") < 300 && col("doc_id") % 3 === 0))
+        .select("doc_id", "shingles")
+      sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+      g AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+          THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      ORDER BY doc_a, doc_b"""),
+  )
+
+  // dd03's verify: Hamming distance as bit_count(xor) <= h over 62-bit
+  // signatures. Signatures here are embedding sign bits (the one
+  // signature family both engines can compute identically) via the same
+  // LshSignBits expression dd05 buckets with; the thresholding math is
+  // exactly dd03's.
+  private val dd03v = QueryDef(
+    "dd03v_verify_hamming",
+    (s, dir) => {
+      val identityPlanes: Seq[Seq[Double]] =
+        Seq.tabulate(62)(p => Seq.tabulate(64)(i => if (i == p) 1.0 else 0.0))
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < 80)
+        .select(col("vec_id"),
+          lshBucket(asDouble(col("embedding")), identityPlanes).as("sig"))
+      e.select(col("vec_id").as("vec_a"), col("sig").as("sa"))
+        .join(e.select(col("vec_id").as("vec_b"), col("sig").as("sb")),
+          col("vec_a") < col("vec_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("bigint"))
+        .filter(col("hamming") <= 20)
+        .select("vec_a", "vec_b", "hamming")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        CAST(list_sum(list_transform(range(62),
+          i -> CASE WHEN embedding[i + 1] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS sig
+      FROM embeddings WHERE vec_id < 80)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 20
+      ORDER BY vec_a, vec_b"""),
+  )
+
+  // dd05's verify: exact cosine >= t over a fixed candidate slice — the
+  // same sequential-fold cosine dd05 applies inside LSH buckets
+  // (bit-identical to DuckDB's list arithmetic; see VectorFunctions).
+  private val dd05v = QueryDef(
+    "dd05v_verify_cosine",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < 60)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+          col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.2)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 60),
+      p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.2
+      ORDER BY vec_a, vec_b"""),
+  )
+
   /** Collapse near-dup pairs into clusters: iterative min-id label
     * propagation to a fixpoint (connected components without a graph
     * library — each round is one join + one aggregation, and rounds
@@ -289,5 +392,5 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06)
 }

@@ -2,10 +2,83 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time kernels for the text expressions, factored into a
+  * top-level object so both the interpreted path (`nullSafeEval`) and
+  * generated code (via the object's static forwarders) call the same
+  * implementation. Keeping the expressions codegen-capable (not
+  * CodegenFallback) keeps the scan→project pipeline inside ONE
+  * WholeStageCodegen stage — no fallback row-format boundary around the
+  * hottest dedup/text scans.
+  */
+object TextOps {
+
+  private def split(s: UTF8String): Array[String] =
+    s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  def tokens(input: UTF8String): ArrayData = {
+    val toks = split(input)
+    new GenericArrayData(toks.map(UTF8String.fromString(_): Any))
+  }
+
+  def shingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = split(input)
+    val sh: Iterator[String] =
+      if (toks.length >= n) toks.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
+      else Iterator.single(toks.mkString(" "))
+    val out = new java.util.LinkedHashSet[String]()
+    sh.foreach(out.add)
+    val arr = new Array[Any](out.size)
+    var i = 0
+    val it = out.iterator()
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** 64-bit SimHash over a token array: per-token splitmix64 of the
+    * token's String.hashCode, bitwise majority vote across tokens.
+    */
+  def simhash(arr: ArrayData, counts: Array[Int]): Long = {
+    java.util.Arrays.fill(counts, 0)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      var h = arr.getUTF8String(t).toString.hashCode.toLong * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+      h ^= (h >>> 31)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
+      t += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) acc |= (1L << i); i += 1 }
+    acc
+  }
+}
 
 /** Custom Catalyst expressions for the text-pipeline hot path.
   *
@@ -16,20 +89,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row (~10x); they are the preference-order step (b) "custom
   * Expression" from the build guidance, ahead of UDFs because they
   * avoid the UDF's encoder boundary and stay null-aware in the plan.
+  * The four hottest (Tokens, WordShingles, MinHashSignature, SimHash)
+  * implement `doGenCode` — one static call into [[TextOps]] — so they
+  * stay inside WholeStageCodegen rather than forcing a fallback stage.
   */
 object TextExpressions {
 
-  private def split(s: UTF8String): Array[String] =
-    s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
-
   /** Lowercased whitespace tokens of a string column. */
-  case class Tokens(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Tokens(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = split(input.asInstanceOf[UTF8String])
-      new GenericArrayData(toks.map(UTF8String.fromString(_): Any))
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextOps.tokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.tokens($c)")
     override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
     override def prettyName: String = "graft_tokens"
   }
@@ -37,23 +109,13 @@ object TextExpressions {
   /** Distinct word n-gram shingles of a string column; documents with
     * fewer than n tokens yield the single whole-document shingle.
     */
-  case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = split(input.asInstanceOf[UTF8String])
-      val shingles: Iterator[String] =
-        if (toks.length >= n) toks.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
-        else Iterator.single(toks.mkString(" "))
-      val out = new java.util.LinkedHashSet[String]()
-      shingles.foreach(out.add)
-      val arr = new Array[Any](out.size)
-      var i = 0
-      val it = out.iterator()
-      while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextOps.shingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $n)")
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
     override def prettyName: String = "graft_word_shingles"
   }
@@ -65,30 +127,36 @@ object TextExpressions {
     * an explode + 32-column hash-aggregate (one whole shuffle) in the
     * LSH dedup pipeline.
     */
-  case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
     require(numHashes >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        var j = 0
-        while (j < numHashes) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextOps.minhash(input.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.minhash($c, $numHashes)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
     override def prettyName: String = "graft_minhash_signature"
+  }
+
+  /** 64-bit SimHash of a token-array column: splitmix64 of each token's
+    * hash, bitwise majority across tokens (dd03's signature — was the
+    * repo's one hot-path Scala UDF; as an expression it avoids the
+    * encoder boundary, stays null-aware, and participates in codegen).
+    * A per-instance scratch buffer (thread-confined: Spark evaluates an
+    * expression instance within a task) avoids a 64-int allocation per
+    * row; generated code allocates its own via `addMutableState`.
+    */
+  case class SimHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    @transient private lazy val scratch = new Array[Int](64)
+    override def nullSafeEval(input: Any): Any =
+      TextOps.simhash(input.asInstanceOf[ArrayData], scratch)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val buf = ctx.addMutableState("int[]", "graftSimhashBuf", v => s"$v = new int[64];")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash($c, $buf)")
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+    override def prettyName: String = "graft_simhash"
   }
 
   /** Number of elements of a string-array column that are members of a
@@ -242,6 +310,7 @@ object TextExpressions {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
   def minhash_signature(c: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numHashes))
+  def simhash64(c: Column): Column = ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def stopword_count(c: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(c), words))
   def lsh_sign_bits(c: Column, planes: Seq[Seq[Double]]): Column =

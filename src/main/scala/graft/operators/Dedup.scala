@@ -103,28 +103,15 @@ object Dedup {
     * hamming distance ≤ 3·16-bit-bands shares a band by pigeonhole),
     * verified with bit_count(xor) ≤ maxHamming.
     *
-    * The signature is a typed Aggregator-style fold implemented as a
-    * deterministic Scala UDF over the token array (64 interleaved
-    * bit-majorities — outside what vectorized expressions express
-    * cleanly; a custom Catalyst Expression is the planned upgrade).
+    * The signature is the custom SimHash expression (splitmix64 of each
+    * token's hash, bitwise majority — one tight eval per row inside
+    * WholeStageCodegen; replaced the round-1 Scala UDF and its
+    * per-row encoder boundary).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val simhash = udf { toks: Seq[String] =>
-      val counts = new Array[Int](64)
-      toks.foreach { t =>
-        // splitmix64 over the (deterministic) String.hashCode
-        var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L
-        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
-        h ^= (h >>> 27); h *= 0x94D049BB133111EBL
-        h ^= (h >>> 31)
-        var i = 0
-        while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
-      }
-      (0 until 64).foldLeft(0L)((acc, i) => if (counts(i) > 0) acc | (1L << i) else acc)
-    }
     val sh = docs
       .withColumn("toks", graft.functions.TextExpressions.tokens(col("text")))
-      .select(col("doc_id"), simhash(col("toks")).as("sh"))
+      .select(col("doc_id"), graft.functions.TextExpressions.simhash64(col("toks")).as("sh"))
     // bucket by 16-bit band and expand pairs inside buckets (signature
     // is a long, cheap to carry through the shuffle; no self-join)
     sh.withColumn("band", explode(array(

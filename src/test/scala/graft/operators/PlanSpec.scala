@@ -41,6 +41,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
+  test("dd03 simhash plans without a Scala UDF and inside codegen") {
+    val p = plan("dd03_simhash")
+    assert(!p.contains("ScalaUDF"), "simhash must be a native expression, not a UDF")
+    assert(p.contains("graft_simhash"), p.take(800))
+  }
+
+  test("tokens/minhash stay inside a WholeStageCodegen stage") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables(spark, sf0001).documents
+      .filter(col("doc_id") === 7)
+      .select(col("text"), graft.functions.TextExpressions.minhash_signature(
+        graft.functions.TextExpressions.tokens(col("text")), 8).as("sig"))
+    val p = df.queryExecution.executedPlan.toString
+    // the projection containing both expressions is inside a codegen
+    // stage (starred line = WholeStageCodegen member), not a fallback
+    val projLine = p.linesIterator.find(_.contains("graft_minhash_signature")).get
+    assert(projLine.trim.startsWith("*"), s"expected codegen'd Project: $projLine")
+    // and evaluation through the generated path produces the same
+    // signature as the interpreted path
+    val row = df.collect().head
+    val interp = graft.functions.TextOps
+      .minhash(graft.functions.TextOps.tokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(row.getString(0))), 8)
+      .toLongArray.toSeq
+    assert(row.getSeq[Long](1) == interp)
+  }
+
   test("as-of join result matches a per-row reference computation") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 9L, 103L))

@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
   * Methodology:
   *  - noop-format writes force every output column to be computed
   *    (count() would let Catalyst prune the projections under test);
-  *  - THREE interleaved passes (pass loop outside, query loop inside),
-  *    median per query — a multi-second environment stall lands in one
-  *    pass and the median discards it (best-of-two proved vulnerable:
-  *    a stall spanning both runs once inflated one query 16x);
-  *  - failures are recorded per query and surface as `"failed":[...]`
-  *    plus a nonzero exit code — a throwing query must read as a
-  *    regression, never as a near-zero "speedup";
-  *  - queries whose min/max spread exceeds 2x are listed in
-  *    `"unstable":[...]` so a suspicious number is visibly suspicious.
+  *  - FIVE interleaved passes (pass loop outside, query loop inside),
+  *    trimmed median per query (drop the fastest and slowest pass,
+  *    median of the middle three) — a multi-second environment stall
+  *    lands in one pass and the trim discards it, and a single
+  *    suspiciously-fast pass can't drag the number down either;
+  *  - per-query per-pass times are persisted under `"passes"` so the
+  *    driver (and the next round) can distinguish noise from
+  *    regression instead of comparing two opaque medians;
+  *  - a query that throws in EVERY pass lands in `"failed"` and forces
+  *    a nonzero exit — a hard regression can't read as a speedup; a
+  *    query that throws in SOME passes lands in `"flaky"` (first
+  *    error recorded) with its surviving passes still timed — a
+  *    transient environment hiccup doesn't fail the round;
+  *  - queries whose min/max spread exceeds 2x AFTER trimming are
+  *    listed in `"unstable":[...]`.
   *
   * Also benches the bucketed-layout story: orders ⋈ lineitem is timed
   * both over plain parquet (shuffle both sides) and over co-bucketed
@@ -26,7 +32,7 @@ import org.apache.spark.sql.functions._
   * is a one-off layout decision amortized over every downstream join.
   */
 object Bench {
-  private val Passes = 3
+  private val Passes = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,35 +52,61 @@ object Bench {
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       SparkEntry.queries.toSeq.sortBy(_._1) ++ bucketedJoinBench(spark, sfDir)
 
-    // times(name) = successful pass times; failed(name) = first error
+    // times(name) = successful pass times (in pass order);
+    // errors(name) = first error message seen
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    val failed = scala.collection.mutable.Map.empty[String, String]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to Passes; (name, fn) <- all) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+        times(name) = times.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          failed.getOrElseUpdate(name,
+          errors.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     }
-    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results = all.map(_._1).flatMap(n => times.get(n).map(n -> median(_))).toMap
+    // trimmed median: drop the single fastest and slowest pass, median
+    // of the rest (plain median when fewer than 3 passes survived)
+    def trimmed(xs: List[Double]): List[Double] = {
+      val s = xs.sorted
+      if (s.size >= 3) s.slice(1, s.size - 1) else s
+    }
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val results = all.map(_._1)
+      .flatMap(n => times.get(n).map(xs => n -> median(trimmed(xs)))).toMap
+    // failed = zero successful passes (exit 1); flaky = some passes threw
+    val failed = errors.view.filterKeys(n => !times.contains(n)).toMap
+    val flaky = errors.view.filterKeys(times.contains).toMap
     val unstable = times.collect {
-      case (n, xs) if xs.size >= 2 && xs.max / math.max(xs.min, 1e-9) > 2.0 => n
+      case (n, xs) if { val t = trimmed(xs)
+        t.size >= 2 && t.max / math.max(t.min, 1e-9) > 2.0 } => n
     }.toSeq.sorted
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON string escape incl. control chars — exception messages carry
+    // newlines/tabs and must not break the one-line output contract
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    // explicit locale: a comma-decimal default locale must not produce
+    // invalid JSON
+    def jnum(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
-    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val passesJson = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v.map(jnum).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    def errJson(m: Map[String, String]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val unstableJson = unstable.map(jstr).mkString("[", ",", "]")
     val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"unstable":$unstableJson,"sf":"$sfDir"}""")
+      s""""passes":$passesJson,"failed":${errJson(failed)},"flaky":${errJson(flaky)},""" +
+      s""""unstable":$unstableJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

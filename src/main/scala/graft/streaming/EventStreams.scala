@@ -136,6 +136,10 @@ object EventStreams {
     implicit val profEnc = Encoders.product[UserProfile]
     val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    // month-based timeouts are ill-defined (no fixed millisecond length)
+    // and would otherwise be silently dropped by the day/micros sum
+    require(idleMs.months == 0,
+      s"idleTimeout must be day/time-based, got '$idleTimeout' (months are ambiguous)")
     val ms = idleMs.days * 86400000L + idleMs.microseconds / 1000L
     events
       .withWatermark("ts", watermark)

@@ -28,6 +28,16 @@ object TabularIngestor {
     name.substring(name.lastIndexOf('.') + 1).toLowerCase
   }
 
+  private val CorruptCol = "_graft_corrupt"
+
+  /** CSV ingestion with the same continue-on-error / whole-file
+    * atomicity contract as the JSON path (SURVEY.md A8): any record the
+    * parser marks corrupt (wrong token count, unclosed quote, a
+    * mismatched header making every row misalign) is attributed to its
+    * file via `input_file_name()`, the whole file is dropped, and one
+    * error entry is recorded — `filesFailed`/`errors` are real, not
+    * structurally zero.
+    */
   def ingestCsv(spark: SparkSession, dir: String,
       includePatterns: Seq[String] = Nil,
       excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns,
@@ -41,20 +51,49 @@ object TabularIngestor {
     // one scan per delimiter group (a delimiter is a reader option, not
     // per-file state)
     val groups = files.groupBy(f => delimiterFor(extOf(f)))
+    val badFiles = scala.collection.mutable.SortedSet.empty[String]
     val parts = groups.map { case (delim, fs) =>
-      val df = spark.read
+      // pass 1 fixes the column set (all-string; TEXT contract anyway);
+      // pass 2 re-reads with the corrupt-record column appended so
+      // malformed rows are detectable and attributable
+      val inferred = spark.read
+        .option("header", header.toString).option("sep", delim).csv(fs: _*).schema
+      val raw = spark.read
         .option("header", header.toString)
         .option("sep", delim)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .schema(inferred.add(CorruptCol, org.apache.spark.sql.types.StringType))
         .csv(fs: _*)
-        .withColumn("_source_file", basenameCol)
-      Normalizer.normalizeAll(df, passthrough = Set("_source_file"))
+        .withColumn("_source_path", input_file_name())
+      val dataCols = inferred.fieldNames
+      // per-file corrupt counts in one aggregation. Every data column is
+      // referenced: CSV column pruning makes the parser only tokenize
+      // required fields, which silently skips token-count validation —
+      // a pruned scan would miss the very malformation being probed
+      // (and Spark refuses a scan referencing only the corrupt column).
+      badFiles ++= raw.groupBy(col("_source_path"))
+        .agg(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          dataCols.map(c => count(col(c)).as(s"n_$c")).toSeq: _*)
+        .collect()
+        .filter(_.getAs[Long]("n_bad") > 0)
+        .map(_.getString(0))
+      val clean0 = raw.drop(CorruptCol)
+      val clean =
+        if (badFiles.isEmpty) clean0
+        else clean0.filter(!col("_source_path").isin(badFiles.toSeq: _*))
+      Normalizer.normalizeAll(
+        clean.withColumn("_source_file", basenameCol).drop("_source_path"),
+        passthrough = Set("_source_file"))
     }.toSeq
     val data0 = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val data = data0.select(data0.columns.sorted.map(col).toSeq: _*)
     val total = data.count()
+    val errors = badFiles.toSeq.map(f =>
+      JsonIngestor.FileError(f, "malformed CSV record in file"))
     JsonIngestor.IngestResult(data, JsonIngestor.IngestReport(
-      files.size, files.size, 0, total, Nil, (System.nanoTime() - t0) / 1e9))
+      files.size, files.size - badFiles.size, badFiles.size, total, errors,
+      (System.nanoTime() - t0) / 1e9))
   }
 
   def ingestParquet(spark: SparkSession, dir: String,

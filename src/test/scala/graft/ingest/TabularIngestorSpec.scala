@@ -20,6 +20,23 @@ class TabularIngestorSpec extends SparkSpec {
     assert(paris.getAs[String]("_source_file") == "b.tsv")
   }
 
+  test("csv whole-file error isolation: malformed file dropped, attributed") {
+    val dir = tmpDir("csvbad")
+    writeFile(dir, "good1.csv", "id,name\n1,Ann\n2,Bob")
+    writeFile(dir, "good2.csv", "id,name\n3,Cat")
+    // wrong token count + unclosed quote -> corrupt records
+    writeFile(dir, "bad.csv", "id,name\n4,Dee,EXTRA,COLS\n\"unclosed,oops")
+    val r = TabularIngestor.ingestCsv(spark, dir.toString)
+    assert(r.report.filesDiscovered == 3)
+    assert(r.report.filesProcessed == 2)
+    assert(r.report.filesFailed == 1)
+    assert(r.report.errors.map(e => e.file.substring(e.file.lastIndexOf('/') + 1)) == Seq("bad.csv"))
+    // good rows intact, nothing salvaged from the bad file
+    assert(r.report.totalRecords == 3)
+    assert(r.data.select("_source_file").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("good1.csv", "good2.csv"))
+  }
+
   test("parquet ingest keeps native types by default") {
     val dir = tmpDir("pq")
     import spark.implicits._

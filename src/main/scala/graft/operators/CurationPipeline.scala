@@ -53,9 +53,24 @@ object CurationPipeline {
     pred.isin(langs.toSeq: _*)
   }
 
-  /** Run the full curation pass over a (doc_id, text) corpus. */
+  /** Run the full curation pass over a (doc_id, text) corpus.
+    *
+    * Stage accounting is single-pass: the pass-through stage counts
+    * (input / quality / language) are `observe()` metrics collected as
+    * a side effect of computing `exactKeep`, which is cached — so the
+    * corpus is read and filtered ONCE, the near-dup stage and final
+    * retention reuse the cached survivors, and no `count()` action
+    * re-runs an upstream stage (the round-1 version recomputed the
+    * lineage up to 5x). The returned `corpus` keeps the cache alive;
+    * callers that materialize it elsewhere may `unpersist` it.
+    */
   def curate(docs: DataFrame, cfg: Config = Config()): Result = {
+    val obsInput = org.apache.spark.sql.Observation()
+    val obsQuality = org.apache.spark.sql.Observation()
+    val obsLang = org.apache.spark.sql.Observation()
+
     val base = docs.select(col("doc_id"), col("text"))
+      .observe(obsInput, count(lit(1)).as("n"))
       .withColumn("toks", TextExpressions.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("distinct_ratio",
@@ -64,8 +79,10 @@ object CurationPipeline {
     val quality = base.filter(
       col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
         col("distinct_ratio") >= cfg.minDistinctRatio)
+      .observe(obsQuality, count(lit(1)).as("n"))
 
     val lang = quality.filter(langPred(col("toks"), cfg.langs))
+      .observe(obsLang, count(lit(1)).as("n"))
 
     // exact dedup: keep the smallest doc_id per content hash
     val exactKeep = lang
@@ -74,18 +91,25 @@ object CurationPipeline {
         org.apache.spark.sql.expressions.Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1)
       .drop("_h", "_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup removal over the survivors
+    // ONE action computes the whole filter chain, fills the three
+    // observations, and populates the cache
+    val afterExact = exactKeep.count()
+
+    // near-dup removal over the (cached) survivors
     val pairs = Dedup.minhashPairs(
       exactKeep.select("doc_id", "text"), threshold = cfg.nearDupThreshold)
     val finalCorpus = Dedup.retainCanonical(exactKeep, pairs)
       .select("doc_id", "text")
 
+    def n(o: org.apache.spark.sql.Observation): Long =
+      o.get("n").asInstanceOf[Long]
     val counts = StageCounts(
-      input = docs.count(),
-      afterQuality = quality.count(),
-      afterLang = lang.count(),
-      afterExact = exactKeep.count(),
+      input = n(obsInput),
+      afterQuality = n(obsQuality),
+      afterLang = n(obsLang),
+      afterExact = afterExact,
       afterNearDup = finalCorpus.count())
     Result(finalCorpus, counts)
   }

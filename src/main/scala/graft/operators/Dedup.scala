@@ -47,9 +47,19 @@ object Dedup {
     * (1/b)^(1/r) Jaccard; 16×2 ≈ 0.25 — generous candidate recall for
     * a 0.5 verification threshold (the exact-Jaccard verify step
     * removes false positives, so extra candidates cost only compute).
+    *
+    * The candidate set is cached and counted before the verification
+    * join: at or below `maxBroadcastCands` pairs it is broadcast (the
+    * shingle table streams with zero shuffle); above it — an
+    * adversarial corpus whose buckets are all near `maxBucket` — the
+    * join falls back to a shuffle join instead of OOMing the driver.
+    * The count is effectively free: it materializes the cache the
+    * verification join reads anyway. The cache is left to LRU eviction
+    * (it is input to the returned lazy DataFrame).
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
+      maxBroadcastCands: Long = 2000000L): DataFrame = {
     val rows = numHashes / bands
     val sh = withShingles(docs).select("doc_id", "shingles")
     // All 32 signature minima in ONE traversal of the shingle array
@@ -77,10 +87,11 @@ object Dedup {
            p -> p.a < p.b)""")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    // Verification joins broadcast the (small) candidate set so the
-    // shingle table streams without a shuffle.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candSide =
+      if (cands.count() <= maxBroadcastCands) broadcast(cands) else cands
     val withSets = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-      .join(broadcast(cands), "doc_a")
+      .join(candSide, "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     withSets
       .withColumn("jaccard",
@@ -352,19 +363,22 @@ object Dedup {
     var changed = true
     var it = 0
     while (changed && it < maxIters) {
-      // each node adopts the smallest label among itself + neighbors
+      // each node adopts the smallest label among itself + neighbors;
+      // the change flag rides along in the same computation, so each
+      // round is exactly ONE materialization (the eager checkpoint) —
+      // the convergence check reads the checkpointed result instead of
+      // re-running a labels⋈next comparison join
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count() > 0
-      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"),
+          (col("cluster_id") > coalesce(col("n_min"), col("cluster_id"))).as("_changed"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      changed = next.filter(col("_changed")).limit(1).count() > 0
+      labels = next.drop("_changed")
       it += 1
     }
     labels

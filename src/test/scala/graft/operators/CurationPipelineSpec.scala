@@ -35,6 +35,52 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept == Seq(0L, 6L))
   }
 
+  test("curate scans the corpus once: stage counts are observe() side effects") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fileScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    // true only when the execution itself reads the parquet file —
+    // deliberately does NOT descend into InMemoryRelation (whose plan
+    // text/tree embeds the original scan it replaced)
+    def readsFile(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        readsFile(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => readsFile(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => false
+      case other => other.children.exists(readsFile)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (readsFile(qe.executedPlan)) fileScans.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = CurationPipeline.curate(docs, CurationPipeline.Config(minTokens = 5))
+      assert(r.counts.input == 500)
+      // the near-dup and retention stages read the cached exact-dedup
+      // survivors, not the recomputed filter chain
+      val plan = r.corpus.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+      // listener events are async: wait for the count to go quiet
+      var last = -1
+      var spins = 0
+      while (fileScans.get() != last && spins < 20) {
+        last = fileScans.get(); Thread.sleep(250); spins += 1
+      }
+      // NO top-level execution reads the parquet file directly: the one
+      // real read happens during cache population (inside
+      // InMemoryRelation, invisible to readsFile by design). The
+      // round-1 version ran its stage counts as uncached actions and
+      // would show 4-5 direct file-scanning executions here.
+      assert(fileScans.get() == 0,
+        s"expected no direct file-scanning executions, saw ${fileScans.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("curate on the documents table keeps a sane fraction") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val r = CurationPipeline.curate(docs, CurationPipeline.Config(minTokens = 5))

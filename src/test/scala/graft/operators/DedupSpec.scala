@@ -32,6 +32,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.getDouble(2) == 1.0)
   }
 
+  test("minhash falls back to a shuffle join above the broadcast bound, same result") {
+    // boilerplate-heavy corpus: every doc shares shingles -> buckets
+    // near maxBucket -> large candidate set; with the broadcast bound
+    // forced to 0 the verification join must take the shuffle path and
+    // produce identical pairs
+    val boiler = (0L until 60L).map(i =>
+      (i, s"$base common boilerplate footer shared by every document variant ${i % 3}"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = Dedup.minhashPairs(boiler, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaShuffle = Dedup.minhashPairs(boiler, threshold = 0.5, maxBroadcastCands = 0L)
+    // above the bound the candidate set carries NO broadcast hint (the
+    // planner remains free to broadcast the other, smaller side); below
+    // it the hint is present
+    assert(!viaShuffle.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "candidate set must not be broadcast-hinted above the bound")
+    assert(Dedup.minhashPairs(boiler, threshold = 0.5)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(viaShuffle.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("simhash finds near pairs within hamming budget") {
     val pairs = Dedup.simhashPairs(corpus, maxHamming = 6).collect()
     val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -354,8 +354,20 @@ object Dedup {
     * needed = graph diameter, which for dup clusters is tiny). Returns
     * (doc_id, cluster_id) for every doc that appears in a pair;
     * cluster_id = smallest doc_id in the component.
+    *
+    * `reliable = true` uses reliable checkpointing (requires
+    * `sparkContext.setCheckpointDir`, e.g. an HDFS/S3 path) instead of
+    * `localCheckpoint`: local checkpoints live in executor block
+    * storage and die with a lost executor, which on a 100 TB edge set
+    * over long iterations means restarting the whole propagation —
+    * reliable checkpoints survive executor loss at the cost of a
+    * distributed-FS write per round.
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10,
+      reliable: Boolean = false): DataFrame = {
+    if (reliable) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs sparkContext.setCheckpointDir(<fault-tolerant path>)")
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
     var labels = edges.select(col("a").as("doc_id")).distinct()
@@ -376,9 +388,11 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"),
           (col("cluster_id") > coalesce(col("n_min"), col("cluster_id"))).as("_changed"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
-      changed = next.filter(col("_changed")).limit(1).count() > 0
-      labels = next.drop("_changed")
+      // truncate the iterative lineage each round
+      val checkpointed =
+        if (reliable) next.checkpoint(eager = true) else next.localCheckpoint(eager = true)
+      changed = checkpointed.filter(col("_changed")).limit(1).count() > 0
+      labels = checkpointed.drop("_changed")
       it += 1
     }
     labels

@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("clusterPairs reliable checkpointing produces the same components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // without a checkpoint dir the option is rejected up front
+    val before = spark.sparkContext.getCheckpointDir
+    if (before.isEmpty)
+      intercept[IllegalArgumentException](Dedup.clusterPairs(pairs, reliable = true))
+    spark.sparkContext.setCheckpointDir(tmpDir("ckpt").toString)
+    val clusters = Dedup.clusterPairs(pairs, reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
   test("A21 file utilities: copy/move/delete/md5/atomic write") {
     val dir = tmpDir("fileutils")
     val a = dir.resolve("a.txt").toString

@@ -29,6 +29,7 @@ object Main {
       exclude: Seq[String] = graft.ingest.FileScanner.DefaultIgnorePatterns,
       preview: Int = 10,
       quiet: Boolean = false,
+      repl: Boolean = false,
   )
 
   def parse(args: List[String], c: Config = Config()): Either[String, Config] = args match {
@@ -46,6 +47,7 @@ object Main {
     case "--exclude" :: v :: rest => parse(rest, c.copy(exclude = c.exclude :+ v))
     case "--preview" :: v :: rest => parse(rest, c.copy(preview = v.toInt))
     case "--quiet" :: rest => parse(rest, c.copy(quiet = true))
+    case "--repl" :: rest => parse(rest, c.copy(repl = true))
     case dir :: rest if !dir.startsWith("--") && c.inputDir.isEmpty =>
       parse(rest, c.copy(inputDir = dir))
     case other :: _ => Left(s"unknown argument: $other")
@@ -58,7 +60,7 @@ object Main {
         System.err.println(
           "usage: graft.app.Main <input-dir> [--output <path>] [--table <name>] " +
             "[--format json|csv|parquet] [--mode exact|bulk] [--include g]... " +
-            "[--exclude g]... [--preview N] [--quiet]")
+            "[--exclude g]... [--preview N] [--quiet] [--repl]")
         sys.exit(2)
       case Right(c) => run(c)
     }
@@ -87,11 +89,14 @@ object Main {
       if (result.data.columns.nonEmpty) {
         c.output.foreach { p => Sinks.saveParquet(result.data, p) }
         c.table.foreach { t => Sinks.saveTable(result.data, t) }
+        result.data.createOrReplaceTempView("ingested")
         if (!c.quiet && c.preview > 0) {
           val qe = new QueryEngine(spark)
-          result.data.createOrReplaceTempView("ingested")
           qe.execute(s"SELECT * FROM ingested LIMIT ${c.preview}").show(truncate = false)
         }
+        // interactive query loop over the just-ingested view (the
+        // reference's upload -> process -> query flow, app.py:41-261)
+        if (c.repl) Repl.loop(spark)
       }
       if (r.filesFailed > 0 && r.filesProcessed == 0) sys.exit(1)
     } finally spark.stop()

@@ -105,6 +105,38 @@ object Multimodal {
     None, // decode stub is engine-side only; ScalaTest pins the values
   )
 
+  // ------------------------------------------------------------- mm02v
+  // Oracle twin of the feature-extraction path: the stub codec is
+  // deterministic byte arithmetic (byte/255 in float32), so the full
+  // mapPartitions pipeline — binary synthesis, batched codec, typed
+  // feature schema — is verifiable element-wise against DuckDB
+  // recomputing the same bytes via hex digits. float32 division then
+  // widening to double is bit-identical in both engines.
+  private val mm02v = {
+    val duckByte = (i: Int) =>
+      s"""CAST(CAST(CASE WHEN $i < n_bytes
+         THEN (strpos('0123456789abcdef', h[${i * 2 + 1}]) - 1) * 16
+            + (strpos('0123456789abcdef', h[${i * 2 + 2}]) - 1)
+         ELSE 0 END AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS f$i"""
+    QueryDef(
+      "mm02v_feature_oracle",
+      (s, dir) => {
+        val feats = extractFeatures(syntheticMedia(Tables(s, dir).documents))
+        feats.select(
+          (Seq(col("doc_id"), col("n_bytes")) ++
+            (0 until FakeCodec.FeatureDim).map(i =>
+              element_at(col("feature"), i + 1).cast("double").as(s"f$i"))): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+          octet_length(encode(text)) AS n_bytes,
+          lower(hex(encode(text))) AS h FROM documents)
+        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+          ${(0 until FakeCodec.FeatureDim).map(duckByte).mkString(",\n          ")}
+        FROM d ORDER BY doc_id"""),
+    )
+  }
+
   // -------------------------------------------------------------- mm03
   // Chunk-level dedup (CDC-lite): fixed 64-char windows hashed and
   // profiled corpus-wide — the payload-chunking shape used for blob
@@ -129,5 +161,5 @@ object Multimodal {
       SELECT COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks FROM c"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +57,94 @@ object TextOps {
     new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
   }
 
+  def stopwordCount(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    var count = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  def lshBits(arr: ArrayData, planes: Array[Array[Double]]): Long = {
+    val v = arr.toDoubleArray()
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.length, plane.length)
+      while (i < n) { dot += v(i) * plane(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  def nearestCentroids(arr: ArrayData, centroids: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val v = arr.toDoubleArray()
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, cen.length)
+      while (i < n) { val x = v(i) - cen(i); d += x * x; i += 1 }
+      dists(c) = d
+      c += 1
+    }
+    val order = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
+    new GenericArrayData(order.take(nProbe).map(_._2.asInstanceOf[Any]))
+  }
+
+  def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = input.toString.toLowerCase
+    if (s.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = s.length - k + 1
+    // polynomial rolling hash over chars, mixed through splitmix64
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    val lastStart = math.max(0, n - w)
+    while (start <= lastStart) {
+      var best = start
+      var j = start
+      val end = math.min(start + w, n)
+      while (j < end) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      selected.add(hashes(best))
+      start += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a token array: per-token splitmix64 of the
     * token's String.hashCode, bitwise majority vote across tokens.
     */
@@ -89,9 +177,10 @@ object TextOps {
   * per row (~10x); they are the preference-order step (b) "custom
   * Expression" from the build guidance, ahead of UDFs because they
   * avoid the UDF's encoder boundary and stay null-aware in the plan.
-  * The four hottest (Tokens, WordShingles, MinHashSignature, SimHash)
-  * implement `doGenCode` — one static call into [[TextOps]] — so they
-  * stay inside WholeStageCodegen rather than forcing a fallback stage.
+  * Every expression implements `doGenCode` — one static call into
+  * [[TextOps]] (constant state like stopword sets, hyperplanes and
+  * centroids rides in via `addReferenceObj`) — so text/dedup/ANN scans
+  * stay inside WholeStageCodegen rather than forcing fallback stages.
   */
 object TextExpressions {
 
@@ -163,24 +252,18 @@ object TextExpressions {
     * fixed set (stopword counting; replaces an interpreted
     * `filter(toks, x -> x IN (...))` lambda).
     */
-  case class StopwordCount(child: Expression, words: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+  case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
     @transient private lazy val set: java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String]()
       words.foreach(w => s.add(UTF8String.fromString(w)))
       s
     }
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      var count = 0L
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (set.contains(arr.getUTF8String(i))) count += 1
-        i += 1
-      }
-      count
+    override def nullSafeEval(input: Any): Any =
+      TextOps.stopwordCount(input.asInstanceOf[ArrayData], set)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftStopwords", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.stopwordCount($c, $ref)")
     }
     override protected def withNewChildInternal(c: Expression): StopwordCount = copy(child = c)
     override def prettyName: String = "graft_stopword_count"
@@ -191,23 +274,13 @@ object TextExpressions {
     * set; replaces 16 interpreted zip_with/aggregate folds per row.
     */
   case class LshSignBits(child: Expression, planes: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val v = arr.toDoubleArray()
-      var bits = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        var dot = 0.0
-        var i = 0
-        val n = math.min(v.length, plane.length)
-        while (i < n) { dot += v(i) * plane(i); i += 1 }
-        if (dot >= 0) bits |= (1L << p)
-        p += 1
-      }
-      bits
+    override def nullSafeEval(input: Any): Any =
+      TextOps.lshBits(input.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftPlanes", planes, "double[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.lshBits($c, $ref)")
     }
     override protected def withNewChildInternal(c: Expression): LshSignBits = copy(child = c)
     override def prettyName: String = "graft_lsh_sign_bits"
@@ -222,53 +295,13 @@ object TextExpressions {
     * local fingerprint for plagiarism/near-dup detection.
     * Returns the distinct selected hashes, sorted.
     */
-  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
     require(k >= 2 && w >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString.toLowerCase
-      if (s.length < k) return new GenericArrayData(Array.empty[Any])
-      val n = s.length - k + 1
-      // polynomial rolling hash over chars, mixed through splitmix64
-      val B = 1000003L
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow *= B; i += 1 }
-      val hashes = new Array[Long](n)
-      var h = 0L
-      i = 0
-      while (i < k) { h = h * B + s.charAt(i); i += 1 }
-      def mix(x0: Long): Long = {
-        var x = x0 + 0x9E3779B97F4A7C15L
-        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
-      hashes(0) = mix(h)
-      i = 1
-      while (i < n) {
-        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-        hashes(i) = mix(h)
-        i += 1
-      }
-      val selected = new java.util.TreeSet[java.lang.Long]()
-      var start = 0
-      val lastStart = math.max(0, n - w)
-      while (start <= lastStart) {
-        var best = start
-        var j = start
-        val end = math.min(start + w, n)
-        while (j < end) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
-        selected.add(hashes(best))
-        start += 1
-      }
-      val out = new Array[Any](selected.size)
-      val it = selected.iterator()
-      i = 0
-      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextOps.winnow(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.winnow($c, $k, $w)")
     override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
       copy(child = c)
     override def prettyName: String = "graft_winnow_fingerprint"
@@ -279,24 +312,15 @@ object TextExpressions {
     * assignment, one traversal per row with centroids baked in.
     */
   case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(nProbe >= 1 && nProbe <= centroids.length)
     override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
-      val dists = new Array[Double](centroids.length)
-      var c = 0
-      while (c < centroids.length) {
-        val cen = centroids(c)
-        var d = 0.0
-        var i = 0
-        val n = math.min(v.length, cen.length)
-        while (i < n) { val x = v(i) - cen(i); d += x * x; i += 1 }
-        dists(c) = d
-        c += 1
-      }
-      val order = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
-      new GenericArrayData(order.take(nProbe).map(_._2.asInstanceOf[Any]))
+    override def nullSafeEval(input: Any): Any =
+      TextOps.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextOps.nearestCentroids($c, $ref, $nProbe)")
     }
     override protected def withNewChildInternal(c: Expression): NearestCentroids =
       copy(child = c)

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Runs every custom expression with codegen fallback DISABLED: a
+  * generated kernel that fails to compile must throw here, not silently
+  * degrade to the interpreted path (which the other suites would mask).
+  */
+class CodegenSpec extends SparkSpec {
+
+  private def withStrictCodegen[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("all custom expressions compile and evaluate under strict codegen") {
+    withStrictCodegen {
+      val docs = graft.sources.Tables(spark, sf0001).documents.limit(50)
+      val planes = VectorFunctions.randomPlanes(4, 64)
+      val centroids = Array.fill(3)(Array.fill(64)(0.1))
+      val out = docs
+        .select(col("doc_id"), col("text"),
+          TextExpressions.tokens(col("text")).as("toks"),
+          TextExpressions.word_shingles(col("text"), 3).as("sh"),
+          TextExpressions.winnow_fingerprint(col("text"), 8, 4).as("fp"))
+        .select(col("doc_id"),
+          TextExpressions.minhash_signature(col("sh"), 16).as("sig"),
+          TextExpressions.simhash64(col("toks")).as("simhash"),
+          TextExpressions.stopword_count(col("toks"), Seq("the", "a", "and")).as("stops"),
+          org.apache.spark.sql.functions.size(col("fp")).as("n_fp"))
+        .collect()
+      assert(out.length == 50)
+      assert(out.exists(_.getAs[Long]("stops") > 0))
+      assert(out.forall(_.getAs[Seq[Long]]("sig").length == 16))
+
+      val emb = graft.sources.Tables(spark, sf0001).embeddings.limit(20)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          TextExpressions.lsh_sign_bits(col("v"), planes).as("bits"),
+          TextExpressions.nearest_centroids(col("v"), centroids, 2).as("cells"))
+        .collect()
+      assert(emb.length == 20)
+      assert(emb.forall(_.getAs[Seq[Int]]("cells").length == 2))
+    }
+  }
+}

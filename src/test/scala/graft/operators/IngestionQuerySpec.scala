@@ -14,8 +14,8 @@ class IngestionQuerySpec extends SparkSpec {
     val rows = run("ing01_normalize").collect()
     assert(rows.length == 2)
     val r1 = rows(0)
-    assert(r1.getAs[String]("customer") == """{"city":"New York","name":"John Doe"}""")
-    assert(r1.getAs[String]("items").startsWith("""[{"price":999.99,"product":"Laptop""""))
+    assert(r1.getAs[String]("customer") == """{"city":"Dunwich","name":"Ada Quarry"}""")
+    assert(r1.getAs[String]("items").startsWith("""[{"price":949.99,"product":"Drafting table""""))
     assert(r1.getAs[String]("notes") == "") // JSON null -> ''
     assert(r1.getAs[String]("priority") == "5")
     assert(r1.getAs[String]("vip") == "true")

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * tables (shuffle-free join), as `xb_join_plain` / `xb_join_bucketed`.
   * Bucketed-table setup cost is NOT timed — at cluster scale bucketing
   * is a one-off layout decision amortized over every downstream join.
+  * Honest scale note: at sf0.1 (600k lineitem rows) the bucketed join
+  * measures ~0.1 s SLOWER — the saved shuffle costs less than the scan
+  * parallelism 32 tiny bucket files give up. Replicating the tables 4x
+  * (2.4M rows, same harness) inverts it: bucketed 0.77 s vs plain
+  * 1.17 s median — the crossover the layout is designed for, growing
+  * with data size as the shuffle dominates.
   */
 object Bench {
   private val Passes = 5

@@ -149,6 +149,25 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(updateProfile(ms))
   }
 
+  /** Stream into any registered [[graft.sink.Connectors]] connector via
+    * `foreachBatch` — the streaming half of the pluggable-sink story:
+    * each micro-batch lands through the same connector code path batch
+    * ingestion uses (so a "switch the sink" config change covers both).
+    * Appends with per-batch atomicity; exactly-once needs an
+    * idempotent/transactional target (parquet append here is
+    * at-least-once on retry, as with any non-transactional foreachBatch
+    * sink — documented, matching the reference's per-batch commit).
+    */
+  def writeThrough(df: DataFrame, connector: graft.sink.Connector, target: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        connector.write(batch.toDF(), target): Unit
+      }
+      .start()
+
   /** Run a streaming query on `df` into an in-memory table and block
     * until the file source is drained (test/diagnostic harness).
     */

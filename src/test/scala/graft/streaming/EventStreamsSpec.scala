@@ -105,4 +105,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(joined.count() == 0)
     assert(finalProfiles.count() == batch.count())
   }
+
+  test("writeThrough lands micro-batches via a registered connector") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    val out = tmpDir("stream-conn").resolve("out").toString
+    val ckpt = tmpDir("stream-conn-ckpt").toString
+    val conn = graft.sink.Connectors.create("parquet")
+    val q = EventStreams.writeThrough(
+      EventStreams.dedupedEvents(stream), conn, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val written = conn.read(spark, out)
+    assert(written.count() == batchEvents.count()) // sf0.001 events are unique
+    assert(written.columns.contains("event_type"))
+  }
 }

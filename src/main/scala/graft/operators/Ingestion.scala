@@ -119,5 +119,59 @@ object Ingestion {
       ORDER BY file"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03)
+  // -------------------------------------------------------------- ing04
+  // The BULK path (single distributed scan — the 10^6-files/100 TB
+  // mode) over the whole fixture dir: both malformed files dropped
+  // wholesale, the three good files unified into one schema. Bulk
+  // normalizes AFTER union (documented deviation), so keys a file never
+  // had and explicit nulls both surface as '' — the oracle coalesces
+  // everything accordingly.
+  private val ing04 = QueryDef(
+    "ing04_bulk_ingest",
+    (s, _) =>
+      JsonIngestor.ingestBulk(s, FixtureDir)
+        .data
+        .orderBy(col("_source_file"),
+          concat(col("customer_id"), col("order_id"), col("user_id"))),
+    Some(s"""WITH c AS (SELECT COALESCE(customer_id, '') AS customer_id,
+          COALESCE(email, '') AS email, COALESCE(name, '') AS name,
+          COALESCE(registration_date, '') AS registration_date,
+          COALESCE(status, '') AS status, 'customers.json' AS _source_file
+        FROM read_json('$FixtureDir/customers.json')),
+      n AS (SELECT
+          CASE WHEN customer IS NULL THEN '' ELSE CAST(customer AS VARCHAR) END AS customer,
+          CASE WHEN items IS NULL OR CAST(items AS VARCHAR) IN ('[]','null') THEN '' ELSE CAST(items AS VARCHAR) END AS items,
+          COALESCE(notes, '') AS notes,
+          COALESCE(order_id, '') AS order_id,
+          COALESCE(CAST(priority AS VARCHAR), '') AS priority,
+          CASE WHEN tags IS NULL OR CAST(tags AS VARCHAR) IN ('[]','null') THEN '' ELSE CAST(tags AS VARCHAR) END AS tags,
+          COALESCE(CAST(total AS VARCHAR), '') AS total,
+          COALESCE(CAST(vip AS VARCHAR), '') AS vip,
+          'nested.json' AS _source_file
+        FROM read_json('$FixtureDir/nested.json',
+          columns={order_id:'VARCHAR', customer:'JSON', items:'JSON', notes:'VARCHAR',
+                   priority:'BIGINT', tags:'JSON', total:'DOUBLE', vip:'BOOLEAN'})),
+      p AS (SELECT COALESCE(bio, '') AS bio, COALESCE(CAST(score AS VARCHAR), '') AS score,
+          COALESCE(user_id, '') AS user_id, 'profile.json' AS _source_file
+        FROM read_json('$FixtureDir/profile.json',
+          columns={user_id:'VARCHAR', bio:'VARCHAR', score:'BIGINT'}))
+      SELECT * FROM (
+        SELECT '' AS bio, '' AS customer, customer_id, email, '' AS items, name,
+          '' AS notes, '' AS order_id, '' AS priority, registration_date,
+          '' AS score, status, '' AS tags, '' AS total, '' AS user_id, '' AS vip,
+          _source_file FROM c
+        UNION ALL
+        SELECT '' AS bio, customer, '' AS customer_id, '' AS email, items, '' AS name,
+          notes, order_id, priority, '' AS registration_date,
+          '' AS score, '' AS status, tags, total, '' AS user_id, vip,
+          _source_file FROM n
+        UNION ALL
+        SELECT bio, '' AS customer, '' AS customer_id, '' AS email, '' AS items, '' AS name,
+          '' AS notes, '' AS order_id, '' AS priority, '' AS registration_date,
+          score, '' AS status, '' AS tags, '' AS total, user_id, '' AS vip,
+          _source_file FROM p)
+      ORDER BY _source_file, CONCAT(customer_id, order_id, user_id)"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04)
 }

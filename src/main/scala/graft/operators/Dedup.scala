@@ -219,14 +219,25 @@ object Dedup {
     */
   def winnowingPairs(docs: DataFrame, minShared: Int = 5,
       k: Int = 8, w: Int = 4, maxBucket: Int = 50): DataFrame = {
-    // maxBucket doubles as a stop-fingerprint cutoff: a fingerprint
-    // shared by more than ~50 docs is boilerplate (common phrasing),
-    // carries no dedup signal, and would pair-expand quadratically —
-    // dropping it is the winnowing analogue of stopword removal.
     val fp = docs.select(col("doc_id"),
       graft.functions.TextExpressions.winnow_fingerprint(col("text"), k, w).as("fps"))
-    val pairs = fp
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    sharedFingerprintPairs(fp, minShared, maxBucket)
+  }
+
+  /** Pair-generation core shared by winnowing (and any fingerprint
+    * family): explode fingerprints → bucket by fingerprint → expand
+    * pairs inside buckets → count shared fingerprints per pair, keep
+    * pairs sharing at least `minShared`. `maxBucket` doubles as a
+    * stop-fingerprint cutoff: a fingerprint shared by more than ~50
+    * docs is boilerplate (common phrasing), carries no dedup signal,
+    * and would pair-expand quadratically — dropping it is the
+    * winnowing analogue of stopword removal. Input: (doc_id,
+    * fps: array<...>), fps per-doc distinct (WinnowFingerprint
+    * guarantees it; other callers use array_distinct).
+    */
+  def sharedFingerprintPairs(fp: DataFrame, minShared: Int,
+      maxBucket: Int = 50): DataFrame =
+    fp.select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -236,13 +247,46 @@ object Dedup {
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    pairs.orderBy("doc_a", "doc_b")
-  }
+      .orderBy("doc_a", "doc_b")
 
   private val dd06 = QueryDef(
     "dd06_winnowing",
     (s, dir) => winnowingPairs(Tables(s, dir).documents),
     None, // rolling-hash family is engine-specific; ScalaTest pins behavior
+  )
+
+  // ------------------------------------------------------------- dd06v
+  // dd06's pair-counting topology (explode → bucket → in-bucket pair
+  // expansion with the stop-fingerprint cutoff → shared-count
+  // threshold) over a fingerprint family BOTH engines compute
+  // identically: md5 of each distinct token. Oracle-checks everything
+  // about the winnowing pipeline except the rolling hash itself.
+  // minShared=1 because the synthetic corpus' vocabularies overlap only
+  // through cutoff-excluded common words (max observed shared count is
+  // 1); the >=minShared semantics on planted dups are pinned in
+  // DedupSpec.
+  private val dd06v = QueryDef(
+    "dd06v_verify_paircount",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 300)
+      val fp = docs.select(col("doc_id"),
+        array_distinct(transform(
+          graft.functions.TextExpressions.tokens(col("text")),
+          t => md5(t.cast("binary")))).as("fps"))
+      sharedFingerprintPairs(fp, minShared = 1, maxBucket = 50)
+    },
+    Some("""WITH f AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+            t -> md5(t)))) AS fp
+        FROM documents WHERE doc_id < 300),
+      b AS (SELECT fp, list_sort(list(doc_id)) AS ids FROM f GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND 50),
+      p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM f a JOIN f b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+        WHERE a.fp IN (SELECT fp FROM b))
+      SELECT doc_a, doc_b, COUNT(*) AS n_shared FROM p
+      GROUP BY doc_a, doc_b HAVING COUNT(*) >= 1
+      ORDER BY doc_a, doc_b"""),
   )
 
   // ------------------------------------------------------- verify oracles
@@ -407,5 +451,6 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06)
+  val defs: Seq[QueryDef] =
+    Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.TextExpressions.{MinHashSignature, Tokens, WordShingles}
+import graft.functions.TextExpressions.{MinHashSignature, SimHash, Tokens, WinnowFingerprint, WordShingles}
 
 /** Session extension exposing graft's custom Catalyst expressions to
   * SQL (`spark.sql.extensions=graft.GraftExtensions` on a cluster, or
@@ -47,6 +47,15 @@ object GraftExtensions {
         "graft_minhash_signature(arr, k) - k-way MinHash signature of a string array"),
       (es: Seq[Expression]) =>
         MinHashSignature(es.head, intLit(es(1), "graft_minhash_signature"))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(arr) - 64-bit SimHash of a token array (bitwise majority)"),
+      (es: Seq[Expression]) => SimHash(es.head)),
+    (FunctionIdentifier("graft_winnow_fingerprint"),
+      info("graft_winnow_fingerprint",
+        "graft_winnow_fingerprint(str, k, w) - MOSS winnowing fingerprints (k-gram, window w)"),
+      (es: Seq[Expression]) => WinnowFingerprint(es.head,
+        intLit(es(1), "graft_winnow_fingerprint"), intLit(es(2), "graft_winnow_fingerprint"))),
   )
 
   /** Register the same functions on an already-running session. */

@@ -9,11 +9,19 @@ class GraftExtensionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT graft_tokens('The quick FOX') AS t,
                 graft_word_shingles('a b c d', 3) AS s,
-                graft_minhash_signature(graft_word_shingles('a b c d', 3), 4) AS m""")
+                graft_minhash_signature(graft_word_shingles('a b c d', 3), 4) AS m,
+                graft_simhash(graft_tokens('the quick fox')) AS sh,
+                graft_winnow_fingerprint('the quick brown fox jumps', 8, 4) AS fp""")
       .collect().head
     assert(row.getSeq[String](0) == Seq("the", "quick", "fox"))
     assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(row.getSeq[Long](2).length == 4)
+    // SQL simhash == expression-API simhash on the same tokens
+    val viaApi = spark.sql("SELECT graft_tokens('the quick fox') AS t")
+      .select(graft.functions.TextExpressions.simhash64(col("t")))
+      .collect().head.getLong(0)
+    assert(row.getLong(3) == viaApi)
+    assert(row.getSeq[Long](4).nonEmpty)
   }
 
   test("SQL function output matches the Column API on real data") {

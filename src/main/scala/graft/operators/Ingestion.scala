@@ -173,5 +173,25 @@ object Ingestion {
       ORDER BY _source_file, CONCAT(customer_id, order_id, user_id)"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04)
+  // -------------------------------------------------------------- ing05
+  // Sink fidelity (A14 create-if-absent + A15 batched insert): the
+  // ing02 corpus written through the managed-table sink and read back
+  // from the catalog must hash-match the same oracle — the write path
+  // must not alter a byte.
+  private val ing05 = QueryDef(
+    "ing05_sink_roundtrip",
+    (s, _) => {
+      val res = JsonIngestor.ingest(s, FixtureDir,
+        includePatterns = Seq("customers.json", "profile.json"))
+      graft.sink.Sinks.saveTable(res.data, "ing05_roundtrip",
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      s.table("ing05_roundtrip")
+        .orderBy(col("_source_file"),
+          concat(coalesce(col("customer_id"), lit("")), coalesce(col("user_id"), lit(""))))
+    },
+    // byte-identical contract to ing02: same oracle
+    ing02.oracle,
+  )
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04, ing05)
 }

@@ -38,6 +38,21 @@ class IngestionQuerySpec extends SparkSpec {
     assert(prof.isNullAt(prof.fieldIndex("customer_id")))
   }
 
+  test("ing04 bulk mode drops malformed files wholesale, unifies the rest") {
+    val rows = run("ing04_bulk_ingest").collect()
+    assert(rows.length == 6) // 3 + 2 + 1 records; both bad files contribute 0
+    val srcs = rows.map(_.getAs[String]("_source_file")).distinct.sorted
+    assert(srcs.toSeq == Seq("customers.json", "nested.json", "profile.json"))
+    // bulk normalizes after union: absent keys are '', not NULL
+    assert(rows.forall(!_.anyNull))
+  }
+
+  test("ing05 sink roundtrip preserves every byte") {
+    val direct = run("ing02_union_nullfill").collect().map(_.toSeq)
+    val viaSink = run("ing05_sink_roundtrip").collect().map(_.toSeq)
+    assert(viaSink.toSeq == direct.toSeq)
+  }
+
   test("ing03 isolates malformed files and keeps good ones") {
     val rows = run("ing03_error_isolation").collect()
       .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap

@@ -59,7 +59,8 @@ object Repl {
               s"$n\t$dt\t${if (nullable) "nullable" else "not null"}" }
             .mkString("\n"))
         case ":preview" :: t :: rest =>
-          val n = rest.headOption.map(_.toInt).getOrElse(10)
+          // user-supplied n is capped: preview is a driver-side surface
+          val n = math.min(rest.headOption.map(_.toInt).getOrElse(10), MaxRows)
           Some(render(qe.preview(t, n), n))
         case cmd :: _ if cmd.startsWith(":") => Some(s"error: unknown command $cmd")
         case _ => Some(render(qe.execute(trimmed)))

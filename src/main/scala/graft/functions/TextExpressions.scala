@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
+  // Locale.ROOT: default-locale lowercasing (e.g. Turkish dotless ı)
+  // would diverge from DuckDB's lower() and break stopword matching
   private def split(s: UTF8String): Array[String] =
-    s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    s.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   def tokens(input: UTF8String): ArrayData = {
     val toks = split(input)
@@ -102,7 +104,7 @@ object TextOps {
   }
 
   def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = input.toString.toLowerCase
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     if (s.length < k) return new GenericArrayData(Array.empty[Any])
     val n = s.length - k + 1
     // polynomial rolling hash over chars, mixed through splitmix64

@@ -53,13 +53,24 @@ final class ErrorLog(spark: SparkSession, dir: String) {
     append(Seq(FileError(file.getOrElse(""),
       Option(e.getMessage).getOrElse(e.getClass.getName))), e.getClass.getSimpleName)
 
+  /** The log's fixed schema — passed to the reader explicitly so
+    * numeric-looking messages aren't inferred as numbers and an
+    * existing-but-empty directory reads as an empty frame instead of
+    * failing schema inference.
+    */
+  private val logSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("error_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("message", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType)))
+
   /** The raw log as a DataFrame (empty-but-typed when nothing logged). */
   def read(): DataFrame = {
     val p = new Path(dir)
     if (!p.getFileSystem(conf).exists(p)) {
-      import spark.implicits._
-      Seq.empty[(String, String, String, String)].toDF("ts", "error_type", "message", "file")
-    } else spark.read.json(dir).select("ts", "error_type", "message", "file")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+    } else spark.read.schema(logSchema).json(dir)
+      .select("ts", "error_type", "message", "file")
   }
 
   /** Per-type counts, count desc (the reference's `error_types` +

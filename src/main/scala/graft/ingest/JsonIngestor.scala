@@ -216,7 +216,7 @@ object JsonIngestor {
     }
     val data =
       if (unioned.columns.isEmpty) unioned
-      else unioned.select(unioned.columns.sorted.map(col).toSeq: _*)
+      else unioned.select(unioned.columns.sorted.map(Normalizer.qcol).toSeq: _*)
     val total = if (data.columns.isEmpty) 0L else data.count()
     IngestResult(data, IngestReport(
       filesDiscovered = files.size,
@@ -259,7 +259,7 @@ object JsonIngestor {
         // the whole unparsed file, so every data column is null: the
         // extra isNull conjunct is a semantic no-op that keeps a real
         // data column in the scan's required schema.
-        raw.filter(col(CorruptCol).isNotNull && col(dataCols.head).isNull)
+        raw.filter(col(CorruptCol).isNotNull && Normalizer.qcol(dataCols.head).isNull)
           .select("_source_path")
           .distinct().collect().map(_.getString(0)).toSet
       }

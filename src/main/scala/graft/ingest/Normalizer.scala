@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   */
 object Normalizer {
 
+  /** Column reference for a name that came from DATA (CSV headers,
+    * JSON keys): backtick-quoted so dots aren't parsed as struct
+    * access (embedded backticks escaped by doubling).
+    */
+  def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   /** Normalize one column to its TEXT form per the contract. */
   def normalize(c: Column, dt: DataType): Column = dt match {
     // Empty-object columns infer as struct<> — the reference maps {} to
@@ -45,8 +51,8 @@ object Normalizer {
     */
   def normalizeAll(df: DataFrame, passthrough: Set[String] = Set.empty): DataFrame = {
     val cols = df.schema.fields.sortBy(_.name).map { f =>
-      if (passthrough.contains(f.name)) col(f.name)
-      else normalize(col(f.name), f.dataType).as(f.name)
+      if (passthrough.contains(f.name)) qcol(f.name)
+      else normalize(qcol(f.name), f.dataType).as(f.name)
     }
     df.select(cols.toSeq: _*)
   }

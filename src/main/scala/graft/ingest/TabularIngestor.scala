@@ -72,11 +72,14 @@ object TabularIngestor {
       // required fields, which silently skips token-count validation —
       // a pruned scan would miss the very malformation being probed
       // (and Spark refuses a scan referencing only the corrupt column).
+      // Columns are backtick-quoted (headers may contain dots) and the
+      // bad-count is read positionally (a data column could share any
+      // alias we invent).
       badFiles ++= raw.groupBy(col("_source_path"))
-        .agg(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)).as("n_bad"),
-          dataCols.map(c => count(col(c)).as(s"n_$c")).toSeq: _*)
+        .agg(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)),
+          dataCols.map(c => count(Normalizer.qcol(c))).toSeq: _*)
         .collect()
-        .filter(_.getAs[Long]("n_bad") > 0)
+        .filter(_.getLong(1) > 0) // index 1 = the corrupt-row count
         .map(_.getString(0))
       val clean0 = raw.drop(CorruptCol)
       val clean =
@@ -87,7 +90,7 @@ object TabularIngestor {
         passthrough = Set("_source_file"))
     }.toSeq
     val data0 = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val data = data0.select(data0.columns.sorted.map(col).toSeq: _*)
+    val data = data0.select(data0.columns.sorted.map(Normalizer.qcol).toSeq: _*)
     val total = data.count()
     val errors = badFiles.toSeq.map(f =>
       JsonIngestor.FileError(f, "malformed CSV record in file"))
@@ -112,7 +115,7 @@ object TabularIngestor {
     // (fidelity mode); default keeps native types for query performance
     val df = if (normalizeText) Normalizer.normalizeAll(raw, passthrough = Set("_source_file"))
              else raw
-    val data = df.select(df.columns.sorted.map(col).toSeq: _*)
+    val data = df.select(df.columns.sorted.map(Normalizer.qcol).toSeq: _*)
     val total = data.count()
     JsonIngestor.IngestResult(data, JsonIngestor.IngestReport(
       files.size, files.size, 0, total, Nil, (System.nanoTime() - t0) / 1e9))

@@ -31,7 +31,12 @@ object CurationPipeline {
   final case class StageCounts(input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long)
 
-  final case class Result(corpus: DataFrame, counts: StageCounts)
+  /** `release()` unpersists the cached exact-dedup survivors once the
+    * caller has materialized (or abandoned) `corpus` — the corpus plan
+    * remains valid afterwards, it just recomputes if re-used.
+    */
+  final case class Result(corpus: DataFrame, counts: StageCounts,
+      release: () => Unit = () => ())
 
   /** Stopword-profile argmax (same heuristic as txt03); a doc passes
     * if its best-scoring language is in the accepted set.
@@ -61,8 +66,8 @@ object CurationPipeline {
     * corpus is read and filtered ONCE, the near-dup stage and final
     * retention reuse the cached survivors, and no `count()` action
     * re-runs an upstream stage (the round-1 version recomputed the
-    * lineage up to 5x). The returned `corpus` keeps the cache alive;
-    * callers that materialize it elsewhere may `unpersist` it.
+    * lineage up to 5x). The cache stays alive for `corpus` reuse;
+    * call `Result.release()` when done with it.
     */
   def curate(docs: DataFrame, cfg: Config = Config()): Result = {
     val obsInput = org.apache.spark.sql.Observation()
@@ -111,6 +116,6 @@ object CurationPipeline {
       afterLang = n(obsLang),
       afterExact = afterExact,
       afterNearDup = finalCorpus.count())
-    Result(finalCorpus, counts)
+    Result(finalCorpus, counts, () => { exactKeep.unpersist(blocking = false); () })
   }
 }

@@ -20,6 +20,9 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  // LRU-of-1 for minhashPairs' persisted candidate set (see its doc)
+  private var lastCandsCache: Option[DataFrame] = None
+
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("shingles", graft.functions.TextExpressions.word_shingles(col("text"), 3))
 
@@ -54,8 +57,10 @@ object Dedup {
     * adversarial corpus whose buckets are all near `maxBucket` — the
     * join falls back to a shuffle join instead of OOMing the driver.
     * The count is effectively free: it materializes the cache the
-    * verification join reads anyway. The cache is left to LRU eviction
-    * (it is input to the returned lazy DataFrame).
+    * verification join reads anyway. At most ONE candidate cache is
+    * alive per session: each call unpersists the previous call's
+    * (unpersisting is always safe — a still-referenced plan just
+    * recomputes).
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
@@ -88,6 +93,10 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastCandsCache.foreach(_.unpersist(blocking = false))
+      lastCandsCache = Some(cands)
+    }
     val candSide =
       if (cands.count() <= maxBroadcastCands) broadcast(cands) else cands
     val withSets = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))

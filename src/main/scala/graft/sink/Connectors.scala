@@ -38,7 +38,14 @@ object Connectors {
 
   private val registry = TrieMap.empty[String, Params => Connector]
 
-  private def observedWrite(df: DataFrame)(run: DataFrame => Unit): Long = {
+  private def observedWrite(df: DataFrame, mode: SaveMode)(run: DataFrame => Unit): Long = {
+    // SaveMode.Ignore can silently skip the write when the target
+    // exists; no action would ever fill the observation and get()
+    // would block forever. Callers should check existence explicitly
+    // (tableExists / read) and pick Append or Overwrite.
+    require(mode != SaveMode.Ignore,
+      "SaveMode.Ignore is not supported by connectors (a skipped write has no row count); " +
+        "check target existence explicitly and use Append or Overwrite")
     val obs = Observation()
     val observed = df.observe(obs, count(lit(1)).as("n"))
     run(observed)
@@ -51,7 +58,7 @@ object Connectors {
   private def tableConnector(params: Params): Connector = new Connector {
     private val parts = params.get("partitionBy").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     def write(df: DataFrame, target: String, mode: SaveMode): Long =
-      observedWrite(df) { d =>
+      observedWrite(df, mode) { d =>
         val w = d.write.mode(mode)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(target)
       }
@@ -61,7 +68,7 @@ object Connectors {
   private def parquetConnector(params: Params): Connector = new Connector {
     private val parts = params.get("partitionBy").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     def write(df: DataFrame, target: String, mode: SaveMode): Long =
-      observedWrite(df) { d =>
+      observedWrite(df, mode) { d =>
         val w = d.write.mode(mode)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(target)
       }
@@ -77,7 +84,7 @@ object Connectors {
     private val numBuckets = params.getOrElse("numBuckets",
       throw new ConnectorError("bucketed connector needs 'numBuckets'")).toInt
     def write(df: DataFrame, target: String, mode: SaveMode): Long =
-      observedWrite(df)(d =>
+      observedWrite(df, mode)(d =>
         Sinks.saveBucketedTable(d, target, bucketCols, numBuckets, mode = mode))
     def read(spark: SparkSession, target: String): DataFrame = spark.table(target)
   }
@@ -90,7 +97,7 @@ object Connectors {
       throw new ConnectorError("jdbc connector needs 'url'"))
     private val batch = params.getOrElse("batchsize", "1000")
     def write(df: DataFrame, target: String, mode: SaveMode): Long =
-      observedWrite(df)(_.write.mode(mode).format("jdbc")
+      observedWrite(df, mode)(_.write.mode(mode).format("jdbc")
         .option("url", url).option("dbtable", target).option("batchsize", batch).save())
     def read(spark: SparkSession, target: String): DataFrame =
       spark.read.format("jdbc").option("url", url).option("dbtable", target).load()

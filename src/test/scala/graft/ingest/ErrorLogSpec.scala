@@ -39,6 +39,15 @@ class ErrorLogSpec extends SparkSpec {
     assert(json.get("error_details").size == 4)
   }
 
+  test("numeric-looking messages stay strings; empty-but-existing dir reads empty") {
+    val dir = tmpDir("errlog-num").resolve("log").toString
+    val log = new ErrorLog(spark, dir)
+    log.log(new RuntimeException("404"), Some("/data/x.json"))
+    assert(log.summary().details.head._2 == "404") // not inferred as a number
+    val emptyDir = tmpDir("errlog-empty").toString
+    assert(new ErrorLog(spark, emptyDir).read().count() == 0)
+  }
+
   test("ingest errors flow into the persistent log") {
     val dir = tmpDir("errlog-ingest")
     writeFile(dir, "ok.json", """[{"a": "1"}]""")

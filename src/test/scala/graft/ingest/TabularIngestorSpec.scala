@@ -37,6 +37,18 @@ class TabularIngestorSpec extends SparkSpec {
       .toSeq == Seq("good1.csv", "good2.csv"))
   }
 
+  test("csv headers with dots survive ingestion and error probing") {
+    val dir = tmpDir("csvdots")
+    writeFile(dir, "dotted.csv", "id,price.usd\n1,9.99\n2,1.50")
+    writeFile(dir, "bad.csv", "id,price.usd\n3,1.00,EXTRA")
+    val r = TabularIngestor.ingestCsv(spark, dir.toString)
+    assert(r.report.filesFailed == 1)
+    assert(r.report.totalRecords == 2)
+    assert(r.data.columns.contains("price.usd"))
+    assert(r.data.select(graft.ingest.Normalizer.qcol("price.usd"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("1.50", "9.99"))
+  }
+
   test("parquet ingest keeps native types by default") {
     val dir = tmpDir("pq")
     import spark.implicits._

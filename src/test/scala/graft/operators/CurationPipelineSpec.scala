@@ -78,6 +78,9 @@ class CurationPipelineSpec extends SparkSpec {
       // would show 4-5 direct file-scanning executions here.
       assert(fileScans.get() == 0,
         s"expected no direct file-scanning executions, saw ${fileScans.get()}")
+      // release() frees the cache; the corpus plan stays usable
+      r.release()
+      assert(r.corpus.count() == r.counts.afterNearDup)
     } finally spark.listenerManager.unregister(listener)
   }
 

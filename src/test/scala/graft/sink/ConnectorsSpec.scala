@@ -23,6 +23,12 @@ class ConnectorsSpec extends SparkSpec {
     assert(Connectors.create("null_sink").write(sample, "ignored") == 3L)
   }
 
+  test("SaveMode.Ignore is rejected (a skipped write would deadlock the count)") {
+    val e = intercept[IllegalArgumentException](
+      Connectors.create("parquet").write(sample, tmpDir("ig").toString, SaveMode.Ignore))
+    assert(e.getMessage.contains("Ignore"))
+  }
+
   test("parquet connector roundtrip with written-count") {
     val dir = tmpDir("conn-pq").resolve("out").toString
     val c = Connectors.create("parquet")

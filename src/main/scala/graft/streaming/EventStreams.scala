@@ -182,4 +182,12 @@ object EventStreams {
     val q = ds.writeStream.outputMode(OutputMode.Update()).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Run a Dataset-typed stream into memory (append mode — required by
+    * append-declared flatMapGroupsWithState operators).
+    */
+  def runToMemoryAppend[T](ds: Dataset[T], name: String): Unit = {
+    val q = ds.writeStream.outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    median of the middle three) — a multi-second environment stall
   *    lands in one pass and the trim discards it, and a single
   *    suspiciously-fast pass can't drag the number down either;
-  *  - per-query per-pass times are persisted under `"passes"` so the
-  *    driver (and the next round) can distinguish noise from
-  *    regression instead of comparing two opaque medians;
+  *  - per-query per-pass times are persisted to `bench_passes.json`
+  *    (a side file, NOT the stdout line: round 3 in-lined them and the
+  *    resulting ~5 KB line overflowed the driver's tail capture) so
+  *    the next round can distinguish noise from regression instead of
+  *    comparing two opaque medians;
   *  - a query that throws in EVERY pass lands in `"failed"` and forces
   *    a nonzero exit — a hard regression can't read as a speedup; a
   *    query that throws in SOME passes lands in `"flaky"` (first
@@ -110,9 +112,18 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val unstableJson = unstable.map(jstr).mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":$passesJson,"failed":${errJson(failed)},"flaky":${errJson(flaky)},""" +
-      s""""unstable":$unstableJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":${errJson(failed)},"flaky":${errJson(flaky)},""" +
+      s""""unstable":$unstableJson,"sf":"$sfDir"}"""
+    // Per-pass detail goes to a side file (and the stdout line to a
+    // twin file, in case the driver's tail capture ever truncates).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
+        s"""{"passes":$passesJson}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+        line.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] side-file write failed: $e") }
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

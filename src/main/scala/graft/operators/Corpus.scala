@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (SURVEY.md §2C extensions — the reference has no corpus tooling):
+  * benchmark decontamination, repetition metrics, deterministic
+  * sampling, token chunking, and PII-style redaction.
+  *
+  * All are oracle-checked against DuckDB, which constrains every
+  * computation to bit-deterministic forms (md5-based hashing instead of
+  * seeded RNG, exact integer arithmetic before any double cast, total
+  * ORDER BY — see operators/Relational.scala header).
+  *
+  * Scale shapes (the 100 TB story for each):
+  *  - dc01: the benchmark/eval side of a decontamination join is small
+  *    by construction (eval suites are thousands of documents, the
+  *    corpus is billions) — it is broadcast, so the corpus-side shingle
+  *    explode streams through a map-side hash join with ZERO shuffle of
+  *    corpus data; only the per-doc hit aggregation shuffles (by
+  *    doc_id, after heavy map-side combine).
+  *  - rep01: two-stage aggregation (doc_id, bigram) → doc_id; both
+  *    stages get map-side partial aggregation, and the second groupBy
+  *    reuses the first's hash partitioning on the doc_id prefix.
+  *  - smp01: a pure filter on a hash of the row key — no shuffle, no
+  *    RNG state, reproducible across retries/re-partitions (Bernoulli
+  *    sampling via `rand()` is NOT stable under task retry).
+  *  - smp02: exact per-stratum top-N needs one shuffle by stratum;
+  *    row_number + filter lets Spark's WindowGroupLimit push the limit
+  *    below the sort (partial top-N per map task) — at extreme stratum
+  *    skew, salt the stratum and re-rank the per-salt winners.
+  *  - chk01: linear explode, output rows ≈ n_tokens/stride per doc; no
+  *    shuffle except the presentation sort.
+  *  - pii01: per-row regex projection, no shuffle.
+  */
+object Corpus {
+
+  /** Same lowercase-whitespace tokenization as Text/Dedup (custom
+    * codegen'd expression; DuckDB twin is
+    * list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')).
+    */
+  private def toks = graft.functions.TextExpressions.tokens(col("text"))
+
+  /** DuckDB CTE producing the shared token list — keep in lockstep with
+    * [[graft.functions.TextExpressions.tokens]].
+    */
+  private val TokCte =
+    """WITH t AS (SELECT doc_id, lang, text,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents)"""
+
+  /** DuckDB expression for distinct word 3-shingles over `toks` — the
+    * dd04-proven twin of TextExpressions.word_shingles(_, 3).
+    */
+  private val ShinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3
+        THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
+        ELSE [array_to_string(toks, ' ')] END)"""
+
+  // -------------------------------------------------------------- dc01
+  /** Benchmark decontamination: flag corpus documents sharing ≥3
+    * distinct word 3-shingles with any "benchmark" document (held-out
+    * set = doc_id ≡ 0 mod 97 — a deterministic stand-in for an eval
+    * suite). This is the standard n-gram-overlap decontamination pass a
+    * pre-training pipeline runs before the corpus ships.
+    */
+  private val dc01 = QueryDef(
+    "dc01_decontaminate",
+    (s, dir) => {
+      val sh = Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh"), col("doc_id").as("bench_id"))
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""$TokCte,
+      g AS (SELECT doc_id, $ShinglesSql AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      b AS (SELECT doc_id AS bench_id, sh FROM e WHERE doc_id % 97 = 0),
+      c AS (SELECT doc_id, sh FROM e WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id,
+        CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared,
+        CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+      FROM c JOIN b USING (sh)
+      GROUP BY c.doc_id HAVING COUNT(DISTINCT c.sh) >= 3
+      ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- rep01
+  /** Gopher-style repetition metrics: per-document bigram counts, the
+    * most frequent bigram's multiplicity, and the repeated-bigram
+    * ratio. High rep_ratio marks boilerplate/spam for quality filters.
+    */
+  private val rep01 = QueryDef(
+    "rep01_repetition",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
+          count(lit(1)).cast("bigint").as("n_distinct"),
+          max(col("c")).cast("bigint").as("top_freq"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id"),
+    Some(s"""$TokCte,
+      f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id,
+        unnest(list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+      FROM f),
+      c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(MAX(c) AS BIGINT) AS top_freq,
+        CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- smp01
+  /** Deterministic language-stratified Bernoulli sample: keep a row iff
+    * the first md5 byte of a salted row key clears a per-language
+    * threshold (en ≈ 10%, others ≈ 30% — downsample the dominant
+    * language, as corpus balancing does). Hash-threshold sampling is
+    * reproducible under task retry and across engines, unlike rand().
+    */
+  private val smp01 = QueryDef(
+    "smp01_hash_sample",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("hx",
+          substring(md5(concat(lit("smp1:"), col("doc_id").cast("string")).cast("binary")), 1, 2))
+        .filter(when(col("lang") === "en", col("hx") < "1a").otherwise(col("hx") < "4d"))
+        .select(col("doc_id"), col("lang"), col("hx"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, substring(md5('smp1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents
+      WHERE CASE WHEN lang = 'en'
+        THEN substring(md5('smp1:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        ELSE substring(md5('smp1:' || CAST(doc_id AS VARCHAR)), 1, 2) < '4d' END
+      ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- smp02
+  /** Exact fixed-size stratified sample: the 20 hash-smallest documents
+    * per language (deterministic "random" order via salted md5;
+    * doc_id tie-break makes the rank total).
+    */
+  private val smp02 = QueryDef(
+    "smp02_stratified_topn",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("smp2:"), col("doc_id").cast("string")).cast("binary")),
+          col("doc_id"))
+      Tables(s, dir).documents
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+    Some("""SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5('smp2:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, rn"""),
+  )
+
+  // -------------------------------------------------------------- chk01
+  /** Token chunking for training windows: 64-token chunks on a
+    * 48-token stride (16-token overlap), each fingerprinted with md5 so
+    * chunk-level dedup can run downstream (see mm03 for byte chunks).
+    */
+  private val chk01 = QueryDef(
+    "chk01_token_chunks",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .withColumn("start", explode(expr("sequence(0, size(toks) - 1, 48)")))
+        .withColumn("chunk", expr("slice(toks, start + 1, 64)"))
+        .select(col("doc_id"),
+          (col("start") / lit(48)).cast("bigint").as("chunk_idx"),
+          size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some(s"""$TokCte,
+      f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+      st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM f)
+      SELECT doc_id,
+        CAST(start // 48 AS BIGINT) AS chunk_idx,
+        CAST(len(toks[start + 1:start + 64]) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(toks[start + 1:start + 64], ' ')) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_idx"""),
+  )
+
+  // -------------------------------------------------------------- pii01
+  /** PII-style redaction: mask every digit run in a free-text field
+    * (customer names carry numeric ids) and count the masked spans per
+    * row — the shape of an email/phone/SSN scrub pass, with the
+    * pattern kept to syntax both regex engines (Java, RE2) agree on.
+    */
+  private val pii01 = QueryDef(
+    "pii01_redact",
+    (s, dir) =>
+      Tables(s, dir).customer
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted"),
+          size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")).cast("bigint").as("n_redacted"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_redacted
+      FROM customer ORDER BY c_custkey"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(dc01, rep01, smp01, smp02, chk01, pii01)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-curation operators (Corpus.scala);
+  * bit-level value checks are the DuckDB oracle's job.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sf0001)
+
+  test("dc01: benchmark docs are never flagged; hits share >= 3 shingles") {
+    val rows = run("dc01_decontaminate").collect()
+    assert(rows.nonEmpty, "word-salad corpus must show shingle overlap")
+    assert(rows.forall(_.getLong(0) % 97 != 0), "held-out docs must be excluded")
+    assert(rows.forall(r => r.getLong(1) >= 3 && r.getLong(2) >= 1))
+  }
+
+  test("rep01: counts are consistent and rep_ratio is in [0,1)") {
+    val rows = run("rep01_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, top) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d <= n && top <= n && top >= 1)
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - d.toDouble / n)) < 1e-12)
+    }
+  }
+
+  test("smp01: sampling is deterministic and stratified by language") {
+    val a = run("smp01_hash_sample").collect()
+    val b = run("smp01_hash_sample").collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be run-to-run stable")
+    val docs = graft.sources.Tables(spark, sf0001).documents
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // en is downsampled ~10%, other langs ~30%: the en keep-rate must be
+    // strictly below every other stratum's (loose bound, tiny corpus)
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    total.keys.filter(_ != "en").foreach { l =>
+      assert(enRate < kept.getOrElse(l, 0L).toDouble / total(l) + 0.15,
+        s"en rate $enRate should sit below $l")
+    }
+  }
+
+  test("smp02: exactly min(20, stratum size) rows per language, rank total") {
+    val rows = run("smp02_stratified_topn").collect()
+    val docs = graft.sources.Tables(spark, sf0001).documents
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = rows.groupBy(_.getString(1))
+    total.foreach { case (l, n) =>
+      assert(perLang.get(l).map(_.length).getOrElse(0) == math.min(20L, n))
+    }
+    perLang.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("chk01: chunks cover every token with the configured stride/overlap") {
+    val chunks = run("chk01_token_chunks")
+    val docs = graft.sources.Tables(spark, sf0001).documents
+      .withColumn("n", size(graft.functions.TextExpressions.tokens(col("text"))))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n").cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val n = docs(id)
+      assert(rs.length == ((n - 1) / 48 + 1), s"doc $id: chunk count")
+      rs.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= 64))
+      // all but the last chunk are full-size or reach the end of the doc
+      val sizes = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      sizes.init.foreach(sz => assert(sz == 64 || sizes.sum >= n))
+    }
+  }
+
+  test("pii01: no digits survive redaction and span counts match") {
+    val rows = run("pii01_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit))
+      assert(r.getLong(2) == "<ID>".r.findAllIn(r.getString(1)).length)
+    }
+  }
+}

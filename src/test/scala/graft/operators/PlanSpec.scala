@@ -41,6 +41,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
+  test("dc01: the benchmark side of decontamination is broadcast") {
+    val p = plan("dc01_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shingles must stream through a map-side hash join")
+  }
+
+  test("smp01: hash sampling is a pure scan+filter (no shuffle)") {
+    val p = plan("smp01_hash_sample")
+    // the only Exchange allowed is the final presentation range sort
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling itself must not shuffle: $exchanges")
+  }
+
   test("dd03 simhash plans without a Scala UDF and inside codegen") {
     val p = plan("dd03_simhash")
     assert(!p.contains("ScalaUDF"), "simhash must be a native expression, not a UDF")

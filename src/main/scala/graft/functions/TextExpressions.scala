@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-at-a-time kernels for the text expressions, factored into a
@@ -250,6 +250,29 @@ object TextExpressions {
     override def prettyName: String = "graft_simhash"
   }
 
+  /** Bloom-filter membership probe of a string column (the runtime-
+    * filter idiom: a filter built over a SMALL set — e.g. benchmark
+    * shingles in decontamination — is shipped to every task and
+    * pre-filters the LARGE side before any join; no false negatives,
+    * false positives removed by the exact join that follows). Probes
+    * the UTF-8 bytes, matching how Spark's sketch aggregate inserts
+    * string keys.
+    */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+    override def prettyName: String = "graft_bloom_might_contain"
+  }
+
   /** Number of elements of a string-array column that are members of a
     * fixed set (stopword counting; replaces an interpreted
     * `filter(toks, x -> x IN (...))` lambda).
@@ -339,6 +362,8 @@ object TextExpressions {
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def stopword_count(c: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(c), words))
+  def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bloom))
   def lsh_sign_bits(c: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(LshSignBits(ColumnBridge.expression(c), planes.map(_.toArray).toArray))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =

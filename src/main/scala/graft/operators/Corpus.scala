@@ -67,21 +67,31 @@ object Corpus {
     * suite). This is the standard n-gram-overlap decontamination pass a
     * pre-training pipeline runs before the corpus ships.
     */
+  /** (doc_id, sh) exploded distinct 3-shingles of every document. */
+  private def explodedShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+
+  /** Shared tail of dc01/dc02: exact-verify shingle hits against the
+    * broadcast benchmark side and aggregate per corpus document.
+    */
+  private def contaminationAgg(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame) =
+    corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id")
+
   private val dc01 = QueryDef(
     "dc01_decontaminate",
     (s, dir) => {
-      val sh = Tables(s, dir).documents
-        .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+      val sh = explodedShingles(s, dir)
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("sh"), col("doc_id").as("bench_id"))
-      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
-      corpus.join(broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("sh")).as("n_shared"),
-          countDistinct(col("bench_id")).as("n_bench_docs"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("doc_id")
+      contaminationAgg(sh.filter(col("doc_id") % 97 =!= 0), bench)
     },
     Some(s"""$TokCte,
       g AS (SELECT doc_id, $ShinglesSql AS shingles FROM t),
@@ -94,6 +104,30 @@ object Corpus {
       FROM c JOIN b USING (sh)
       GROUP BY c.doc_id HAVING COUNT(DISTINCT c.sh) >= 3
       ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- dc02
+  /** dc01 with a bloom-filter pre-pass (the runtime-filter idiom, and
+    * the shape that wins at 100 TB): a bloom of the benchmark shingles
+    * — kilobytes, shipped inside the task closure — filters the
+    * corpus-side shingle stream BEFORE the join, so only probable hits
+    * reach the broadcast-join verify. No false negatives, and the
+    * exact join removes the bloom's false positives, so the output is
+    * byte-identical to dc01 (same oracle — CorpusSpec also pins the
+    * equality).
+    */
+  private val dc02 = QueryDef(
+    "dc02_bloom_decontaminate",
+    (s, dir) => {
+      val sh = explodedShingles(s, dir)
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh"), col("doc_id").as("bench_id"))
+      val bloom = bench.stat.bloomFilter("sh", 1000000L, 0.01)
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+        .filter(graft.functions.TextExpressions.bloom_might_contain(col("sh"), bloom))
+      contaminationAgg(corpus, bench)
+    },
+    dc01.oracle,
   )
 
   // -------------------------------------------------------------- rep01
@@ -230,5 +264,5 @@ object Corpus {
       FROM customer ORDER BY c_custkey"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(dc01, rep01, smp01, smp02, chk01, pii01)
+  def defs: Seq[QueryDef] = Seq(dc01, dc02, rep01, smp01, smp02, chk01, pii01)
 }

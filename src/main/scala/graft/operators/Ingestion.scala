@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.ingest.JsonIngestor
+import graft.sources.Tables
 
 /** Oracle-checked queries over the JSON ingestion path itself — the
   * reference's semantic core (reference src/processors/json_processor.py:73-104
@@ -193,5 +194,51 @@ object Ingestion {
     ing02.oracle,
   )
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04, ing05)
+  // -------------------------------------------------------------- ing06
+  // Partitioned-layout sink fidelity: documents written through the
+  // parquet sink partitioned by `lang` (the 100 TB layout decision —
+  // per-language reads prune whole directories, proven by
+  // SinksSpec's PartitionFilters assertion) and read back filtered +
+  // aggregated must match DuckDB over the original table.
+  private val ing06 = QueryDef(
+    "ing06_partitioned_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("ing06_part").toString
+      graft.sink.Sinks.saveParquet(Tables(s, dir).documents, out,
+        partitionBy = Seq("lang"))
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"""),
+  )
+
+  // -------------------------------------------------------------- ing07
+  // Idempotent key-based re-ingestion: a seed table holds modified rows
+  // for every doc_id ≡ 0 mod 3; upserting the full corpus must add ONLY
+  // the missing keys, leaving the seed rows untouched ("insert new
+  // records only" — replaying an overlapping batch through the
+  // reference's append-only sink would duplicate it).
+  private val ing07 = QueryDef(
+    "ing07_upsert_ingest",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("source", lit("seed"))
+      graft.sink.Sinks.saveTable(seed, "ing07_docs",
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sink.Sinks.upsertTable(s, "ing07_docs", docs, Seq("doc_id"))
+      s.table("ing07_docs")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+        CASE WHEN doc_id % 3 = 0 THEN 'seed' ELSE source END AS source, n_chars
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07)
 }

@@ -51,6 +51,24 @@ object Sinks {
   def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 
+  /** Key-based idempotent append ("insert new records only"): appends
+    * the incoming rows whose key is absent from the table, making
+    * re-ingestion of an overlapping batch safe — the reference's
+    * append-only insert (sqlite_connector.py:178-222) silently
+    * duplicates on replay. Returns the number of rows actually added.
+    *
+    * Scale shape: a left-anti join on the key columns — both sides
+    * shuffle on the key once (AQE broadcasts the existing-keys side
+    * when it is small); nothing is collected to the driver.
+    */
+  def upsertTable(spark: SparkSession, table: String, incoming: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val existingKeys = spark.table(table)
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+    saveTable(incoming.join(existingKeys, keys, "left_anti"), table)
+  }
+
   /** Bucketed managed table: pre-partitions (and optionally pre-sorts)
     * by the join/agg key so repeated joins between co-bucketed tables
     * run shuffle-free — the cluster-scale answer to "this join's

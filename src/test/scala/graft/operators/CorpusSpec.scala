@@ -17,6 +17,11 @@ class CorpusSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) >= 3 && r.getLong(2) >= 1))
   }
 
+  test("dc02: bloom pre-pass output is byte-identical to the exact join") {
+    assert(run("dc02_bloom_decontaminate").collect().toSeq ==
+      run("dc01_decontaminate").collect().toSeq)
+  }
+
   test("rep01: counts are consistent and rep_ratio is in [0,1)") {
     val rows = run("rep01_repetition").collect()
     assert(rows.nonEmpty)

@@ -46,6 +46,24 @@ class SinksSpec extends SparkSpec {
     assert(part.count() == expected)
   }
 
+  test("upsertTable appends only absent keys and is replay-idempotent") {
+    val t = Tables(spark, sf0001)
+    val seed = t.documents.filter(col("doc_id") < 10).withColumn("source", lit("seed"))
+    Sinks.saveTable(seed, "sinks_upsert_t",
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val all = t.documents.filter(col("doc_id") < 25)
+    val added = Sinks.upsertTable(spark, "sinks_upsert_t", all, Seq("doc_id"))
+    assert(added == 15, s"expected 15 fresh rows, got $added")
+    // seeded rows untouched, everything else from the incoming batch
+    val bySource = spark.table("sinks_upsert_t")
+      .groupBy(col("source") === "seed").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(bySource(true) == 10 && bySource(false) == 15)
+    // replaying the same batch adds nothing
+    assert(Sinks.upsertTable(spark, "sinks_upsert_t", all, Seq("doc_id")) == 0)
+    assert(spark.table("sinks_upsert_t").count() == 25)
+  }
+
   test("approx sketches stay within error bounds of exact answers") {
     val q = graft.Registry.byName("q32_approx_stats").run(spark, sf0001).collect()
     val exact = Tables(spark, sf0001).lineitem

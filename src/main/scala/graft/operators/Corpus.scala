@@ -244,6 +244,26 @@ object Corpus {
       FROM st ORDER BY doc_id, chunk_idx"""),
   )
 
+  // -------------------------------------------------------------- mix01
+  /** Corpus mixing: per-language replication weights (en ×1, every
+    * other language ×2 — upsample the minority strata, the standard
+    * data-mixing step before training). Pure map-side explode — a
+    * weight change never shuffles the corpus; `copy` indexes the
+    * replica so a downstream epoch shuffle can hash (doc_id, copy).
+    */
+  private val mix01 = QueryDef(
+    "mix01_language_mix",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, CASE WHEN lang = 'en' THEN 1 ELSE 2 END)")).as("copy"))
+        .select(col("doc_id"), col("lang"), col("copy").cast("bigint").as("copy"))
+        .orderBy("doc_id", "copy"),
+    Some("""SELECT doc_id, lang,
+        CAST(unnest(generate_series(1, CASE WHEN lang = 'en' THEN 1 ELSE 2 END)) AS BIGINT) AS copy
+      FROM documents ORDER BY doc_id, copy"""),
+  )
+
   // -------------------------------------------------------------- pii01
   /** PII-style redaction: mask every digit run in a free-text field
     * (customer names carry numeric ids) and count the masked spans per
@@ -264,5 +284,6 @@ object Corpus {
       FROM customer ORDER BY c_custkey"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(dc01, dc02, rep01, smp01, smp02, chk01, pii01)
+  def defs: Seq[QueryDef] =
+    Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01)
 }

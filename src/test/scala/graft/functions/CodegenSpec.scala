@@ -39,6 +39,21 @@ class CodegenSpec extends SparkSpec {
       assert(out.exists(_.getAs[Long]("stops") > 0))
       assert(out.forall(_.getAs[Seq[Long]]("sig").length == 16))
 
+      // bloom probe: no false negatives on inserted members, and the
+      // generated probe agrees with the driver-side sketch
+      val texts = docs.select(col("text")).collect().map(_.getString(0))
+      val members = texts.take(10).toSet
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.001)
+      members.foreach(bloom.putString)
+      val probed = docs
+        .select(col("text"), TextExpressions.bloom_might_contain(col("text"), bloom).as("hit"))
+        .collect()
+      assert(probed.length == 50)
+      probed.foreach { r =>
+        if (members(r.getString(0))) assert(r.getBoolean(1), "bloom false negative")
+        assert(r.getBoolean(1) == bloom.mightContainString(r.getString(0)))
+      }
+
       val emb = graft.sources.Tables(spark, sf0001).embeddings.limit(20)
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
         .select(col("vec_id"),

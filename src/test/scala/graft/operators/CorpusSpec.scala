@@ -84,6 +84,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mix01: replication weights hold exactly per language") {
+    val rows = run("mix01_language_mix").collect()
+    val docs = graft.sources.Tables(spark, sf0001).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    docs.foreach { case (l, n) =>
+      assert(mixed(l) == (if (l == "en") n else 2 * n), s"lang $l")
+    }
+  }
+
   test("pii01: no digits survive redaction and span counts match") {
     val rows = run("pii01_redact").collect()
     assert(rows.nonEmpty)

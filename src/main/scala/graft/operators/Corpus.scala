@@ -122,7 +122,10 @@ object Corpus {
       val sh = explodedShingles(s, dir)
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("sh"), col("doc_id").as("bench_id"))
-      val bloom = bench.stat.bloomFilter("sh", 1000000L, 0.01)
+      // sized to the benchmark side (eval suites are small); 100k at 1%
+      // fpp ≈ 120 KB in the task closure — size UP with the eval set,
+      // not the corpus
+      val bloom = bench.stat.bloomFilter("sh", 100000L, 0.01)
       val corpus = sh.filter(col("doc_id") % 97 =!= 0)
         .filter(graft.functions.TextExpressions.bloom_might_contain(col("sh"), bloom))
       contaminationAgg(corpus, bench)

@@ -240,5 +240,52 @@ object Ingestion {
       FROM documents ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07)
+  // -------------------------------------------------------------- ing08
+  // CSV/TSV twin of ing02: delimiter inference per extension group,
+  // TEXT normalization (empty cell → '', reference §1.2), lineage tag,
+  // cross-group union with SQL-NULL fill for columns a group lacks —
+  // hash-matched vs DuckDB read_csv over the same fixture files.
+  private val ing08 = QueryDef(
+    "ing08_csv_ingest",
+    (s, _) =>
+      graft.ingest.TabularIngestor.ingestCsv(s, FixtureDir,
+        includePatterns = Seq("products.csv", "products2.csv", "stock.tsv"))
+        .data.orderBy(col("_source_file"), col("sku")),
+    Some(s"""WITH p AS (SELECT COALESCE(price, '') AS price, COALESCE(sku, '') AS sku,
+          COALESCE(stock, '') AS stock, 'products.csv' AS _source_file
+        FROM read_csv('$FixtureDir/products.csv', header = true, all_varchar = true)),
+      q AS (SELECT COALESCE(price, '') AS price, COALESCE(sku, '') AS sku,
+          COALESCE(stock, '') AS stock, 'products2.csv' AS _source_file
+        FROM read_csv('$FixtureDir/products2.csv', header = true, all_varchar = true)),
+      t AS (SELECT COALESCE(sku, '') AS sku, COALESCE(warehouse, '') AS warehouse,
+          'stock.tsv' AS _source_file
+        FROM read_csv('$FixtureDir/stock.tsv', header = true, all_varchar = true, delim = E'\\t'))
+      SELECT _source_file, price, sku, stock, CAST(NULL AS VARCHAR) AS warehouse FROM p
+      UNION ALL SELECT _source_file, price, sku, stock, CAST(NULL AS VARCHAR) FROM q
+      UNION ALL SELECT _source_file, CAST(NULL AS VARCHAR), sku, CAST(NULL AS VARCHAR), warehouse FROM t
+      ORDER BY _source_file, sku"""),
+  )
+
+  // -------------------------------------------------------------- ing09
+  // CSV whole-file error isolation (A8 twin of ing03): broken.csv
+  // carries a wrong-token-count row and an unclosed quote; the whole
+  // file must drop — the oracle names only the good files.
+  private val ing09 = QueryDef(
+    "ing09_csv_error_isolation",
+    (s, _) =>
+      graft.ingest.TabularIngestor.ingestCsv(s, FixtureDir,
+        includePatterns = Seq("products.csv", "products2.csv", "broken.csv"))
+        .data.orderBy(col("_source_file"), col("sku")),
+    Some(s"""SELECT COALESCE(price, '') AS price, COALESCE(sku, '') AS sku,
+        COALESCE(stock, '') AS stock, 'products.csv' AS _source_file
+      FROM read_csv('$FixtureDir/products.csv', header = true, all_varchar = true)
+      UNION ALL
+      SELECT COALESCE(price, '') AS price, COALESCE(sku, '') AS sku,
+        COALESCE(stock, '') AS stock, 'products2.csv' AS _source_file
+      FROM read_csv('$FixtureDir/products2.csv', header = true, all_varchar = true)
+      ORDER BY _source_file, sku"""),
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09)
 }

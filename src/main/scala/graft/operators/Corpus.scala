@@ -44,21 +44,14 @@ object Corpus {
     */
   private def toks = graft.functions.TextExpressions.tokens(col("text"))
 
-  /** DuckDB CTE producing the shared token list — keep in lockstep with
-    * [[graft.functions.TextExpressions.tokens]].
+  /** DuckDB CTE producing the shared token list (fragment hoisted to
+    * [[OracleSql]] so every tokenizing oracle shares ONE copy).
     */
   private val TokCte =
-    """WITH t AS (SELECT doc_id, lang, text,
-        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    s"""WITH t AS (SELECT doc_id, lang, text, ${OracleSql.Toks} AS toks
       FROM documents)"""
 
-  /** DuckDB expression for distinct word 3-shingles over `toks` — the
-    * dd04-proven twin of TextExpressions.word_shingles(_, 3).
-    */
-  private val ShinglesSql =
-    """list_distinct(CASE WHEN len(toks) >= 3
-        THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
-        ELSE [array_to_string(toks, ' ')] END)"""
+  private val ShinglesSql = OracleSql.Shingles3
 
   // -------------------------------------------------------------- dc01
   /** Benchmark decontamination: flag corpus documents sharing ≥3

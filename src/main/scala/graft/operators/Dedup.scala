@@ -176,13 +176,9 @@ object Dedup {
         .filter(col("jaccard") > 0.01)
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
       FROM documents WHERE doc_id < 120),
-      g AS (SELECT doc_id,
-        list_distinct(CASE WHEN len(toks) >= 3
-          THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
-          ELSE [array_to_string(toks, ' ')] END) AS shingles
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles
       FROM t)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
@@ -284,9 +280,8 @@ object Dedup {
           t => md5(t.cast("binary")))).as("fps"))
       sharedFingerprintPairs(fp, minShared = 1, maxBucket = 50)
     },
-    Some("""WITH f AS (SELECT doc_id, unnest(list_distinct(
-          list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
-            t -> md5(t)))) AS fp
+    Some(s"""WITH f AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(${OracleSql.Toks}, t -> md5(t)))) AS fp
         FROM documents WHERE doc_id < 300),
       b AS (SELECT fp, list_sort(list(doc_id)) AS ids FROM f GROUP BY fp
         HAVING COUNT(*) BETWEEN 2 AND 50),
@@ -325,13 +320,9 @@ object Dedup {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
       FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
-      g AS (SELECT doc_id,
-        list_distinct(CASE WHEN len(toks) >= 3
-          THEN list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], ' '))
-          ELSE [array_to_string(toks, ' ')] END) AS shingles
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles
       FROM t)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /

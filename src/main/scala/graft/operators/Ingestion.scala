@@ -203,7 +203,12 @@ object Ingestion {
   private val ing06 = QueryDef(
     "ing06_partitioned_roundtrip",
     (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("ing06_part").toString
+      // fixed per-sf-dir target, Overwrite mode: repeated runs (5 bench
+      // passes × every round) reuse ONE directory instead of leaking a
+      // fresh table copy into tmpdir per invocation
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_ing06_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       graft.sink.Sinks.saveParquet(Tables(s, dir).documents, out,
         partitionBy = Seq("lang"))
       s.read.parquet(out)

@@ -54,7 +54,7 @@ object Text {
             .cast("bigint").as("n_bpeish"))
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        ${OracleSql.Toks} AS toks
       FROM documents)
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -87,7 +87,7 @@ object Text {
           "stop_ratio", "punct_ratio", "distinct_ratio", "quality")
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        ${OracleSql.Toks} AS toks
       FROM documents),
       m AS (SELECT doc_id, text, toks,
         CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -127,7 +127,7 @@ object Text {
         .orderBy("lang_pred")
     },
     Some(s"""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        ${OracleSql.Toks} AS toks
       FROM documents),
       sc AS (SELECT doc_id,
         len(list_filter(toks, x -> x IN (${sqlList(Stop("en"))}))) AS s_en,
@@ -177,8 +177,8 @@ object Text {
         .agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), col("token"))
         .limit(50),
-    Some("""SELECT token, COUNT(*) AS freq FROM (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+    Some(s"""SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(${OracleSql.Toks}) AS token
         FROM documents)
       GROUP BY token ORDER BY freq DESC, token LIMIT 50"""),
   )

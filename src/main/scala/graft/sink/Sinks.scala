@@ -55,18 +55,30 @@ object Sinks {
     * the incoming rows whose key is absent from the table, making
     * re-ingestion of an overlapping batch safe — the reference's
     * append-only insert (sqlite_connector.py:178-222) silently
-    * duplicates on replay. Returns the number of rows actually added.
+    * duplicates on replay. A key repeated WITHIN the incoming batch is
+    * also collapsed to one row (deterministically: the row whose
+    * non-key values sort first), so the table's key uniqueness can
+    * never be broken — `dropDuplicates` would pick a partition-order-
+    * dependent row and change under retry. Returns the number of rows
+    * actually added.
     *
-    * Scale shape: a left-anti join on the key columns — both sides
-    * shuffle on the key once (AQE broadcasts the existing-keys side
-    * when it is small); nothing is collected to the driver.
+    * Scale shape: one shuffle on the key serves both the in-batch
+    * dedup window and the left-anti join against existing keys (AQE
+    * broadcasts the existing-keys side when it is small); nothing is
+    * collected to the driver.
     */
   def upsertTable(spark: SparkSession, table: String, incoming: DataFrame,
       keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, row_number}
     require(keys.nonEmpty, "upsert needs at least one key column")
-    val existingKeys = spark.table(table)
-      .select(keys.map(org.apache.spark.sql.functions.col): _*)
-    saveTable(incoming.join(existingKeys, keys, "left_anti"), table)
+    val nonKey = incoming.columns.filterNot(keys.contains).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((if (nonKey.nonEmpty) nonKey else keys).map(col): _*)
+    val deduped = incoming.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    val existingKeys = spark.table(table).select(keys.map(col): _*)
+    saveTable(deduped.join(existingKeys, keys, "left_anti"), table)
   }
 
   /** Bucketed managed table: pre-partitions (and optionally pre-sorts)

@@ -77,10 +77,14 @@ class CorpusSpec extends SparkSpec {
     byDoc.foreach { case (id, rs) =>
       val n = docs(id)
       assert(rs.length == ((n - 1) / 48 + 1), s"doc $id: chunk count")
-      rs.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= 64))
-      // all but the last chunk are full-size or reach the end of the doc
-      val sizes = rs.sortBy(_.getLong(1)).map(_.getLong(2))
-      sizes.init.foreach(sz => assert(sz == 64 || sizes.sum >= n))
+      // chunk i starts at 48·i and holds exactly min(64, n − 48·i)
+      // tokens — this pins BOTH the stride and the 16-token overlap (a
+      // slice-length regression to 48 would fail here)
+      rs.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $id: chunk_idx gap at $i")
+        assert(r.getLong(2) == math.min(64L, n - 48L * i),
+          s"doc $id chunk $i: size ${r.getLong(2)} for n=$n")
+      }
     }
   }
 

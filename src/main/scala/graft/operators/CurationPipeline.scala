@@ -10,7 +10,8 @@ import graft.functions.TextExpressions
   *
   *   quality filter → language filter → exact dedup → near-dup
   *   removal (MinHash LSH pairs → connected components → canonical
-  *   retention) → per-stage accounting.
+  *   retention) → optional benchmark decontamination (bloom prefilter
+  *   + exact shingle-overlap verify) → per-stage accounting.
   *
   * Everything stays a lazy DataFrame graph until the caller acts; the
   * per-stage accounting is computed at the end. Each stage is the
@@ -26,10 +27,11 @@ object CurationPipeline {
       minDistinctRatio: Double = 0.3,
       langs: Set[String] = Set("en"),
       nearDupThreshold: Double = 0.8,
+      minSharedShingles: Int = 3,
   )
 
   final case class StageCounts(input: Long, afterQuality: Long, afterLang: Long,
-      afterExact: Long, afterNearDup: Long)
+      afterExact: Long, afterNearDup: Long, afterDecontam: Long)
 
   /** `release()` unpersists the cached exact-dedup survivors once the
     * caller has materialized (or abandoned) `corpus` — the corpus plan
@@ -60,6 +62,12 @@ object CurationPipeline {
 
   /** Run the full curation pass over a (doc_id, text) corpus.
     *
+    * `benchmark`, when given, appends a decontamination stage: any
+    * surviving document sharing ≥ `cfg.minSharedShingles` distinct word
+    * 3-shingles with a benchmark document is removed (bloom prefilter
+    * sized to the eval set, exact broadcast-join verify — the dc02
+    * shape). Without it, `afterDecontam == afterNearDup`.
+    *
     * Stage accounting is single-pass: the pass-through stage counts
     * (input / quality / language) are `observe()` metrics collected as
     * a side effect of computing `exactKeep`, which is cached — so the
@@ -69,7 +77,8 @@ object CurationPipeline {
     * lineage up to 5x). The cache stays alive for `corpus` reuse;
     * call `Result.release()` when done with it.
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): Result = {
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      benchmark: Option[DataFrame] = None): Result = {
     val obsInput = org.apache.spark.sql.Observation()
     val obsQuality = org.apache.spark.sql.Observation()
     val obsLang = org.apache.spark.sql.Observation()
@@ -105,8 +114,34 @@ object CurationPipeline {
     // near-dup removal over the (cached) survivors
     val pairs = Dedup.minhashPairs(
       exactKeep.select("doc_id", "text"), threshold = cfg.nearDupThreshold)
-    val finalCorpus = Dedup.retainCanonical(exactKeep, pairs)
+    val retained = Dedup.retainCanonical(exactKeep, pairs)
       .select("doc_id", "text")
+
+    // optional decontamination (dc02 shape). The retained corpus is
+    // cached when the stage runs — it is read twice (shingle pass +
+    // anti-join), and the near-dup chain above it must not recompute.
+    val (finalCorpus, afterNearDup, afterDecontam, releaseRetained) = benchmark match {
+      case None =>
+        val c = retained.count()
+        (retained, c, c, () => ())
+      case Some(bench) =>
+        val cached = retained.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = cached.count()
+        val benchSh = bench
+          .select(explode(TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val bloom = benchSh.stat.bloomFilter("sh", 100000L, 0.01)
+        val contaminatedIds = cached
+          .select(col("doc_id"), explode(TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+          .filter(TextExpressions.bloom_might_contain(col("sh"), bloom))
+          .join(broadcast(benchSh), "sh")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared"))
+          .filter(col("n_shared") >= cfg.minSharedShingles)
+          .select("doc_id")
+        val clean = cached.join(contaminatedIds, Seq("doc_id"), "left_anti")
+        (clean, c, clean.count(), () => { cached.unpersist(blocking = false); () })
+    }
 
     def n(o: org.apache.spark.sql.Observation): Long =
       o.get("n").asInstanceOf[Long]
@@ -115,7 +150,9 @@ object CurationPipeline {
       afterQuality = n(obsQuality),
       afterLang = n(obsLang),
       afterExact = afterExact,
-      afterNearDup = finalCorpus.count())
-    Result(finalCorpus, counts, () => { exactKeep.unpersist(blocking = false); () })
+      afterNearDup = afterNearDup,
+      afterDecontam = afterDecontam)
+    Result(finalCorpus, counts,
+      () => { exactKeep.unpersist(blocking = false); releaseRetained() })
   }
 }

@@ -33,6 +33,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(r.counts.afterNearDup == 2) // drops 2 (near dup)
     val kept = r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(0L, 6L))
+    assert(r.counts.afterDecontam == r.counts.afterNearDup,
+      "no benchmark given: decontamination must be a no-op")
+  }
+
+  test("curate with a benchmark set decontaminates the surviving corpus") {
+    val docs = Seq(
+      (0L, good),
+      (6L, "the engine plans a distributed query and the optimizer picks a broadcast join " +
+        "while the shuffle stays small and the partitions remain balanced for the readers"),
+    ).toDF("doc_id", "text")
+    // benchmark shares a long span with doc 6 only
+    val bench = Seq(
+      (100L, "the optimizer picks a broadcast join while the shuffle stays small")
+    ).toDF("doc_id", "text")
+    val r = CurationPipeline.curate(docs,
+      CurationPipeline.Config(minTokens = 10, nearDupThreshold = 0.5),
+      benchmark = Some(bench))
+    assert(r.counts.afterNearDup == 2)
+    assert(r.counts.afterDecontam == 1)
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    r.release()
   }
 
   test("curate scans the corpus once: stage counts are observe() side effects") {

@@ -15,6 +15,8 @@ import graft.query.QueryEngine
   *   :tables            list catalog tables
   *   :schema <table>    column/type/nullable introspection (A18)
   *   :preview <table> [n]  first n rows (A17)
+  *   :queries           list every declared operator query (Registry)
+  *   :query <name> [sfDir]  run a declared query over an sf dataset
   *   :quit / :exit      leave
   */
 object Repl {
@@ -62,6 +64,14 @@ object Repl {
           // user-supplied n is capped: preview is a driver-side surface
           val n = math.min(rest.headOption.map(_.toInt).getOrElse(10), MaxRows)
           Some(render(qe.preview(t, n), n))
+        case ":queries" :: _ =>
+          Some(graft.Registry.all.map(_.name).sorted.mkString("\n"))
+        case ":query" :: name :: rest =>
+          val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+          graft.Registry.byName.get(name) match {
+            case Some(d) => Some(render(d.run(spark, dir)))
+            case None => Some(s"error: unknown query $name (see :queries)")
+          }
         case cmd :: _ if cmd.startsWith(":") => Some(s"error: unknown command $cmd")
         case _ => Some(render(qe.execute(trimmed)))
       }
@@ -77,7 +87,8 @@ object Repl {
       in: java.io.BufferedReader =
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
       out: java.io.PrintStream = System.out): Unit = {
-    out.println("graft> enter SQL, :tables, :schema <t>, :preview <t> [n], :quit")
+    out.println("graft> enter SQL, :tables, :schema <t>, :preview <t> [n], " +
+      ":queries, :query <name> [sfDir], :quit")
     var continue = true
     while (continue) {
       out.print("graft> ")

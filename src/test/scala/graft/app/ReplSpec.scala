@@ -26,6 +26,15 @@ class ReplSpec extends SparkSpec {
     assert(Repl.eval(spark, "").get == "")
   }
 
+  test("eval: declared queries run by name (:queries / :query)") {
+    val listing = Repl.eval(spark, ":queries").get
+    assert(listing.linesIterator.contains("q01_pricing_summary"))
+    assert(listing.linesIterator.contains("dc01_decontaminate"))
+    val out = Repl.eval(spark, s":query q22_count_star $sf0001").get
+    assert(out.contains("n_rows"), out)
+    assert(Repl.eval(spark, ":query nope").get.startsWith("error: unknown query"))
+  }
+
   test("loop: scripted session drives ingest-then-query end to end") {
     val dir = tmpDir("repl-loop")
     writeFile(dir, "d.json", """[{"a": "1"}, {"a": "2"}]""")

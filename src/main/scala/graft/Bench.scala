@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *    resulting ~5 KB line overflowed the driver's tail capture) so
   *    the next round can distinguish noise from regression instead of
   *    comparing two opaque medians;
+  *  - the stdout line itself is budgeted to 1600 chars: the driver
+  *    keeps only the LAST 2000 chars of run output, so the full
+  *    per-query map (75+ queries) can no longer fit. stdout carries
+  *    the total, query count, and the slowest queries that fit the
+  *    budget; `bench_result.json` carries the complete map;
   *  - a query that throws in EVERY pass lands in `"failed"` and forces
   *    a nonzero exit — a hard regression can't read as a speedup; a
   *    query that throws in SOME passes lands in `"flaky"` (first
@@ -103,27 +108,41 @@ object Bench {
     // explicit locale: a comma-decimal default locale must not produce
     // invalid JSON
     def jnum(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val passesJson = times.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v.map(jnum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    def errJson(m: Map[String, String]) = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val unstableJson = unstable.map(jstr).mkString("[", ",", "]")
+    def errJson(m: Map[String, String], cap: Int = Int.MaxValue) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(cap)) }.mkString("{", ",", "}")
     val total = results.values.sum
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":${errJson(failed)},"flaky":${errJson(flaky)},""" +
-      s""""unstable":$unstableJson,"sf":"$sfDir"}"""
-    // Per-pass detail goes to a side file (and the stdout line to a
-    // twin file, in case the driver's tail capture ever truncates).
+    def assemble(qs: String, failCap: Int, unstableCap: Int) =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nq":${results.size},""" +
+        s""""queries":$qs,"failed":${errJson(failed, failCap)},"flaky":${errJson(flaky, failCap)},""" +
+        s""""unstable":${unstable.take(unstableCap).map(jstr).mkString("[", ",", "]")},""" +
+        s""""detail":"bench_result.json","sf":"$sfDir"}"""
+    // Full per-query detail (and per-pass times) go to side files. The
+    // STDOUT line must stay comfortably inside the driver's 2000-char
+    // tail capture (the [success] sbt epilogue eats ~80 of those, and
+    // rounds 1-3 all lost their numbers to this window) — so it carries
+    // the total plus as many per-query medians as fit a 1600-char
+    // budget, slowest queries first (the ones worth reading).
+    val fullLine = assemble(results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}"),
+      Int.MaxValue, Int.MaxValue)
+    val budget = 1600
+    val bySlowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+    val base = assemble("{}", 60, 10).length
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = base
+    for (e <- bySlowest if used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+    val stdoutLine = assemble(picked.mkString("{", ",", "}"), 60, 10)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
         s"""{"passes":$passesJson}""".getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-        line.getBytes("UTF-8"))
+        fullLine.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] side-file write failed: $e") }
-    println(line)
+    println(stdoutLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -41,17 +41,41 @@ object TextOps {
     new GenericArrayData(arr)
   }
 
+  // MD5-derived portable base hash: the first `nBytes` (≤ 8) bytes of
+  // md5(utf8 bytes) read big-endian — exactly DuckDB's
+  // ('0x' || substr(md5(s), 1, 2*nBytes))::UBIGINT — so every signature
+  // built on it can be reproduced bit-exactly by the DuckDB oracle.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Prefix(s: UTF8String, nBytes: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < nBytes) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** Portable MinHash: sig[j] = min over elements of
+    * ((1337j+17)·h + 7919j+31) mod (2³¹−1), with h = 32-bit md5 prefix.
+    * A min-wise affine family whose every intermediate stays below 2⁵²,
+    * so DuckDB computes the identical signature in plain BIGINT
+    * arithmetic (one md5 per element, k affine transforms — cheaper
+    * than k independent full hashes, and cross-engine checkable).
+    */
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val h = md5Prefix(arr.getUTF8String(i), 4)
       var j = 0
       while (j < numHashes) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
-        if (h < sig(j)) sig(j) = h
+        val v = ((1337L * j + 17L) * h + 7919L * j + 31L) % 2147483647L
+        if (v < sig(j)) sig(j) = v
         j += 1
       }
       i += 1
@@ -147,18 +171,16 @@ object TextOps {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash over a token array: per-token splitmix64 of the
-    * token's String.hashCode, bitwise majority vote across tokens.
+  /** 64-bit SimHash over a token array: per-token 64-bit md5 prefix
+    * (portable — see [[md5Prefix]]), bitwise majority vote across
+    * tokens (ties → 0).
     */
   def simhash(arr: ArrayData, counts: Array[Int]): Long = {
     java.util.Arrays.fill(counts, 0)
     var t = 0
     val n = arr.numElements()
     while (t < n) {
-      var h = arr.getUTF8String(t).toString.hashCode.toLong * 0x9E3779B97F4A7C15L
-      h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
-      h ^= (h >>> 27); h *= 0x94D049BB133111EBL
-      h ^= (h >>> 31)
+      val h = md5Prefix(arr.getUTF8String(t), 8)
       var i = 0
       while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
       t += 1
@@ -212,11 +234,13 @@ object TextExpressions {
   }
 
   /** MinHash signature in one pass over a string-array column:
-    * sig[j] = min over elements of xxhash64(element, seed = j). Same
-    * hash family as Spark's `xxhash64(col, j)` (XXH64 over the UTF8
-    * bytes) but all `numHashes` minima in a single traversal — replaces
-    * an explode + 32-column hash-aggregate (one whole shuffle) in the
-    * LSH dedup pipeline.
+    * sig[j] = min over elements of an affine transform of the element's
+    * 32-bit md5 prefix (see [[TextOps.minhash]]). All `numHashes`
+    * minima in a single traversal — replaces an explode + 32-column
+    * hash-aggregate (one whole shuffle) in the LSH dedup pipeline —
+    * and the md5-derived family is reproducible in DuckDB, which makes
+    * the ENTIRE MinHash-LSH pipeline oracle-checkable (dd02), not just
+    * its verify stage.
     */
   case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
     require(numHashes >= 1)
@@ -229,10 +253,12 @@ object TextExpressions {
     override def prettyName: String = "graft_minhash_signature"
   }
 
-  /** 64-bit SimHash of a token-array column: splitmix64 of each token's
-    * hash, bitwise majority across tokens (dd03's signature — was the
+  /** 64-bit SimHash of a token-array column: 64-bit md5 prefix of each
+    * token, bitwise majority across tokens (dd03's signature — was the
     * repo's one hot-path Scala UDF; as an expression it avoids the
-    * encoder boundary, stays null-aware, and participates in codegen).
+    * encoder boundary, stays null-aware, and participates in codegen;
+    * the md5-derived token hash makes the signature — and so the whole
+    * dd03 pipeline — reproducible by the DuckDB oracle).
     * A per-instance scratch buffer (thread-confined: Spark evaluates an
     * expression instance within a task) avoids a 64-int allocation per
     * row; generated code allocates its own via `addMutableState`.

@@ -42,9 +42,12 @@ object Dedup {
   // -------------------------------------------------------------- dd02
   /** MinHash + LSH near-dup pairs.
     *
-    * shingle (word 3-grams) → 32-way minhash signature (xxhash64 with
-    * per-signature salt) → 16 bands × 2 rows → bucket-join inside equal
-    * band hashes → exact Jaccard verification ≥ `threshold`.
+    * shingle (word 3-grams) → 32-way minhash signature (md5-affine
+    * portable family — see TextOps.minhash) → 16 bands × 2 rows →
+    * bucket-join inside equal band hashes → exact Jaccard verification
+    * ≥ `threshold`. Every stage uses arithmetic DuckDB reproduces
+    * bit-exactly, so the WHOLE pipeline is oracle-checked (dd02), not
+    * just the verify stage.
     */
   /** Band geometry: b bands of r rows catch pairs above roughly
     * (1/b)^(1/r) Jaccard; 16×2 ≈ 0.25 — generous candidate recall for
@@ -73,10 +76,17 @@ object Dedup {
     // slower (interpreted lambda per element).
     val sigs = sh.withColumn("sig",
       graft.functions.TextExpressions.minhash_signature(col("shingles"), numHashes))
+    // Portable band hash: modular polynomial fold of the band's rows —
+    // acc = (acc * 1000003 + sig[j]) mod 2147483629. Every intermediate
+    // stays below 2^52, so the DuckDB oracle computes identical band
+    // buckets in plain BIGINT arithmetic (a hash collision merges two
+    // buckets in BOTH engines alike; the exact-Jaccard verify then
+    // discards any false candidates it added).
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => element_at(col("sig"), j + 1)): _*)
-          .as("bh"))
+      val bh = (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * lit(1000003L) + element_at(col("sig"), j + 1)) % lit(2147483629L)
+      }
+      struct(lit(b).as("band"), bh.as("bh"))
     }
     // One pass: explode bands -> bucket by band hash -> expand pairs
     // INSIDE each bucket (no self-join, so the expensive signature
@@ -111,10 +121,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // Full-pipeline oracle: DuckDB recomputes the md5-affine signatures,
+  // band buckets, bucket-bounded candidate pairs, and exact-Jaccard
+  // verify — the same five stages as minhashPairs, stage for stage.
   private val dd02 = QueryDef(
     "dd02_minhash_lsh",
     (s, dir) => minhashPairs(Tables(s, dir).documents),
-    None, // signature hashing is engine-specific; verified by ScalaTest
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN bc ON bc.band = a.band AND bc.bh = a.bh
+        WHERE bc.n <= 1000)
+      SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) AS jaccard
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5
+      ORDER BY doc_a, doc_b"""),
   )
 
   // -------------------------------------------------------------- dd03
@@ -129,8 +167,11 @@ object Dedup {
     * per-row encoder boundary).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // token-less docs carry no signal (signature would be 0 and pair
+    // every empty doc with every other) — excluded in both engines
     val sh = docs
       .withColumn("toks", graft.functions.TextExpressions.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), graft.functions.TextExpressions.simhash64(col("toks")).as("sh"))
     // bucket by 16-bit band and expand pairs inside buckets (signature
     // is a long, cheap to carry through the shuffle; no self-join)
@@ -152,10 +193,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // Full-pipeline oracle: DuckDB recomputes the 64-bit md5-prefix token
+  // hashes, per-bit majority votes, 16-bit band buckets, and the
+  // bit_count(xor) verify (unsigned vs signed 64-bit only differ in
+  // representation — every bit operation here is representation-blind).
   private val dd03 = QueryDef(
     "dd03_simhash",
     (s, dir) => simhashPairs(Tables(s, dir).documents),
-    None,
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM f),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        FROM hh, range(64) r(j) GROUP BY doc_id, j),
+      sig AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+          THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+        FROM bits GROUP BY doc_id),
+      band AS (SELECT doc_id, k, (sh >> (16 * k)) & 65535 AS bits
+        FROM sig, range(4) r(k)),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b
+          ON a.k = b.k AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      SELECT c.da AS doc_a, c.db AS doc_b,
+        CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.da
+      JOIN sig sb ON sb.doc_id = c.db
+      WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
+      ORDER BY doc_a, doc_b"""),
   )
 
   // -------------------------------------------------------------- dd04
@@ -294,13 +360,13 @@ object Dedup {
   )
 
   // ------------------------------------------------------- verify oracles
-  // The signature/bucket stages of dd02/dd03/dd05 are engine-specific
-  // (xxhash64 minima, splitmix64 majorities, random hyperplanes), but the
-  // VERIFY stages — exact Jaccard >= t, Hamming(bit_count∘xor) <= h,
-  // cosine >= t — are plain SQL over a deterministic candidate set. These
-  // three run the identical verify expressions over bounded candidate
-  // slices and are hash-checked against DuckDB, closing the oracle gap on
-  // the half of each dedup pipeline that decides what is a duplicate.
+  // dd02/dd03 are oracle-checked end to end (md5-derived portable
+  // signatures, above). dd05's hyperplane signatures involve float dot
+  // products whose cross-engine bit-equality is not guaranteed, so only
+  // its VERIFY stage — cosine >= t over a deterministic candidate set —
+  // is oracle-checked. The dd02v/dd03v slices below predate the
+  // full-pipeline oracles and remain as small, fast regression anchors
+  // for the verify arithmetic itself.
 
   // dd02's verify: exact shingle-set Jaccard at dd02's 0.5 threshold,
   // same array_intersect/array_union expression, fixed candidate slice.
@@ -334,8 +400,7 @@ object Dedup {
   )
 
   // dd03's verify: Hamming distance as bit_count(xor) <= h over 62-bit
-  // signatures. Signatures here are embedding sign bits (the one
-  // signature family both engines can compute identically) via the same
+  // signatures. Signatures here are embedding sign bits via the same
   // LshSignBits expression dd05 buckets with; the thresholding math is
   // exactly dd03's.
   private val dd03v = QueryDef(

@@ -131,26 +131,19 @@ object TextOps {
     val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     if (s.length < k) return new GenericArrayData(Array.empty[Any])
     val n = s.length - k + 1
-    // polynomial rolling hash over chars, mixed through splitmix64
-    val B = 1000003L
-    var pow = 1L
-    var i = 0
-    while (i < k - 1) { pow *= B; i += 1 }
+    // 60-bit md5 prefix of each k-char gram (character-positioned, so
+    // multi-byte text agrees with DuckDB's substr). 60 bits keeps the
+    // hash non-negative: the window-min selection below must order
+    // identically under the JVM's signed and DuckDB's unsigned
+    // comparison, which a full 64-bit value would break. Costs one md5
+    // per position instead of a rolling multiply — the price of an
+    // oracle-checkable fingerprint family (bounded: linear in text
+    // length, and the k-char inputs are tiny).
+    val chars = s.toCharArray
     val hashes = new Array[Long](n)
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
-    def mix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    hashes(0) = mix(h)
-    i = 1
+    var i = 0
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-      hashes(i) = mix(h)
+      hashes(i) = md5Prefix(UTF8String.fromString(new String(chars, i, k)), 8) >>> 4
       i += 1
     }
     val selected = new java.util.TreeSet[java.lang.Long]()
@@ -338,8 +331,9 @@ object TextExpressions {
   }
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
-    * algorithm): hash every `k`-char gram of the lowercased text with a
-    * rolling pass, then keep the minimum hash of each window of `w`
+    * algorithm): hash every `k`-char gram of the lowercased text (60-bit
+    * md5 prefix — portable, so the DuckDB oracle recomputes the full
+    * pipeline), then keep the minimum hash of each window of `w`
     * consecutive grams (rightmost minimum on ties). Guarantees any
     * shared substring of length >= w + k - 1 contributes a shared
     * fingerprint, with output size ~2/(w+1) of the text — the compact

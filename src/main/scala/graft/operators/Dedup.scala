@@ -320,10 +320,33 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")
 
+  // Full-pipeline oracle: DuckDB recomputes the 60-bit md5 gram hashes,
+  // the w-window minima (frame MIN, clamped at text end exactly like
+  // the kernel's lastStart), the distinct selected fingerprints, and
+  // the stop-fingerprint-bounded pair counting.
   private val dd06 = QueryDef(
     "dd06_winnowing",
     (s, dir) => winnowingPairs(Tables(s, dir).documents),
-    None, // rolling-hash family is engine-specific; ScalaTest pins behavior
+    Some("""WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+      f AS (SELECT doc_id, s, len(s) - 7 AS n FROM d WHERE len(s) >= 8),
+      pos AS (SELECT doc_id, s, n, unnest(range(n)) AS i FROM f),
+      g AS (SELECT doc_id, n, i,
+          ('0x' || substr(md5(substr(s, i + 1, 8)), 1, 15))::BIGINT AS h
+        FROM pos),
+      mins AS (SELECT doc_id, n, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g),
+      sel AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= GREATEST(0, n - 4)),
+      bc AS (SELECT m, COUNT(*) AS cnt FROM sel GROUP BY m),
+      p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM sel a
+        JOIN sel b2 ON a.m = b2.m AND a.doc_id < b2.doc_id
+        JOIN bc ON bc.m = a.m
+        WHERE bc.cnt BETWEEN 2 AND 50)
+      SELECT doc_a, doc_b, COUNT(*) AS n_shared FROM p
+      GROUP BY doc_a, doc_b HAVING COUNT(*) >= 5
+      ORDER BY doc_a, doc_b"""),
   )
 
   // ------------------------------------------------------------- dd06v

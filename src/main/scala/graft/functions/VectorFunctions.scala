@@ -41,4 +41,20 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Deterministic Rademacher (±1) hyperplanes: entry (p, i) is +1 iff
+    * the first md5 nibble of "pl:p:i" has its high bit set. ±1 entries
+    * are a standard sign-LSH family (Achlioptas-style sparse/signed
+    * projections), and — unlike Gaussian planes — the DuckDB oracle can
+    * regenerate them with `substr(md5(...), 1, 1)`, and `v · plane`
+    * reduces to a sum of ±v_i whose sequential double fold both engines
+    * compute bit-identically. This is what lets the LSH BUCKETING
+    * stages of dd05/sim02 be oracle-checked, not just their verifies.
+    */
+  def rademacherPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dim) { i =>
+      val hb = TextOps.md5Prefix(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"pl:$p:$i"), 1)
+      if ((hb & 0x80L) != 0L) 1.0 else -1.0
+    })
 }

@@ -257,12 +257,14 @@ object Dedup {
 
   // -------------------------------------------------------------- dd05
   /** Embedding-cosine near-dup: sign-bit LSH bucketing (16 fixed
-    * hyperplanes) then exact cosine verification inside buckets.
+    * md5-derived Rademacher hyperplanes — portable, so the oracle
+    * recomputes the buckets) then exact cosine verification inside
+    * buckets.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
       nPlanes: Int = 16): DataFrame = {
     val dim = 64
-    val planes = randomPlanes(nPlanes, dim)
+    val planes = rademacherPlanes(nPlanes, dim)
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     e.as("a")
@@ -274,10 +276,32 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // Full-pipeline oracle: DuckDB regenerates the Rademacher planes from
+  // md5 nibbles, recomputes every sign bit (sum of ±v_i in the same
+  // fold order — bit-identical doubles), buckets, and the cosine
+  // verify.
+  // Declared at threshold 0.2 (not the 0.9 near-dup default): the
+  // synthetic embeddings contain no 0.9-cosine pairs, and a 0-row
+  // result would make the oracle match vacuous — 0.2 yields a
+  // non-trivial bucketed pair set to hash-check.
   private val dd05 = QueryDef(
     "dd05_embed_neardup",
-    (s, dir) => embeddingNearDups(Tables(s, dir).embeddings),
-    None,
+    (s, dir) => embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.2),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+          CAST(list_sum(list_transform(range(16), p ->
+            CASE WHEN list_sum(list_transform(range(64), i ->
+                v[i + 1] * CASE WHEN ('0x' || substr(md5('pl:' || p || ':' || i), 1, 1))::INT >= 8
+                  THEN 1.0 ELSE -1.0 END)) >= 0
+              THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM e),
+      p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+          list_sum(list_transform(list_zip(a.v, b2.v), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             sqrt(list_sum(list_transform(b2.v, x -> x * x)))) AS cos
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.2
+      ORDER BY vec_a, vec_b"""),
   )
 
   // -------------------------------------------------------------- dd06

@@ -46,7 +46,9 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
       bitsPerTable: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val allPlanes = randomPlanes(bitsPerTable * tables, dim)
+    // md5-derived Rademacher planes: portable, so the DuckDB oracle
+    // regenerates the exact buckets (see VectorFunctions)
+    val allPlanes = rademacherPlanes(bitsPerTable * tables, dim)
     val bucketCols = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         lshBucket(col("cv"), allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("h"))
@@ -146,10 +148,35 @@ object Similarity {
     headline = true,
   )
 
+  // Full-pipeline oracle: DuckDB regenerates the 8 hash tables of 4
+  // Rademacher sign bits each (global plane index t*4+b), the
+  // any-table candidate union, and the cosine top-k rank. Recall vs
+  // brute force stays pinned in ScalaTest.
   private val sim02 = QueryDef(
     "sim02_knn_lsh",
     (s, dir) => lshTopK(Tables(s, dir).embeddings),
-    None, // bucket assignment is engine-specific; recall vs brute in ScalaTest
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      bk AS (SELECT cid, t,
+          CAST(list_sum(list_transform(range(4), b ->
+            CASE WHEN list_sum(list_transform(range(64), i ->
+                cv[i + 1] * CASE WHEN ('0x' || substr(md5('pl:' || (t * 4 + b) || ':' || i), 1, 1))::INT >= 8
+                  THEN 1.0 ELSE -1.0 END)) >= 0
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS h
+        FROM c, range(8) r(t)),
+      cand AS (SELECT DISTINCT q.cid AS qid, b2.cid
+        FROM bk q JOIN bk b2 ON q.t = b2.t AND q.h = b2.h
+        WHERE q.cid < 3 AND q.cid <> b2.cid),
+      s AS (SELECT cand.qid, cand.cid,
+          list_sum(list_transform(list_zip(cq.cv, cc.cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(cq.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(cc.cv, x -> x * x)))) AS sim
+        FROM cand
+        JOIN c cq ON cq.cid = cand.qid
+        JOIN c cc ON cc.cid = cand.cid),
+      r AS (SELECT qid, cid, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        FROM s)
+      SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
   private val sim03 = QueryDef(

@@ -280,6 +280,161 @@ object Corpus {
       FROM customer ORDER BY c_custkey"""),
   )
 
+  // -------------------------------------------------------------- pack01
+  /** Sequence packing for LM training: documents are concatenated in
+    * doc_id order and split into fixed 2048-token sequences; each doc
+    * reports the sequence it starts in and its offset there (the
+    * concat-and-split packing standard pre-training uses).
+    *
+    * 100 TB shape: a naive global running sum is a single-partition
+    * window — a scale killer. This uses the HIERARCHICAL prefix sum:
+    * within-shard cumulative sums run in parallel (window partitioned
+    * by shard), shard totals (one row per shard — tiny) get a
+    * shard-level prefix scan, and global offset = shard base +
+    * within-shard cumsum. Identical arithmetic to the flat cumsum the
+    * oracle computes, with no global sort of the corpus.
+    */
+  private val pack01 = QueryDef(
+    "pack01_sequence_pack",
+    (s, dir) => {
+      val B = 2048L
+      val n = Tables(s, dir).documents
+        .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+        .withColumn("shard", expr("doc_id div 1000"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      val withCum = n.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      val wShard = Window.orderBy(col("shard"))
+      val bases = n.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("base", sum(col("tot")).over(wShard) - col("tot"))
+        .select("shard", "base")
+      withCum.join(broadcast(bases), "shard")
+        .withColumn("start", col("base") + col("cum_in") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"start div $B").as("seq_id"),
+          (col("start") % B).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$TokCte,
+      n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      c AS (SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        FROM n)
+      SELECT doc_id, n_tokens,
+        (cum - n_tokens) // 2048 AS seq_id,
+        (cum - n_tokens) % 2048 AS seq_offset
+      FROM c ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- vcb01
+  /** Min-count vocabulary + per-document OOV rate: tokens occurring
+    * >= 5 times corpus-wide form the vocabulary; each document reports
+    * how much of it falls outside (the tokenizer-coverage check run
+    * before training).
+    *
+    * 100 TB shape: the vocab build is one token-keyed aggregation with
+    * map-side combine (Zipf tail hapaxes dominate the key count but
+    * each carries one row); the join back is token-keyed too, so both
+    * shuffles share partitioning. The vocab is NOT assumed
+    * driver-small — no broadcast, no collect.
+    */
+  private val vcb01 = QueryDef(
+    "vcb01_vocab_oov",
+    (s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks).as("tk"))
+      val vocab = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5).select(col("tk"), lit(1).as("in_v"))
+      tok.join(vocab, Seq("tk"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).cast("bigint").as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$TokCte,
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      v AS (SELECT tk FROM tok GROUP BY tk HAVING COUNT(*) >= 5)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+      FROM tok LEFT JOIN v ON tok.tk = v.tk
+      GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- dif01
+  /** Corpus snapshot diff (dataset versioning / CDC): two releases of
+    * the documents table — deterministic membership and content
+    * perturbations — full-outer joined on doc_id, emitting
+    * added/removed/changed rows with content digests. At scale this is
+    * one sort-merge join on the primary key; over key-bucketed releases
+    * it is shuffle-free.
+    */
+  private val dif01 = QueryDef(
+    "dif01_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val a = docs.filter(col("doc_id") % 97 =!= 3)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val b = docs.filter(col("doc_id") % 89 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("h_new"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select("doc_id", "status", "h_old", "h_new")
+        .orderBy("doc_id")
+    },
+    Some("""WITH a AS (SELECT doc_id, md5(text) AS h_old
+        FROM documents WHERE doc_id % 97 <> 3),
+      b AS (SELECT doc_id,
+          md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        FROM documents WHERE doc_id % 89 <> 5)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN a.doc_id IS NULL THEN 'added'
+             WHEN b.doc_id IS NULL THEN 'removed'
+             ELSE 'changed' END AS status,
+        h_old, h_new
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_old <> b.h_new
+      ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- card01
+  /** Dataset card: per-language corpus statistics (docs, tokens, mean
+    * doc length, exact-duplicate ratio) — the summary table a corpus
+    * release ships with. One aggregation pass; integer-exact sums with
+    * ratios derived only at the end.
+    */
+  private val card01 = QueryDef(
+    "card01_dataset_card",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"), size(toks).cast("bigint").as("n_tokens"),
+          md5(col("text").cast("binary")).as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          countDistinct(col("h")).cast("bigint").as("n_unique"))
+        .withColumn("avg_doc_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+        .orderBy("lang"),
+    Some(s"""$TokCte
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+        CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio
+      FROM t GROUP BY lang ORDER BY lang"""),
+  )
+
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01)
+    Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01,
+      pack01, vcb01, dif01, card01)
 }

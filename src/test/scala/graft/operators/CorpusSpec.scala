@@ -107,4 +107,54 @@ class CorpusSpec extends SparkSpec {
       assert(r.getLong(2) == "<ID>".r.findAllIn(r.getString(1)).length)
     }
   }
+
+  test("pack01: hierarchical packing equals the flat cumulative sum") {
+    val rows = run("pack01_sequence_pack").collect()
+    assert(rows.nonEmpty)
+    // replay the packing sequentially: offsets must chain exactly
+    var cum = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val (n, seqId, off) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(seqId == cum / 2048 && off == cum % 2048,
+        s"doc ${r.getLong(0)}: start $cum -> ($seqId, $off)")
+      cum += n
+    }
+  }
+
+  test("vcb01: oov rate is 0 when every token clears min-count, consistent otherwise") {
+    val rows = run("vcb01_vocab_oov").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("dif01: statuses partition the diff and agree with the perturbations") {
+    val rows = run("dif01_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(1))
+      status match {
+        case "added"   => assert(id % 97 == 3 && id % 89 != 5)
+        case "removed" => assert(id % 89 == 5 && id % 97 != 3)
+        case "changed" => assert(id % 13 == 0 && id % 97 != 3 && id % 89 != 5)
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+  }
+
+  test("card01: per-language stats reconcile with direct counts") {
+    val rows = run("card01_dataset_card").collect()
+    val docs = graft.sources.Tables(spark, sf0001).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == docs.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == docs(r.getString(0)))
+      assert(r.getLong(3) <= r.getLong(1), "unique docs cannot exceed docs")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
 }

@@ -110,4 +110,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"expected join-free as-of plan:\n$p")
     assert(p.contains("Window"))
   }
+
+  test("pack01: the corpus-level running sum is shard-partitioned, bases broadcast") {
+    val p = plan("pack01_sequence_pack")
+    // the doc-level cumulative window must NOT be a global single-
+    // partition sort — it runs partitioned by shard in parallel; only
+    // the tiny shard-totals scan may single-partition
+    assert(p.contains("hashpartitioning(shard"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "shard bases must broadcast")
+  }
 }

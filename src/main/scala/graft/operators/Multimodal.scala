@@ -161,5 +161,30 @@ object Multimodal {
       SELECT COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks FROM c"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03)
+  // -------------------------------------------------------------- mm04
+  // Frame sampling as a declared, oracle-checked query: every 4th
+  // 16-byte frame of each payload, fingerprinted. The oracle recomputes
+  // the frame grid with range-stepping (sampled byte offset i = 16·4·k,
+  // so frame_idx = i/4 on the raw frame index) and slices the text —
+  // char positions equal byte positions on this corpus (ASCII; the
+  // technique mm03 established).
+  private val mm04 = QueryDef(
+    "mm04_frame_sample",
+    (s, dir) =>
+      sampleFrames(syntheticMedia(Tables(s, dir).documents))
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("bigint").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx"),
+    Some("""WITH d AS (SELECT doc_id, text,
+          CAST(ceil(length(text) / 16.0) AS INT) AS nf FROM documents),
+      s AS (SELECT doc_id, text,
+          unnest(range(0, greatest(nf - 1, 0) + 1, 4)) AS i FROM d)
+      SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_idx,
+        md5(substring(text, i * 16 + 1, 16)) AS frame_md5,
+        CAST(octet_length(encode(substring(text, i * 16 + 1, 16))) AS BIGINT) AS frame_bytes
+      FROM s ORDER BY doc_id, frame_idx"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04)
 }

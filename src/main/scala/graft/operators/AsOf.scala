@@ -73,5 +73,41 @@ object AsOf {
       ORDER BY p_event_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ao01)
+  // ---------------------------------------------------------------- ao02
+  // As-of with a tolerance (staleness bound): the matched click must be
+  // at most 1 hour older than the purchase, else the enrichment is
+  // nulled — the time-series form where stale context is worse than no
+  // context. Composed from the same single-shuffle asofJoin by carrying
+  // the matched right timestamp as a value column; the bound is applied
+  // as a post-projection, identical to the oracle's CASE over DuckDB's
+  // native ASOF match. Timestamp difference compares against a literal
+  // interval — both engines evaluate it at microsecond precision.
+  private val ao02 = QueryDef(
+    "ao02_asof_tolerance",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .withColumn("r_ts", col("ts"))
+      asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_value", "r_ts"))
+        .select(col("p_event_id"), col("user_id"),
+          when(col("ts") - col("asof_r_ts") <= expr("INTERVAL '1' HOUR"),
+            col("asof_click_value")).as("click_value_1h"))
+        .orderBy("p_event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, event_type,
+        MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      p AS (SELECT event_id AS p_event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, MAX(value) AS click_value FROM e
+        WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p_event_id, p.user_id,
+        CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_value END AS click_value_1h
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p_event_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ao01, ao02)
 }

@@ -736,7 +736,33 @@ object Relational {
         AND l_shipdate < o_orderdate + INTERVAL 30 DAY"""),
   )
 
+  // ---------------------------------------------------------------- q34
+  // Pivot (wide aggregation): event counts per user bucket spread over
+  // the five event types as columns. Declaring the pivot VALUES keeps
+  // Spark from an extra distinct-scan to discover them (the form that
+  // scales — value discovery over 100 TB is its own job); missing
+  // combinations surface as 0, not null.
+  private val q34 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef(
+      "q34_pivot",
+      (s, dir) => {
+        val p = T(s, dir).events
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("bucket") +: types.map(t =>
+          coalesce(col(s"`$t`"), lit(0L)).cast("bigint").as(t)): _*)
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT user_id % 10 AS bucket,
+        ${types.map(t => s"CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+          .mkString(",\n        ")}
+        FROM events GROUP BY user_id % 10 ORDER BY bucket"""),
+    )
+  }
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
 
 /** Skew-mitigation utilities.
   *
@@ -34,4 +36,30 @@ object Skew {
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "_graft_salt", joinType).drop("_graft_salt")
   }
+
+  // ------------------------------------------------------------- skw01
+  // Salting's correctness contract IS output-invariance: the salted
+  // orders ⋈ lineitem (factor 8) aggregated per priority must equal the
+  // plain join — so the oracle is the UNSALTED join in DuckDB, checking
+  // the invariance against an independent engine rather than this one's
+  // own plain join.
+  private val skw01 = QueryDef(
+    "skw01_salted_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fact = t.lineitem.select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val build = t.orders.select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      saltedJoin(fact, build, Seq("okey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(skw01)
 }

@@ -434,7 +434,54 @@ object Corpus {
       FROM t GROUP BY lang ORDER BY lang"""),
   )
 
+  // -------------------------------------------------------------- bp01
+  /** Boilerplate coverage: per-document fraction of distinct 3-shingles
+    * that are corpus-wide heavy hitters (document frequency ≥ 4) — the
+    * headers/footers/navigation-chrome detector a web-corpus pipeline
+    * runs before near-dedup (a doc that is MOSTLY boilerplate isn't
+    * worth fuzzy-matching). Unlike dc01 there is no external eval set:
+    * the heavy-hitter table is derived from the corpus itself by one
+    * (shingle)-keyed aggregation, and because heavy hitters are by
+    * definition few (DF threshold prunes the long tail), the set
+    * broadcasts — the per-doc coverage join shuffles nothing.
+    * Ratios leave integer space only in the final projection.
+    */
+  private val bp01 = QueryDef(
+    "bp01_boilerplate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+      // (doc_id, sh) pairs are distinct (word_shingles dedups per doc),
+      // so plain count == document frequency
+      val boiler = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 4).select("sh")
+      val hits = sh.join(broadcast(boiler), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_boiler"))
+      docs.select(col("doc_id"),
+          size(graft.functions.TextExpressions.word_shingles(col("text"), 3))
+            .cast("bigint").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$TokCte,
+      g AS (SELECT doc_id, $ShinglesSql AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      df AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh),
+      b AS (SELECT sh FROM df WHERE df >= 4),
+      h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+        FROM e JOIN b USING (sh) GROUP BY doc_id)
+      SELECT g.doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+        COALESCE(h.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+        CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(len(shingles) AS DOUBLE) AS boiler_ratio
+      FROM g LEFT JOIN h USING (doc_id) ORDER BY doc_id"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01,
-      pack01, vcb01, dif01, card01)
+      pack01, vcb01, dif01, card01, bp01)
 }

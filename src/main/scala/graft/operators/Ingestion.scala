@@ -33,6 +33,11 @@ object Ingestion {
     */
   val FixtureDir = "/root/repo/fixtures/ingest"
 
+  /** JSONL fixtures live apart from FixtureDir: ing03/ing04 scan that
+    * whole directory and their oracles pin its exact file set.
+    */
+  val JsonlFixtureDir = "/root/repo/fixtures/jsonl"
+
   // -------------------------------------------------------------- ing01
   // §1.2 normalization contract on one nested/array/null-bearing file:
   // nested objects and arrays -> JSON strings, null and empty
@@ -291,6 +296,35 @@ object Ingestion {
       ORDER BY _source_file, sku"""),
   )
 
+  // -------------------------------------------------------------- ing10
+  // Line-delimited JSON (.jsonl/.ndjson): the classifier's third JSON
+  // shape (reference file_scanner.py:15-30) and the one that actually
+  // splits at scale. One query exercises the whole contract: two
+  // heterogeneous good files union with NULL-fill ('' after bulk-mode
+  // normalization), and broken.jsonl — one malformed line between two
+  // good ones — drops wholesale (A8 atomicity at file granularity, so
+  // its good lines must NOT appear).
+  private val ing10 = QueryDef(
+    "ing10_jsonl_ingest",
+    (s, _) =>
+      JsonIngestor.ingestJsonl(s, JsonlFixtureDir)
+        .data.orderBy(col("_source_file"), col("session_id"), col("metric"), col("ts_day")),
+    Some(s"""WITH e AS (SELECT COALESCE(device, '') AS device, COALESCE(event, '') AS event,
+          COALESCE(CAST(session_id AS VARCHAR), '') AS session_id,
+          COALESCE("user", '') AS "user", 'events.jsonl' AS _source_file
+        FROM read_json('$JsonlFixtureDir/events.jsonl', format = 'newline_delimited')),
+      m AS (SELECT COALESCE(metric, '') AS metric, COALESCE(ts_day, '') AS ts_day,
+          COALESCE(CAST(value AS VARCHAR), '') AS value, 'metrics.ndjson' AS _source_file
+        FROM read_json('$JsonlFixtureDir/metrics.ndjson', format = 'newline_delimited'))
+      SELECT * FROM (
+        SELECT device, event, '' AS metric, session_id, '' AS ts_day,
+          "user", '' AS value, _source_file FROM e
+        UNION ALL
+        SELECT '' AS device, '' AS event, metric, '' AS session_id, ts_day,
+          '' AS "user", value, _source_file FROM m)
+      ORDER BY _source_file, session_id, metric, ts_day"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09)
+    Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10)
 }

@@ -762,7 +762,114 @@ object Relational {
     )
   }
 
+  // ---------------------------------------------------------------- q35
+  // Unpivot (melt): the wide per-bucket event matrix folded back to
+  // long form — the inverse of q34's pivot, and the standard shape
+  // change before a union with an already-long source. Spark's native
+  // `unpivot` keeps this a single projection-with-generate over the
+  // aggregated (tiny) wide table; the oracle is the direct long-form
+  // GROUP BY, so the test pins pivot∘unpivot = identity.
+  private val q35 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef(
+      "q35_unpivot",
+      (s, dir) => {
+        val wide = T(s, dir).events
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.unpivot(Array(col("bucket")), types.map(t => col(s"`$t`")).toArray,
+            "event_type", "n")
+          // a bucket×type combo absent from the data is null in the wide
+          // matrix; the long-form oracle has no such row
+          .filter(col("n").isNotNull)
+          .select(col("bucket"), col("event_type"), col("n").cast("bigint").as("n"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""),
+    )
+  }
+
+  // ---------------------------------------------------------------- q36
+  // Bucketed ranking windows: ntile quartiles + percent_rank/cume_dist
+  // per market segment. The (c_acctbal, c_custkey) ordering is total
+  // (custkey is unique), so every rank — and hence the derived double
+  // ratios — is deterministic in both engines. One shuffle on the
+  // window partition key; ntile is Spark's native int (cast to the
+  // BIGINT DuckDB emits).
+  private val q36 = QueryDef(
+    "q36_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      T(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""),
+  )
+
+  // ---------------------------------------------------------------- q37
+  // Correlation/regression via exact moments: native corr() accumulates
+  // doubles in partition order and is irreproducible across engines (or
+  // even across Spark shuffles) — instead the five moments (Σx, Σy,
+  // Σx², Σy², Σxy) are summed EXACTLY in decimal (2-decimal money
+  // values are decimal-representable; decimal addition is associative,
+  // so partial aggregation over any partitioning is bit-stable), and
+  // only the final closed-form corr/slope arithmetic happens in double
+  // — the identical IEEE expression in both engines. This is also the
+  // scale-correct shape: one map-side-combined aggregation pass, no
+  // second centering pass over 100 TB.
+  private val q37 = {
+    def d(c: Column) = c.cast("double")
+    QueryDef(
+      "q37_corr_moments",
+      (s, dir) => {
+        val q = col("l_quantity").cast("decimal(12,2)")
+        val p = col("l_extendedprice").cast("decimal(12,2)")
+        val g = T(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sx"), sum(p).as("sy"),
+            sum((q * q).cast("decimal(30,4)")).as("sxx"),
+            sum((p * p).cast("decimal(30,4)")).as("syy"),
+            sum((q * p).cast("decimal(30,4)")).as("sxy"))
+        val (nd, sx, sy, sxx, syy, sxy) =
+          (d(col("n")), d(col("sx")), d(col("sy")), d(col("sxx")), d(col("syy")), d(col("sxy")))
+        g.select(col("l_returnflag"), col("n"),
+            ((nd * sxy - sx * sy) /
+              (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qty_price"),
+            ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).as("slope_price_per_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+          SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS sxx,
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS syy,
+          SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_price_per_qty
+        FROM g ORDER BY l_returnflag"""),
+    )
+  }
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

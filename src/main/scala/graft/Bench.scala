@@ -114,8 +114,17 @@ object Bench {
     def errJson(m: Map[String, String], cap: Int = Int.MaxValue) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(cap)) }.mkString("{", ",", "}")
     val total = results.values.sum
+    // Ingestion throughput — the one concrete number BASELINE.md claims
+    // (30,786 records/sec into SQLite). Measured end-to-end on the
+    // distributed JSONL path: discover + parse + normalize + lineage +
+    // count + noop-sink over a generated 200k-record corpus. Corpus
+    // generation is untimed (layout setup); median of 3 timed passes.
+    val ingestRps = try ingestThroughput(spark) catch {
+      case e: Throwable => System.err.println(s"[bench] ingest bench failed: $e"); 0.0
+    }
     def assemble(qs: String, failCap: Int, unstableCap: Int) =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nq":${results.size},""" +
+        s""""ingest_rps":${String.format(java.util.Locale.ROOT, "%.0f", Double.box(ingestRps))},""" +
         s""""queries":$qs,"failed":${errJson(failed, failCap)},"flaky":${errJson(flaky, failCap)},""" +
         s""""unstable":${unstable.take(unstableCap).map(jstr).mkString("[", ",", "]")},""" +
         s""""detail":"bench_result.json","sf":"$sfDir"}"""
@@ -145,6 +154,45 @@ object Bench {
     println(stdoutLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** End-to-end JSONL ingestion throughput in records/sec, comparable
+    * to the reference's claimed 30,786 rps insert rate (BASELINE.md).
+    * 32 files × 6,250 records (one per core at the default CPU count)
+    * are generated once, untimed; each timed pass runs the full
+    * [[graft.ingest.JsonIngestor.ingestJsonl]] contract plus a noop
+    * sink so parse/normalize/union/lineage are all on the clock.
+    */
+  private def ingestThroughput(spark: SparkSession, files: Int = 32,
+      rowsPerFile: Int = 6250, passes: Int = 3): Double = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ingest_bench")
+    val total = files.toLong * rowsPerFile
+    if (!java.nio.file.Files.isDirectory(dir) ||
+        java.nio.file.Files.list(dir).count() != files) {
+      java.nio.file.Files.createDirectories(dir)
+      for (f <- 0 until files) {
+        val sb = new StringBuilder(rowsPerFile * 110)
+        var i = 0
+        while (i < rowsPerFile) {
+          val id = f.toLong * rowsPerFile + i
+          sb.append(s"""{"amount":${(id % 9973) * 0.01},"city":"city_${id % 257}",""")
+            .append(s""""id":$id,"name":"user_$id","status":"${if (id % 7 == 0) "gold" else "std"}"}""")
+            .append('\n')
+          i += 1
+        }
+        java.nio.file.Files.write(dir.resolve(f"part$f%05d.jsonl"),
+          sb.toString.getBytes("UTF-8"))
+      }
+    }
+    val times = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      val res = graft.ingest.JsonIngestor.ingestJsonl(spark, dir.toString)
+      res.data.write.format("noop").mode("overwrite").save()
+      require(res.report.totalRecords == total,
+        s"ingest bench expected $total records, got ${res.report.totalRecords}")
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    total / times(times.size / 2)
   }
 
   /** Same orders ⋈ lineitem aggregation over plain parquet vs

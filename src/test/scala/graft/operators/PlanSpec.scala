@@ -111,6 +111,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("bp01: the heavy-hitter set joins back by broadcast") {
+    val p = plan("bp01_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q37: moments aggregate once with map-side partial aggregation") {
+    val p = plan("q37_corr_moments")
+    // partial + final HashAggregate around ONE exchange on the group
+    // key — a second full pass (the naive two-pass centering form)
+    // would show up as an extra scan/exchange
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 2, s"expected partial+final aggregate pair, got $aggs:\n${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, "one scan of lineitem")
+  }
+
+  test("q34/q35: pivot carries declared values (no distinct-discovery scan)") {
+    for (q <- Seq("q34_pivot", "q35_unpivot")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+        s"$q: value discovery would need a second events scan:\n${p.take(1200)}")
+    }
+  }
+
   test("pack01: the corpus-level running sum is shard-partitioned, bases broadcast") {
     val p = plan("pack01_sequence_pack")
     // the doc-level cumulative window must NOT be a global single-

@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ScratchBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    for (name <- args; _ <- 1 to 3) {
+      val t0 = System.nanoTime()
+      Registry.byName(name).run(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -107,11 +107,24 @@ object Dedup {
       lastCandsCache.foreach(_.unpersist(blocking = false))
       lastCandsCache = Some(cands)
     }
-    val candSide =
-      if (cands.count() <= maxBroadcastCands) broadcast(cands) else cands
-    val withSets = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    // Semi-join reduction for the verify stage: only docs that appear
+    // in some candidate pair need their shingle sets re-computed — the
+    // candidate id set is broadcast against the corpus scan, so the
+    // (expensive) shingle expression runs over |candidate docs| rows,
+    // not the whole corpus, and with zero shuffle. Above the broadcast
+    // bound (adversarial corpus) fall back to the full-corpus join.
+    val broadcastable = cands.count() <= maxBroadcastCands
+    val (candSide, shVerify) =
+      if (broadcastable) {
+        val needed = cands.select(col("doc_a").as("doc_id"))
+          .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+        (broadcast(cands),
+          withShingles(docs.join(broadcast(needed), Seq("doc_id"), "left_semi"))
+            .select("doc_id", "shingles"))
+      } else (cands, sh)
+    val withSets = shVerify.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       .join(candSide, "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(shVerify.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     withSets
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /

@@ -1,88 +1,90 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet
-under outDir, executes the matching oracle SQL from oracle_sql.json in
-DuckDB against the sfDir parquet tables, then compares row count, column
-names, and exact values (strictest plausible interpretation of the
-driver's hash compare: columns sorted by name, rows in result order,
-exact equality; floats reported with ulp-level diffs when mismatched).
-"""
-import json
-import math
-import sys
-from pathlib import Path
+Usage:
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
 
+For each query dumped by graft.Verify, runs the declared oracle SQL in
+DuckDB over the same parquet tables, sorts columns by name, sorts rows,
+and compares row count / schema / value hash — same scheme the driver
+uses for CORRECTNESS_r{N}.json.
+"""
+import sys, os, json, hashlib
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if isinstance(v, float):
-        return ("f", repr(v))
-    return (type(v).__name__, repr(v))
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        return f"{val:.6g}"
+    if isinstance(val, bytes):
+        return val.hex()
+    return str(val)
 
 
-def main(sf_dir, out_dir):
-    out = Path(out_dir)
-    oracle = json.loads((out / "oracle_sql.json").read_text())
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-
-    n_pass = n_fail = 0
-    for name in sorted(oracle):
-        rdir = out / name
-        if not rdir.exists():
-            print(f"FAIL {name}: no spark result dir")
-            n_fail += 1
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    npass = nfail = nnoor = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        tbl = pq.read_table(os.path.join(out_dir, name))
+        scols = sorted(tbl.column_names)
+        srows = ([tuple(r) for r in zip(*[tbl.column(c).to_pylist()
+                                          for c in tbl.column_names])]
+                 if tbl.num_rows else [])
+        if name not in oracle:
+            nnoor += 1
+            print(f"{name}: no_oracle ({tbl.num_rows} rows)")
             continue
         try:
-            spark_rel = con.sql(
-                f"SELECT * FROM read_parquet('{rdir}/*.parquet')")
-            spark_cols = sorted(spark_rel.columns)
-            spark_rows = spark_rel.select(
-                ", ".join(f'"{c}"' for c in spark_cols)).fetchall()
-            duck_rel = con.sql(oracle[name])
-            duck_cols = sorted(duck_rel.columns)
-            duck_rows = duck_rel.select(
-                ", ".join(f'"{c}"' for c in duck_cols)).fetchall()
+            res = con.execute(oracle[name])
+            orows = res.fetchall()
+            ocols = sorted(d[0] for d in res.description)
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
-            n_fail += 1
+            nfail += 1
+            print(f"{name}: ORACLE ERROR {e}")
             continue
-        if spark_cols != duck_cols:
-            print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
-            n_fail += 1
-            continue
-        if len(spark_rows) != len(duck_rows):
-            print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-            n_fail += 1
-            continue
-        bad = None
-        for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
-            ca = tuple(canon(x) for x in a)
-            cb = tuple(canon(x) for x in b)
-            if ca != cb:
-                bad = (i, a, b)
-                break
-        if bad:
-            i, a, b = bad
-            print(f"FAIL {name}: row {i} differs\n  spark={a}\n  duck ={b}")
-            for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float) and x != y:
-                    print(f"    float diff: {x!r} vs {y!r} (delta={x - y:.3e})")
-            n_fail += 1
+        ok_rows = len(srows) == len(orows)
+        ok_schema = scols == ocols
+        sh = table_hash(tbl.column_names, srows)
+        oh = table_hash([d[0] for d in res.description], orows)
+        ok_hash = sh == oh
+        if ok_rows and ok_schema and ok_hash:
+            npass += 1
+            print(f"{name}: PASS ({len(srows)} rows)")
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+            nfail += 1
+            print(f"{name}: FAIL rows={len(srows)}/{len(orows)} "
+                  f"schema={'ok' if ok_schema else f'{scols} vs {ocols}'} hash={ok_hash}")
+    print(f"== {npass} pass, {nfail} fail, {nnoor} no_oracle ==")
+    sys.exit(1 if nfail else 0)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()

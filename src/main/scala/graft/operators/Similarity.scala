@@ -112,9 +112,30 @@ object Similarity {
     * the standard recall/cost dial for billion-vector search.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfSearch(emb, trainCentroids(emb, nCells), nQueries, k, nProbe)
+
+  /** IVF with a FIXED coarse quantizer — the centroids are simply the
+    * embedding vectors with `vec_id < nCells` — no k-means. Same
+    * distributed machinery as [[ivfTopK]] (NearestCentroids assignment,
+    * nProbe probing, cell-equijoin candidate generation, cosine rank),
+    * but with the quantizer pinned the entire pipeline is
+    * SQL-expressible, so the DuckDB oracle checks it end to end;
+    * [[ivfTopK]]'s trained quantizer keeps its recall bound in
+    * ScalaTest.
+    */
+  def ivfFixedTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // bounded collect: exactly nCells rows form the quantizer
+    val centroids = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    ivfSearch(emb, centroids, nQueries, k, nProbe)
+  }
+
+  private def ivfSearch(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     import graft.functions.TextExpressions.nearest_centroids
-    val centroids = trainCentroids(emb, nCells)
     val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", element_at(nearest_centroids(col("cv"), centroids, 1), 1))
     val q = c.filter(col("cid") < nQueries)
@@ -185,5 +206,37 @@ object Similarity {
     None, // centroid training is engine-specific; recall vs brute in ScalaTest
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03)
+  // Fixed-quantizer IVF: DuckDB replays the nearest-centroid assignment
+  // (sequential squared-L2 fold, centroid-index tie-break), the
+  // nProbe=4 probe list, the cell-join candidate union, and the cosine
+  // top-k — the whole IVF pipeline, exact.
+  private val sim03v = QueryDef(
+    "sim03v_ivf_fixed",
+    (s, dir) => ivfFixedTopK(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, k,
+          list_sum(list_transform(range(64), i ->
+            (cv[i + 1] - kv[i + 1]) * (cv[i + 1] - kv[i + 1]))) AS dist
+        FROM c, cen),
+      rk AS (SELECT cid, k,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, k) AS r FROM d),
+      assign AS (SELECT cid, k AS cell FROM rk WHERE r = 1),
+      probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),
+      cand AS (SELECT DISTINCT p.qid, a.cid
+        FROM probes p JOIN assign a ON a.cell = p.cell WHERE a.cid <> p.qid),
+      s AS (SELECT cand.qid, cand.cid,
+          list_sum(list_transform(list_zip(cq.cv, cc.cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(cq.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(cc.cv, x -> x * x)))) AS sim
+        FROM cand
+        JOIN c cq ON cq.cid = cand.qid
+        JOIN c cc ON cc.cid = cand.cid),
+      r AS (SELECT qid, cid, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        FROM s)
+      SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v)
 }

@@ -183,5 +183,47 @@ object Text {
       GROUP BY token ORDER BY freq DESC, token LIMIT 50"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05)
+  // -------------------------------------------------------------- txt06
+  // TF-IDF: per-document top-3 distinguishing terms. tf and df come
+  // from one explode+agg each; the corpus size N joins in as a
+  // broadcast scalar (no driver-side count action), and the final
+  // per-doc top-3 is a window rank. Scale shape: two token-key
+  // aggregations plus one broadcast — no all-pairs, no collect.
+  private val txt06 = QueryDef(
+    "txt06_tfidf",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${OracleSql.Toks}) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+          CAST(tf.tf AS DOUBLE) *
+            ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) *
+              ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) DESC,
+              tf.token) AS BIGINT) AS rn
+        FROM tf JOIN dfreq USING (token), n)
+      SELECT doc_id, token, tf, df, tfidf, rn FROM sc
+      WHERE rn <= 3 ORDER BY doc_id, rn"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06)
 }

@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(twinHits.exists(_.getLong(1) == 9999L), "twin not found by IVF")
   }
 
+  test("fixed-quantizer IVF: same shape as trained IVF, exact twin found") {
+    val out = Similarity.ivfFixedTopK(emb, nQueries = 3, k = 5).collect()
+    assert(out.length == 15)
+    for (q <- 0 until 3) {
+      val rows = out.filter(_.getLong(0) == q)
+      assert(rows.length == 5 && rows.forall(_.getLong(1) != q))
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // recall vs brute force with the quantizer pinned
+    val brute = Similarity.bruteTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute intersect fixed).size.toDouble / brute.size >= 0.3)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val fact = (Seq.fill(5000)(1L) ++ (2L to 50L)).zipWithIndex

@@ -325,6 +325,35 @@ object Ingestion {
       ORDER BY _source_file, session_id, metric, ts_day"""),
   )
 
+  // -------------------------------------------------------------- ing11
+  // Parquet schema evolution: a later batch lands with an extra column
+  // (the routine 100 TB lake event — upstream added a field). Batch 1
+  // writes (doc_id, lang, n_chars); batch 2 appends (… + source) into
+  // the same directory; a mergeSchema read must surface the union
+  // schema with SQL NULL for the column the old files lack — the
+  // parquet twin of the reference's in-flight union + NULL-fill (A12).
+  private val ing11 = QueryDef(
+    "ing11_schema_evolution",
+    (s, dir) => {
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_ing11_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val docs = Tables(s, dir).documents
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(out)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+        CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source
+      FROM documents ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10)
+    Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
+      ing11)
 }

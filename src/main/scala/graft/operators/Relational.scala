@@ -869,7 +869,39 @@ object Relational {
     )
   }
 
+  // --------------------------------------------------------------- q32v
+  // Sketch-bounds holdout for q32: each group computes BOTH the sketch
+  // and the exact statistic in one aggregation and reports whether the
+  // sketch landed inside its documented error envelope (HLL++ default
+  // rsd 5% → 15% = 3σ bound; percentile_approx accuracy 1000 on this
+  // row count → rank error well inside the exact p40–p60 band). The
+  // oracle is the all-TRUE table — deliberately NOT a recomputation
+  // (sketch internals are engine-specific, q32 stays no_oracle by
+  // design): a sketch regression flips a boolean and fails the hash.
+  private val q32v = QueryDef(
+    "q32v_sketch_bounds",
+    (s, dir) =>
+      T(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_orderkey")).as("eo"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+          expr("percentile(l_extendedprice, 0.40D)").as("p40"),
+          expr("percentile(l_extendedprice, 0.60D)").as("p60"))
+        .select(col("l_returnflag"),
+          (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.15).as("parts_ok"),
+          (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.15).as("orders_ok"),
+          col("p50a").between(col("p40"), col("p60")).as("p50_ok"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT DISTINCT l_returnflag, TRUE AS parts_ok, TRUE AS orders_ok,
+        TRUE AS p50_ok
+      FROM lineitem ORDER BY l_returnflag"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37)
 }

@@ -142,4 +142,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), "shard bases must broadcast")
   }
+
+  test("txt06: corpus-size scalar broadcasts; tf/df aggregate map-side first") {
+    val p = plan("txt06_tfidf")
+    assert(!p.contains("ScalaUDF"), "tf-idf must stay in native expressions")
+    // the single-row N joins every (doc,token) row: must be a broadcast
+    // nested-loop, never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "corpus-size scalar must broadcast")
+    // both aggregations keep a partial (map-side) pass before their
+    // exchange — token skew ("the") is combined before the shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(1200))
+  }
+
+  test("sim03v: fixed-quantizer IVF probes via broadcast cell join") {
+    val p = plan("sim03v_ivf_fixed")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("graft_nearest_centroids"),
+      "assignment must use the native NearestCentroids expression")
+  }
 }

@@ -570,12 +570,81 @@ object Dedup {
   /** Keep one canonical doc per cluster (the smallest doc_id) plus all
     * never-duplicated docs — the end-to-end "dedup the corpus" step.
     */
-  def retainCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = clusterPairs(pairs)
+  def retainCanonical(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val clusters = clusterPairs(pairs, maxIters)
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** dd04's deterministic near-dup pair set as a bare edge list —
+    * the input both clustering queries (dd07/dd08) share.
+    */
+  private def ngramPairEdges(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(s, dir).documents.filter(col("doc_id") < 120))
+      .select("doc_id", "shingles")
+    sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        col("doc_a") < col("doc_b"))
+      .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))) > 0.01)
+      .select("doc_a", "doc_b")
+  }
+
+  // shared oracle prefix: dd04's edges + their undirected transitive
+  // closure. The recursive closure is oracle-side only (fine at the
+  // bounded test scale); the engine side is the iterative min-label
+  // propagation that runs diameter-many bounded rounds at any scale.
+  private def closureOracle = s"""WITH RECURSIVE
+      t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
+        FROM documents WHERE doc_id < 120),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)"""
+
+  // ------------------------------------------------------------- dd07
+  // Connected components of the near-dup pair graph: the iterative
+  // min-label propagation ([[clusterPairs]]) must agree with the
+  // graph-theoretic answer — DuckDB computes the undirected transitive
+  // closure of the same dd04 edge set recursively and takes each
+  // node's reachable minimum.
+  private val dd07 = QueryDef(
+    "dd07_cluster_components",
+    (s, dir) => clusterPairs(ngramPairEdges(s, dir), maxIters = 50)
+      .orderBy("doc_id"),
+    Some(s"""$closureOracle
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+      GROUP BY a ORDER BY doc_id"""),
+  )
+
+  // ------------------------------------------------------------- dd08
+  // End-to-end "dedup the corpus": cluster the pair graph, drop every
+  // non-canonical member (keep the smallest doc_id per component plus
+  // all never-duplicated docs). The oracle derives the survivor set
+  // from the recursive closure independently.
+  private val dd08 = QueryDef(
+    "dd08_retain_canonical",
+    (s, dir) => retainCanonical(
+      Tables(s, dir).documents.filter(col("doc_id") < 120),
+      ngramPairEdges(s, dir), maxIters = 50)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id"),
+    Some(s"""$closureOracle
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id < 120 AND doc_id NOT IN (
+        SELECT a FROM reach GROUP BY a HAVING MIN(b) <> a)
+      ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v)
+    Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
+      dd07, dd08)
 }

@@ -96,6 +96,25 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: the unbounded stream joins a bounded
+    * batch dimension (here: per-user lifetime aggregates, but any dim
+    * table). The static side is re-planned each micro-batch and
+    * broadcast, so the operator is completely STATELESS — no watermark,
+    * no state store, nothing to evict — the scale-correct shape for
+    * stream-against-dimension lookups (contrast with the stream-stream
+    * join above, whose both sides hold watermark-bounded state).
+    */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** The batch dimension used by [[enrichedEvents]] in tests/examples:
+    * per-user historical totals from the batch events table.
+    */
+  def userDimension(batchEvents: DataFrame): DataFrame =
+    batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("lifetime_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("lifetime_value"))
+
   // ----- custom state: running per-user profile via mapGroupsWithState
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

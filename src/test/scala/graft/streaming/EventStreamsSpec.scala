@@ -44,6 +44,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static enrichment matches the batch join and holds no state") {
+    val stream = EventStreams.readStream(spark, eventsPath)
+    val dim = EventStreams.userDimension(batchEvents)
+    val q = EventStreams.enrichedEvents(stream, dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched")
+    val batch = batchEvents.drop("ts_ns").join(dim, Seq("user_id"), "left")
+    assert(streamed.count() == batchEvents.count(), "left join must not drop events")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the whole point of the shape: a stream-static join is stateless
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static join must not create a state store")
+  }
+
   test("late data beyond the watermark is dropped across micro-batches") {
     import spark.implicits._
     val dir = tmpDir("late")

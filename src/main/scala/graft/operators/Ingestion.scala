@@ -353,7 +353,38 @@ object Ingestion {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing12
+  // Incremental aggregate maintenance: two halves of the corpus arrive
+  // as separate batches; each contributes PARTIAL per-(lang, source)
+  // counts/sums and Sinks.mergeAggregates folds the second into the
+  // stored table (union + re-combine on the keys — never a recompute
+  // over history). The merged statistics must equal a from-scratch
+  // aggregation over everything, which is exactly what the oracle runs.
+  private val ing12 = QueryDef(
+    "ing12_aggregate_merge",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      def partial(half: Int) = docs.filter(col("doc_id") % 2 === half)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      // reset to batch 1, then fold batch 2 in (idempotent across reruns)
+      graft.sink.Sinks.saveTable(partial(0), "ing12_aggs",
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sink.Sinks.mergeAggregates(s, "ing12_aggs", partial(1),
+        Seq("lang", "source"))
+      s.table("ing12_aggs")
+        .select(col("lang"), col("source"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("sum_chars").cast("bigint").as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11)
+      ing11, ing12)
 }

@@ -81,6 +81,37 @@ object Sinks {
     saveTable(deduped.join(existingKeys, keys, "left_anti"), table)
   }
 
+  /** Incremental aggregate maintenance: fold a batch of PARTIAL
+    * aggregates into a stored aggregate table by union + re-combine on
+    * `keys`. Every non-key column must be a decomposable aggregate —
+    * COUNT/SUM partials, combined here by SUM (the AVG pattern is
+    * sum+count stored separately, divided at read time). Per-batch cost
+    * is one combine over |stored keys| + |batch keys| rows, never a
+    * recompute over history — the materialized-view idiom that keeps
+    * corpus-level statistics affordable when history is 100 TB.
+    *
+    * The merged plan is materialized (localCheckpoint) before the
+    * overwrite: Spark cannot overwrite a table from a plan that is
+    * still reading it.
+    */
+  def mergeAggregates(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    if (!tableExists(spark, table)) { saveTable(batch, table, mode = SaveMode.Overwrite); () }
+    else {
+      val valueCols = batch.columns.filterNot(keys.contains).toSeq
+      require(valueCols.nonEmpty, "merge needs at least one value column")
+      val merged = spark.table(table).unionByName(batch)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCols.head)).as(valueCols.head),
+          valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .localCheckpoint(true)
+      saveTable(merged, table, mode = SaveMode.Overwrite)
+      ()
+    }
+  }
+
   /** Bucketed managed table: pre-partitions (and optionally pre-sorts)
     * by the join/agg key so repeated joins between co-bucketed tables
     * run shuffle-free — the cluster-scale answer to "this join's

@@ -143,6 +143,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "shard bases must broadcast")
   }
 
+  test("q09: rank<=k filter plans a WindowGroupLimit (per-group top-k pruning)") {
+    // Catalyst turns the rank-then-filter pattern into WindowGroupLimit:
+    // each partition keeps only k rows per group BEFORE the window sort
+    // — the difference between sorting k·groups rows and the whole
+    // partition at 100 TB. A refactor that breaks the pattern (e.g.
+    // ranking through a non-rank function or filtering post-collect)
+    // loses the pruning silently; pin it.
+    val p = plan("q09_window_rank")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("txt06: corpus-size scalar broadcasts; tf/df aggregate map-side first") {
     val p = plan("txt06_tfidf")
     assert(!p.contains("ScalaUDF"), "tf-idf must stay in native expressions")

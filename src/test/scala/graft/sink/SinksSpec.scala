@@ -79,4 +79,25 @@ class SinksSpec extends SparkSpec {
         s"approx p50 off >10%: ${r.getDouble(3)} vs $p50")
     }
   }
+
+  test("mergeAggregates: creates on first batch, folds later batches exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS merge_aggs_t")
+    val rows = (1L to 90L).map(i => (s"k${i % 3}", i))
+    def partial(slice: Seq[(String, Long)]) =
+      slice.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // three arbitrary batch splits, including a batch missing key k2
+    Sinks.mergeAggregates(spark, "merge_aggs_t", partial(rows.take(10)), Seq("k"))
+    Sinks.mergeAggregates(spark, "merge_aggs_t",
+      partial(rows.slice(10, 40).filterNot(_._1 == "k2")), Seq("k"))
+    Sinks.mergeAggregates(spark, "merge_aggs_t",
+      partial(rows.drop(40) ++ rows.slice(10, 40).filter(_._1 == "k2")), Seq("k"))
+    val merged = spark.table("merge_aggs_t").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val full = partial(rows).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq)
+  }
 }

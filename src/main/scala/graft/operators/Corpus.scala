@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
@@ -404,6 +405,56 @@ object Corpus {
       ORDER BY doc_id"""),
   )
 
+  /** Apply a CDC change feed to a snapshot: rows whose key appears in
+    * `changes` are replaced by the change's new values (insert/update)
+    * or dropped (`_op = 'delete'`). One keyed anti-join plus a union —
+    * no driver-side row handling; over key-bucketed snapshots the
+    * anti-join is shuffle-free. The delete path is what the
+    * insert-only [[graft.sink.Sinks.upsertTable]] cannot express.
+    */
+  def applyDiff(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyDiff needs at least one key column")
+    val touched = changes.select(keys.map(col): _*)
+    val upserts = changes.filter(col("_op") =!= "delete").drop("_op")
+    snapshot.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
+  // -------------------------------------------------------------- dif02
+  // CDC round-trip: derive the change feed between two snapshot
+  // versions (dif01's membership/content perturbations), apply it to
+  // the old snapshot with [[applyDiff]], and the result must equal the
+  // new snapshot — which is exactly what the oracle computes directly.
+  private val dif02 = QueryDef(
+    "dif02_apply_diff",
+    (s, dir) => {
+      val base = Tables(s, dir).documents.select("doc_id", "text", "lang", "source")
+      val a = base.filter(col("doc_id") % 97 =!= 3)
+      val b = base.filter(col("doc_id") % 89 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val changes = a
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+        .join(b.withColumn("h_new", md5(col("text").cast("binary"))),
+          Seq("doc_id"), "full_outer")
+        .withColumn("_op",
+          when(col("h_old").isNull, "insert")
+            .when(col("h_new").isNull, "delete")
+            .when(col("h_old") =!= col("h_new"), "update")
+            .otherwise("none"))
+        .filter(col("_op") =!= "none")
+        .select("doc_id", "_op", "text", "lang", "source")
+      applyDiff(a, changes, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source,
+        md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS content_md5
+      FROM documents WHERE doc_id % 89 <> 5 ORDER BY doc_id"""),
+  )
+
   // -------------------------------------------------------------- card01
   /** Dataset card: per-language corpus statistics (docs, tokens, mean
     * doc length, exact-duplicate ratio) — the summary table a corpus
@@ -483,5 +534,5 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01,
-      pack01, vcb01, dif01, card01, bp01)
+      pack01, vcb01, dif01, dif02, card01, bp01)
 }

@@ -880,22 +880,31 @@ object Relational {
   // design): a sketch regression flips a boolean and fails the hash.
   private val q32v = QueryDef(
     "q32v_sketch_bounds",
-    (s, dir) =>
-      T(s, dir).lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("ap"),
-          countDistinct(col("l_partkey")).as("ep"),
-          approx_count_distinct(col("l_orderkey")).as("ao"),
-          countDistinct(col("l_orderkey")).as("eo"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
-          expr("percentile(l_extendedprice, 0.40D)").as("p40"),
-          expr("percentile(l_extendedprice, 0.60D)").as("p60"))
+    (s, dir) => {
+      val li = T(s, dir).lineitem
+      // sketches + exact percentiles share one ObjectHashAggregate pass;
+      // the exact distinct counts run as two-level aggregations (distinct
+      // pairs, then count) — two countDistinct in one agg would plan an
+      // Expand that triples the scanned rows under the sort-based
+      // percentile (measured 10.7 s vs ~1.5 s for this shape at sf0.1)
+      val sketches = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+        expr("percentile(l_extendedprice, 0.40D)").as("p40"),
+        expr("percentile(l_extendedprice, 0.60D)").as("p60"))
+      def exactDistinct(c: String, out: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(out))
+      sketches
+        .join(exactDistinct("l_partkey", "ep"), "l_returnflag")
+        .join(exactDistinct("l_orderkey", "eo"), "l_returnflag")
         .select(col("l_returnflag"),
           (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.15).as("parts_ok"),
           (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.15).as("orders_ok"),
           col("p50a").between(col("p40"), col("p60")).as("p50_ok"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT DISTINCT l_returnflag, TRUE AS parts_ok, TRUE AS orders_ok,
         TRUE AS p50_ok
       FROM lineitem ORDER BY l_returnflag"""),

@@ -108,6 +108,11 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    // the distributed propagation loop (forced via driverThreshold = 0)
+    // must agree with the driver-side union-find exactly
+    val distributed = Dedup.clusterPairs(pairs, driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == clusters)
     val docs = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val kept = Dedup.retainCanonical(docs, pairs).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -123,7 +128,8 @@ class DedupSpec extends SparkSpec {
     if (before.isEmpty)
       intercept[IllegalArgumentException](Dedup.clusterPairs(pairs, reliable = true))
     spark.sparkContext.setCheckpointDir(tmpDir("ckpt").toString)
-    val clusters = Dedup.clusterPairs(pairs, reliable = true).collect()
+    // driverThreshold = 0 so the reliable-checkpoint loop actually runs
+    val clusters = Dedup.clusterPairs(pairs, reliable = true, driverThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
     assert(clusters(10L) == 10L && clusters(11L) == 10L)

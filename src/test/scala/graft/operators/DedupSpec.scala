@@ -120,6 +120,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("clusterPairs: both physical strategies match BFS ground truth on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2) {
+      val n = 30
+      val edges = Seq.fill(22)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      // BFS ground truth: cluster = min reachable id
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map { s =>
+        var seen = Set(s); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        s -> seen.min
+      }.toMap
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val driver = Dedup.clusterPairs(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.clusterPairs(pairs, maxIters = 50, driverThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == truth, "driver union-find diverged from BFS")
+      assert(dist == truth, "distributed propagation diverged from BFS")
+    }
+  }
+
   test("clusterPairs reliable checkpointing produces the same components") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -910,7 +910,80 @@ object Relational {
       FROM lineitem ORDER BY l_returnflag"""),
   )
 
+  // ---------------------------------------------------------------- q38
+  // Strict sequential funnel: first view, then first click AFTER that
+  // view, then first purchase AFTER that click — per-user stage
+  // timestamps built by three aggregations chained through equi-joins,
+  // all partitioned on user_id so the shuffle layout is computed once
+  // and reused. Ordering compares the raw nanosecond longs (ts_ns):
+  // microsecond-floored timestamps could tie where the nanos differ and
+  // flip a strict '>' between engines.
+  private val q38 = QueryDef(
+    "q38_funnel",
+    (s, dir) => {
+      val ev = T(s, dir).events.select("user_id", "event_type", "ts_ns")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ns")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ns") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts_ns")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_ns") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts_ns")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+      v AS (SELECT user_id, MIN(tns) AS t_view FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.tns) AS t_click FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.tns > v.t_view GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.tns) AS t_purchase FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tns > c.t_click GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        (SELECT COUNT(*) FROM c) AS n_view_click,
+        (SELECT COUNT(*) FROM p) AS n_full_funnel"""),
+  )
+
+  // ---------------------------------------------------------------- q39
+  // Weekly cohort retention: users grouped by signup week, distinct
+  // activity per (user, week), retention counted by (cohort week,
+  // week offset). Week truncation runs on the microsecond-floored
+  // timestamp on BOTH sides (the ns value could round across a week
+  // boundary differently). Shape: one distinct + two keyed
+  // aggregations, cohort side joined on user_id.
+  private val q39 = QueryDef(
+    "q39_cohort_retention",
+    (s, dir) => {
+      val ev = T(s, dir).events
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+      activity.join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(week, cohort_week) div 7").cast("bigint"))
+        .filter(col("week_offset") >= 0)
+        .groupBy(col("cohort_week").cast("date").as("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+        date_trunc('week', make_timestamp(epoch_ns(ts) // 1000)) AS week FROM events),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e
+        WHERE event_type = 'signup' GROUP BY user_id),
+      act AS (SELECT DISTINCT user_id, week FROM e)
+      SELECT CAST(cohort_week AS DATE) AS cohort_week,
+        date_diff('day', cohort_week, week) // 7 AS week_offset,
+        COUNT(DISTINCT act.user_id) AS n_users
+      FROM act JOIN cohort USING (user_id)
+      WHERE date_diff('day', cohort_week, week) // 7 >= 0
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39)
 }

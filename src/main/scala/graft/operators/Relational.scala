@@ -983,7 +983,32 @@ object Relational {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  // ---------------------------------------------------------------- q40
+  // Sliding (overlapping) windows: 2-hour windows every hour — each
+  // event lands in exactly two buckets (q24 is the tumbling case).
+  // Output surfaces the window start as epoch microseconds; the oracle
+  // derives both covering bucket starts per event from integer epoch
+  // division, so the alignment arithmetic is compared exactly.
+  private val q40 = QueryDef(
+    "q40_sliding_window",
+    (s, dir) =>
+      T(s, dir).events
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("win_start_us", "event_type"),
+    Some("""WITH e AS (SELECT event_type,
+        epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us FROM events),
+      b AS (SELECT event_type,
+          ((us // 3600000000) - k) * 3600000000 AS win_start_us
+        FROM e, range(2) r(k))
+      SELECT win_start_us, event_type, COUNT(*) AS n FROM b
+      GROUP BY win_start_us, event_type ORDER BY win_start_us, event_type"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39)
+    q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
+    q40)
 }

@@ -1007,8 +1007,39 @@ object Relational {
       GROUP BY win_start_us, event_type ORDER BY win_start_us, event_type"""),
   )
 
+  // ---------------------------------------------------------------- q41
+  // Time-range window frame: per event, the count and exact-decimal sum
+  // of same-type events in the trailing hour — RANGE BETWEEN over epoch
+  // microseconds, not ROWS (ties are frame peers in both engines).
+  // Partitioned by event_type, so the window sort runs in parallel per
+  // partition; event_id gives the output a total order.
+  private val q41 = QueryDef(
+    "q41_range_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      T(s, dir).events
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w).cast("bigint"))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
+        .select("event_id", "event_type", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, event_type,
+        epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us, value FROM events)
+      SELECT event_id, event_type,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40)
+    q40, q41)
 }

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *    query that throws in SOME passes lands in `"flaky"` (first
   *    error recorded) with its surviving passes still timed — a
   *    transient environment hiccup doesn't fail the round;
-  *  - queries whose min/max spread exceeds 2x AFTER trimming are
-  *    listed in `"unstable":[...]`.
+  *  - queries whose min/max spread exceeds 2x AND 0.75 s absolute
+  *    AFTER trimming are listed in `"unstable":[...]` (the absolute
+  *    floor keeps sub-second scheduler noise out of the flag);
+  *  - an untimed warmup pass runs every query once before the timed
+  *    passes so codegen compilation and footer reads don't bias pass 1.
   *
   * Also benches the bucketed-layout story: orders ⋈ lineitem is timed
   * both over plain parquet (shuffle both sides) and over co-bucketed
@@ -65,6 +68,18 @@ object Bench {
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       SparkEntry.queries.toSeq.sortBy(_._1) ++ bucketedJoinBench(spark, sfDir)
 
+    // Warmup pass 0 (untimed): every query runs once so whole-stage
+    // codegen compilation, parquet footer reads and broadcast-build
+    // classloading land here instead of in pass 1. Round-4 per-pass
+    // data (bench_passes.json) showed pass 1 reading 2-4x the steady
+    // state for plans with many codegen stages; the trim absorbed it
+    // but the medians still skewed on queries where contention added a
+    // second slow pass. Errors are ignored here — a query that throws
+    // gets its full 5 chances below.
+    for ((_, fn) <- all)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+
     // times(name) = successful pass times (in pass order);
     // errors(name) = first error message seen
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -92,9 +107,16 @@ object Bench {
     // failed = zero successful passes (exit 1); flaky = some passes threw
     val failed = errors.view.filterKeys(n => !times.contains(n)).toMap
     val flaky = errors.view.filterKeys(times.contains).toMap
+    // unstable = post-trim spread exceeds 2x AND at least 0.75 s in
+    // absolute terms. The ratio alone flagged 10 sub-second queries in
+    // round 4 (a 0.35 s fixture read hitting 0.8 s under interleaved
+    // load is scheduler noise, not a measurement problem); the absolute
+    // floor keeps the flag for spreads that could actually move a
+    // cross-round comparison.
     val unstable = times.collect {
       case (n, xs) if { val t = trimmed(xs)
-        t.size >= 2 && t.max / math.max(t.min, 1e-9) > 2.0 } => n
+        t.size >= 2 && t.max / math.max(t.min, 1e-9) > 2.0 &&
+          t.max - t.min > 0.75 } => n
     }.toSeq.sorted
 
     // JSON string escape incl. control chars — exception messages carry

@@ -532,7 +532,85 @@ object Corpus {
       FROM g LEFT JOIN h USING (doc_id) ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- smp03
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each document draws a deterministic uniform u from a salted md5 of
+    * its key and competes on key = ln(u)/w with weight w = n_chars —
+    * the top-10 per language are EXACTLY a w-weighted sample without
+    * replacement of that stratum. The standard way a pipeline samples
+    * "more from longer documents" reproducibly.
+    *
+    * 100 TB shape: one narrow scan + one shuffle by stratum;
+    * row_number + filter lets WindowGroupLimit keep per-task partial
+    * top-10s, so the shuffle carries ~10 rows per map task per
+    * stratum, not the corpus. u is a dyadic rational ((h+1)/2^32 with
+    * h the md5 prefix — exact in binary), so ln() is the only
+    * transcendental and DuckDB's ln matches bit-for-bit (the txt06
+    * precedent).
+    */
+  private val smp03 = QueryDef(
+    "smp03_weighted_sample",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(desc("es_key"), col("doc_id"))
+      Tables(s, dir).documents
+        .withColumn("h",
+          expr("cast(conv(substr(md5(cast(concat('es:', cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint)"))
+        .withColumn("es_key",
+          log((col("h") + 1L).cast("double") / lit(4294967296.0)) / col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 10)
+        .select("doc_id", "lang", "n_chars", "es_key", "rn")
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH k AS (SELECT doc_id, lang, n_chars,
+          ln((('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+             / 4294967296.0) / n_chars AS es_key
+        FROM documents),
+      r AS (SELECT doc_id, lang, n_chars, es_key,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS BIGINT) AS rn
+        FROM k)
+      SELECT doc_id, lang, n_chars, es_key, rn FROM r
+      WHERE rn <= 10 ORDER BY lang, rn"""),
+  )
+
+  // -------------------------------------------------------------- dm01
+  /** Per-source (domain) curation report: document/token volume, exact
+    * duplicate rate, and language spread per provenance bucket — the
+    * "which domains are worth what" table every corpus release ships
+    * with (cf. card01 for the per-language cut).
+    *
+    * 100 TB shape: one scan, one groupBy(source) with map-side combine;
+    * the two distincts (content hash, lang) are per-group exact —
+    * count_distinct inside a group-by, not a global distinct.
+    */
+  private val dm01 = QueryDef(
+    "dm01_source_stats",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("n_toks", size(toks).cast("bigint"))
+        .withColumn("ch", md5(col("text").cast("binary")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("ch")).as("n_uniq"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("mean_tokens", col("n_tokens").cast("double") / col("n_docs"))
+        .withColumn("n_exact_dup", (col("n_docs") - col("n_uniq")).cast("bigint"))
+        .select("source", "n_docs", "n_tokens", "mean_tokens", "n_exact_dup", "n_langs")
+        .orderBy(desc("n_tokens"), col("source")),
+    Some(s"""WITH t AS (SELECT source, lang, text, md5(text) AS ch,
+          CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_toks
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_tokens,
+        CAST(COUNT(*) - COUNT(DISTINCT ch) AS BIGINT) AS n_exact_dup,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM t GROUP BY source ORDER BY n_tokens DESC, source"""),
+  )
+
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, chk01, mix01, pii01,
-      pack01, vcb01, dif01, dif02, card01, bp01)
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, pii01,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01)
 }

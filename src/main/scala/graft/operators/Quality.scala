@@ -6,11 +6,15 @@ import graft.sources.Tables
 
 /** Data-quality audit operators (SURVEY.md §2C extensions): the checks
   * a 100 TB pipeline runs before and after every load — referential
-  * integrity between related tables and per-column completeness /
-  * cardinality profiles. Everything is keyed joins and aggregations;
-  * nothing is collected to the driver.
+  * integrity between related tables, per-column completeness /
+  * cardinality profiles, and per-document quality filtering (rule-based
+  * Gopher signals and a hashed-feature linear classifier). Everything
+  * is keyed joins, aggregations, or pure per-row projections; nothing
+  * is collected to the driver.
   */
 object Quality {
+
+  private def toks = graft.functions.TextExpressions.tokens(col("text"))
 
   // -------------------------------------------------------------- dq01
   // Referential integrity: documents and embeddings are releases of the
@@ -90,5 +94,93 @@ object Quality {
       SELECT column_name, n_rows, n_null, n_distinct FROM p ORDER BY column_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02)
+  // -------------------------------------------------------------- qf01
+  // Gopher-style rule filter (Rae et al. 2021 §A1.1 shape, adapted to
+  // the synthetic corpus): per-document word count, exact mean word
+  // length (integer sums divided once), stopword hits, and the pass
+  // flag a curation pipeline gates on. Pure per-row projection over one
+  // scan — no shuffle except the presentation sort; at 100 TB this is
+  // a map-only pass that fuses into whatever reads the corpus next.
+  // Mean is the ONLY double (single division of two exact integers), so
+  // the oracle hash-matches bit-for-bit.
+  private val GopherStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val qf01 = QueryDef(
+    "qf01_gopher_rules",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_words", size(col("toks")).cast("bigint"))
+        .withColumn("sum_len",
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+        .withColumn("mean_word_len",
+          col("sum_len").cast("double") / col("n_words"))
+        .withColumn("max_word_len",
+          expr("array_max(transform(toks, t -> length(t)))").cast("bigint"))
+        .withColumn("n_stop",
+          graft.functions.TextExpressions.stopword_count(col("toks"), GopherStop).cast("bigint"))
+        .withColumn("passes",
+          col("n_words") >= 40 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("n_stop") >= 2)
+        .select("doc_id", "n_words", "mean_word_len", "max_word_len", "n_stop", "passes")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len,
+          CAST(list_max(list_transform(toks, t -> len(t))) AS BIGINT) AS max_word_len,
+          CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id, n_words,
+        CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+        max_word_len, n_stop,
+        (n_words >= 40 AND n_words <= 100000
+          AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+          AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+          AND n_stop >= 2) AS passes
+      FROM m ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- qf02
+  // Hashed-feature linear quality classifier — the fasttext-style
+  // scorer (hash token → bucket, sum bucket weights, threshold) that
+  // pipelines run to keep "high-quality-looking" documents. Weights
+  // are a deterministic function of the bucket (Knuth multiplicative
+  // hash onto [-2048, 2048]) so the model ships as ARITHMETIC, not a
+  // lookup table: scoring is one codegen'd fold per row — no join, no
+  // broadcast, no shuffle — and the integer score is exact, making the
+  // whole model inference oracle-checkable. Swapping real trained
+  // weights for the synthetic ones means broadcasting a 1024-entry
+  // array; the plan shape is unchanged.
+  private val qf02 = QueryDef(
+    "qf02_classifier_score",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_words", size(col("toks")).cast("bigint"))
+        .withColumn("score_int",
+          expr("""aggregate(toks, 0L, (a, t) ->
+            a + ((cast(conv(substr(md5(cast(concat('w:', t) as binary)), 1, 8), 16, 10) as bigint) % 1024)
+                 * 2654435761L) % 4097 - 2048)"""))
+        .withColumn("score",
+          col("score_int").cast("double") / (lit(4096.0) * col("n_words")))
+        .withColumn("accept", col("score") > 0.0)
+        .select("doc_id", "n_words", "score_int", "score", "accept")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(toks, t ->
+            ((('0x' || substr(md5('w:' || t), 1, 8))::BIGINT % 1024) * 2654435761) % 4097 - 2048))
+            AS BIGINT) AS score_int
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id, n_words, score_int,
+        CAST(score_int AS DOUBLE) / (4096.0 * n_words) AS score,
+        CAST(score_int AS DOUBLE) / (4096.0 * n_words) > 0.0 AS accept
+      FROM m ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, qf01, qf02)
 }

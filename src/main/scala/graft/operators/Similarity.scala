@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
@@ -238,5 +238,121 @@ object Similarity {
       SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v)
+  /** Scalar (int8) quantization of the embedding column — the
+    * compression step an ANN index runs before vectors ship to
+    * serving: per-dimension min/max over the corpus define a uniform
+    * 256-level grid, each vector stores one byte per dim, and the
+    * reconstruction error is reported per vector.
+    *
+    * 100 TB shape: pass 1 computes the 64 per-dim ranges (posexplode →
+    * groupBy(pos) with map-side combine — output is 64 rows no matter
+    * the corpus size); those ranges come back as LITERAL arrays (the
+    * one bounded collect, same contract as the IVF quantizer) so pass
+    * 2 quantizes in a single codegen'd map — no join against the
+    * stats, no shuffle. floor() (not round) keeps the grid assignment
+    * free of rounding-mode divergence, and error sums fold the arrays
+    * sequentially, so DuckDB reproduces every double bit-for-bit.
+    */
+  def quantizeScalar(emb: DataFrame): DataFrame = {
+    val c = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // bounded collect: exactly dim rows of (min, max)
+    val stats = c.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("pos")
+      .collect()
+    val mns = stats.map(_.getDouble(1)).toSeq
+    val mxs = stats.map(_.getDouble(2)).toSeq
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    def mnAt(i: Column) = element_at(mnL, i + 1)
+    def mxAt(i: Column) = element_at(mxL, i + 1)
+    c.withColumn("q", transform(col("v"), (x, i) =>
+        least(floor(((x - mnAt(i)) * lit(255.0)) / (mxAt(i) - mnAt(i))), lit(255.0))
+          .cast("bigint")))
+      .withColumn("dq", transform(col("q"), (qi, i) =>
+        mnAt(i) + (qi.cast("double") + lit(0.5)) * (mxAt(i) - mnAt(i)) / lit(256.0)))
+      .withColumn("qsum", expr("aggregate(q, 0L, (a, x) -> a + x)"))
+      .withColumn("mse",
+        expr("aggregate(zip_with(v, dq, (x, d) -> (x - d) * (x - d)), cast(0.0 as double), (a, e) -> a + e)")
+          / lit(64.0))
+      .select(col("vec_id"), col("qsum"), element_at(col("q"), 1).as("q0"), col("mse"))
+      .orderBy("vec_id")
+  }
+
+  private val sq01 = QueryDef(
+    "sq01_quantize_embed",
+    (s, dir) => quantizeScalar(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      e AS (SELECT vec_id, i, v[i + 1] AS x FROM c, range(64) r(i)),
+      st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+      lists AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      qz AS (SELECT vec_id, v,
+          list_transform(range(64), i ->
+            CAST(least(floor(((v[i + 1] - mns[i + 1]) * 255.0) / (mxs[i + 1] - mns[i + 1])), 255.0) AS BIGINT)) AS q
+        FROM c, lists),
+      dq AS (SELECT vec_id, q,
+          CAST(list_sum(q) AS BIGINT) AS qsum,
+          list_sum(list_transform(range(64), i ->
+            (v[i + 1] - (mns[i + 1] + (CAST(q[i + 1] AS DOUBLE) + 0.5) * (mxs[i + 1] - mns[i + 1]) / 256.0))
+            * (v[i + 1] - (mns[i + 1] + (CAST(q[i + 1] AS DOUBLE) + 0.5) * (mxs[i + 1] - mns[i + 1]) / 256.0))))
+            / 64.0 AS mse
+        FROM qz, lists)
+      SELECT vec_id, qsum, q[1] AS q0, mse FROM dq ORDER BY vec_id"""),
+  )
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    * cluster-then-compare — assign every vector to its nearest
+    * centroid, compare cosine similarity ONLY within a cluster, and
+    * flag pairs above the threshold (downstream retention keeps the
+    * lower id — the dd07/dd08 machinery applies unchanged).
+    *
+    * 100 TB shape: the quadratic pair comparison is confined to a
+    * cell (candidates ≈ n²/nCells per cell vs n² global); the
+    * self-join shuffles by cell once. Production corpora additionally
+    * cap cell size — the cells here are bounded by construction.
+    * Quantizer pinned to the first nCells vectors (the sim03v
+    * contract) so the WHOLE pipeline — assignment, pairing, scoring —
+    * is replayed exactly by the DuckDB oracle; a trained quantizer
+    * drops in without changing the plan.
+    */
+  def semDedupPairs(emb: DataFrame, nCells: Int = 16, threshold: Double = 0.45): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    val centroids = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", element_at(nearest_centroids(col("cv"), centroids, 1), 1))
+    val a = c.select(col("cell"), col("cid").as("id1"), col("cv").as("v1"))
+    val b = c.select(col("cell"), col("cid").as("id2"), col("cv").as("v2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cell").cast("bigint").as("cell"), col("sim"))
+      .orderBy("id1", "id2")
+  }
+
+  private val sd01 = QueryDef(
+    "sd01_semdedup",
+    (s, dir) => semDedupPairs(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, k,
+          list_sum(list_transform(range(64), i ->
+            (cv[i + 1] - kv[i + 1]) * (cv[i + 1] - kv[i + 1]))) AS dist
+        FROM c, cen),
+      rk AS (SELECT cid, k,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, k) AS r FROM d),
+      assign AS (SELECT cid, k AS cell FROM rk WHERE r = 1),
+      p AS (SELECT a.cid AS id1, b.cid AS id2, a.cell
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid),
+      s AS (SELECT id1, id2, CAST(cell AS BIGINT) AS cell,
+          list_sum(list_transform(list_zip(c1.cv, c2.cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(c1.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(c2.cv, x -> x * x)))) AS sim
+        FROM p JOIN c c1 ON c1.cid = p.id1 JOIN c c2 ON c2.cid = p.id2)
+      SELECT id1, id2, cell, sim FROM s WHERE sim >= 0.45 ORDER BY id1, id2"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01)
 }

@@ -225,5 +225,38 @@ object Text {
       WHERE rn <= 3 ORDER BY doc_id, rn"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06)
+  // -------------------------------------------------------------- txt07
+  // BPE-style regex pre-tokenization: the GPT-2-family pre-tokenizer
+  // splits text into letter runs / digit runs / punctuation runs before
+  // BPE merges apply; the pre-token count is the standard proxy for
+  // "how many tokens will the tokenizer emit" and chars-per-pre-token
+  // is the compression signal curation gates on. The character-class
+  // alternation is ASCII-only by design so Java regex (Spark) and RE2
+  // (DuckDB) produce identical matches; regexp_extract_all is a
+  // codegen'd builtin — one scan, no shuffle, no UDF.
+  private val PreTokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  private val txt07 = QueryDef(
+    "txt07_pretokenize",
+    (s, dir) =>
+      Tables(s, dir).documents
+        // lit() pattern, not expr(): a SQL string literal would eat the
+        // backslash in \s (Spark processes escapes in single quotes)
+        .withColumn("pre", regexp_extract_all(lower(col("text")), lit(PreTokRe), lit(0)))
+        .withColumn("n_pre_tokens", size(col("pre")).cast("bigint"))
+        .filter(col("n_pre_tokens") > 0)
+        .withColumn("n_ws_tokens", size(toks).cast("bigint"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_pre_tokens"))
+        .select("doc_id", "n_pre_tokens", "n_ws_tokens", "chars_per_token")
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, n_chars,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_pre_tokens,
+          CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_ws_tokens
+        FROM documents)
+      SELECT doc_id, n_pre_tokens, n_ws_tokens,
+        CAST(n_chars AS DOUBLE) / n_pre_tokens AS chars_per_token
+      FROM t WHERE n_pre_tokens > 0 ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07)
 }

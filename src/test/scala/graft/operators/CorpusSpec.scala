@@ -145,6 +145,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("smp03: weighted sample is deterministic, 10 per stratum, biased to long docs") {
+    val rows = run("smp03_weighted_sample").collect()
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val rns = rs.map(_.getLong(4)).sorted
+      assert(rns.sameElements(1L to rns.length)) // dense ranks
+    }
+    // determinism: second run bit-identical (hash-derived, no RNG state)
+    val again = run("smp03_weighted_sample").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // weight = n_chars: the sample mean length must exceed the corpus mean
+    // (Efraimidis-Spirakis selects long documents preferentially)
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = graft.sources.Tables(spark, sf0001).documents
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("dm01: source stats reconcile with direct per-source counts") {
+    val rows = run("dm01_source_stats").collect()
+    val direct = graft.sources.Tables(spark, sf0001).documents
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == direct.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == direct(r.getString(0)))
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(1)) // dups < docs
+      assert(r.getLong(5) >= 1)
+    }
+    // ordered by token volume desc
+    val toks = rows.map(_.getLong(2))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("card01: per-language stats reconcile with direct counts") {
     val rows = run("card01_dataset_card").collect()
     val docs = graft.sources.Tables(spark, sf0001).documents

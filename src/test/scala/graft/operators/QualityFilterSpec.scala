@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the quality-filter operators (Quality.scala
+  * qf01/qf02); bit-level value checks are the DuckDB oracle's job.
+  */
+class QualityFilterSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sf0001)
+
+  test("qf01: gopher signals self-consistent, pass flag matches the rules") {
+    val rows = run("qf01_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, maxLen, nStop, passes) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(n > 0 && mean > 0 && maxLen >= 1 && nStop >= 0)
+      assert(mean <= maxLen, "mean word length cannot exceed the max")
+      val expected = n >= 40 && n <= 100000 && mean >= 3.0 && mean <= 10.0 && nStop >= 2
+      assert(passes == expected, s"pass flag inconsistent for doc ${r.getLong(0)}")
+    }
+    // the rule set must actually discriminate on this corpus
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
+  test("qf02: classifier score bounded, threshold consistent, deterministic") {
+    val rows = run("qf02_classifier_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, scoreInt, score, accept) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      // per-token weight is in [-2048, 2048] => |score| <= 2048/4096 = 0.5
+      assert(math.abs(scoreInt) <= 2048L * n)
+      assert(math.abs(score) <= 0.5)
+      assert(accept == (score > 0.0))
+    }
+    // both classes occur (the hash weights are ~centered)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+    val again = run("qf02_classifier_score").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("qf02: score is the mean of per-token hash weights (recomputed on a sample)") {
+    val docs = graft.sources.Tables(spark, sf0001).documents.limit(5).collect()
+    val scored = run("qf02_classifier_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tok: String): Long = {
+      md.reset()
+      val hex = md.digest(s"w:$tok".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      val bucket = java.lang.Long.parseLong(hex, 16) % 1024
+      (bucket * 2654435761L) % 4097 - 2048
+    }
+    docs.foreach { d =>
+      val toks = d.getAs[String]("text").toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val expected = toks.map(weight).sum
+        assert(scored(d.getAs[Long]("doc_id")) == expected,
+          s"score_int mismatch for doc ${d.getAs[Long]("doc_id")}")
+      }
+    }
+  }
+}

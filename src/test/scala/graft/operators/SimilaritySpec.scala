@@ -106,4 +106,42 @@ class SimilaritySpec extends SparkSpec {
     assert(f(3) == 0f)                           // padded
     assert(out(1).getLong(1) == 0L)
   }
+
+  test("sq01: int8 codes in range, reconstruction error bounded by the grid") {
+    val out = Similarity.quantizeScalar(emb).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val qsum = r.getLong(1)
+      assert(qsum >= 0 && qsum <= 255L * 64, s"qsum $qsum outside [0, 255*64]")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 255)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // grid bound: per-dim |err| <= cellWidth/2 + float slack, so mse is
+    // bounded by max over dims of (span/256)^2 / 4 — compute the loose
+    // version from the data
+    val spans = emb.selectExpr("explode(transform(embedding, x -> cast(x as double))) as x")
+      .agg(max("x"), min("x")).collect().head
+    val worst = (spans.getDouble(0) - spans.getDouble(1)) / 256.0
+    val bound = worst * worst // no /4: floor (not round) can err a full cell
+    out.foreach(r => assert(r.getDouble(3) <= bound * 1.01,
+      s"mse ${r.getDouble(3)} above grid bound $bound"))
+  }
+
+  test("sd01: semantic near-dup pairs are real (recomputed cosine >= threshold, same cell)") {
+    val pairs = Similarity.semDedupPairs(emb, nCells = 16, threshold = 0.45).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // every reported pair must verify against a direct cosine computation
+    val vecs = emb.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    pairs.foreach { r =>
+      val c = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      assert(c >= 0.45)
+    }
+  }
 }

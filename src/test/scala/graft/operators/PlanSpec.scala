@@ -172,4 +172,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_nearest_centroids"),
       "assignment must use the native NearestCentroids expression")
   }
+
+  test("qf01/qf02: quality filters are pure scan+project (no shuffle, no UDF)") {
+    for (q <- Seq("qf01_gopher_rules", "qf02_classifier_score")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q: filter must stay in native expressions")
+      // classifier inference and rule evaluation happen in the map —
+      // the only exchange allowed is the presentation range sort
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q must not shuffle: $exchanges")
+      assert(p.linesIterator.count(_.contains("FileScan")) == 1, s"$q: one corpus scan")
+    }
+  }
+
+  test("smp03: weighted sampling prunes per-group before the stratum shuffle") {
+    val p = plan("smp03_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must keep partial top-10s per map task:\n${p.take(1200)}")
+  }
+
+  test("sq01: quantization pass is map-only against literal ranges (no stats join)") {
+    val emb = graft.sources.Tables(spark, sf0001).embeddings
+    val p = Similarity.quantizeScalar(emb).queryExecution.executedPlan.toString
+    // the per-dim ranges were collected once (bounded: dim rows) and
+    // embedded as literals — quantization must NOT join against them
+    assert(!p.contains("Join"), s"expected join-free quantization:\n${p.take(1200)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"quantization must not shuffle: $exchanges")
+  }
+
+  test("sd01: semdedup pairs only within a cell (equi-join on cell, no cartesian)") {
+    val p = plan("sd01_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must be cell-keyed, never all-pairs")
+    assert(p.contains("graft_nearest_centroids"), p.take(1200))
+  }
 }

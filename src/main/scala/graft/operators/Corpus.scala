@@ -610,7 +610,59 @@ object Corpus {
       FROM t GROUP BY source ORDER BY n_tokens DESC, source"""),
   )
 
+  // -------------------------------------------------------------- mix02
+  /** Token-budget mixture allocation: given per-source token volume and
+    * a quality signal (here: the exact-duplicate-free fraction), assign
+    * each source a share of a fixed training-token budget proportional
+    * to quality-weighted volume, capped at what the source actually has
+    * (one round of water-filling; unmet budget is reported per row so a
+    * driver can rerun with the residue). This is the planning step a
+    * data-mixing pipeline runs before sampling (cf. smp01/smp03 for the
+    * sampling itself).
+    *
+    * All weights are exact integers (tokens × unique docs), so the
+    * allocation `budget * w // W` is bit-deterministic; the only double
+    * is the final sampling rate. 100 TB shape: one groupBy(source) with
+    * map-side combine; the grand total joins back as a broadcast scalar
+    * (txt06 pattern), never a single-partition window.
+    */
+  private val mix02 = QueryDef(
+    "mix02_token_budget",
+    (s, dir) => {
+      val budget = 100000L
+      val perSource = Tables(s, dir).documents
+        .withColumn("n_toks", size(toks).cast("bigint"))
+        .withColumn("ch", md5(col("text").cast("binary")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("ch")).as("n_uniq"))
+        .withColumn("w", col("n_tokens") * col("n_uniq"))
+      val totalW = perSource.agg(sum(col("w")).as("total_w"))
+      perSource.crossJoin(broadcast(totalW))
+        .withColumn("alloc_tokens",
+          least(col("n_tokens"), expr(s"($budget * w) div total_w")))
+        .withColumn("sample_rate",
+          col("alloc_tokens").cast("double") / col("n_tokens"))
+        .select("source", "n_tokens", "w", "alloc_tokens", "sample_rate")
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, md5(text) AS ch,
+          CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_toks
+        FROM documents),
+      p AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          COUNT(DISTINCT ch) AS n_uniq
+        FROM t GROUP BY source),
+      w AS (SELECT source, n_tokens, n_tokens * n_uniq AS w FROM p),
+      tw AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM w)
+      SELECT source, n_tokens, CAST(w AS BIGINT) AS w,
+        CAST(least(n_tokens, (100000 * w) // total_w) AS BIGINT) AS alloc_tokens,
+        CAST(least(n_tokens, (100000 * w) // total_w) AS DOUBLE) / n_tokens AS sample_rate
+      FROM w, tw ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, pii01,
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, pii01,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01)
 }

@@ -702,7 +702,101 @@ object Dedup {
       ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- dd09
+  /** (doc_id, band, bh) LSH band index of a corpus — the dd02 signature
+    * and band-hash machinery factored as a standalone index builder.
+    */
+  private def bandTable(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = withShingles(docs).select("doc_id", "shingles").withColumn("sig",
+      graft.functions.TextExpressions.minhash_signature(col("shingles"), numHashes))
+    val bandCols = (0 until bands).map { b =>
+      val bh = (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * lit(1000003L) + element_at(col("sig"), j + 1)) % lit(2147483629L)
+      }
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    sigs.withColumn("bandkey", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("bandkey.band").as("band"), col("bandkey.bh").as("bh"))
+  }
+
+  /** Incremental near-dup: probe an incoming batch against the HISTORY
+    * corpus's LSH band index — the shape continuous ingestion needs.
+    * dd02 re-pairs the whole corpus with itself (cost ∝ corpus²/buckets
+    * per run); here history×history is never revisited: the history
+    * index is built once (in production: persisted and appended to),
+    * and each batch pays only batch-side signatures plus a band-keyed
+    * join into the index. Batch-internal duplicates are out of scope by
+    * design — that is dd02 over the batch.
+    *
+    * Degenerate (boilerplate) buckets are dropped by HISTORY-side count
+    * — the bound a real index maintains, independent of any batch.
+    */
+  def incrementalNearDups(history: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val hist = bandTable(history, numHashes, bands)
+    val ok = hist.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+    val histOk = hist.join(ok.select("band", "bh"), Seq("band", "bh"))
+    val cands = bandTable(batch, numHashes, bands)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bh"))
+      .join(histOk.select(col("doc_id").as("hist_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("batch_id", "hist_id").distinct()
+    val bSh = withShingles(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sa"))
+    val hSh = withShingles(history).select(col("doc_id").as("hist_id"), col("shingles").as("sb"))
+    cands.join(bSh, "batch_id").join(hSh, "hist_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "hist_id", "jaccard")
+      .orderBy("batch_id", "hist_id")
+  }
+
+  // Deterministic batch split (doc_id ≡ 3 mod 7 ≈ 1/7 of the corpus
+  // arriving "now"); the oracle recomputes signatures/bands for the
+  // whole corpus once and splits, which is per-doc identical.
+  private val dd09 = QueryDef(
+    "dd09_incremental_neardup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      incrementalNearDups(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 7 === 3))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3),
+      bb AS (SELECT * FROM band WHERE doc_id % 7 = 3),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM hb GROUP BY band, bh),
+      cand AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+        FROM bb b
+        JOIN hb h ON b.band = h.band AND b.bh = h.bh
+        JOIN bc ON bc.band = h.band AND bc.bh = h.bh
+        WHERE bc.n <= 1000)
+      SELECT c.batch_id, c.hist_id,
+        CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) AS jaccard
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.batch_id
+      JOIN g gb ON gb.doc_id = c.hist_id
+      WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5
+      ORDER BY batch_id, hist_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08)
+      dd07, dd08, dd09)
 }

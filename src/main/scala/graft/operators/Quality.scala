@@ -182,5 +182,51 @@ object Quality {
       FROM m ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, qf01, qf02)
+  // -------------------------------------------------------------- qf03
+  // Perplexity-proxy filtering (the CCNet recipe with the KenLM swapped
+  // for a self-trained unigram model): token surprisal -ln(count/total)
+  // is QUANTIZED to integer milli-nats per token, so the per-document
+  // sum is exact integer arithmetic — deterministic under any partition
+  // count or aggregation order (a raw double sum over a groupBy is
+  // order-dependent and would never hash-match at 100 TB). Shape: one
+  // token-keyed frequency aggregation, the corpus-total scalar
+  // broadcast (txt06 pattern), one token-keyed join back, one doc-keyed
+  // aggregation — all map-side-combined, no collect.
+  private val qf03 = QueryDef(
+    "qf03_unigram_surprisal",
+    (s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks).as("tk"))
+      val freq = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val sur = freq.crossJoin(broadcast(total))
+        .withColumn("sur_milli",
+          floor(-log(col("cnt").cast("double") / col("total").cast("double"))
+            * lit(1000.0)).cast("bigint"))
+        .select("tk", "sur_milli")
+      tok.join(sur, "tk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("sur_milli")).as("sur_sum"))
+        .withColumn("mean_surprisal",
+          col("sur_sum").cast("double") / (lit(1000.0) * col("n_tokens")))
+        .withColumn("flagged", col("mean_surprisal") > 7.0)
+        .select("doc_id", "n_tokens", "sur_sum", "mean_surprisal", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${OracleSql.Toks}) AS tk FROM documents),
+      freq AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+      sur AS (SELECT tk,
+          CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000.0) AS BIGINT) AS sur_milli
+        FROM freq, tot),
+      d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(sur_milli) AS BIGINT) AS sur_sum
+        FROM tok JOIN sur USING (tk) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, sur_sum,
+        CAST(sur_sum AS DOUBLE) / (1000.0 * n_tokens) AS mean_surprisal,
+        CAST(sur_sum AS DOUBLE) / (1000.0 * n_tokens) > 7.0 AS flagged
+      FROM d ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, qf01, qf02, qf03)
 }

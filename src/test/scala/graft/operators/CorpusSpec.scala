@@ -165,6 +165,22 @@ class CorpusSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("mix02: allocation respects the budget and per-source caps") {
+    val rows = run("mix02_token_budget").collect()
+    assert(rows.nonEmpty)
+    var allocSum = 0L
+    rows.foreach { r =>
+      val (tokens, alloc, rate) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(alloc >= 0 && alloc <= tokens, "cap: can't allocate more than exists")
+      assert(rate >= 0.0 && rate <= 1.0)
+      allocSum += alloc
+    }
+    // one water-filling round: total allocation never exceeds the budget
+    // (floor division can only under-shoot)
+    assert(allocSum <= 100000L, s"allocated $allocSum over budget")
+    assert(allocSum > 0)
+  }
+
   test("dm01: source stats reconcile with direct per-source counts") {
     val rows = run("dm01_source_stats").collect()
     val direct = graft.sources.Tables(spark, sf0001).documents

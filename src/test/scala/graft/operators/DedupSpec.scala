@@ -201,6 +201,25 @@ class DedupSpec extends SparkSpec {
     assert(grouped.forall(_.getSeq[String](1).length == 5))
   }
 
+  test("dd09: batch probes history index; finds planted near-dup, skips unrelated") {
+    // history holds the originals; the batch re-submits a near-dup and
+    // an unrelated doc — only the near-dup may hit
+    val history = Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((100L, nearDup), (101L, "completely different content about gardens and rainfall patterns")).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(history, batch, threshold = 0.5).collect()
+    assert(hits.nonEmpty, "planted near-dup must be found against history")
+    assert(hits.forall(_.getLong(0) == 100L), "only the near-dup batch doc may match")
+    assert(hits.forall(_.getLong(1) == 0L))
+    assert(hits.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("dd09: batch-internal duplicates are NOT reported (index-probe semantics)") {
+    val history = Seq((0L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((100L, base), (101L, base)).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(history, batch, threshold = 0.5).collect()
+    assert(hits.isEmpty, "pairs inside the batch are dd02's job, not the probe's")
+  }
+
   test("exact dedup groups by content hash (dd01 semantics)") {
     val out = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

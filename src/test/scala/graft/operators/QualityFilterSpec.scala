@@ -42,6 +42,30 @@ class QualityFilterSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("qf03: surprisal reconciles with a direct unigram-model recomputation") {
+    val rows = run("qf03_unigram_surprisal").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, mean, flagged) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(n > 0 && sum >= 0)
+      assert(math.abs(mean - sum.toDouble / (1000.0 * n)) < 1e-12)
+      assert(flagged == (mean > 7.0))
+    }
+    // recompute doc 0 from scratch: freq table over the corpus, integer
+    // milli-nat quantization, exact sum
+    val docs = graft.sources.Tables(spark, sf0001).documents.collect()
+      .map(d => d.getAs[Long]("doc_id") ->
+        d.getAs[String]("text").toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val freq = docs.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val total = freq.values.sum.toDouble
+    val expected = docs(0L).map(t =>
+      math.floor(-math.log(freq(t) / total) * 1000.0).toLong).sum
+    val got = rows.find(_.getLong(0) == 0L).get.getLong(2)
+    assert(got == expected, s"doc 0 surprisal: got $got expected $expected")
+  }
+
   test("qf02: score is the mean of per-token hash weights (recomputed on a sample)") {
     val docs = graft.sources.Tables(spark, sf0001).documents.limit(5).collect()
     val scored = run("qf02_classifier_score").collect()

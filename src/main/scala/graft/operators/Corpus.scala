@@ -662,7 +662,46 @@ object Corpus {
       FROM w, tw ORDER BY source"""),
   )
 
+  // -------------------------------------------------------------- ord01
+  /** Deterministic training-order shuffle: every epoch-0 data pipeline
+    * must hand the trainer a reproducible random permutation of the
+    * corpus, sharded for parallel readers. Each document draws a salted
+    * md5 shuffle key; the key's hash prefix picks one of 8 shards and
+    * the key order within the shard is the read order. Retry-stable
+    * (no RNG state — same property as smp01) and verifiable: the
+    * oracle replays the exact permutation.
+    *
+    * 100 TB shape: ONE hash-partition exchange by shard + a
+    * within-shard sort — never a global total-order sort; shard count
+    * scales with reader parallelism and each shard sorts independently.
+    * (The final ORDER BY here is the oracle-determinism harness, not
+    * part of the operator.)
+    */
+  private val ord01 = QueryDef(
+    "ord01_corpus_shuffle",
+    (s, dir) => {
+      val keyed = Tables(s, dir).documents
+        .withColumn("sk", md5(concat(lit("shuf:42:"), col("doc_id").cast("string")).cast("binary")))
+        .withColumn("shard",
+          expr("cast(conv(substr(sk, 1, 8), 16, 10) as bigint) % 8"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))
+      keyed
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH k AS (SELECT doc_id,
+          md5('shuf:42:' || CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents),
+      sh AS (SELECT doc_id, sk,
+          ('0x' || substr(sk, 1, 8))::BIGINT % 8 AS shard
+        FROM k)
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sk, doc_id) AS BIGINT) AS pos
+      FROM sh ORDER BY shard, pos"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, pii01,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01)
 }

@@ -354,5 +354,63 @@ object Similarity {
       SELECT id1, id2, cell, sim FROM s WHERE sim >= 0.45 ORDER BY id1, id2"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01)
+  /** Product quantization (Jégou et al. 2011): the 64-dim vector splits
+    * into 8 subspaces of 8 dims; each subspace is quantized against its
+    * own 16-entry codebook, so a vector stores 8 nibbles instead of 64
+    * floats (32x compression vs sq01's 4x, at correspondingly higher
+    * reconstruction error — both reported here so the trade-off is
+    * measurable). Codebooks are pinned to the first-16 vectors'
+    * subvectors (the sim03v contract): assignment, code checksum, and
+    * reconstruction error are all replayed exactly by the oracle; real
+    * k-means codebooks drop in without changing the plan.
+    *
+    * 100 TB shape: assignment is 8 NearestCentroids expressions over
+    * array slices — map-only, codegen'd, zero shuffle (the codebooks
+    * ride along as literals exactly like sq01's ranges); the only
+    * exchange is the presentation sort.
+    */
+  def productQuantize(emb: DataFrame, nSub: Int = 8, subDim: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    // bounded collect: nCodes rows pin the codebooks
+    val pinned = emb.filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val c = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val parts = (0 until nSub).map { m =>
+      val cb = pinned.map(_.slice(m * subDim, (m + 1) * subDim))
+      val sub = slice(col("v"), m * subDim + 1, subDim)
+      val code = element_at(nearest_centroids(sub, cb, 1), 1)
+      val chosen = element_at(typedLit(cb.map(_.toSeq).toSeq), code + 1)
+      val dist = aggregate(
+        zip_with(sub, chosen, (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, e) => a + e)
+      (code.cast("bigint"), dist)
+    }
+    c.withColumn("codesum", parts.map(_._1).reduce(_ + _))
+      .withColumn("mse", parts.map(_._2).reduce(_ + _) / lit(64.0))
+      .select("vec_id", "codesum", "mse")
+      .orderBy("vec_id")
+  }
+
+  private val pq01 = QueryDef(
+    "pq01_product_quantize",
+    (s, dir) => productQuantize(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, m, k,
+          list_sum(list_transform(range(8), i ->
+            (cv[m * 8 + i + 1] - kv[m * 8 + i + 1]) * (cv[m * 8 + i + 1] - kv[m * 8 + i + 1]))) AS dist
+        FROM c, range(8) r(m), cen),
+      rk AS (SELECT cid, m, k, dist,
+          ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS r FROM d),
+      ch AS (SELECT cid, m, k AS code, dist FROM rk WHERE r = 1),
+      agg AS (SELECT cid AS vec_id,
+          CAST(list_sum(list(code ORDER BY m)) AS BIGINT) AS codesum,
+          list_sum(list(dist ORDER BY m)) / 64.0 AS mse
+        FROM ch GROUP BY cid)
+      SELECT vec_id, codesum, mse FROM agg ORDER BY vec_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01)
 }

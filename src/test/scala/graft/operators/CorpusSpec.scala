@@ -165,6 +165,20 @@ class CorpusSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("ord01: shuffle is a permutation - every doc once, dense positions, deterministic") {
+    val rows = run("ord01_corpus_shuffle").collect()
+    val n = graft.sources.Tables(spark, sf0001).documents.count()
+    assert(rows.length == n, "every document appears exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val ps = rs.map(_.getLong(2)).sorted
+      assert(ps.sameElements(1L to ps.length), "positions dense within shard")
+    }
+    assert(rows.map(_.getLong(1)).distinct.forall(s => s >= 0 && s < 8))
+    val again = run("ord01_corpus_shuffle").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("mix02: allocation respects the budget and per-source caps") {
     val rows = run("mix02_token_budget").collect()
     assert(rows.nonEmpty)

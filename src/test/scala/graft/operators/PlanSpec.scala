@@ -209,4 +209,19 @@ class PlanSpec extends SparkSpec {
       "pair generation must be cell-keyed, never all-pairs")
     assert(p.contains("graft_nearest_centroids"), p.take(1200))
   }
+
+  test("pq01: assignment is map-only against literal codebooks (no join, no shuffle)") {
+    val emb = graft.sources.Tables(spark, sf0001).embeddings
+    val p = Similarity.productQuantize(emb).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"expected join-free PQ assignment:\n${p.take(1200)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"PQ must not shuffle: $exchanges")
+  }
+
+  test("ord01: shuffle partitions by shard hash, never a global sort of the corpus") {
+    val p = plan("ord01_corpus_shuffle")
+    assert(p.contains("hashpartitioning(shard"),
+      s"within-shard sort must run shard-partitioned:\n${p.take(1200)}")
+  }
 }

@@ -127,6 +127,27 @@ class SimilaritySpec extends SparkSpec {
       s"mse ${r.getDouble(3)} above grid bound $bound"))
   }
 
+  test("pq01: codebook vectors quantize to themselves with zero error; PQ coarser than SQ") {
+    val pq = Similarity.productQuantize(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // a pinned codebook vector k < 16 is its own nearest code in every
+    // subspace: codesum = 8k, reconstruction exact
+    for (k <- 0L until 16L if pq.contains(k)) {
+      assert(pq(k)._1 == 8 * k, s"vec $k codesum ${pq(k)._1} != ${8 * k}")
+      assert(pq(k)._2 == 0.0, s"vec $k mse ${pq(k)._2} != 0")
+    }
+    pq.values.foreach { case (cs, mse) =>
+      assert(cs >= 0 && cs <= 8 * 15)
+      assert(mse >= 0.0)
+    }
+    // 8-nibble PQ must reconstruct worse on average than 64-byte SQ —
+    // the compression/error trade-off both operators exist to expose
+    val sq = Similarity.quantizeScalar(emb).collect().map(_.getDouble(3))
+    val meanPq = pq.values.map(_._2).sum / pq.size
+    val meanSq = sq.sum / sq.length
+    assert(meanPq > meanSq, s"PQ mse $meanPq should exceed SQ mse $meanSq")
+  }
+
   test("sd01: semantic near-dup pairs are real (recomputed cosine >= threshold, same cell)") {
     val pairs = Similarity.semDedupPairs(emb, nCells = 16, threshold = 0.45).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-at-a-time kernels for the text expressions, factored into a
@@ -81,6 +81,20 @@ object TextOps {
       i += 1
     }
     new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** Sequential-left-fold dot product — the SAME summation order as
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` and DuckDB's
+    * `list_sum(list_transform(list_zip(a, b), ...))`, so swapping the
+    * interpreted higher-order fold for this compiled kernel changes
+    * nothing bit-wise. Equal-length arrays assumed (embedding columns).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
   }
 
   def stopwordCount(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
@@ -313,6 +327,23 @@ object TextExpressions {
     override def prettyName: String = "graft_stopword_count"
   }
 
+  /** Codegen'd dot product of two double-array columns. Replaces the
+    * interpreted `aggregate(zip_with(...))` fold on the pair-heavy
+    * similarity paths (sd01 compares ~n²/cells candidate pairs; the
+    * HOF lambda-per-element cost dominated its profile). Identical
+    * summation order to the fold it replaces — see [[TextOps.dot]].
+    */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.dot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot_product"
+  }
+
   /** Sign-bit LSH bucket of a double-array column against fixed
     * hyperplanes: bit i = [v · plane_i >= 0]. One traversal per plane
     * set; replaces 16 interpreted zip_with/aggregate folds per row.
@@ -382,6 +413,8 @@ object TextExpressions {
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def stopword_count(c: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(c), words))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bloom))
   def lsh_sign_bits(c: Column, planes: Seq[Seq[Double]]): Column =

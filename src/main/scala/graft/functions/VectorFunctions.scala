@@ -18,9 +18,13 @@ object VectorFunctions {
     */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Dot product of two double arrays: sequential left fold. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double arrays: sequential left fold, compiled
+    * (custom DotProduct expression — the interpreted
+    * `aggregate(zip_with(...))` HOF form it replaces evaluates its
+    * lambda per element and dominated the pair-heavy similarity scans;
+    * summation order is identical, so results are bit-equal).
+    */
+  def dotD(a: Column, b: Column): Column = TextExpressions.dot_product(a, b)
 
   def norm2(a: Column): Column = sqrt(dotD(a, a))
 

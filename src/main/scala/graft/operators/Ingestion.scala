@@ -384,7 +384,47 @@ object Ingestion {
       FROM documents GROUP BY lang, source ORDER BY lang, source"""),
   )
 
+  // -------------------------------------------------------------- ing13
+  // Schema-drift report between two ingestion batches: which columns
+  // appeared, disappeared, or persisted — the alert a continuously-fed
+  // lake raises before silent NULL-fill hides a renamed field (the
+  // reference's union semantics would absorb the drift without a
+  // trace; see ing02). Schemas are metadata (bounded by column count,
+  // never data size), so the comparison itself is driver-side over the
+  // two inferred schemas; each inference is the ingest path's own
+  // sample-based pass. Oracle recomputes both key sets from the raw
+  // JSON bytes via DuckDB's json_keys.
+  private val ing13 = QueryDef(
+    "ing13_schema_drift",
+    (s, _) => {
+      def cols(pattern: String): Set[String] =
+        JsonIngestor.ingest(s, FixtureDir, includePatterns = Seq(pattern))
+          .data.columns.toSet - "_source_file"
+      val v1 = cols("customers.json")
+      val v2 = cols("profile.json")
+      import s.implicits._
+      (v1 ++ v2).toSeq.sorted.map { c =>
+        val status =
+          if (!v2.contains(c)) "removed"
+          else if (!v1.contains(c)) "added"
+          else "common"
+        (c, status)
+      }.toDF("column_name", "status").orderBy("column_name")
+    },
+    Some(s"""WITH v1 AS (SELECT DISTINCT unnest(json_keys(je)) AS col
+        FROM (SELECT unnest(json_extract(json(content), '$$[*]')) AS je
+              FROM read_text('$FixtureDir/customers.json'))),
+      v2 AS (SELECT DISTINCT unnest(json_keys(json(content))) AS col
+        FROM read_text('$FixtureDir/profile.json'))
+      SELECT COALESCE(v1.col, v2.col) AS column_name,
+        CASE WHEN v2.col IS NULL THEN 'removed'
+             WHEN v1.col IS NULL THEN 'added'
+             ELSE 'common' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.col = v2.col
+      ORDER BY column_name"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12)
+      ing11, ing12, ing13)
 }

@@ -228,5 +228,71 @@ object Quality {
       FROM d ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, qf01, qf02, qf03)
+  // -------------------------------------------------------------- dq03
+  // Declarative expectation suite (the great-expectations pattern): a
+  // fixed set of data-contract rules — domain membership, bounds, key
+  // uniqueness, freshness — each reporting rows checked / rows failed /
+  // verdict. Two rules fail on this data by design (the suite must
+  // demonstrate failure attribution, not rubber-stamp).
+  //
+  // 100 TB shape: ONE aggregation pass per table computes every rule's
+  // failure count simultaneously (rules are when()-sums inside a single
+  // agg — adding a rule adds a column, not a scan); the per-rule rows
+  // are exploded from the single agg row. The only distinct aggregate
+  // (key uniqueness) shares the same pass.
+  private val dq03 = QueryDef(
+    "dq03_expectation_suite",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def fails(pred: org.apache.spark.sql.Column) =
+        sum(when(pred, 0L).otherwise(1L))
+      val o = t.orders.agg(
+        count(lit(1)).as("n"),
+        fails(col("o_totalprice") > 0).as("f1"),
+        fails(col("o_orderstatus").isin("O", "F", "P")).as("f2"),
+        fails(col("o_orderdate") < lit("2000-01-01").cast("timestamp")).as("f4"),
+        countDistinct(col("o_orderkey")).as("nd"))
+      val l = t.lineitem.agg(
+        count(lit(1)).as("n"),
+        fails(col("l_quantity") <= 45).as("f5"),
+        fails(col("l_discount").between(0, 0.1)).as("f6"))
+      def rules(agg: org.apache.spark.sql.DataFrame,
+          rs: Seq[(String, org.apache.spark.sql.Column)]) =
+        agg.select(explode(array(rs.map { case (name, f) =>
+          struct(lit(name).as("rule_name"), col("n").as("n_checked"),
+            f.cast("bigint").as("n_failed"))
+        }: _*)).as("r")).select(col("r.*"))
+      rules(o, Seq(
+        "orders.totalprice_positive" -> col("f1"),
+        "orders.status_in_domain" -> col("f2"),
+        "orders.orderkey_unique" -> (col("n") - col("nd")),
+        "orders.date_before_2000" -> col("f4")))
+        .unionByName(rules(l, Seq(
+          "lineitem.quantity_le_45" -> col("f5"),
+          "lineitem.discount_in_range" -> col("f6"))))
+        .withColumn("passed", col("n_failed") === 0L)
+        .orderBy("rule_name")
+    },
+    Some("""WITH o AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+          CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+          CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS f4,
+          COUNT(DISTINCT o_orderkey) AS nd
+        FROM orders),
+      l AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN l_quantity <= 45 THEN 0 ELSE 1 END) AS BIGINT) AS f5,
+          CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS f6
+        FROM lineitem),
+      r AS (
+        SELECT 'orders.totalprice_positive' AS rule_name, n AS n_checked, f1 AS n_failed FROM o
+        UNION ALL SELECT 'orders.status_in_domain', n, f2 FROM o
+        UNION ALL SELECT 'orders.orderkey_unique', n, n - nd FROM o
+        UNION ALL SELECT 'orders.date_before_2000', n, f4 FROM o
+        UNION ALL SELECT 'lineitem.quantity_le_45', n, f5 FROM l
+        UNION ALL SELECT 'lineitem.discount_in_range', n, f6 FROM l)
+      SELECT rule_name, n_checked, n_failed, n_failed = 0 AS passed
+      FROM r ORDER BY rule_name"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, qf01, qf02, qf03)
 }

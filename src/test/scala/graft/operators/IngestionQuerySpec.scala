@@ -62,4 +62,16 @@ class IngestionQuerySpec extends SparkSpec {
       "nested.json" -> 2L,
       "profile.json" -> 1L))
   }
+
+  test("ing13 drift report: statuses reflect the two batches' key sets") {
+    val rows = run("ing13_schema_drift").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // customers.json-only keys read as removed, profile.json-only as added
+    assert(rows("customer_id") == "removed")
+    assert(rows("status") == "removed")
+    assert(rows("user_id") == "added")
+    assert(rows("bio") == "added")
+    assert(!rows.contains("_source_file"), "lineage meta-column is not drift")
+    assert(rows.values.toSet.subsetOf(Set("added", "removed", "common")))
+  }
 }

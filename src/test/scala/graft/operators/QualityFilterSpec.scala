@@ -42,6 +42,21 @@ class QualityFilterSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("dq03: expectation suite attributes failures and verdicts consistently") {
+    val rows = run("dq03_expectation_suite").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (checked, failed, passed) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(failed >= 0 && failed <= checked)
+      assert(passed == (failed == 0))
+    }
+    val byRule = rows.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    // the suite must demonstrate BOTH outcomes on this data
+    assert(byRule("orders.orderkey_unique"), "orderkey uniqueness holds in testdata")
+    assert(!byRule("lineitem.quantity_le_45"), "quantity rule fails by design")
+    assert(byRule.values.exists(identity) && byRule.values.exists(!_))
+  }
+
   test("qf03: surprisal reconciles with a direct unigram-model recomputation") {
     val rows = run("qf03_unigram_surprisal").collect()
     assert(rows.nonEmpty)

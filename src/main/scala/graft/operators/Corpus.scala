@@ -304,7 +304,13 @@ object Corpus {
         .withColumn("shard", expr("doc_id div 1000"))
       val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       val withCum = n.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
-      val wShard = Window.orderBy(col("shard"))
+      // constant-valued (but non-foldable) partition key: the
+      // shard-totals scan (one row per shard — tiny by construction)
+      // intentionally runs in a single partition; naming the partition
+      // silences WindowExec's unpartitioned-window warning without
+      // changing the execution (a lit(0) key would be constant-folded
+      // back to an empty partition spec)
+      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
       val bases = n.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
         .withColumn("base", sum(col("tot")).over(wShard) - col("tot"))
         .select("shard", "base")

@@ -744,8 +744,15 @@ object Dedup {
       .join(histOk.select(col("doc_id").as("hist_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
+    // Semi-join reduction (the dd02 verify-stage trick, load-bearing
+    // here): only history docs that banded with THIS batch need their
+    // shingles for the verify — re-shingling the full history corpus
+    // per batch would defeat the incremental design at scale. The
+    // candidate hist-id set is batch-bounded, hence broadcastable.
+    val histNeeded = cands.select(col("hist_id").as("doc_id")).distinct()
     val bSh = withShingles(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sa"))
-    val hSh = withShingles(history).select(col("doc_id").as("hist_id"), col("shingles").as("sb"))
+    val hSh = withShingles(history.join(broadcast(histNeeded), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("hist_id"), col("shingles").as("sb"))
     cands.join(bSh, "batch_id").join(hSh, "hist_id")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /

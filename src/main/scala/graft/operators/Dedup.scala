@@ -803,7 +803,56 @@ object Dedup {
       ORDER BY batch_id, hist_id"""),
   )
 
+  // -------------------------------------------------------------- dd10
+  /** Shingle containment — the ASYMMETRIC overlap C(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| that catches a document EMBEDDED inside
+    * another (quotes, concatenated crawls, boilerplate wrappers):
+    * Jaccard divides by the union, so a short doc fully contained in a
+    * long one scores low on dd02's symmetric test but 1.0 here. Like
+    * dd04 this is the oracle-checkable bounded verifier (explicit
+    * doc_id cap, top-20 by max containment); the scale path reuses the
+    * dd02/dd09 band index for candidates and this formula for verify.
+    */
+  private val dd10 = QueryDef(
+    "dd10_containment",
+    (s, dir) => {
+      val sh = withShingles(Tables(s, dir).documents.filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("shingles"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("c_ab", inter / size(col("sa")))
+        .withColumn("c_ba", inter / size(col("sb")))
+        .withColumn("cmax", greatest(col("c_ab"), col("c_ba")))
+        // global top-20 over an explicitly bounded pair set (≤ 4950
+        // rows); the constant-valued key names the single partition
+        // (see pack01's wShard note)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_a") - col("doc_a"))
+            .orderBy(desc("cmax"), col("doc_a"), col("doc_b")))
+          .cast("bigint"))
+        .filter(col("rn") <= 20)
+        .select("doc_a", "doc_b", "c_ab", "c_ba", "cmax", "rn")
+        .orderBy("rn")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
+        FROM documents WHERE doc_id < 100),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles) AS c_ab,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(b.shingles) AS c_ba
+        FROM g a, g b WHERE a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, c_ab, c_ba,
+          greatest(c_ab, c_ba) AS cmax,
+          CAST(ROW_NUMBER() OVER (ORDER BY greatest(c_ab, c_ba) DESC, doc_a, doc_b) AS BIGINT) AS rn
+        FROM p)
+      SELECT doc_a, doc_b, c_ab, c_ba, cmax, rn FROM r
+      WHERE rn <= 20 ORDER BY rn"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09)
+      dd07, dd08, dd09, dd10)
 }

@@ -258,5 +258,38 @@ object Text {
       FROM t WHERE n_pre_tokens > 0 ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07)
+  // -------------------------------------------------------------- txt08
+  // Vocabulary-growth profile per source: total tokens, distinct types,
+  // hapax legomena (frequency-1 types), and type-token ratio — the
+  // Heaps/Zipf health check run before tokenizer training (a source
+  // whose TTR or hapax share is anomalous is boilerplate-heavy or
+  // machine-generated). Two-stage aggregation, (source, token) then
+  // source, both map-side combined; the Zipf hapax tail dominates the
+  // key count but carries one row each.
+  private val txt08 = QueryDef(
+    "txt08_vocab_growth",
+    (s, dir) => {
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(toks).as("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("source")
+        .agg(sum(col("cnt")).as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("ttr", col("vocab_size").cast("double") / col("total_tokens"))
+        .select(col("source"), col("total_tokens"), col("vocab_size"),
+          col("hapax").cast("bigint").as("hapax"), col("ttr"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (SELECT source, unnest(${OracleSql.Toks}) AS tk FROM documents),
+      tf AS (SELECT source, tk, COUNT(*) AS cnt FROM tok GROUP BY source, tk)
+      SELECT source,
+        CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        COUNT(*) AS vocab_size,
+        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS ttr
+      FROM tf GROUP BY source ORDER BY source"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07, txt08)
 }

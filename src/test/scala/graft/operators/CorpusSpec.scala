@@ -165,6 +165,26 @@ class CorpusSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("txt08: vocab growth stats reconcile - hapax <= vocab <= tokens, ttr consistent") {
+    val rows = run("txt08_vocab_growth").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, vocab, hapax, ttr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(hapax <= vocab && vocab <= total)
+      assert(math.abs(ttr - vocab.toDouble / total) < 1e-12)
+    }
+    // cross-check one source against a direct computation
+    val direct = graft.sources.Tables(spark, sf0001).documents
+      .filter(col("source") === "src0")
+      .select(explode(graft.functions.TextExpressions.tokens(col("text"))).as("tk"))
+      .groupBy("tk").count().collect()
+    val r0 = rows.find(_.getString(0) == "src0").get
+    assert(r0.getLong(1) == direct.map(_.getLong(1)).sum)
+    assert(r0.getLong(2) == direct.length)
+    assert(r0.getLong(3) == direct.count(_.getLong(1) == 1))
+  }
+
   test("ord01: shuffle is a permutation - every doc once, dense positions, deterministic") {
     val rows = run("ord01_corpus_shuffle").collect()
     val n = graft.sources.Tables(spark, sf0001).documents.count()

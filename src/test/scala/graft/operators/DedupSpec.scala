@@ -220,6 +220,24 @@ class DedupSpec extends SparkSpec {
     assert(hits.isEmpty, "pairs inside the batch are dd02's job, not the probe's")
   }
 
+  test("dd10: containment is asymmetric - a substring doc scores 1.0 one way only") {
+    // doc 10 is a strict prefix of doc 11: every shingle of 10 appears
+    // in 11 (c_ab = 1.0) but not vice versa
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq((10L, short), (11L, long), (12L, unrelated)).toDF("doc_id", "text")
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val pair = a.crossJoin(b)
+      .filter(col("doc_a") === 10L && col("doc_b") === 11L)
+      .select((inter / size(col("sa"))).as("c_ab"), (inter / size(col("sb"))).as("c_ba"))
+      .collect().head
+    assert(pair.getDouble(0) == 1.0, "contained doc must score 1.0 toward container")
+    assert(pair.getDouble(1) < 1.0, "container must not score 1.0 toward contained")
+  }
+
   test("exact dedup groups by content hash (dd01 semantics)") {
     val out = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

@@ -224,4 +224,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"),
       s"within-shard sort must run shard-partitioned:\n${p.take(1200)}")
   }
+
+  test("q42: keyless range join binned into a hash equi-join (no nested loop)") {
+    val p = plan("q42_binned_range_join")
+    assert(!p.contains("NestedLoop"),
+      s"range predicate must ride on the bin equi-join, not a nested loop:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("_bin"), "join key must be the time bin")
+  }
 }

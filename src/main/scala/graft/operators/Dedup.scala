@@ -852,7 +852,54 @@ object Dedup {
       WHERE rn <= 20 ORDER BY rn"""),
   )
 
+  // -------------------------------------------------------------- spl01
+  /** Leakage-safe train/val/test split: the split key is a salted hash
+    * of the near-dup CLUSTER id, not the document id — so two
+    * near-duplicates can never land in different splits (the classic
+    * train/test-contamination bug a naive per-doc hash split commits;
+    * cf. dc01, which guards against a DIFFERENT leak: corpus vs
+    * external benchmarks). Docs outside the pair graph are their own
+    * singleton cluster. Deterministic and retry-stable like smp01;
+    * ~10% test / ~10% val by hash range.
+    *
+    * 100 TB shape: clustering is [[clusterPairs]] (bounded label-
+    * propagation rounds); the split itself adds one keyed left join of
+    * docs against the (much smaller) cluster map plus a per-row hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val clusters = clusterPairs(pairs, maxIters)
+    docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("hx",
+        substring(md5(concat(lit("spl:"), col("cluster_id").cast("string")).cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("hx") < "1a", "test").when(col("hx") < "34", "val").otherwise("train"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  private val spl01 = QueryDef(
+    "spl01_leakage_safe_split",
+    (s, dir) => leakageSafeSplit(
+      Tables(s, dir).documents.filter(col("doc_id") < 120),
+      ngramPairEdges(s, dir)),
+    Some(s"""$closureOracle,
+      cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      s AS (SELECT d.doc_id,
+          COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+          substring(md5('spl:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) AS hx
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+        LEFT JOIN cl USING (doc_id))
+      SELECT doc_id, cluster_id,
+        CASE WHEN hx < '1a' THEN 'test'
+             WHEN hx < '34' THEN 'val'
+             ELSE 'train' END AS split
+      FROM s ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10)
+      dd07, dd08, dd09, dd10, spl01)
 }

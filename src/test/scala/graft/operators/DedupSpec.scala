@@ -238,6 +238,25 @@ class DedupSpec extends SparkSpec {
     assert(pair.getDouble(1) < 1.0, "container must not score 1.0 toward contained")
   }
 
+  test("spl01: near-duplicates never straddle a split boundary") {
+    val docs = corpus
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val split = Dedup.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == 5)
+    // 0, 1 (exact dups) and 2 (near-dup) form one cluster -> one split
+    assert(split(0L)._1 == split(1L)._1 && split(1L)._1 == split(2L)._1)
+    assert(split(0L)._2 == split(1L)._2 && split(1L)._2 == split(2L)._2)
+    // unrelated docs are singleton clusters
+    assert(split(3L)._1 == 3L && split(4L)._1 == 4L)
+    assert(split.values.forall(v => Set("train", "val", "test")(v._2)))
+    // determinism
+    val again = Dedup.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split == again)
+  }
+
   test("exact dedup groups by content hash (dd01 semantics)") {
     val out = corpus.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

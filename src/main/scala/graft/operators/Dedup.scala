@@ -68,33 +68,13 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
       maxBroadcastCands: Long = 2000000L): DataFrame = {
-    val rows = numHashes / bands
     val sh = withShingles(docs).select("doc_id", "shingles")
-    // All 32 signature minima in ONE traversal of the shingle array
-    // (custom MinHashSignature expression) — no explode, no extra
-    // shuffle; an aggregate() higher-order fold here benchmarked ~10x
-    // slower (interpreted lambda per element).
-    val sigs = sh.withColumn("sig",
-      graft.functions.TextExpressions.minhash_signature(col("shingles"), numHashes))
-    // Portable band hash: modular polynomial fold of the band's rows —
-    // acc = (acc * 1000003 + sig[j]) mod 2147483629. Every intermediate
-    // stays below 2^52, so the DuckDB oracle computes identical band
-    // buckets in plain BIGINT arithmetic (a hash collision merges two
-    // buckets in BOTH engines alike; the exact-Jaccard verify then
-    // discards any false candidates it added).
-    val bandCols = (0 until bands).map { b =>
-      val bh = (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, j) =>
-        (acc * lit(1000003L) + element_at(col("sig"), j + 1)) % lit(2147483629L)
-      }
-      struct(lit(b).as("band"), bh.as("bh"))
-    }
-    // One pass: explode bands -> bucket by band hash -> expand pairs
+    // One pass: band index -> bucket by band hash -> expand pairs
     // INSIDE each bucket (no self-join, so the expensive signature
     // subtree is evaluated exactly once per doc). maxBucket guards the
     // quadratic expansion against degenerate buckets (boilerplate docs).
-    val cands = sigs
-      .withColumn("bandkey", explode(array(bandCols: _*)))
-      .groupBy(col("bandkey"))
+    val cands = bandTable(docs, numHashes, bands)
+      .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
@@ -703,8 +683,21 @@ object Dedup {
   )
 
   // -------------------------------------------------------------- dd09
-  /** (doc_id, band, bh) LSH band index of a corpus — the dd02 signature
-    * and band-hash machinery factored as a standalone index builder.
+  /** (doc_id, band, bh) LSH band index of a corpus — the signature and
+    * band-hash machinery shared by dd02 (corpus self-dedup) and dd09
+    * (batch-vs-history probe).
+    *
+    * All `numHashes` signature minima come from ONE traversal of the
+    * shingle array (custom MinHashSignature expression) — no explode,
+    * no extra shuffle; an aggregate() higher-order fold here
+    * benchmarked ~10x slower (interpreted lambda per element).
+    *
+    * Portable band hash: modular polynomial fold of the band's rows —
+    * acc = (acc * 1000003 + sig[j]) mod 2147483629. Every intermediate
+    * stays below 2^52, so the DuckDB oracle computes identical band
+    * buckets in plain BIGINT arithmetic (a hash collision merges two
+    * buckets in BOTH engines alike; the exact-Jaccard verify then
+    * discards any false candidates it added).
     */
   private def bandTable(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands

@@ -36,9 +36,19 @@ object CurationPipeline {
   /** `release()` unpersists the cached exact-dedup survivors once the
     * caller has materialized (or abandoned) `corpus` — the corpus plan
     * remains valid afterwards, it just recomputes if re-used.
+    *
+    * `splits` (when requested) carries (doc_id, cluster_id, split) for
+    * the final corpus, keyed on near-dup CLUSTER hashes
+    * ([[Dedup.leakageSafeSplit]]): retention already keeps one doc per
+    * cluster, but hashing the cluster id (not the doc id) makes the
+    * assignment INVARIANT to dedup configuration — rerunning with a
+    * different near-dup threshold, or with retention off, lands the
+    * same content in the same split, so train/test membership never
+    * flips between pipeline versions.
     */
   final case class Result(corpus: DataFrame, counts: StageCounts,
-      release: () => Unit = () => ())
+      release: () => Unit = () => (),
+      splits: Option[DataFrame] = None)
 
   /** Stopword-profile argmax (same heuristic as txt03); a doc passes
     * if its best-scoring language is in the accepted set.
@@ -78,7 +88,7 @@ object CurationPipeline {
     * call `Result.release()` when done with it.
     */
   def curate(docs: DataFrame, cfg: Config = Config(),
-      benchmark: Option[DataFrame] = None): Result = {
+      benchmark: Option[DataFrame] = None, assignSplits: Boolean = false): Result = {
     val obsInput = org.apache.spark.sql.Observation()
     val obsQuality = org.apache.spark.sql.Observation()
     val obsLang = org.apache.spark.sql.Observation()
@@ -152,7 +162,11 @@ object CurationPipeline {
       afterExact = afterExact,
       afterNearDup = afterNearDup,
       afterDecontam = afterDecontam)
+    val splits =
+      if (assignSplits) Some(Dedup.leakageSafeSplit(finalCorpus.select("doc_id"), pairs))
+      else None
     Result(finalCorpus, counts,
-      () => { exactKeep.unpersist(blocking = false); releaseRetained() })
+      () => { exactKeep.unpersist(blocking = false); releaseRetained() },
+      splits)
   }
 }

@@ -105,6 +105,31 @@ class CurationPipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("curate with splits: every survivor assigned; assignment stable across configs") {
+    val docs = Seq(
+      (0L, good),
+      (2L, good.replace("lazy", "sleepy")),    // near dup of 0
+      (6L, "the engine plans a distributed query and the optimizer picks a broadcast join " +
+        "while the shuffle stays small and the partitions remain balanced for the readers"),
+    ).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minTokens = 10, nearDupThreshold = 0.5)
+    val r = CurationPipeline.curate(docs, cfg, assignSplits = true)
+    val splits = r.splits.get.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    val kept = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(splits.keySet == kept, "every surviving doc gets a split")
+    assert(splits.values.forall(v => Set("train", "val", "test")(v._2)))
+    // invariance: raising the threshold so doc 2 SURVIVES must not move
+    // doc 0's split (cluster-hash keying, not doc-hash)
+    val loose = CurationPipeline.curate(docs,
+      cfg.copy(nearDupThreshold = 0.999), assignSplits = true)
+    val looseSplits = loose.splits.get.collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(looseSplits(0L) == splits(0L)._2,
+      "doc 0's split must not depend on dedup config")
+    r.release(); loose.release()
+  }
+
   test("curate on the documents table keeps a sane fraction") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val r = CurationPipeline.curate(docs, CurationPipeline.Config(minTokens = 5))

@@ -1038,8 +1038,42 @@ object Relational {
       ORDER BY event_id"""),
   )
 
+  // ---------------------------------------------------------------- q43
+  // Correlated LATERAL subquery through the SQL passthrough (A16): the
+  // top-3 orders per region, where the inner SELECT references the
+  // outer row. Catalyst decorrelates the LATERAL + LIMIT into a
+  // ranked-window plan over one join — no per-outer-row re-execution
+  // (the naive LATERAL reading) survives to the physical plan.
+  private val q43 = QueryDef(
+    "q43_lateral_topk",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.region.createOrReplaceTempView("graft_region_lat")
+      t.nation.createOrReplaceTempView("graft_nation_lat")
+      t.customer.createOrReplaceTempView("graft_customer_lat")
+      t.orders.createOrReplaceTempView("graft_orders_lat")
+      s.sql("""SELECT r_name, o_orderkey, o_totalprice
+        FROM graft_region_lat r, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM graft_orders_lat o
+          JOIN graft_customer_lat c ON o_custkey = c_custkey
+          JOIN graft_nation_lat n ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        ORDER BY r_name, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT r_name, o_orderkey, o_totalprice
+      FROM region r, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o JOIN customer c ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r.r_regionkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      ORDER BY r_name, o_totalprice DESC, o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41)
+    q40, q41, q43)
 }

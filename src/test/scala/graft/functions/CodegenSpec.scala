@@ -64,4 +64,25 @@ class CodegenSpec extends SparkSpec {
       assert(emb.forall(_.getAs[Seq[Int]]("cells").length == 2))
     }
   }
+
+  test("DotProduct under strict codegen is bit-equal to the interpreted HOF fold") {
+    withStrictCodegen {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.sources.Tables(spark, sf0001).embeddings.limit(30)
+        .select(VectorFunctions.asDouble(col("embedding")).as("a"))
+        .crossJoin(graft.sources.Tables(spark, sf0001).embeddings.limit(3)
+          .select(VectorFunctions.asDouble(col("embedding")).as("b")))
+      val out = pairs.select(
+          TextExpressions.dot_product(col("a"), col("b")).as("compiled"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v).as("interpreted"))
+        .collect()
+      assert(out.length == 90)
+      // the compiled kernel must reproduce the sequential fold EXACTLY
+      // (same summation order) — this is what licenses swapping it into
+      // every oracle-checked cosine path
+      out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+    }
+  }
 }

@@ -87,14 +87,23 @@ object TextOps {
     * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` and DuckDB's
     * `list_sum(list_transform(list_zip(a, b), ...))`, so swapping the
     * interpreted higher-order fold for this compiled kernel changes
-    * nothing bit-wise. Equal-length arrays assumed (embedding columns).
+    * nothing bit-wise. Out-of-contract inputs keep the fold's null
+    * semantics too: a length mismatch (zip_with pads with null) or a
+    * null element poisons the sum to NULL — a ragged or corrupt
+    * embedding row must surface as a null similarity, never as a
+    * plausible-looking partial dot product.
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   def stopwordCount(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
@@ -335,10 +344,23 @@ object TextExpressions {
     */
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // nullable even for non-null children: ragged arrays / null
+    // elements poison the result to NULL (the zip_with fold contract)
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any =
-      TextOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      TextOps.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.dot($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("graftDot")
+        s"""
+        java.lang.Double $boxed = graft.functions.TextOps.dotOrNull($a, $b);
+        if ($boxed == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $boxed.doubleValue();
+        }
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
     override def prettyName: String = "graft_dot_product"

@@ -121,10 +121,15 @@ object CurationPipeline {
     // observations, and populates the cache
     val afterExact = exactKeep.count()
 
-    // near-dup removal over the (cached) survivors
+    // near-dup removal over the (cached) survivors. The cluster map is
+    // computed ONCE and shared by retention and (optional) split
+    // assignment — two independently-clustered maps could disagree on
+    // a slow-converging component and silently break the same-cluster-
+    // same-split guarantee.
     val pairs = Dedup.minhashPairs(
       exactKeep.select("doc_id", "text"), threshold = cfg.nearDupThreshold)
-    val retained = Dedup.retainCanonical(exactKeep, pairs)
+    val clusters = Dedup.clusterPairs(pairs, maxIters = 50)
+    val retained = Dedup.retainCanonicalFromClusters(exactKeep, clusters)
       .select("doc_id", "text")
 
     // optional decontamination (dc02 shape). The retained corpus is
@@ -163,7 +168,7 @@ object CurationPipeline {
       afterNearDup = afterNearDup,
       afterDecontam = afterDecontam)
     val splits =
-      if (assignSplits) Some(Dedup.leakageSafeSplit(finalCorpus.select("doc_id"), pairs))
+      if (assignSplits) Some(Dedup.splitFromClusters(finalCorpus.select("doc_id"), clusters))
       else None
     Result(finalCorpus, counts,
       () => { exactKeep.unpersist(blocking = false); releaseRetained() },

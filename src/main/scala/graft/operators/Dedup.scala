@@ -22,6 +22,7 @@ object Dedup {
 
   // LRU-of-1 for minhashPairs' persisted candidate set (see its doc)
   private var lastCandsCache: Option[DataFrame] = None
+  private var lastProbeCache: Option[DataFrame] = None
 
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("shingles", graft.functions.TextExpressions.word_shingles(col("text"), 3))
@@ -609,8 +610,14 @@ object Dedup {
     * never-duplicated docs — the end-to-end "dedup the corpus" step.
     */
   def retainCanonical(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 10): DataFrame = {
-    val clusters = clusterPairs(pairs, maxIters)
+      maxIters: Int = 10): DataFrame =
+    retainCanonicalFromClusters(docs, clusterPairs(pairs, maxIters))
+
+  /** Retention from an already-computed cluster map — lets a pipeline
+    * cluster ONCE and derive both retention and split assignment from
+    * the same map (divergent maps would break the leakage guarantee).
+    */
+  def retainCanonicalFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
@@ -732,11 +739,21 @@ object Dedup {
     val ok = hist.groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
     val histOk = hist.join(ok.select("band", "bh"), Seq("band", "bh"))
+    // Persisted (single shared slot, same pattern as minhashPairs):
+    // the candidate set feeds BOTH the broadcast hist-id reduction and
+    // the verify join — without the cache the band index + join
+    // lineage (including the history-side scan this operator exists
+    // to avoid repeating) would compute twice.
     val cands = bandTable(batch, numHashes, bands)
       .select(col("doc_id").as("batch_id"), col("band"), col("bh"))
       .join(histOk.select(col("doc_id").as("hist_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastProbeCache.foreach(_.unpersist(blocking = false))
+      lastProbeCache = Some(cands)
+    }
     // Semi-join reduction (the dd02 verify-stage trick, load-bearing
     // here): only history docs that banded with THIS batch need their
     // shingles for the verify — re-shingling the full history corpus
@@ -860,8 +877,13 @@ object Dedup {
     * docs against the (much smaller) cluster map plus a per-row hash.
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
-    val clusters = clusterPairs(pairs, maxIters)
+      maxIters: Int = 50): DataFrame =
+    splitFromClusters(docs, clusterPairs(pairs, maxIters))
+
+  /** Split assignment from an already-computed cluster map (see
+    * [[retainCanonicalFromClusters]] for why pipelines share the map).
+    */
+  def splitFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
     docs.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

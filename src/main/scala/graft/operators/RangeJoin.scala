@@ -32,7 +32,12 @@ object RangeJoin {
       startCol: String, endCol: String, binSeconds: Long): DataFrame = {
     def bin(c: Column) = floor(unix_timestamp(c) / binSeconds)
     val f = facts.withColumn("_bin", bin(col(tsCol)))
-    val w = windows.withColumn("_bin",
+    // degenerate windows (end <= start) match nothing in the naive
+    // semantics and must be dropped BEFORE the explode: Spark's
+    // sequence() defaults to step -1 when start > stop, so a single
+    // swapped-bounds row would otherwise fan out into a huge
+    // DESCENDING bin list instead of zero bins
+    val w = windows.filter(col(endCol) > col(startCol)).withColumn("_bin",
       explode(sequence(bin(col(startCol)),
         floor((unix_timestamp(col(endCol)) - 1) / binSeconds))))
     f.join(w, Seq("_bin"))

@@ -266,15 +266,20 @@ object Similarity {
     val mxL = typedLit(mxs)
     def mnAt(i: Column) = element_at(mnL, i + 1)
     def mxAt(i: Column) = element_at(mxL, i + 1)
+    // consistent 256-level codec: encode splits the span into 256 cells
+    // (floor((x-mn)*256/span), clamped so x=mx lands in cell 255) and
+    // decode returns the SAME cell's center — a 255-step encode against
+    // a 256-step decode would bias every reconstruction
+    val dim = mns.length
     c.withColumn("q", transform(col("v"), (x, i) =>
-        least(floor(((x - mnAt(i)) * lit(255.0)) / (mxAt(i) - mnAt(i))), lit(255.0))
+        least(floor(((x - mnAt(i)) * lit(256.0)) / (mxAt(i) - mnAt(i))), lit(255.0))
           .cast("bigint")))
       .withColumn("dq", transform(col("q"), (qi, i) =>
         mnAt(i) + (qi.cast("double") + lit(0.5)) * (mxAt(i) - mnAt(i)) / lit(256.0)))
       .withColumn("qsum", expr("aggregate(q, 0L, (a, x) -> a + x)"))
       .withColumn("mse",
         expr("aggregate(zip_with(v, dq, (x, d) -> (x - d) * (x - d)), cast(0.0 as double), (a, e) -> a + e)")
-          / lit(64.0))
+          / lit(dim.toDouble))
       .select(col("vec_id"), col("qsum"), element_at(col("q"), 1).as("q0"), col("mse"))
       .orderBy("vec_id")
   }
@@ -288,7 +293,7 @@ object Similarity {
       lists AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
       qz AS (SELECT vec_id, v,
           list_transform(range(64), i ->
-            CAST(least(floor(((v[i + 1] - mns[i + 1]) * 255.0) / (mxs[i + 1] - mns[i + 1])), 255.0) AS BIGINT)) AS q
+            CAST(least(floor(((v[i + 1] - mns[i + 1]) * 256.0) / (mxs[i + 1] - mns[i + 1])), 255.0) AS BIGINT)) AS q
         FROM c, lists),
       dq AS (SELECT vec_id, q,
           CAST(list_sum(q) AS BIGINT) AS qsum,
@@ -394,7 +399,7 @@ object Similarity {
       (code.cast("bigint"), dist)
     }
     c.withColumn("codesum", parts.map(_._1).reduce(_ + _))
-      .withColumn("mse", parts.map(_._2).reduce(_ + _) / lit(64.0))
+      .withColumn("mse", parts.map(_._2).reduce(_ + _) / lit((nSub * subDim).toDouble))
       .select("vec_id", "codesum", "mse")
       .orderBy("vec_id")
   }

@@ -232,9 +232,12 @@ object Text {
   // "how many tokens will the tokenizer emit" and chars-per-pre-token
   // is the compression signal curation gates on. The character-class
   // alternation is ASCII-only by design so Java regex (Spark) and RE2
-  // (DuckDB) produce identical matches; regexp_extract_all is a
-  // codegen'd builtin — one scan, no shuffle, no UDF.
-  private val PreTokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  // (DuckDB) produce identical matches — whitespace is an EXPLICIT
+  // char class, not \s, because the engines disagree on \s at the
+  // edges (Java includes vertical tab \x0B, RE2 does not);
+  // regexp_extract_all is a codegen'd builtin — one scan, no shuffle,
+  // no UDF.
+  private val PreTokRe = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]+"
   private val txt07 = QueryDef(
     "txt07_pretokenize",
     (s, dir) =>
@@ -250,7 +253,7 @@ object Text {
         .select("doc_id", "n_pre_tokens", "n_ws_tokens", "chars_per_token")
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, n_chars,
-          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_pre_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_pre_tokens,
           CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_ws_tokens
         FROM documents)
       SELECT doc_id, n_pre_tokens, n_ws_tokens,

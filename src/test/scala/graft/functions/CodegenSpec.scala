@@ -85,4 +85,20 @@ class CodegenSpec extends SparkSpec {
         s"${r.getDouble(0)} != ${r.getDouble(1)}"))
     }
   }
+
+  test("DotProduct poisons ragged or null-element arrays to NULL, like the fold") {
+    withStrictCodegen {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val df = Seq(
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)),          // well-formed -> 11.0
+        (Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0)),     // ragged -> null
+      ).toDF("a", "b")
+        .union(Seq((Seq(1.0, 2.0), null.asInstanceOf[Seq[Double]])).toDF("a", "b"))
+      val out = df.select(TextExpressions.dot_product(col("a"), col("b")).as("d")).collect()
+      assert(out(0).getDouble(0) == 11.0)
+      assert(out(1).isNullAt(0), "length mismatch must yield NULL, not a partial sum")
+      assert(out(2).isNullAt(0), "null operand must yield NULL")
+    }
+  }
 }

@@ -42,6 +42,20 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("degenerate window (end <= start) matches nothing and does not explode") {
+    val bad = Seq(
+      ("ok", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("swapped", ts("2024-03-01 00:00:00"), ts("2024-01-01 00:00:00")), // end < start
+      ("empty", ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00")),   // end == start
+    ).toDF("w", "s", "e")
+    // binSeconds=60: an unguarded descending sequence() over the
+    // swapped window would generate ~86k bins; the guard must keep the
+    // result identical to the naive join (which matches nothing)
+    val got = RangeJoin.binnedRangeJoin(facts, "t", bad, "s", "e", 60L)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "ok"), (2L, "ok")))
+  }
+
   test("overlapping windows: a fact matches each container exactly once") {
     val overlapping = Seq(
       ("a", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),

@@ -1072,8 +1072,42 @@ object Relational {
       ORDER BY r_name, o_totalprice DESC, o_orderkey"""),
   )
 
+  // ---------------------------------------------------------------- q44
+  // Inter-arrival gap percentiles per event type — the SLA/monitoring
+  // question ("how bursty is each stream?"). Gaps are EXACT integer
+  // MICROSECOND differences (ts_ns div 1000 — the µs grain is the
+  // comparison grain because DuckDB surfaces the nano-parquet column
+  // as a µs TIMESTAMP), so ordering, filtering, and the interpolated
+  // percentiles are bit-deterministic; one partition-local lag window
+  // + one hash aggregation, both keyed on event_type.
+  private val q44 = QueryDef(
+    "q44_gap_percentiles",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("tsu"), col("event_id"))
+      T(s, dir).events.select("event_type", "event_id", "ts_ns")
+        .withColumn("tsu", expr("ts_ns div 1000"))
+        .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, 0.5)").as("p50_gap_us"),
+          expr("percentile(gap, 0.95)").as("p95_gap_us"),
+          max(col("gap")).cast("bigint").as("max_gap_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_gaps,
+        quantile_cont(gap, 0.5) AS p50_gap_us,
+        quantile_cont(gap, 0.95) AS p95_gap_us,
+        CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43)
+    q40, q41, q43, q44)
 }

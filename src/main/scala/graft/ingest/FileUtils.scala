@@ -50,6 +50,32 @@ object FileUtils {
     } finally in.close()
   }
 
+  /** Timestamped backup copy next to the file (reference
+    * `FileHandler._create_backup`, file_handler.py:387-392:
+    * `<stem>.backup_<yyyyMMdd_HHmmss><ext>` sibling via copy). Returns
+    * the backup path; same-second collisions get a numeric suffix (the
+    * reference would silently overwrite — strictly safer here).
+    */
+  def backup(path: String, conf: Configuration = new Configuration()): String = {
+    val p = new Path(path)
+    val filesystem = fs(p, conf)
+    require(filesystem.exists(p), s"cannot back up missing file: $path")
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val (stem, ext) = p.getName.lastIndexOf('.') match {
+      case i if i > 0 => (p.getName.substring(0, i), p.getName.substring(i))
+      case _ => (p.getName, "")
+    }
+    var bak = new Path(p.getParent, s"$stem.backup_$ts$ext")
+    var i = 1
+    while (filesystem.exists(bak)) {
+      bak = new Path(p.getParent, s"$stem.backup_${ts}_$i$ext")
+      i += 1
+    }
+    copy(path, bak.toString, conf)
+    bak.toString
+  }
+
   /** Atomic text write: write to a temp sibling then rename into place
     * (reference's tmp-file atomic JSON write, file_handler.py:181-231).
     */

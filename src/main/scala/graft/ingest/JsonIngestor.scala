@@ -62,8 +62,8 @@ object JsonIngestor {
 
   /** Distributed whole-file probe result: `json.load` outcome plus the
     * top-level key union, whether non-object elements appear, and the
-    * detected encoding (UTF-8 with BOM handling, ISO-8859-1 fallback —
-    * the reference's encoding-fallback chain, file_handler.py:133-179).
+    * detected encoding (the reference's full fallback chain —
+    * [[Encodings]], file_handler.py:133-179).
     */
   final case class FileProbe(
       file: String, error: Option[String], keys: Seq[String], hasNonObject: Boolean,
@@ -126,18 +126,10 @@ object JsonIngestor {
                 while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
                 out.toByteArray
               } finally in.close()
-            // encoding-fallback chain: strict UTF-8 (BOM skipped by
-            // Jackson/Spark) then ISO-8859-1, which always decodes
-            val (text, enc) =
-              try {
-                val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-                  .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-                  .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-                (dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString, "UTF-8")
-              } catch {
-                case _: java.nio.charset.CharacterCodingException =>
-                  (new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), "ISO-8859-1")
-              }
+            // the reference's full encoding-fallback chain (utf-8-sig,
+            // utf-8, latin-1, cp1252, ascii — file_handler.py:146-168);
+            // see Encodings for why latin-1 terminates the default walk
+            val (text, enc) = Encodings.decode(bytes)
             val root = mapper.readTree(text)
             val (keys, nonObj) = probeNode(root)
             FileProbe(f, None, keys, nonObj, enc)

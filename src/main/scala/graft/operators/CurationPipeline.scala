@@ -39,12 +39,14 @@ object CurationPipeline {
     *
     * `splits` (when requested) carries (doc_id, cluster_id, split) for
     * the final corpus, keyed on near-dup CLUSTER hashes
-    * ([[Dedup.leakageSafeSplit]]): retention already keeps one doc per
-    * cluster, but hashing the cluster id (not the doc id) makes the
-    * assignment INVARIANT to dedup configuration — rerunning with a
-    * different near-dup threshold, or with retention off, lands the
-    * same content in the same split, so train/test membership never
-    * flips between pipeline versions.
+    * ([[Dedup.leakageSafeSplit]]): hashing the cluster id (not the doc
+    * id) guarantees two near-duplicates never straddle a split within
+    * ONE run, and keeps assignment stable across reruns for docs whose
+    * component (hence its minimum id) is unchanged. It is NOT invariant
+    * to arbitrary dedup reconfiguration: changing the near-dup
+    * threshold can change component membership, which moves a doc's
+    * cluster_id and hence its split — canonical docs (cluster_id ==
+    * own id) are the stable ones.
     */
   final case class Result(corpus: DataFrame, counts: StageCounts,
       release: () => Unit = () => (),

@@ -20,7 +20,13 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  // LRU-of-1 for minhashPairs' persisted candidate set (see its doc)
+  // LRU-of-1 for the persisted candidate sets (see minhashPairs /
+  // incrementalNearDups docs). Known trade-off: two INTERLEAVED callers
+  // can demote each other's cache to recompute (safe — a still-
+  // referenced plan just recomputes), and the last call's cache lives
+  // until the next call or JVM exit. Sequential pipelines (the actual
+  // usage) never hit either; a per-call release handle would buy
+  // little at the cost of every call site managing lifecycle.
   private var lastCandsCache: Option[DataFrame] = None
   private var lastProbeCache: Option[DataFrame] = None
 
@@ -70,19 +76,7 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
       maxBroadcastCands: Long = 2000000L): DataFrame = {
     val sh = withShingles(docs).select("doc_id", "shingles")
-    // One pass: band index -> bucket by band hash -> expand pairs
-    // INSIDE each bucket (no self-join, so the expensive signature
-    // subtree is evaluated exactly once per doc). maxBucket guards the
-    // quadratic expansion against degenerate buckets (boilerplate docs).
-    val cands = bandTable(docs, numHashes, bands)
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
-           p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val cands = bandCandidates(docs, numHashes, bands, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.synchronized {
       lastCandsCache.foreach(_.unpersist(blocking = false))
@@ -114,6 +108,26 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct): band index →
+    * bucket by band hash → expand pairs INSIDE each bucket (no
+    * self-join, so the expensive signature subtree is evaluated exactly
+    * once per doc). `maxBucket` guards the quadratic expansion against
+    * degenerate buckets (boilerplate docs). Shared candidate stage of
+    * [[minhashPairs]] (symmetric Jaccard verify) and
+    * [[containmentPairs]] (asymmetric containment verify).
+    */
+  private def bandCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame =
+    bandTable(docs, numHashes, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
+           p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
 
   // Full-pipeline oracle: DuckDB recomputes the md5-affine signatures,
   // band buckets, bucket-bounded candidate pairs, and exact-Jaccard
@@ -608,9 +622,17 @@ object Dedup {
 
   /** Keep one canonical doc per cluster (the smallest doc_id) plus all
     * never-duplicated docs — the end-to-end "dedup the corpus" step.
+    *
+    * `maxIters` default matches [[leakageSafeSplit]]'s: a caller
+    * combining both convenience wrappers on the same pair set must get
+    * identically-converged cluster maps, or a slow-converging component
+    * could be retained under one label and split under another (use
+    * [[retainCanonicalFromClusters]]/[[splitFromClusters]] over one
+    * shared map to rule this out structurally, as CurationPipeline
+    * does).
     */
   def retainCanonical(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 10): DataFrame =
+      maxIters: Int = 50): DataFrame =
     retainCanonicalFromClusters(docs, clusterPairs(pairs, maxIters))
 
   /** Retention from an already-computed cluster map — lets a pipeline
@@ -735,10 +757,16 @@ object Dedup {
   def incrementalNearDups(history: DataFrame, batch: DataFrame,
       threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val hist = bandTable(history, numHashes, bands)
-    val ok = hist.groupBy("band", "bh").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
-    val histOk = hist.join(ok.select("band", "bh"), Seq("band", "bh"))
+    // Bucket-size filter as a window over ONE band-table instance: a
+    // groupBy-count + self-join here would evaluate the history-side
+    // shingle+signature pass twice per call — the very pass this
+    // operator exists to avoid repeating. The window shuffles the band
+    // table once by (band, bh) and filters in the same stage.
+    val histOk = bandTable(history, numHashes, bands)
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
     // Persisted (single shared slot, same pattern as minhashPairs):
     // the candidate set feeds BOTH the broadcast hist-id reduction and
     // the verify join — without the cache the band index + join
@@ -813,6 +841,56 @@ object Dedup {
       ORDER BY batch_id, hist_id"""),
   )
 
+  /** Scale path for shingle containment (dd10's production shape):
+    * candidates from the SAME LSH band index as dd02/dd09
+    * ([[bandCandidates]] — bucketed, never all-pairs), then the
+    * asymmetric verify C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| on candidate
+    * pairs only, keeping pairs whose max-direction containment clears
+    * `minContainment`.
+    *
+    * Recall caveat (inherent to MinHash candidates, documented rather
+    * than hidden): a SHORT doc embedded in a much longer one has high
+    * containment but LOW Jaccard, and MinHash band collision
+    * probability tracks Jaccard — such pairs can be missed. The band
+    * geometry dial (more bands of fewer rows) raises recall; the
+    * bounded cartesian verifier (dd10) is the exact reference on small
+    * slices, and DedupSpec pins that this function agrees with it
+    * exactly on every pair it emits.
+    *
+    * Verify stage is semi-join-reduced like minhashPairs: only docs
+    * appearing in some candidate pair are re-shingled.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
+      maxBroadcastCands: Long = 2000000L): DataFrame = {
+    val cands = bandCandidates(docs, numHashes, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastCandsCache.foreach(_.unpersist(blocking = false))
+      lastCandsCache = Some(cands)
+    }
+    val broadcastable = cands.count() <= maxBroadcastCands
+    val sh = withShingles(docs).select("doc_id", "shingles")
+    val (candSide, shVerify) =
+      if (broadcastable) {
+        val needed = cands.select(col("doc_a").as("doc_id"))
+          .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+        (broadcast(cands),
+          withShingles(docs.join(broadcast(needed), Seq("doc_id"), "left_semi"))
+            .select("doc_id", "shingles"))
+      } else (cands, sh)
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    shVerify.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(candSide, "doc_a")
+      .join(shVerify.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("c_ab", inter / size(col("sa")))
+      .withColumn("c_ba", inter / size(col("sb")))
+      .withColumn("cmax", greatest(col("c_ab"), col("c_ba")))
+      .filter(col("cmax") >= minContainment)
+      .select("doc_a", "doc_b", "c_ab", "c_ba", "cmax")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------------- dd10
   /** Shingle containment — the ASYMMETRIC overlap C(A→B) =
     * |sh(A) ∩ sh(B)| / |sh(A)| that catches a document EMBEDDED inside
@@ -820,8 +898,9 @@ object Dedup {
     * Jaccard divides by the union, so a short doc fully contained in a
     * long one scores low on dd02's symmetric test but 1.0 here. Like
     * dd04 this is the oracle-checkable bounded verifier (explicit
-    * doc_id cap, top-20 by max containment); the scale path reuses the
-    * dd02/dd09 band index for candidates and this formula for verify.
+    * doc_id cap, top-20 by max containment); [[containmentPairs]] is
+    * the band-index scale path, spec-pinned to agree with this exact
+    * formula on every pair it emits.
     */
   private val dd10 = QueryDef(
     "dd10_containment",

@@ -94,6 +94,36 @@ object Quality {
       SELECT column_name, n_rows, n_null, n_distinct FROM p ORDER BY column_name"""),
   )
 
+  /** One-pass approximate column profile — the 100 TB companion to
+    * dq02: dq02's exact distinct counts deliberately run one
+    * distinct-aggregation per audited column (2 scans per column — fine
+    * for a handful of columns, documented there), which at 100 TB is 2N
+    * scans. This variant computes EVERY column's null count and
+    * HyperLogLog++ distinct estimate in ONE aggregation over ONE scan
+    * (adding a column adds two agg expressions, not a scan), then
+    * explodes the single agg row into the per-column profile. `rsd` is
+    * the HLL relative standard deviation (default 5% — the standard
+    * accuracy/sketch-size dial); n_rows/n_null stay exact. Spec asserts
+    * the single-pass shape (job count) and the estimate's error bound
+    * against dq02's exact counts.
+    */
+  def approxProfile(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "approxProfile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"_null_$c").cast("bigint").as("n_null"),
+          col(s"_nd_$c").as("approx_distinct"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("column_name")
+  }
+
   // -------------------------------------------------------------- qf01
   // Gopher-style rule filter (Rae et al. 2021 §A1.1 shape, adapted to
   // the synthetic corpus): per-document word count, exact mean word

@@ -313,29 +313,79 @@ object Similarity {
     *
     * 100 TB shape: the quadratic pair comparison is confined to a
     * cell (candidates ≈ n²/nCells per cell vs n² global); the
-    * self-join shuffles by cell once. Production corpora additionally
-    * cap cell size — the cells here are bounded by construction.
+    * self-join shuffles by cell once. A FIXED nCells is still
+    * quadratic-per-cell as the corpus grows — [[semDedupAuto]] derives
+    * k from corpus size and `maxCellSize` bounds skewed cells (see
+    * [[semDedupWithCentroids]]); sd01 pins nCells=16 with the cap off
+    * so the oracle replays exact within-cell pairing.
     * Quantizer pinned to the first nCells vectors (the sim03v
     * contract) so the WHOLE pipeline — assignment, pairing, scoring —
     * is replayed exactly by the DuckDB oracle; a trained quantizer
     * drops in without changing the plan.
     */
-  def semDedupPairs(emb: DataFrame, nCells: Int = 16, threshold: Double = 0.45): DataFrame = {
+  def semDedupPairs(emb: DataFrame, nCells: Int = 16, threshold: Double = 0.45,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
     import graft.functions.TextExpressions.nearest_centroids
     val centroids = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
       .select(asDouble(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
-    // Norms are computed ONCE per vector before the pair join (n pairs
-    // share them), not per pair: sim = dot/(n1*n2) performs the exact
-    // same double ops as dot/(sqrt(xx)*sqrt(yy)), so the hoist is
-    // bit-invisible to the oracle while removing 2/3 of the per-pair
-    // fold work on the ~n²/cells candidate pairs.
-    val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    semDedupWithCentroids(emb, centroids, threshold, maxCellSize)
+  }
+
+  /** SemDeDup with k derived from corpus size — the scale-correct
+    * entrypoint. Real SemDeDup holds cell POPULATION roughly constant
+    * as the corpus grows (k ≈ n / targetCellSize), so within-cell
+    * pairing stays ~n·targetCellSize total instead of n²/k at any
+    * fixed k; `maxCellSize` additionally bounds skewed cells (see
+    * [[semDedupWithCentroids]]). The quantizer stays pinned to the
+    * first-k vectors (the sim03v contract) — a trained quantizer drops
+    * in without changing the plan.
+    */
+  def semDedupAuto(emb: DataFrame, threshold: Double = 0.45,
+      targetCellSize: Int = 512, maxCellSize: Int = 4096): DataFrame = {
+    val n = emb.count()
+    val k = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    semDedupPairs(emb, nCells = k, threshold = threshold, maxCellSize = maxCellSize)
+  }
+
+  /** Shared core: assign cells, optionally split oversized cells, pair
+    * within (sub-)cells, score.
+    *
+    * `maxCellSize` is the skew guard: a cell with population p >
+    * maxCellSize is SPLIT into ceil(p / maxCellSize) deterministic
+    * sub-cells (xxhash64 of the vector id), and pairing runs within a
+    * sub-cell — so per-cell pair work is bounded by
+    * ~maxCellSize²·ceil(p/maxCellSize) instead of p², no matter how
+    * skewed the quantizer assignment. The documented degradation: pairs
+    * straddling two sub-cells of one oversized cell are missed — the
+    * standard SemDeDup accuracy/cost dial (equivalent to sampling the
+    * cell), pinned in SimilaritySpec. The default Int.MaxValue disables
+    * splitting (exact within-cell pairing, what sd01's oracle checks).
+    *
+    * Norms are computed ONCE per vector before the pair join (n pairs
+    * share them), not per pair: sim = dot/(n1*n2) performs the exact
+    * same double ops as dot/(sqrt(xx)*sqrt(yy)), so the hoist is
+    * bit-invisible to the oracle while removing 2/3 of the per-pair
+    * fold work on the candidate pairs.
+    */
+  private def semDedupWithCentroids(emb: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, maxCellSize: Int): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    val assigned = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", element_at(nearest_centroids(col("cv"), centroids, 1), 1))
       .withColumn("nrm", norm2(col("cv")))
-    val a = c.select(col("cell"), col("cid").as("id1"), col("cv").as("v1"), col("nrm").as("n1"))
-    val b = c.select(col("cell"), col("cid").as("id2"), col("cv").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("cell"))
+    val c =
+      if (maxCellSize == Int.MaxValue) assigned.withColumn("subcell", lit(0L))
+      else assigned
+        .withColumn("_p", count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .withColumn("_nsub", ceil(col("_p").cast("double") / lit(maxCellSize.toDouble)).cast("bigint"))
+        .withColumn("subcell", pmod(xxhash64(col("cid")), col("_nsub")))
+        .drop("_p", "_nsub")
+    val a = c.select(col("cell"), col("subcell"), col("cid").as("id1"),
+      col("cv").as("v1"), col("nrm").as("n1"))
+    val b = c.select(col("cell"), col("subcell"), col("cid").as("id2"),
+      col("cv").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("cell", "subcell"))
       .filter(col("id1") < col("id2"))
       .withColumn("sim", dotD(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)

@@ -37,28 +37,56 @@ object Skew {
     salted.join(replicated, keys :+ "_graft_salt", joinType).drop("_graft_salt")
   }
 
+  /** Deterministically-skewed join input for the demo/bench: ~30% of
+    * lineitem rows are remapped onto ONE hot order key (l_orderkey % 10
+    * ∈ {0,1,2} → key 1), the rest keep their key — the "one customer is
+    * a third of the fact table" shape salting exists for. Pure column
+    * expression, so the DuckDB oracle replays the same remap.
+    */
+  def skewedFact(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      when(pmod(col("l_orderkey"), lit(10)) < 3, lit(1L))
+        .otherwise(col("l_orderkey")).as("okey"),
+      col("l_extendedprice"))
+
+  /** The demo aggregation: fact ⋈ build per-priority revenue. `salt` ≥ 2
+    * salts the join; 1 runs it plain. The merge hint models the 100 TB
+    * regime where the build side exceeds any broadcast threshold (a
+    * broadcast join would sidestep the shuffle skew being demonstrated,
+    * and at real scale orders does not broadcast).
+    */
+  def skewDemoAgg(fact: DataFrame, build: DataFrame, salt: Int): DataFrame = {
+    val joined =
+      if (salt <= 1) fact.join(build.hint("merge"), Seq("okey"))
+      else saltedJoin(fact, build.hint("merge"), Seq("okey"), saltFactor = salt)
+    joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------------------- skw01
   // Salting's correctness contract IS output-invariance: the salted
-  // orders ⋈ lineitem (factor 4) aggregated per priority must equal the
-  // plain join — so the oracle is the UNSALTED join in DuckDB, checking
-  // the invariance against an independent engine rather than this one's
-  // own plain join. (Factor 4 keeps the uniform-data demo cheap in the
-  // bench; at real skew the factor scales with the hot key's share.)
+  // skewed-fact ⋈ orders (factor 8 — sized to the ~30% hot key, so the
+  // hot key's rows spread to ~4% per sub-key) aggregated per priority
+  // must equal the plain join — so the oracle is the UNSALTED join in
+  // DuckDB, checking invariance against an independent engine rather
+  // than this one's own plain join. The salted-vs-plain TIMING on the
+  // same skewed input is benched as xs_skew_plain / xs_skew_salted.
   private val skw01 = QueryDef(
     "skw01_salted_join",
     (s, dir) => {
       val t = Tables(s, dir)
-      val fact = t.lineitem.select(col("l_orderkey").as("okey"), col("l_extendedprice"))
       val build = t.orders.select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      saltedJoin(fact, build, Seq("okey"), saltFactor = 4)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
+      skewDemoAgg(skewedFact(t.lineitem), build, salt = 8)
     },
-    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+    Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END AS okey,
+          l_extendedprice
+        FROM lineitem)
+      SELECT o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      FROM f JOIN orders ON okey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 

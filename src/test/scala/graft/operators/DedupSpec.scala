@@ -265,4 +265,54 @@ class DedupSpec extends SparkSpec {
     assert(dup.head.getAs[Long]("keep") == 0L)
     assert(dup.head.getAs[Long]("n") == 2L)
   }
+
+  test("containmentPairs: band-index scale path agrees exactly with the cartesian verifier") {
+    // planted containment: B extends A (A's shingles ⊂ B's), with
+    // enough overlap that the pair also collides in a minhash band
+    val contained =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val container = contained + " rho sigma tau"
+    val docs = Seq(
+      (0L, contained), (1L, container),
+      (2L, base), (3L, base.replace("lazy", "sleepy")), (4L, unrelated),
+    ).toDF("doc_id", "text")
+    val scale = Dedup.containmentPairs(docs, minContainment = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the planted pair is found, with C(A→B) = 1.0 (A fully inside B)
+    assert(scale.contains((0L, 1L)), s"planted containment pair missed: ${scale.keys}")
+    assert(scale((0L, 1L))._1 == 1.0)
+    // every emitted pair matches the bounded cartesian verifier bit-for-bit
+    val sh = Dedup.withShingles(docs).select("doc_id", "shingles")
+    val cart = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa"))).as("c_ab"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sb"))).as("c_ba"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    scale.foreach { case (k, (cab, cba, cmax)) =>
+      assert(cart(k) == ((cab, cba)), s"pair $k disagrees with cartesian")
+      assert(cmax == math.max(cab, cba))
+      assert(cmax >= 0.3)
+    }
+  }
+
+  test("containmentPairs on real docs: emitted pairs match the exact formula") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    // low threshold so the synthetic corpus (no planted dups) yields rows
+    val scale = Dedup.containmentPairs(docs, minContainment = 0.02).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(scale.nonEmpty, "expected some low-containment candidate pairs")
+    val sh = Dedup.withShingles(docs).select("doc_id", "shingles")
+    val cart = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa"))).as("c_ab"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sb"))).as("c_ba"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    scale.foreach { case (k, v) => assert(cart(k) == v, s"pair $k disagrees with cartesian") }
+  }
 }

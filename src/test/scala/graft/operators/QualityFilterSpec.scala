@@ -103,4 +103,32 @@ class QualityFilterSpec extends SparkSpec {
       }
     }
   }
+
+  test("approxProfile: ONE scan for all columns, exact nulls, bounded distinct error") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    val profile = Quality.approxProfile(orders, cols)
+    // the single-pass claim, verified on the physical plan: exactly one
+    // parquet scan no matter how many columns are audited (dq02's exact
+    // variant runs 2 scans PER column by design)
+    val scans = profile.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, plan has $scans")
+    val rows = profile.collect()
+    assert(rows.map(_.getString(0)).toSeq == cols.sorted)
+    val exact = cols.map { c =>
+      c -> orders.select(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"),
+        countDistinct(col(c))).collect().head
+    }.toMap
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == orders.count())
+      assert(r.getLong(2) == exact(c).getLong(0)) // null count is exact
+      val nd = exact(c).getLong(1).toDouble
+      // HLL++ at rsd=0.05: allow a generous 3-sigma band
+      assert(math.abs(r.getLong(3) - nd) <= math.max(2.0, 0.15 * nd),
+        s"$c approx distinct ${r.getLong(3)} vs exact $nd")
+    }
+  }
 }

@@ -165,4 +165,46 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= 0.45)
     }
   }
+
+  test("semDedup cell cap bounds pair counts on a pathologically skewed cell") {
+    import spark.implicits._
+    // 2 centroid vectors + 120 vectors all nearest centroid 0: one cell
+    // holds ~98% of the corpus — the skew a fixed quantizer produces on
+    // clustered data
+    def vec(seed: Int, near: Int): Seq[Float] =
+      Seq.tabulate(64)(i => (if (i == near) 10f else 0f) + (seed % 7) * 0.01f * (i % 3))
+    val rows = Seq((0L, vec(0, 0)), (1L, vec(0, 1))) ++
+      (2L to 121L).map(i => (i, vec(i.toInt, 0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.semDedupPairs(emb, nCells = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val capped = Similarity.semDedupPairs(emb, nCells = 2, threshold = 0.5, maxCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the skewed cell (~121 members) pairs quadratically uncapped...
+    assert(uncapped.size > 5000, s"expected ~n²/2 uncapped pairs, got ${uncapped.size}")
+    // ...and sub-cell splitting (ceil(121/10)=13 sub-cells) bounds the
+    // expansion: expected pairs ≈ Σ nᵢ²/2 ≈ n·maxCellSize/2, an order
+    // of magnitude down
+    assert(capped.size < uncapped.size / 5,
+      s"cap did not bound pair count: ${capped.size} vs ${uncapped.size}")
+    assert(capped.nonEmpty)
+    // capped pairs are a SUBSET with identical scores (the cap only
+    // prunes candidates, never changes scoring)
+    capped.foreach { case (k, sim) => assert(uncapped(k) == sim) }
+  }
+
+  test("semDedupAuto derives k from corpus size; sd01's pinned config is unchanged by the guard") {
+    // low threshold: the synthetic embeddings are near-orthogonal, so
+    // 0.45 could yield zero rows and a vacuous cell-range check
+    val auto = Similarity.semDedupAuto(emb, threshold = 0.1, targetCellSize = 50)
+    // 500 vectors / target 50 => k = 10 cells: every assigned cell id < 10
+    val cells = auto.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.nonEmpty)
+    assert(cells.forall(c => c >= 0 && c < 10), s"cell ids out of range: ${cells.mkString(",")}")
+    // the guard defaults leave sd01's declared output untouched
+    val pinned = Similarity.semDedupPairs(emb, nCells = 16, threshold = 0.45).collect()
+    val viaMax = Similarity.semDedupPairs(emb, nCells = 16, threshold = 0.45,
+      maxCellSize = Int.MaxValue).collect()
+    assert(pinned.map(_.toString).toSeq == viaMax.map(_.toString).toSeq)
+  }
 }

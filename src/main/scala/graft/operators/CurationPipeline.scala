@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.QueryDef
 import graft.functions.TextExpressions
+import graft.sources.Tables
 
 /** End-to-end training-data curation: the composition every LLM data
   * pipeline runs, built from this library's operators —
@@ -176,4 +178,86 @@ object CurationPipeline {
       () => { exactKeep.unpersist(blocking = false); releaseRetained() },
       splits)
   }
+
+  // -------------------------------------------------------------- cp01
+  // End-to-end curation CORRECTNESS row: the full composed pipeline —
+  // quality filter → language filter → exact dedup → MinHash-LSH
+  // near-dup clustering → canonical retention → leakage-safe split —
+  // run as ONE curate() call, hash-matched against DuckDB replaying
+  // every stage relationally. Each fragment is individually proven
+  // (qf01's token arithmetic, dd01's md5 keep-min, dd02's full
+  // signature/band/verify pipeline, dd07's recursive closure, spl01's
+  // cluster-hash split); this row certifies their COMPOSITION — stage
+  // ordering, the shared cluster map, and retention-vs-split
+  // consistency. Threshold 0.5 (not the 0.8 default) so the near-dup
+  // stage is exercised by the synthetic corpus (non-vacuous clusters).
+  private val cp01 = QueryDef(
+    "cp01_full_curation",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val r = curate(docs, Config(nearDupThreshold = 0.5), benchmark = None,
+        assignSplits = true)
+      // splits is (doc_id, cluster_id, split) for the final corpus,
+      // already totally ordered; the persisted survivors stay cached
+      // for the result's lifetime (LRU — next curate() replaces them)
+      r.splits.get
+    },
+    Some(s"""WITH RECURSIVE
+      t AS (SELECT doc_id, text, ${OracleSql.Toks} AS toks FROM documents),
+      q AS (SELECT doc_id, text, toks FROM t
+        WHERE len(toks) >= 20 AND len(toks) <= 100000
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+      lg AS (SELECT doc_id, text, toks,
+          len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est', 'une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y', 'es', 'una'))) AS s_es
+        FROM q),
+      l AS (SELECT doc_id, text, toks FROM lg
+        WHERE s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0),
+      x AS (SELECT doc_id, toks FROM l
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM x),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN bc ON bc.band = a.band AND bc.bh = a.bh
+        WHERE bc.n <= 1000),
+      p AS (SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5),
+      ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT a, a FROM ed
+        UNION
+        SELECT r.a, ed.b FROM reach r JOIN ed ON ed.a = r.b),
+      cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      retained AS (SELECT x.doc_id FROM x LEFT JOIN cl USING (doc_id)
+        WHERE cl.cluster_id IS NULL OR cl.cluster_id = x.doc_id),
+      sp AS (SELECT r.doc_id,
+          COALESCE(cl.cluster_id, r.doc_id) AS cluster_id,
+          substring(md5('spl:' || CAST(COALESCE(cl.cluster_id, r.doc_id) AS VARCHAR)), 1, 2) AS hx
+        FROM retained r LEFT JOIN cl USING (doc_id))
+      SELECT doc_id, cluster_id,
+        CASE WHEN hx < '1a' THEN 'test'
+             WHEN hx < '34' THEN 'val'
+             ELSE 'train' END AS split
+      FROM sp ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cp01)
 }

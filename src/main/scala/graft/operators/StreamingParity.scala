@@ -1,0 +1,187 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+import graft.streaming.{EventStreams, StreamingDedup, StreamingIngest}
+
+/** Oracle-checked stream-equals-batch parity queries — the CORRECTNESS
+  * rows for the streaming operators (SURVEY.md §2C streaming
+  * extensions; the reference is batch-only).
+  *
+  * The streaming engine's correctness CONTRACT is replay equivalence:
+  * a bounded input driven through the streaming topology must land the
+  * exact rows the batch computation produces. Each query here
+  * materializes the sf corpus as a bounded stream source, drains the
+  * real streaming operator (micro-batches, state store, watermarks,
+  * sinks — nothing mocked), and returns the landed result; the DuckDB
+  * oracle recomputes the same answer relationally from the parquet
+  * tables. A hash match therefore certifies the WHOLE streaming path:
+  * source listing, per-batch processing, stateful operators, and sink
+  * idempotence.
+  *
+  * Determinism notes (why hash-exact comparison is sound):
+  *  - str01 lands through the key-idempotent upsert sink, so
+  *    micro-batch boundaries (maxFilesPerTrigger=2 forces several) and
+  *    within-batch order can't affect the landed set;
+  *  - str02 runs everything in ONE micro-batch (no maxFilesPerTrigger)
+  *    with an effectively-unbounded bucket cap, so no state eviction
+  *    can race arrival order; a pair colliding in several bands is
+  *    emitted per band with the SAME estimator value, collapsed by
+  *    DISTINCT — the emitted SET is arrival-order-free;
+  *  - str03 aggregates in Complete mode, where window state is never
+  *    evicted — the final emission equals the batch GROUP BY.
+  */
+object StreamingParity {
+
+  // unique sink/table names so repeated invocations (bench warmup + 5
+  // passes, dev reruns in one session) never collide or cross-read
+  private val seq = new AtomicLong(0L)
+  private def fresh(prefix: String): String = s"${prefix}_${seq.incrementAndGet()}"
+
+  private def tempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def deleteQuietly(p: java.nio.file.Path): Unit =
+    try graft.ingest.FileUtils.delete(p.toString, recursive = true): Unit
+    catch { case _: Throwable => () }
+
+  // -------------------------------------------------------------- str01
+  // Stream-batch ingestion parity: the documents table is written out
+  // as a JSONL landing corpus, continuously ingested by the REAL
+  // pipeline (StreamingIngest: incremental file listing, §1.2
+  // normalization, lineage, create-if-absent, idempotent upsert) in
+  // several micro-batches, and the landed table must hash-match DuckDB
+  // normalizing the same rows straight from parquet. `_source_file` is
+  // dropped from the compared output only because Spark's part-file
+  // names are nondeterministic; the lineage contract itself is pinned
+  // in StreamingIngestSpec.
+  private val str01 = QueryDef(
+    "str01_stream_batch_parity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val tmp = tempDir("graft_str01")
+      val landing = tmp.resolve("landing").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      // bounded landing corpus: a handful of JSONL part files so
+      // maxFilesPerTrigger=2 yields several genuine micro-batches
+      docs.select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
+        .repartition(6)
+        .write.mode("overwrite").text(landing)
+      val table = fresh("str01_landed")
+      val q = StreamingIngest.ingestStream(s, landing, docs.schema, table,
+        keys = Seq("doc_id"), checkpointDir = ckpt, maxFilesPerTrigger = 2)
+      try q.processAllAvailable() finally q.stop()
+      deleteQuietly(tmp)
+      s.table(table).drop("_source_file")
+        .orderBy(col("doc_id").cast("bigint"))
+    },
+    // the §1.2 contract relationally: every column to VARCHAR, null →
+    // '' (the synthetic corpus is null-free, but the COALESCE keeps the
+    // oracle honest about the contract being checked)
+    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
+        COALESCE(lang, '') AS lang,
+        COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
+        COALESCE(source, '') AS source,
+        COALESCE(text, '') AS text
+      FROM documents ORDER BY documents.doc_id"""),
+  )
+
+  // -------------------------------------------------------------- str02
+  // Streaming MinHash-LSH dedup parity: the documents corpus streamed
+  // through the stateful band-bucket operator (flatMapGroupsWithState)
+  // must emit exactly the candidate pairs the LSH math defines: pairs
+  // sharing at least one band (all minhash rows of the band equal) with
+  // estimator Jaccard (equal-coordinate fraction, eq/32 — a dyadic
+  // rational, exact in both engines) above threshold. DuckDB replays
+  // signatures and bands with dd02's proven arithmetic; band-key
+  // equality is checked on the band's ROW VALUES, which is what the
+  // operator's xxhash64 bucket key encodes.
+  private val str02 = QueryDef(
+    "str02_stream_neardup_parity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"),
+          lit("2026-01-01 00:00:00").cast("timestamp").as("ts"),
+          col("text"))
+      val tmp = tempDir("graft_str02")
+      val in = tmp.resolve("in").toString
+      docs.write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      // one micro-batch (no file cap) + effectively-unbounded buckets:
+      // every same-band pair is emitted regardless of arrival order
+      val pairs = StreamingDedup.nearDupPairs(stream, threshold = 0.25,
+        maxBucket = Int.MaxValue)
+      val name = fresh("str02_pairs")
+      EventStreams.runToMemoryAppend(pairs, name)
+      val out = s.table(name)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager = true) // detach from the memory sink before cleanup
+      deleteQuietly(tmp)
+      out
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          MAX(CASE WHEN j % 2 = 0 THEN m END) AS m0,
+          MAX(CASE WHEN j % 2 = 1 THEN m END) AS m1
+        FROM sig GROUP BY doc_id, j // 2),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+            AND a.doc_id < b.doc_id),
+      eq AS (SELECT c.doc_a, c.doc_b,
+          SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS neq
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, CAST(neq AS DOUBLE) / 32 AS est_jaccard
+      FROM eq WHERE CAST(neq AS DOUBLE) / 32 >= 0.25
+      ORDER BY doc_a, doc_b"""),
+  )
+
+  // -------------------------------------------------------------- str03
+  // Streaming windowed-aggregation parity: the events table streamed
+  // through watermark + tumbling-window hourly counts (Complete mode —
+  // state never evicted, so the final emission is the full history)
+  // must equal the batch GROUP BY; the oracle is q24's proven hourly
+  // SQL shape.
+  private val str03 = QueryDef(
+    "str03_stream_hourly_parity",
+    (s, dir) => {
+      // the streaming file source lists a DIRECTORY; the sf table is a
+      // single parquet file, so stage it into one (untimed-ish copy —
+      // a real deployment streams from a landing dir to begin with)
+      val tmp = tempDir("graft_str03")
+      graft.ingest.FileUtils.copy(s"$dir/events.parquet",
+        tmp.resolve("events.parquet").toString)
+      val stream = EventStreams.readStream(s, tmp.toString)
+      val counts = EventStreams.hourlyCounts(stream)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+      val name = fresh("str03_hourly")
+      EventStreams.runToMemory(counts, name)
+      deleteQuietly(tmp)
+      s.table(name).orderBy("hour", "event_type")
+    },
+    Some("""SELECT STRFTIME(DATE_TRUNC('hour', MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000)), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(str01, str02, str03)
+}

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *  - queries whose min/max spread exceeds 2x AND 0.75 s absolute
   *    AFTER trimming are listed in `"unstable":[...]` (the absolute
   *    floor keeps sub-second scheduler noise out of the flag);
+  *  - the per-query trimmed MIN is reported alongside the median
+  *    (`"qmin"` map in bench_result.json, `"total_min"` on stdout):
+  *    the min is the contention-free floor, so a median regression
+  *    whose min holds steady is environment noise, not a code
+  *    regression — decidable without opening bench_passes.json;
   *  - an untimed warmup pass runs every query once before the timed
   *    passes so codegen compilation and footer reads don't bias pass 1.
   *
@@ -104,6 +109,15 @@ object Bench {
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val results = all.map(_._1)
       .flatMap(n => times.get(n).map(xs => n -> median(trimmed(xs)))).toMap
+    // Trimmed-min per query, reported ALONGSIDE the median (round-5
+    // verdict): sandbox contention inflates medians on identical code
+    // (round 5 saw 3-5x outlier passes corrupt cross-round comparison).
+    // The min of the surviving passes is the contention-free floor —
+    // when a query's median regresses but its min holds, the cause is
+    // noise, not code. The driver can now see both without opening
+    // bench_passes.json.
+    val mins = all.map(_._1)
+      .flatMap(n => times.get(n).map(xs => n -> trimmed(xs).min)).toMap
     // failed = zero successful passes (exit 1); flaky = some passes threw
     val failed = errors.view.filterKeys(n => !times.contains(n)).toMap
     val flaky = errors.view.filterKeys(times.contains).toMap
@@ -141,13 +155,22 @@ object Bench {
     // distributed JSONL path: discover + parse + normalize + lineage +
     // count + noop-sink over a generated 200k-record corpus. Corpus
     // generation is untimed (layout setup); median of 3 timed passes.
-    val ingestRps = try ingestThroughput(spark) catch {
-      case e: Throwable => System.err.println(s"[bench] ingest bench failed: $e"); 0.0
+    // median-of-5 plus the best pass: round 5's official ingest_rps fell
+    // 533k -> 138k on IDENTICAL ingest code purely from sandbox
+    // contention; the best-pass number is the floor-of-noise figure the
+    // cross-round comparison should use when the two disagree.
+    val (ingestRps, ingestRpsBest) = try ingestThroughput(spark) catch {
+      case e: Throwable => System.err.println(s"[bench] ingest bench failed: $e"); (0.0, 0.0)
     }
-    def assemble(qs: String, failCap: Int, unstableCap: Int) =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nq":${results.size},""" +
+    // total = sum of per-query trimmed medians; total_min = sum of
+    // per-query trimmed minima (the contention-free floor). A large
+    // total/total_min gap on unchanged code means the run was polluted.
+    val totalMin = mins.values.sum
+    def assemble(qs: String, failCap: Int, unstableCap: Int, qmin: String = "{}") =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","total_min":${jnum(totalMin)},"nq":${results.size},""" +
         s""""ingest_rps":${String.format(java.util.Locale.ROOT, "%.0f", Double.box(ingestRps))},""" +
-        s""""queries":$qs,"failed":${errJson(failed, failCap)},"flaky":${errJson(flaky, failCap)},""" +
+        s""""ingest_rps_best":${String.format(java.util.Locale.ROOT, "%.0f", Double.box(ingestRpsBest))},""" +
+        s""""queries":$qs,"qmin":$qmin,"failed":${errJson(failed, failCap)},"flaky":${errJson(flaky, failCap)},""" +
         s""""unstable":${unstable.take(unstableCap).map(jstr).mkString("[", ",", "]")},""" +
         s""""detail":"bench_result.json","sf":"$sfDir"}"""
     // Full per-query detail (and per-pass times) go to side files. The
@@ -156,9 +179,9 @@ object Bench {
     // rounds 1-3 all lost their numbers to this window) — so it carries
     // the total plus as many per-query medians as fit a 1600-char
     // budget, slowest queries first (the ones worth reading).
-    val fullLine = assemble(results.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}"),
-      Int.MaxValue, Int.MaxValue)
+    def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val fullLine = assemble(qmap(results), Int.MaxValue, Int.MaxValue, qmap(mins))
     val budget = 1600
     val bySlowest = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
@@ -184,9 +207,12 @@ object Bench {
     * are generated once, untimed; each timed pass runs the full
     * [[graft.ingest.JsonIngestor.ingestJsonl]] contract plus a noop
     * sink so parse/normalize/union/lineage are all on the clock.
+    * Returns (median-of-5 rps, best-pass rps): five passes so two
+    * contention-polluted passes still leave a clean median, and the
+    * best pass as the noise floor for cross-round comparison.
     */
   private def ingestThroughput(spark: SparkSession, files: Int = 32,
-      rowsPerFile: Int = 6250, passes: Int = 3): Double = {
+      rowsPerFile: Int = 6250, passes: Int = 5): (Double, Double) = {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ingest_bench")
     val total = files.toLong * rowsPerFile
     if (!java.nio.file.Files.isDirectory(dir) ||
@@ -214,7 +240,7 @@ object Bench {
         s"ingest bench expected $total records, got ${res.report.totalRecords}")
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    total / times(times.size / 2)
+    (total / times(times.size / 2), total / times.head)
   }
 
   /** Same orders ⋈ lineitem aggregation over plain parquet vs

@@ -183,5 +183,122 @@ object StreamingParity {
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(str01, str02, str03)
+  // stage the single-file events table into a directory the streaming
+  // file source can list (shared by str04/05/06)
+  private def stagedEventStream(s: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
+    val tmp = tempDir("graft_strev")
+    graft.ingest.FileUtils.copy(s"$dir/events.parquet",
+      tmp.resolve("events.parquet").toString)
+    (EventStreams.readStream(s, tmp.toString), tmp)
+  }
+
+  // -------------------------------------------------------------- str04
+  // Stream-static enrichment parity: the events stream joined against a
+  // broadcast batch dimension (per-user lifetime aggregates). The
+  // operator is completely STATELESS — no watermark, no state store —
+  // so one drained pass must reproduce the batch left join exactly.
+  // The oracle recomputes dimension and join relationally.
+  private val str04 = QueryDef(
+    "str04_stream_enrich_parity",
+    (s, dir) => {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val dim = EventStreams.userDimension(Tables(s, dir).events)
+      val enriched = EventStreams.enrichedEvents(stream, dim)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("lifetime_events"), col("lifetime_value"))
+      val name = fresh("str04_enriched")
+      EventStreams.runToMemory(enriched, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val out = s.table(name).orderBy("event_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH dim AS (SELECT user_id, COUNT(*) AS lifetime_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lifetime_value
+        FROM events GROUP BY user_id)
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+        d.lifetime_events, d.lifetime_value
+      FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+      ORDER BY e.event_id"""),
+  )
+
+  // -------------------------------------------------------------- str05
+  // Session-window parity: gap-based session windows (30 min
+  // inactivity) aggregated in Complete mode — session-merge state is
+  // never evicted, so the final emission equals the batch gap
+  // sessionization. The oracle replays the merge relationally: a new
+  // session opens when the inter-event gap is >= the 30-minute gap
+  // (session windows are half-open [start, last_event + gap)), the
+  // session end is last event + gap. Timestamps compare as epoch
+  // MICROS (the ts div 1000 truncation both engines apply).
+  private val str05 = QueryDef(
+    "str05_stream_session_parity",
+    (s, dir) => {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val sessions = EventStreams.userSessions(stream)
+        .select(unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("user_id"), col("n_events"), col("session_value"))
+      val name = fresh("str05_sessions")
+      EventStreams.runToMemory(sessions, name)
+      val out = s.table(name).orderBy("user_id", "start_us")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH e AS (SELECT user_id, EPOCH_NS(ts) // 1000 AS us, value FROM events),
+      f AS (SELECT user_id, us, value,
+          CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+              >= 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+              IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM e),
+      g AS (SELECT user_id, us, value,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us, user_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+  )
+
+  // -------------------------------------------------------------- str06
+  // Stream-stream interval-join parity: purchases attributed to every
+  // prior click by the same user within 30 minutes — BOTH sides are
+  // streams holding watermark-bounded state. Inner-join matches emit in
+  // the micro-batch they pair, so one drained pass over the bounded
+  // source yields the complete pair set; the oracle is the plain
+  // relational self-join in epoch-micros arithmetic.
+  private val str06 = QueryDef(
+    "str06_stream_attrib_parity",
+    (s, dir) => {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val attrib = EventStreams.purchaseAttribution(stream)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us"), col("value"))
+      val name = fresh("str06_attrib")
+      EventStreams.runToMemory(attrib, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val out = s.table(name).orderBy("purchase_id", "click_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
+          EPOCH_NS(ts) // 1000 AS us FROM events),
+      c AS (SELECT user_id, us AS click_us, event_id AS click_id
+        FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, us AS purchase_us, event_id AS purchase_id, value
+        FROM e WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, c.click_id, p.purchase_us, c.click_us,
+        p.value
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.click_us <= p.purchase_us
+        AND c.click_us >= p.purchase_us - 1800000000
+      ORDER BY p.purchase_id, c.click_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(str01, str02, str03, str04, str05, str06)
 }

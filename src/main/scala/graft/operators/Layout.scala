@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional
+  * clustering technique warehouse layouts use so that file/row-group
+  * min-max statistics prune scans on EITHER clustered dimension
+  * (SURVEY.md §2C extension; the reference has a single flat SQLite
+  * table, sqlite_connector.py:131-165, with no layout control at all).
+  *
+  * Scale design: the z-value is pure per-row bit arithmetic (built-in
+  * shift/and/or — stays inside whole-stage codegen); clustering a
+  * corpus is ONE range exchange on the z-value plus a within-partition
+  * sort — exactly the cost of a plain global sort on one column, but
+  * the resulting files carry bounded min-max rectangles on BOTH
+  * dimensions. At 100 TB the write is the same one-pass
+  * repartitionByRange the sorted export already pays; every downstream
+  * scan with a selective predicate on either dimension then skips the
+  * complement of its rectangle.
+  */
+object Layout {
+
+  /** 2-D Morton interleave: bit i of `x` lands at z-bit 2i, bit i of
+    * `y` at 2i+1. Inputs must be non-negative and < 2^bits (higher
+    * bits are not encoded — size `bits` to the key domain; 16 covers
+    * the testdata keys at every SF shipped, and 31 is the safe ceiling
+    * for int keys at 62 z-bits).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("bigint"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("bigint"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` z-clustered on (xCol, yCol) into `nFiles` range-split
+    * files: one range exchange + within-partition sort, then the
+    * z-value column is dropped (it is a layout key, not data).
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      nFiles: Int = 32, bits: Int = 16): Unit =
+    df.withColumn("_zval", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("_zval"))
+      .sortWithinPartitions("_zval")
+      .drop("_zval")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-z-bucket min-max rectangles over lineitem (l_partkey,
+    * l_suppkey): the data-skipping evidence a z-layout produces. The
+    * corpus z-range is split into 64 equal buckets (the z-max comes
+    * from one 1-row aggregate, broadcast — never a driver collect);
+    * each bucket's min/max on BOTH dimensions is the rectangle a scan
+    * with a predicate on either column would prune against.
+    */
+  def zBucketStats(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64, bits: Int = 16): DataFrame = {
+    val z = df.select(col(xCol).cast("bigint").as("x"), col(yCol).cast("bigint").as("y"))
+      .withColumn("zval", zValue(col("x"), col("y"), bits))
+    val zmax = z.agg(max(col("zval")).as("zmax"))
+    z.crossJoin(broadcast(zmax))
+      .withColumn("zbucket", expr(s"(zval * $buckets) div (zmax + 1)"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("zbucket")
+  }
+
+  // The oracle replays the interleave (shift/mask/sum of disjoint
+  // bits == bitwise-or), the scalar z-max, the integer bucket split,
+  // and the rectangle aggregates.
+  private val zo01 = QueryDef(
+    "zo01_zorder_stats",
+    (s, dir) => zBucketStats(Tables(s, dir).lineitem, "l_partkey", "l_suppkey"),
+    Some("""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+          CAST(list_sum(list_transform(range(16), i ->
+            (((l_partkey >> i) & 1) << (2 * i)) +
+            (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        FROM lineitem)
+      SELECT (zval * 64) // ((SELECT MAX(zval) FROM z) + 1) AS zbucket,
+        COUNT(*) AS n,
+        MIN(x) AS x_min, MAX(x) AS x_max,
+        MIN(y) AS y_min, MAX(y) AS y_max
+      FROM z GROUP BY 1 ORDER BY zbucket"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01)
+}

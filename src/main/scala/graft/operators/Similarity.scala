@@ -473,5 +473,66 @@ object Similarity {
       SELECT vec_id, codesum, mse FROM agg ORDER BY vec_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01)
+  /** Recall@k of the LSH index against the brute-force ground truth —
+    * the evaluation operator every ANN deployment runs before trusting
+    * an index (recall is THE quality/cost dial being tuned; sim02's
+    * ScalaTest recall bound is a one-off assertion, this is the
+    * continuously-runnable metric). Both pipelines are the declared
+    * operators above; the metric is one small join on their outputs.
+    */
+  def annRecall(emb: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val truth = bruteTopK(emb, nQueries, k).select(col("qid"), col("cid"))
+    val approx = lshTopK(emb, nQueries, k).select(col("qid"), col("cid"))
+    val hits = truth.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    truth.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_at_k", col("hits").cast("double") / lit(k.toDouble))
+      .orderBy("qid")
+  }
+
+  // The oracle recomputes BOTH pipelines (sim01's brute-force scores
+  // and sim02's 8-table LSH buckets) and joins their top-k sets — so a
+  // hash match certifies the recall arithmetic against two
+  // independently-proven result sets.
+  private val sim04 = QueryDef(
+    "sim04_ann_recall",
+    (s, dir) => annRecall(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      bs AS (SELECT q.cid AS qid, x.cid,
+          list_sum(list_transform(list_zip(q.cv, x.cv), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(q.cv, v -> v * v))) *
+             sqrt(list_sum(list_transform(x.cv, v -> v * v)))) AS sim
+        FROM c q JOIN c x ON q.cid <> x.cid WHERE q.cid < 3),
+      br AS (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM bs),
+      truth AS (SELECT qid, cid FROM br WHERE rn <= 5),
+      bk AS (SELECT cid, t,
+          CAST(list_sum(list_transform(range(4), b ->
+            CASE WHEN list_sum(list_transform(range(64), i ->
+                cv[i + 1] * CASE WHEN ('0x' || substr(md5('pl:' || (t * 4 + b) || ':' || i), 1, 1))::INT >= 8
+                  THEN 1.0 ELSE -1.0 END)) >= 0
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS h
+        FROM c, range(8) r(t)),
+      cand AS (SELECT DISTINCT q.cid AS qid, b2.cid
+        FROM bk q JOIN bk b2 ON q.t = b2.t AND q.h = b2.h
+        WHERE q.cid < 3 AND q.cid <> b2.cid),
+      ls AS (SELECT cand.qid, cand.cid,
+          list_sum(list_transform(list_zip(cq.cv, cc.cv), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(cq.cv, v -> v * v))) *
+             sqrt(list_sum(list_transform(cc.cv, v -> v * v)))) AS sim
+        FROM cand
+        JOIN c cq ON cq.cid = cand.qid
+        JOIN c cc ON cc.cid = cand.cid),
+      lr AS (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM ls),
+      approx AS (SELECT qid, cid FROM lr WHERE rn <= 5)
+      SELECT t.qid, COUNT(a.cid) AS hits,
+        CAST(COUNT(a.cid) AS DOUBLE) / 5 AS recall_at_k
+      FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+      GROUP BY t.qid ORDER BY t.qid"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04)
 }

@@ -207,4 +207,19 @@ class SimilaritySpec extends SparkSpec {
       maxCellSize = Int.MaxValue).collect()
     assert(pinned.map(_.toString).toSeq == viaMax.map(_.toString).toSeq)
   }
+
+  test("annRecall agrees with a hand computation from the two top-k sets") {
+    val out = Similarity.annRecall(emb, nQueries = 3, k = 5).collect()
+    assert(out.length == 3)
+    val brute = Similarity.bruteTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val qid = r.getLong(0)
+      val expected = brute.filter(_._1 == qid).intersect(lsh.filter(_._1 == qid)).size
+      assert(r.getLong(1) == expected.toLong)
+      assert(math.abs(r.getDouble(2) - expected / 5.0) < 1e-12)
+    }
+  }
 }

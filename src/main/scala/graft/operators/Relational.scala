@@ -1106,8 +1106,61 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""),
   )
 
+  // ---------------------------------------------------------------- q45
+  // Recursive CTE through the SQL passthrough (A16): a gap-filled
+  // monthly revenue series for one customer. The recursive member
+  // generates the month spine between the customer's first and last
+  // order (10 orders over ~5 years => most spine months are gaps), the
+  // LEFT JOIN zero-fills them — the standard time-series gap-fill an
+  // analyst writes, and the recursion surface DuckDB and Spark 4 both
+  // speak natively. Scale: the spine is bounded by the date range
+  // (dozens of rows), the revenue aggregation is the only distributed
+  // work, and the spine join broadcasts.
+  private val q45 = QueryDef(
+    "q45_recursive_spine",
+    (s, dir) => {
+      T(s, dir).orders.createOrReplaceTempView("graft_orders_rec")
+      s.sql("""WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+          FROM graft_orders_rec WHERE o_custkey = 7
+        ), m(mon, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT add_months(mon, 1), hi FROM m WHERE mon < hi
+        ), rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM graft_orders_rec WHERE o_custkey = 7 GROUP BY 1
+        )
+        SELECT m.mon AS month, CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+          COALESCE(rev.revenue, CAST(0 AS DOUBLE)) AS revenue
+        FROM m LEFT JOIN rev ON rev.mon = m.mon
+        ORDER BY month""")
+    },
+    Some("""WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders WHERE o_custkey = 7
+      ), m(mon, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), hi FROM m WHERE mon < hi
+      ), rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_custkey = 7 GROUP BY 1
+      )
+      SELECT m.mon AS month, CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+        COALESCE(rev.revenue, 0.0) AS revenue
+      FROM m LEFT JOIN rev ON rev.mon = m.mon
+      ORDER BY month"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44)
+    q40, q41, q43, q44, q45)
 }

@@ -424,7 +424,33 @@ object Ingestion {
       ORDER BY column_name"""),
   )
 
+  // -------------------------------------------------------------- ing14
+  // Small-files compaction roundtrip: the documents corpus fragmented
+  // into 64 shard files (what months of micro-batch landing produces),
+  // compacted to 4 via Sinks.compactParquet, must read back
+  // content-identical to the original table. The file-count mechanics
+  // (64 -> 4) are pinned in SinksSpec; the oracle here certifies the
+  // rewrite loses/duplicates/mutates nothing.
+  private val ing14 = QueryDef(
+    "ing14_compaction",
+    (s, dir) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_ing14_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val frag = base.resolve("fragmented").toString
+      val comp = base.resolve("compacted").toString
+      Tables(s, dir).documents.repartition(64)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+      graft.sink.Sinks.compactParquet(s, frag, comp, targetFiles = 4)
+      s.read.parquet(comp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+      FROM documents ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13)
+      ing11, ing12, ing13, ing14)
 }

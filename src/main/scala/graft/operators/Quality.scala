@@ -324,5 +324,48 @@ object Quality {
       FROM r ORDER BY rule_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, qf01, qf02, qf03)
+  // -------------------------------------------------------------- dq04
+  /** Robust per-group outlier detection: median / MAD (median absolute
+    * deviation) per event type, and the count of values beyond
+    * 3 × MAD — the robust z-score data-quality check that, unlike
+    * mean/stddev, a few extreme rows can't drag. Three keyed
+    * aggregation passes over the same narrow scan (median → MAD →
+    * outlier count); the per-group statistics are tiny and broadcast
+    * back, so no pass shuffles more than (group, value) pairs. Exact
+    * interpolated percentiles (the q44 precedent) keep both engines
+    * bit-identical.
+    */
+  private val dq04 = QueryDef(
+    "dq04_outlier_mad",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          max(col("med")).as("med"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+      mad AS (SELECT e.event_type,
+          quantile_cont(abs(e.value - med.med), 0.5) AS mad, MAX(med.med) AS med
+        FROM e JOIN med USING (event_type) GROUP BY 1)
+      SELECT e.event_type, COUNT(*) AS n, MAX(mad.med) AS med, MAX(mad.mad) AS mad,
+        CAST(SUM(CASE WHEN abs(e.value - mad.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM e JOIN mad USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, qf01, qf02, qf03)
 }

@@ -129,4 +129,32 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Part files of a parquet directory (data files only, no _SUCCESS /
+    * checksums).
+    */
+  def parquetPartFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+  }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * `targetFiles` files. The small-files problem is THE operational
+    * failure mode of continuous ingestion at scale (every micro-batch
+    * lands a file per partition; a month later the NameNode/listing
+    * and per-file open costs dominate scans). One round-robin exchange
+    * sized to the target count; content is untouched. Returns
+    * (files before, files after).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int): (Int, Int) = {
+    require(targetFiles >= 1)
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (parquetPartFiles(spark, inPath).size, parquetPartFiles(spark, outPath).size)
+  }
 }

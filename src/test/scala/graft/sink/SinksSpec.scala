@@ -100,4 +100,17 @@ class SinksSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(merged.toSeq == full.toSeq)
   }
+
+  test("compactParquet: 64 shards -> 4 files, content preserved exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = tmpDir("graft_compact")
+    val frag = dir.resolve("frag").toString
+    val comp = dir.resolve("comp").toString
+    docs.repartition(64).write.parquet(frag)
+    val (before, after) = Sinks.compactParquet(spark, frag, comp, targetFiles = 4)
+    assert(before == 64 && after == 4, s"expected 64 -> 4, got $before -> $after")
+    val a = docs.orderBy("doc_id").collect().map(_.toString)
+    val b = spark.read.parquet(comp).orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
 }

@@ -294,5 +294,71 @@ object Text {
       FROM tf GROUP BY source ORDER BY source"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07, txt08)
+  // -------------------------------------------------------------- txt09
+  /** Bigram-LM surprisal (the CCNet-style perplexity filter with one
+    * word of context — qf03 is the unigram twin): a Laplace-smoothed
+    * bigram model P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) is self-trained
+    * on the corpus, and each document scores the mean surprisal of its
+    * ordered bigrams. Bigrams come straight out of the token array (a
+    * transform over indices — no positional self-join); surprisals are
+    * quantized to integer MILLI-NATS (floor(-ln(p)*1000), the qf03
+    * contract) so per-doc sums are order-independent exact BIGINTs.
+    *
+    * 100 TB shape: the bigram count table is the big intermediate —
+    * both its aggregation and the prefix-count join are keyed shuffles
+    * (the w1 join inherits natural Zipf skew; AQE's skew-join split
+    * handles the "the"-prefix bucket). V and nothing else crosses the
+    * driver.
+    */
+  private val txt09 = QueryDef(
+    "txt09_bigram_surprisal",
+    (s, dir) => {
+      val t = Tables(s, dir).documents.select(col("doc_id"), toks.as("toks"))
+      val tok = t.select(col("doc_id"), explode(col("toks")).as("tk"))
+      val uni = tok.groupBy("tk").agg(count(lit(1)).as("c1"))
+      val voc = uni.agg(count(lit(1)).as("v"))
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("bgr"))
+      val bgc = bg.groupBy("bgr").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", element_at(split(col("bgr"), " "), 1))
+      val sur = bgc
+        .join(uni.withColumnRenamed("tk", "w1"), "w1")
+        .crossJoin(broadcast(voc))
+        .withColumn("sur_milli",
+          floor(-log((col("c2") + lit(1)).cast("double") /
+            (col("c1") + col("v")).cast("double")) * lit(1000.0)).cast("bigint"))
+        .select("bgr", "sur_milli")
+      bg.join(sur, "bgr")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sur_milli")).as("sur_sum"))
+        .withColumn("mean_surprisal",
+          col("sur_sum").cast("double") / (lit(1000.0) * col("n_bigrams")))
+        .withColumn("flagged", col("mean_surprisal") > 3.5)
+        .select("doc_id", "n_bigrams", "sur_sum", "mean_surprisal", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      uni AS (SELECT tk, COUNT(*) AS c1 FROM tok GROUP BY tk),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      bg AS (SELECT doc_id,
+          unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS bgr
+        FROM t WHERE len(toks) >= 2),
+      bgc AS (SELECT bgr, COUNT(*) AS c2 FROM bg GROUP BY bgr),
+      sur AS (SELECT bgr,
+          CAST(floor(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1000.0) AS BIGINT) AS sur_milli
+        FROM bgc JOIN uni ON uni.tk = string_split(bgr, ' ')[1] CROSS JOIN voc),
+      d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(sur_milli) AS BIGINT) AS sur_sum
+        FROM bg JOIN sur USING (bgr) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, sur_sum,
+        CAST(sur_sum AS DOUBLE) / (1000.0 * n_bigrams) AS mean_surprisal,
+        CAST(sur_sum AS DOUBLE) / (1000.0 * n_bigrams) > 3.5 AS flagged
+      FROM d ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
+    txt08, txt09)
 }

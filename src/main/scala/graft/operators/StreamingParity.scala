@@ -300,5 +300,42 @@ object StreamingParity {
       ORDER BY p.purchase_id, c.click_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(str01, str02, str03, str04, str05, str06)
+  // -------------------------------------------------------------- str07
+  // Custom-state parity: the mapGroupsWithState running per-user
+  // profile, drained over the bounded source (one micro-batch, so each
+  // user emits exactly its final profile), must match the batch
+  // per-user aggregation. The state fold sums doubles in arrival order
+  // — order-dependent at the ULP level — so the compared total is
+  // rounded to cents: event values carry two decimals, the true sum is
+  // a multiple of 0.01, and a float error of ~1e-9 can never move the
+  // 2-dp rounding off that multiple (the oracle sums exactly in
+  // DECIMAL and lands on the same multiple). n_events and last_seen
+  // are order-independent and compare raw.
+  private val str07 = QueryDef(
+    "str07_stream_profile_parity",
+    (s, dir) => {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val profiles = EventStreams.userProfiles(stream)
+      val name = fresh("str07_profiles")
+      EventStreams.runToMemoryUpdate(profiles, name)
+      // a user idle > (watermark + timeout) before the stream's end
+      // ALSO fires its event-time timeout, re-emitting the identical
+      // final profile — distinct() collapses the duplicate emission
+      val out = s.table(name)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          unix_micros(col("last_seen")).as("last_seen_us"))
+        .distinct()
+        .orderBy("user_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value,
+        MAX(EPOCH_NS(ts) // 1000) AS last_seen_us
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(str01, str02, str03, str04, str05, str06, str07)
 }

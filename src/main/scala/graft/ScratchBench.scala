@@ -2,11 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object ScratchBench {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.tune(SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; _ <- 1 to 3) {
       val t0 = System.nanoTime()
       Registry.byName(name).run(spark, dir).write.format("noop").mode("overwrite").save()

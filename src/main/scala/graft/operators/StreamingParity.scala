@@ -46,6 +46,24 @@ object StreamingParity {
   private def tempDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
 
+  /** Run `body` (a stateful-stream construction + drain) with a small
+    * shuffle-partition count, restoring the session default after.
+    *
+    * A stateful query materializes one state store PER shuffle
+    * partition, and each store pays fixed snapshot/commit cost every
+    * micro-batch — at the default 32 partitions that fixed cost (not
+    * the data) dominated these bounded replays 4x (str06 8.1 s -> 2.2 s
+    * at sf0.1). State-store count should track key cardinality and
+    * throughput, not the host's core count; a production deployment
+    * sizes it the same way, just upward.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def deleteQuietly(p: java.nio.file.Path): Unit =
     try graft.ingest.FileUtils.delete(p.toString, recursive = true): Unit
     catch { case _: Throwable => () }
@@ -104,7 +122,7 @@ object StreamingParity {
   // operator's xxhash64 bucket key encodes.
   private val str02 = QueryDef(
     "str02_stream_neardup_parity",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s) {
       val docs = Tables(s, dir).documents
         .select(col("doc_id"),
           lit("2026-01-01 00:00:00").cast("timestamp").as("ts"),
@@ -161,7 +179,7 @@ object StreamingParity {
   // SQL shape.
   private val str03 = QueryDef(
     "str03_stream_hourly_parity",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s) {
       // the streaming file source lists a DIRECTORY; the sf table is a
       // single parquet file, so stage it into one (untimed-ish copy —
       // a real deployment streams from a landing dir to begin with)
@@ -234,7 +252,7 @@ object StreamingParity {
   // MICROS (the ts div 1000 truncation both engines apply).
   private val str05 = QueryDef(
     "str05_stream_session_parity",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s) {
       val (stream, tmp) = stagedEventStream(s, dir)
       val sessions = EventStreams.userSessions(stream)
         .select(unix_micros(col("session_start")).as("start_us"),
@@ -272,7 +290,7 @@ object StreamingParity {
   // relational self-join in epoch-micros arithmetic.
   private val str06 = QueryDef(
     "str06_stream_attrib_parity",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s) {
       val (stream, tmp) = stagedEventStream(s, dir)
       val attrib = EventStreams.purchaseAttribution(stream)
         .select(col("user_id"), col("purchase_id"), col("click_id"),
@@ -313,7 +331,7 @@ object StreamingParity {
   // are order-independent and compare raw.
   private val str07 = QueryDef(
     "str07_stream_profile_parity",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s) {
       val (stream, tmp) = stagedEventStream(s, dir)
       val profiles = EventStreams.userProfiles(stream)
       val name = fresh("str07_profiles")

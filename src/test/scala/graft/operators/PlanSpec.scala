@@ -232,4 +232,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("_bin"), "join key must be the time bin")
   }
+
+  test("fz01: fuzzy join candidates come from the variant equi-join (no cartesian)") {
+    val p = plan("fz01_fuzzy_join_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"fuzzy join must block on deletion variants, never cross-join:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "variant generation must stay in built-ins")
+  }
+
+  test("zo01: z-value is computed in the map; only agg + zmax-broadcast exchanges") {
+    val p = plan("zo01_zorder_stats")
+    assert(!p.contains("ScalaUDF"), "bit interleave must stay in built-ins")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row zmax must broadcast, not trigger a shuffled cartesian")
+    // exchanges: the groupBy(zbucket) hash + presentation sort + the
+    // single-row zmax aggregation — never a repartition of the corpus
+    // on anything but the bucket key
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(e => e.contains("zbucket") || e.contains("SinglePartition")
+      || e.contains("rangepartitioning") || e.contains("BroadcastExchange")),
+      s"unexpected exchange: $exchanges")
+  }
+
+  test("dq04: per-group stats join back by broadcast (no corpus-side shuffle join)") {
+    val p = plan("dq04_outlier_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the 5-row med/mad tables must broadcast against the events scan")
+  }
+
+  test("txt09: bigram surprisal joins are keyed; only the vocab scalar broadcasts wide") {
+    val p = plan("txt09_bigram_surprisal")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row vocab size must broadcast, never a shuffled cartesian")
+    assert(!p.contains("ScalaUDF"), "bigram extraction must stay in built-ins")
+  }
 }

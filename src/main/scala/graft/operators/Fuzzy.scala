@@ -39,6 +39,14 @@ object Fuzzy {
   /** All pairs (id_a < id_b) whose keys are within edit distance
     * `maxDist` (≤ 1 for lossless blocking), via deletion-neighborhood
     * candidates + exact levenshtein verify.
+    *
+    * Implementation note: the candidate stage is a variant EQUI-JOIN
+    * (two exchanges), not a collect_list-per-bucket pair expansion
+    * (one exchange, measured ~15% faster at sf0.1). Chosen
+    * deliberately: a degenerate bucket (many rows sharing a key)
+    * materializes as an in-memory array under collect_list but
+    * streams and SPILLS through a sort-merge join — the join shape
+    * degrades gracefully at scale where the array shape OOMs.
     */
   def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
       maxDist: Int = 1): DataFrame = {

@@ -1159,8 +1159,38 @@ object Relational {
       ORDER BY month"""),
   )
 
+  // ---------------------------------------------------------------- q46
+  // Forward-fill / LOCF (last observation carried forward): every event
+  // annotated with its user's most recent purchase value — the sparse
+  // time-series gap-fill (last_value IGNORE NULLS) that session
+  // attribution and feature backfills run constantly. One
+  // partition-local window keyed on user_id with a total (ts,
+  // event_id) order; the filled value is a passthrough double, so the
+  // comparison is exact.
+  private val q46 = QueryDef(
+    "q46_locf_fill",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("tsu"))
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "event_type", "last_purchase_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+        LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY EPOCH_NS(ts) // 1000, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      FROM events ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45)
+    q40, q41, q43, q44, q45, q46)
 }

@@ -658,18 +658,21 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  // shared oracle prefix: dd04's edges + their undirected transitive
-  // closure. The recursive closure is oracle-side only (fine at the
-  // bounded test scale); the engine side is the iterative min-label
-  // propagation that runs diameter-many bounded rounds at any scale.
-  private def closureOracle = s"""WITH RECURSIVE
-      t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
+  // dd04's edge set (doc_a < doc_b) as reusable oracle CTEs
+  private def edgesOracle = s"""t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
         FROM documents WHERE doc_id < 120),
       g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM g a JOIN g b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-          len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01),
+          len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01)"""
+
+  // shared oracle prefix: dd04's edges + their undirected transitive
+  // closure. The recursive closure is oracle-side only (fine at the
+  // bounded test scale); the engine side is the iterative min-label
+  // propagation that runs diameter-many bounded rounds at any scale.
+  private def closureOracle = s"""WITH RECURSIVE
+      $edgesOracle,
       e AS (SELECT doc_a AS a, doc_b AS b FROM p
         UNION SELECT doc_b, doc_a FROM p),
       reach(a, b) AS (
@@ -993,7 +996,38 @@ object Dedup {
       FROM s ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------------------- tri01
+  /** Triangle count of the near-dup graph — the graph-analytics
+    * statistic that separates "chains of borderline matches" from
+    * "dense duplicate cliques" (a high triangle/edge ratio means the
+    * clusters dd07 builds are genuine near-identical groups, not
+    * transitive accidents). Two keyed equi-joins over the (a < b)
+    * ordered edge list — the standard distributed triangle
+    * enumeration; every triangle a<b<c is counted exactly once. At
+    * scale, high-degree skew is bounded by the same maxBucket
+    * degeneracy guards the edge producers apply.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val ab = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val bc = edges.select(col("doc_a").as("b"), col("doc_b").as("c"))
+    val ac = edges.select(col("doc_a").as("a"), col("doc_b").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+  }
+
+  private val tri01 = QueryDef(
+    "tri01_triangle_count",
+    (s, dir) => triangleCount(ngramPairEdges(s, dir)),
+    Some(s"""WITH $edgesOracle
+      SELECT (SELECT COUNT(*) FROM p ab
+          JOIN p bc ON bc.doc_a = ab.doc_b
+          JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+        AS n_triangles,
+        (SELECT COUNT(*) FROM p) AS n_edges"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, spl01)
+      dd07, dd08, dd09, dd10, spl01, tri01)
 }

@@ -186,5 +186,87 @@ object Multimodal {
       FROM s ORDER BY doc_id, frame_idx"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04)
+  // ------------------------------------------------------------- mm05
+  /** Perceptual-hash (aHash) near-dup detection over binary payloads —
+    * the image-dedup shape: hash the first 64 payload "pixels" against
+    * their mean (64*byte > sum keeps the threshold in exact integer
+    * arithmetic), band the 64-bit hash into 4×16-bit LSH keys, pair
+    * within band buckets (equi-join, never all-pairs), and verify
+    * hamming distance on the full hash via two 32-bit bit_count XORs.
+    * In production the byte window comes from a real decoder's
+    * downsampled luma plane; the banding/verify pipeline is identical.
+    *
+    * The oracle regenerates hashes from the SAME payload bytes but
+    * pairs with an independent quadratic OR-of-bands formulation — a
+    * hash match proves the banded equi-join misses nothing (a pair
+    * within hamming 6 of 64 bits shares at least one of 4 bands only
+    * probabilistically; both sides implement the same any-band
+    * candidate rule, so the check is of the bucketing arithmetic).
+    */
+  private def aHashBands(media: DataFrame): DataFrame = {
+    // byte i of the payload as an int (hex->dec round-trip works for
+    // arbitrary binary, not just UTF-8 text)
+    val withBytes = media.filter(length(col("payload")) >= 64)
+      .withColumn("bytes", expr(
+        "transform(sequence(1, 64), i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as bigint))"))
+      .withColumn("bsum", expr("aggregate(bytes, 0L, (a, x) -> a + x)"))
+      .withColumn("bit", expr(
+        "transform(sequence(1, 64), i -> if(64 * bytes[i-1] > bsum, 1L, 0L))"))
+    def band(j: Int) = expr(
+      s"aggregate(sequence(1, 16), 0L, (a, i) -> a + shiftleft(bit[${16 * j} + i - 1], i - 1))")
+    withBytes.select(col("doc_id"),
+      band(0).as("b0"), band(1).as("b1"), band(2).as("b2"), band(3).as("b3"))
+  }
+
+  def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bands = aHashBands(media)
+    val keyed = bands.select(col("doc_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"), col(s"b$j").as("v"))): _*)).as("k"))
+      .select(col("doc_id"), col("k.band").as("band"), col("k.v").as("v"))
+    val cand = keyed.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ha = bands.select(col("doc_id").as("doc_a"),
+      (col("b0").bitwiseOR(shiftleft(col("b1"), 16))).as("h0a"),
+      (col("b2").bitwiseOR(shiftleft(col("b3"), 16))).as("h1a"))
+    val hb = bands.select(col("doc_id").as("doc_b"),
+      (col("b0").bitwiseOR(shiftleft(col("b1"), 16))).as("h0b"),
+      (col("b2").bitwiseOR(shiftleft(col("b3"), 16))).as("h1b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mm05 = QueryDef(
+    "mm05_phash_neardup",
+    (s, dir) => phashPairs(syntheticMedia(Tables(s, dir).documents)),
+    Some("""WITH h AS (SELECT doc_id,
+        list_transform(range(64), i -> unicode(text[i+1])) AS bytes
+      FROM documents WHERE octet_length(encode(text)) >= 64),
+    s AS (SELECT doc_id, bytes, CAST(list_sum(bytes) AS BIGINT) AS bsum FROM h),
+    bits AS (SELECT doc_id,
+        list_transform(range(64), i -> CASE WHEN 64 * bytes[i+1] > bsum THEN 1 ELSE 0 END) AS bit
+      FROM s),
+    bands AS (SELECT doc_id,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+1] << i)) AS BIGINT) AS b0,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+17] << i)) AS BIGINT) AS b1,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+33] << i)) AS BIGINT) AS b2,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+49] << i)) AS BIGINT) AS b3
+      FROM bits),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+    ham AS (SELECT doc_a, doc_b,
+        bit_count(xor(ba.b0 | (ba.b1 << 16), bb.b0 | (bb.b1 << 16))) +
+        bit_count(xor(ba.b2 | (ba.b3 << 16), bb.b2 | (bb.b3 << 16))) AS hamming
+      FROM cand JOIN bands ba ON ba.doc_id = doc_a JOIN bands bb ON bb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM ham
+    WHERE hamming <= 6 ORDER BY doc_a, doc_b"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05)
 }

@@ -367,5 +367,31 @@ object Quality {
       GROUP BY e.event_type ORDER BY e.event_type"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, qf01, qf02, qf03)
+  // -------------------------------------------------------------- dq05
+  /** K-anonymity audit: group sizes over a quasi-identifier tuple
+    * (nation, market segment, account-balance band) with an at-risk
+    * flag for groups below k=5 — the re-identification check a
+    * governance pipeline runs before releasing a derived dataset.
+    * One hash aggregation (map-side combined) over the QI projection;
+    * the flag is a pure post-agg expression.
+    */
+  private val dq05 = QueryDef(
+    "dq05_k_anonymity",
+    (s, dir) =>
+      Tables(s, dir).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("bigint").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band"),
+    Some("""SELECT c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        COUNT(*) AS n, COUNT(*) < 5 AS at_risk
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+      ORDER BY c_nationkey, c_mktsegment, bal_band"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, qf01, qf02, qf03)
 }

@@ -359,6 +359,78 @@ object Text {
       FROM d ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- txt10
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) for a fixed query
+    * term set — the lexical-retrieval baseline next to txt06's TF-IDF.
+    * Per-term partial scores are quantized to integer MICRO-units
+    * (floor(score * 1e6), the qf03 contract) before the per-document
+    * sum, so the cross-term addition is order-independent and exact in
+    * both engines; idf/tf normalization is written with the identical
+    * operation shape on both sides (same casts, same association).
+    *
+    * Scale: tf filters to the query terms at the scan (a handful of
+    * rows per doc survive), df and the corpus stats are tiny broadcast
+    * sides, and the final top-k is a rank window.
+    */
+  private val txt10 = QueryDef(
+    "txt10_bm25",
+    (s, dir) => {
+      val terms = Seq("table", "scan", "stream")
+      val t = Tables(s, dir).documents.select(col("doc_id"), toks.as("toks"))
+      val dl = t.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      val tf = t.select(col("doc_id"), explode(col("toks")).as("tk"))
+        .filter(col("tk").isin(terms: _*))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(dl, "doc_id")
+        .join(broadcast(dft), "tk")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf",
+          log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+        .withColumn("score_micro",
+          floor(col("idf") * col("tfn") * lit(1000000.0)).cast("bigint"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      scored.groupBy("doc_id").agg(sum(col("score_micro")).as("score_micro"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "score_micro", "rn")
+        .orderBy("rn")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+      stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+        WHERE tk IN ('table', 'scan', 'stream') GROUP BY doc_id, tk),
+      dft AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+      scored AS (SELECT tf.doc_id,
+          CAST(floor(
+            ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+            (CAST(tf AS DOUBLE) * 2.2 /
+              (CAST(tf AS DOUBLE) + 1.2 *
+                (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                  (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+            1000000.0) AS BIGINT) AS score_micro
+        FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dft ON dft.tk = tf.tk CROSS JOIN stats),
+      agg AS (SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro
+        FROM scored GROUP BY doc_id),
+      r AS (SELECT doc_id, score_micro,
+          CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rn
+        FROM agg)
+      SELECT doc_id, score_micro, rn FROM r WHERE rn <= 20 ORDER BY rn"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
-    txt08, txt09)
+    txt08, txt09, txt10)
 }

@@ -267,4 +267,18 @@ class PlanSpec extends SparkSpec {
       "the 1-row vocab size must broadcast, never a shuffled cartesian")
     assert(!p.contains("ScalaUDF"), "bigram extraction must stay in built-ins")
   }
+
+  test("mm05: phash candidates come from the band equi-join (no cartesian)") {
+    val p = plan("mm05_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pairing must be band-bucketed, never all-pairs:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "hashing must stay in built-in expressions")
+  }
+
+  test("txt10: BM25 df/stats broadcast; term filter reaches the token explode") {
+    val p = plan("txt10_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row corpus stats must broadcast, never a shuffled cartesian")
+  }
 }

@@ -647,7 +647,7 @@ object Dedup {
   /** dd04's deterministic near-dup pair set as a bare edge list —
     * the input both clustering queries (dd07/dd08) share.
     */
-  private def ngramPairEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def ngramPairEdges(s: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Tables(s, dir).documents.filter(col("doc_id") < 120))
       .select("doc_id", "shingles")
     sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
@@ -659,7 +659,7 @@ object Dedup {
   }
 
   // dd04's edge set (doc_a < doc_b) as reusable oracle CTEs
-  private def edgesOracle = s"""t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
+  private[operators] def edgesOracle = s"""t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
         FROM documents WHERE doc_id < 120),
       g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -205,17 +205,33 @@ object Multimodal {
     */
   private def aHashBands(media: DataFrame): DataFrame = {
     // byte i of the payload as an int (hex->dec round-trip works for
-    // arbitrary binary, not just UTF-8 text)
-    val withBytes = media.filter(length(col("payload")) >= 64)
-      .withColumn("bytes", expr(
-        "transform(sequence(1, 64), i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as bigint))"))
-      .withColumn("bsum", expr("aggregate(bytes, 0L, (a, x) -> a + x)"))
-      .withColumn("bit", expr(
-        "transform(sequence(1, 64), i -> if(64 * bytes[i-1] > bsum, 1L, 0L))"))
-    def band(j: Int) = expr(
-      s"aggregate(sequence(1, 16), 0L, (a, i) -> a + shiftleft(bit[${16 * j} + i - 1], i - 1))")
-    withBytes.select(col("doc_id"),
-      band(0).as("b0"), band(1).as("b1"), band(2).as("b2"), band(3).as("b3"))
+    // arbitrary binary, not just UTF-8 text).
+    //
+    // Shape note (measured, not theoretical): a previous formulation
+    // chained withColumn("bytes") -> withColumn("bit") -> per-band
+    // folds. CollapseProject inlines the alias into EVERY element
+    // access inside the fold lambdas, so the 64-conv byte transform
+    // re-evaluated ~64×64×4 times per row — interpreted, ~85 s for 500
+    // rows. Exploding to (doc_id, pos, byte) rows and aggregating
+    // bands with conditional shiftleft sums keeps every stage in
+    // whole-stage codegen and evaluates the byte transform exactly
+    // twice per row (once for the explode, once for the mean sum);
+    // 64 rows/doc through one doc-keyed hash aggregation is also the
+    // plan that scales.
+    val byteArr =
+      "transform(sequence(1, 64), i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as bigint))"
+    media.filter(length(col("payload")) >= 64)
+      .select(col("doc_id"),
+        expr(s"aggregate($byteArr, 0L, (a, x) -> a + x)").as("bsum"),
+        posexplode(expr(byteArr)).as(Seq("pos", "byte")))
+      .withColumn("bit",
+        when(lit(64L) * col("byte") > col("bsum"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("if(pos div 16 = 0, shiftleft(bit, pos % 16), 0L)")).as("b0"),
+        sum(expr("if(pos div 16 = 1, shiftleft(bit, pos % 16), 0L)")).as("b1"),
+        sum(expr("if(pos div 16 = 2, shiftleft(bit, pos % 16), 0L)")).as("b2"),
+        sum(expr("if(pos div 16 = 3, shiftleft(bit, pos % 16), 0L)")).as("b3"))
   }
 
   def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {

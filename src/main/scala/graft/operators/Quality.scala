@@ -393,5 +393,76 @@ object Quality {
       ORDER BY c_nationkey, c_mktsegment, bal_band"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, qf01, qf02, qf03)
+  // -------------------------------------------------------------- dq06
+  /** L-diversity audit — dq05's companion: a k-anonymous group is
+    * still re-identifiable when every member shares the same SENSITIVE
+    * value, so governance checks distinct-sensitive-value counts per
+    * quasi-identifier group (here: order priority as the sensitive
+    * attribute within (nation, mktsegment) QI groups, via the
+    * customer⋈orders join). One shuffle on the join key, one hash
+    * aggregation; the diversity flag is a post-agg expression.
+    */
+  private val dq06 = QueryDef(
+    "dq06_l_diversity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders,
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderpriority")).as("l_diversity"))
+        .withColumn("at_risk", col("l_diversity") < 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_diversity,
+        COUNT(DISTINCT o_orderpriority) < 3 AS at_risk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_nationkey, c_mktsegment
+      ORDER BY c_nationkey, c_mktsegment"""),
+  )
+
+  // -------------------------------------------------------------- imp01
+  /** Group-mean imputation — the standard missing-value repair step of
+    * a cleaning pipeline: rows whose measure is missing (deterministic
+    * stand-in: l_orderkey ≡ 0 mod 97, since the synthetic tables carry
+    * no real NULLs) receive their group's exact-decimal mean computed
+    * over the NON-missing rows. Scale shape: one map-side-combined
+    * aggregation producing a group-count-sized mean table, broadcast
+    * back over the fact — no fact-side shuffle at all.
+    *
+    * Determinism: the mean is decimal-sum / count (one IEEE division,
+    * identical in both engines — Relational.davg's contract); imputed
+    * values are that raw double, never re-rounded.
+    */
+  private val imp01 = QueryDef(
+    "imp01_group_impute",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("was_missing", col("l_orderkey") % 97 === 0)
+      val means = li.filter(!col("was_missing"))
+        .groupBy(col("l_returnflag").as("g"))
+        .agg((sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1))).as("g_mean"))
+      li.join(broadcast(means), col("l_returnflag") === col("g"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("was_missing"),
+          when(col("was_missing"), col("g_mean"))
+            .otherwise(col("l_discount").cast("double")).as("disc_imputed"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_discount,
+          (l_orderkey % 97 = 0) AS was_missing FROM lineitem),
+      m AS (SELECT l_returnflag,
+          CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS g_mean
+        FROM b WHERE NOT was_missing GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, b.l_returnflag, was_missing,
+        CASE WHEN was_missing THEN g_mean
+             ELSE CAST(l_discount AS DOUBLE) END AS disc_imputed
+      FROM b JOIN m USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, imp01,
+    qf01, qf02, qf03)
 }

@@ -473,6 +473,94 @@ object Similarity {
       SELECT vec_id, codesum, mse FROM agg ORDER BY vec_id"""),
   )
 
+  /** PQ-ADC search (Jégou et al. 2011 §IV): score queries against the
+    * PQ CODES instead of the raw vectors — the memory-bound regime of
+    * billion-scale ANN, where the corpus holds 8 nibbles per vector
+    * and a query precomputes one 16-entry lookup table per subspace
+    * (LUT[m][c] = ‖q_m − codebook_m[c]‖²), so per-vector scoring is 8
+    * table lookups + adds, never a 64-dim float fold.
+    *
+    * 100 TB shape: codebooks and query LUTs are driver-side constants
+    * (bounded collects: nCodes + nQueries rows — the sim03v/pq01
+    * contract) shipped as literals; the scan is map-only codegen
+    * (NearestCentroids per subspace + element_at adds), the only
+    * exchange is the per-query top-k rank. Codebooks stay pinned to
+    * the first-nCodes vectors so the oracle replays bit-exactly;
+    * trained codebooks drop in without changing the plan.
+    */
+  def pqAdcTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    // bounded collects: nCodes codebook rows + nQueries query rows
+    val pinned = emb.filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val queries = emb.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long").as("qid"), asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // LUT[q][m][c] = ||q_sub - codebook entry||², summed dim-ascending —
+    // the exact double sequence the oracle's list_sum(range(subDim)) runs
+    def lutFor(qv: Array[Double], m: Int): Seq[Double] =
+      pinned.map { cb =>
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = qv(m * subDim + i) - cb(m * subDim + i); d += x * x; i += 1
+        }
+        d
+      }.toSeq
+    val c = emb.select(col("vec_id").cast("long").as("cid"),
+      asDouble(col("embedding")).as("v"))
+    // per-vector codes: computed once, shared by every query's LUT scan
+    val coded = (0 until nSub).foldLeft(c) { (df, m) =>
+      val cb = pinned.map(_.slice(m * subDim, (m + 1) * subDim))
+      df.withColumn(s"code_$m",
+        element_at(nearest_centroids(slice(col("v"), m * subDim + 1, subDim), cb, 1), 1))
+    }
+    val perQuery = queries.map { case (qid, qv) =>
+      val adist = (0 until nSub).map(m =>
+          element_at(typedLit(lutFor(qv, m)), col(s"code_$m") + 1))
+        .reduce(_ + _) // subspace-ascending add order, same as the oracle
+      struct(lit(qid).as("qid"), adist.as("adist"))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    coded.select(col("cid"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("qa.qid").as("qid"), col("cid"), col("qa.adist").as("adist"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "adist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  // The oracle rebuilds codes (pq01's CTEs) AND the ADC tables from the
+  // same pinned codebooks, so a hash match certifies both the lookup
+  // arithmetic and the ranking.
+  private val sim05 = QueryDef(
+    "sim05_pq_adc",
+    (s, dir) => pqAdcTopK(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, m, k,
+          list_sum(list_transform(range(8), i ->
+            (cv[m * 8 + i + 1] - kv[m * 8 + i + 1]) * (cv[m * 8 + i + 1] - kv[m * 8 + i + 1]))) AS dist
+        FROM c, range(8) r(m), cen),
+      rk AS (SELECT cid, m, k, dist,
+          ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, k) AS r FROM d),
+      ch AS (SELECT cid, m, k AS code FROM rk WHERE r = 1),
+      q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),
+      pd AS (SELECT q.qid, ch.cid, ch.m,
+          list_sum(list_transform(range(8), i ->
+            (q.qv[ch.m * 8 + i + 1] - cen.kv[ch.m * 8 + i + 1]) *
+            (q.qv[ch.m * 8 + i + 1] - cen.kv[ch.m * 8 + i + 1]))) AS pdist
+        FROM q, ch JOIN cen ON cen.k = ch.code),
+      a AS (SELECT qid, cid, list_sum(list(pdist ORDER BY m)) AS adist
+        FROM pd GROUP BY qid, cid),
+      r AS (SELECT qid, cid, adist,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS BIGINT) AS rn
+        FROM a WHERE qid <> cid)
+      SELECT qid, cid, adist, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
   /** Recall@k of the LSH index against the brute-force ground truth —
     * the evaluation operator every ANN deployment runs before trusting
     * an index (recall is THE quality/cost dial being tuned; sim02's
@@ -534,5 +622,5 @@ object Similarity {
       GROUP BY t.qid ORDER BY t.qid"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05)
 }

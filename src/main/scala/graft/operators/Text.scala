@@ -431,6 +431,49 @@ object Text {
       SELECT doc_id, score_micro, rn FROM r WHERE rn <= 20 ORDER BY rn"""),
   )
 
+  // -------------------------------------------------------------- txt11
+  /** Per-document lexical entropy + type-token ratio — the diversity
+    * quality signal (boilerplate and template spam have low token
+    * entropy even at high length; cf. rep01 which catches REPEATED
+    * text, this catches LOW-VARIETY text). One explode + two hash
+    * aggregations, all map-side combinable; linear in corpus size.
+    *
+    * Determinism: H = log2(n) - Σ c·log2(c) / n. The Σ term is summed
+    * in ASCENDING TOKEN ORDER in both engines (list_sum over a sorted
+    * list / aggregate over sort_array) so the floating accumulation
+    * order is pinned, then rounded to 6 decimals.
+    */
+  private val txt11 = QueryDef(
+    "txt11_token_entropy",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          // pin accumulation order: per-type terms sorted by token
+          sort_array(collect_list(struct(col("w"), col("c")))).as("terms"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(expr("log2(n_tokens) - aggregate(terms, 0.0D, " +
+            "(acc, t) -> acc + t.c * log2(t.c)) / n_tokens"), 6)
+            .as("entropy"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, unnest(${OracleSql.Toks}) AS w
+        FROM documents),
+      f AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w),
+      a AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+          list_sum(list_transform(list(c ORDER BY w), x -> x * log2(x))) AS plogp
+        FROM f GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_types AS BIGINT) AS n_types,
+        ROUND(log2(n_tokens) - plogp / n_tokens, 6) AS entropy,
+        ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+      FROM a ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
-    txt08, txt09, txt10)
+    txt08, txt09, txt10, txt11)
 }

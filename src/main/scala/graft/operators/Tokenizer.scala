@@ -110,5 +110,59 @@ object Tokenizer {
       ORDER BY round"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(bpe01)
+  /** Encode the corpus with the merges [[bpeMerges]] trained — the
+    * tokenize-with-learned-vocab pass that follows trainer rounds in a
+    * real pipeline. Per document: BPE token count, whitespace token
+    * count, and the compression ratio the learned merges achieve.
+    *
+    * 100 TB shape: merges apply to the DISTINCT-WORD table (Zipf-
+    * compact, vocab-sized — never the corpus), which then broadcasts
+    * back onto the per-doc token counts; the corpus-side cost is one
+    * explode + hash aggregation + broadcast join, all linear.
+    */
+  def bpeEncode(spark: SparkSession, docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val trained = bpeMerges(spark, docs, rounds)
+      .select("pair", "merged").collect() // bounded: `rounds` rows
+    val toks = graft.functions.TextExpressions.tokens(col("text"))
+    val q = (x: String) => x.replace("'", "''")
+    // vocab-sized word table; replay the merge chain in training order
+    val words0 = docs.select(explode(toks).as("w")).distinct()
+      .withColumn("s", concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), " "),
+        lit(" ")))
+    val words = trained.foldLeft(words0) { (df, m) =>
+      df.withColumn("s",
+        expr(s"replace(s, ' ${q(m.getString(0))} ', ' ${q(m.getString(1))} ')"))
+    }.select(col("w"), size(split(trim(col("s")), " ")).cast("bigint").as("n_syms"))
+    docs.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(words), "w")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+      // fertility = BPE tokens emitted per whitespace word (the
+      // tokenizer-quality metric); exact longs, one IEEE division
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpe02 = QueryDef(
+    "bpe02_bpe_encode",
+    (s, dir) => bpeEncode(s, Tables(s, dir).documents),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${OracleSql.Toks}) AS w FROM documents),
+      w0 AS (SELECT w, COUNT(*) AS freq,
+          ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), ' ') || ' ' AS s
+        FROM (SELECT w FROM tok) GROUP BY w),
+      ${(1 to 4).map(roundSql).mkString(",\n      ")},
+      wl AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms FROM w4),
+      dc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+        CAST(SUM(cnt * n_syms) AS DOUBLE) / SUM(cnt) AS fertility
+      FROM dc JOIN wl USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(bpe01, bpe02)
 }

@@ -281,4 +281,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row corpus stats must broadcast, never a shuffled cartesian")
   }
+
+  test("sim05: ADC scoring is map-only lookups (no join between codes and LUTs, no UDF)") {
+    val p = plan("sim05_pq_adc")
+    // codebooks + query LUTs ship as literals: the only join-free plan
+    // has zero join operators before the top-k window
+    assert(!p.contains("Join"), s"LUT scoring must not plan a join:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("imp01: group means broadcast back over the fact (no fact-side shuffle join)") {
+    val p = plan("imp01_group_impute")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the 3-row mean table must broadcast against the lineitem scan")
+  }
+
+  test("pr01: per-round plans are keyed equi-joins; node count broadcasts") {
+    val p = plan("pr01_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row node count must broadcast, never a shuffled cartesian")
+  }
 }

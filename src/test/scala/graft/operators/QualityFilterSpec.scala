@@ -131,4 +131,36 @@ class QualityFilterSpec extends SparkSpec {
         s"$c approx distinct ${r.getLong(3)} vs exact $nd")
     }
   }
+
+  test("dq06: l-diversity counts distinct sensitive values, flag consistent") {
+    val rows = run("dq06_l_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getLong(3)
+      assert(l >= 1 && l <= 5, s"order priorities cap diversity at 5, got $l")
+      assert(l <= r.getLong(2), "diversity cannot exceed group size")
+      assert(r.getBoolean(4) == (l < 3))
+    }
+  }
+
+  test("imp01: missing rows get exactly the non-missing group mean, others unchanged") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val out = run("imp01_group_impute")
+    assert(out.count() == li.count(), "imputation must not drop or add rows")
+    // recompute one group's mean independently and check an imputed row
+    val means = li.filter(col("l_orderkey") % 97 =!= 0)
+      .groupBy("l_returnflag")
+      .agg((sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sample = out.filter(col("was_missing")).limit(50).collect()
+    assert(sample.nonEmpty, "the mod-97 stand-in must mark some rows missing")
+    sample.foreach { r =>
+      assert(r.getDouble(4) == means(r.getString(2)), "imputed != group mean")
+    }
+    val untouched = out.filter(!col("was_missing")).limit(50).collect()
+    untouched.foreach { r =>
+      assert(r.getLong(0) % 97 != 0)
+    }
+  }
 }

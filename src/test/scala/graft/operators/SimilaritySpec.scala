@@ -222,4 +222,26 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - expected / 5.0) < 1e-12)
     }
   }
+
+  test("sim05 PQ-ADC: k rows per query ranked by nonneg distance, self excluded, codebook vectors score zero-ish") {
+    val out = Similarity.pqAdcTopK(emb, nQueries = 3, k = 5).collect()
+    assert(out.length == 15)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      assert(rows.forall(_.getLong(1) != qid), "self must be excluded")
+      val ds = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ds.forall(_ >= 0.0))
+      assert(ds.sameElements(ds.sorted), "rn must follow adist asc")
+    }
+    // a query IS a codebook vector (qid < 3 < 16): its own codes
+    // reconstruct it exactly, so ADC distance to itself would be 0 —
+    // and to its brute-force nearest neighbors, small. Sanity-check
+    // recall against brute force (ADC is approximate: coarse 16-entry
+    // codebooks, so demand overlap, not equality).
+    val brute = Similarity.bruteTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adc.intersect(brute).size >= 5,
+      s"ADC should recover a good share of true neighbors, got ${adc.intersect(brute).size}/15")
+  }
 }

@@ -43,4 +43,20 @@ class TokenizerSpec extends SparkSpec {
     // round 3: words are [aa, aa]
     assert(out(2).getString(1) == "aa aa" && out(2).getLong(3) == 2L)
   }
+
+  test("bpe02: encoding counts replay the trained merges per document") {
+    import spark.implicits._
+    // training corpus: "aa" x3, "ab" x2 -> merges [a a -> aa, a b -> ab]
+    // (first test's hand computation); after both merges every word is
+    // ONE symbol, so n_bpe_tokens == n_tokens and fertility == 1.0
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val out = Tokenizer.bpeEncode(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    // untrained symbols stay split: with zero rounds, "aa" is 2 chars
+    val raw = Tokenizer.bpeEncode(spark, docs, rounds = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == 6L && raw(2L) == 4L) // every char its own symbol
+  }
 }

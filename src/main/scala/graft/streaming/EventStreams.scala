@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events parquet schema as written by the generator (ts = raw
+  /** events parquet schema as written by older generators (ts = raw
     * TIMESTAMP(NANOS) surfaced as long — see graft.sources.Tables).
+    * Used only as a fallback when the landing dir is still empty at
+    * stream-definition time.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,10 +35,23 @@ object EventStreams {
     StructField("props", StringType),
   ))
 
-  /** File-source stream of events with `ts` as a real timestamp. */
-  def readStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-source stream of events with `ts` as a real timestamp.
+    *
+    * File streams need a declared schema; we probe the files already in
+    * the landing dir so the stream adapts to whichever `ts` flavor the
+    * generator wrote (nanosecond long vs TIMESTAMP_NTZ micros), then
+    * normalize exactly like the batch path
+    * ([[graft.sources.Tables.normalizeEventTs]]) so stream == batch by
+    * construction.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val onDisk =
+      try spark.read.parquet(path).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+    graft.sources.Tables
+      .normalizeEventTs(spark.readStream.schema(onDisk).parquet(path))
+      .drop("ts_ns")
+  }
 
   /** Tumbling 1-hour windows per event type; late data beyond the
     * watermark is dropped.

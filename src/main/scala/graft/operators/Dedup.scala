@@ -1027,7 +1027,91 @@ object Dedup {
         (SELECT COUNT(*) FROM p) AS n_edges"""),
   )
 
+  // -------------------------------------------------------------- dd11
+  /** Exact duplicate-SPAN coverage (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022 — their
+    * suffix-array ExactSubstr pass, re-expressed as a positional-gram
+    * dataflow): for every document, the fraction of token positions
+    * covered by at least one 5-token gram that also occurs in ANOTHER
+    * document. Whole-doc dedup (dd01) misses documents that share long
+    * passages without being near-duplicates; this is the operator that
+    * finds quotation/boilerplate MASS inside otherwise-unique docs.
+    *
+    * Dataflow: positional 5-gram fingerprints (md5 of the joined gram)
+    * → global gram-frequency aggregation (map-side combined; the one
+    * shuffle) keeps grams seen in ≥2 distinct docs → semi-join back
+    * restricts the per-doc coverage window to duplicated positions only
+    * → interval-union coverage per doc via one lead() window: a gram at
+    * position p covers [p, p+5), so its marginal contribution is
+    * min(5, next_pos - p) and the last gram contributes 5.
+    *
+    * Scale notes: NO pair expansion anywhere — unlike the LSH family
+    * this is linear in corpus size however common a gram is (a
+    * boilerplate gram in a million docs adds a million rows to the
+    * frequency agg, not a trillion pairs). The coverage window
+    * partitions by doc_id, so it parallelizes per document and its
+    * input is semi-join-reduced to duplicated positions.
+    */
+  def dupSpanCoverage(docs: DataFrame, k: Int = 5,
+      flagThreshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokd = docs
+      .select(col("doc_id"), graft.functions.TextExpressions.tokens(col("text")).as("toks"))
+    val grams = tokd.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, size(toks) - $k),
+              i -> struct(i AS pos, md5(array_join(slice(toks, i + 1, $k), ' ')) AS g))"""))
+          .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dupg = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = grams.join(dupg, Seq("g"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("c", least(coalesce(col("nxt") - col("pos"), lit(k)), lit(k)))
+      .groupBy("doc_id").agg(sum(col("c")).as("covered"))
+    tokd.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(0.0).as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") >= flagThreshold)
+      .orderBy("doc_id")
+  }
+
+  private val dd11 = QueryDef(
+    "dd11_dup_spans",
+    (s, dir) => dupSpanCoverage(Tables(s, dir).documents),
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS pos
+        FROM t WHERE len(toks) >= 5),
+      g AS (SELECT doc_id, pos,
+          md5(array_to_string(toks[pos + 1:pos + 5], ' ')) AS g
+        FROM g0),
+      d AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      p AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM d)),
+      c0 AS (SELECT doc_id,
+          LEAST(COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5), 5) AS c
+        FROM p),
+      c AS (SELECT doc_id, SUM(c) AS covered FROM c0 GROUP BY doc_id),
+      a AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+      SELECT a.doc_id, a.n_tokens,
+        CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+        CASE WHEN a.n_tokens > 0
+             THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / a.n_tokens
+             ELSE 0.0 END AS dup_frac,
+        (CASE WHEN a.n_tokens > 0
+              THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / a.n_tokens
+              ELSE 0.0 END) >= 0.3 AS flagged
+      FROM a LEFT JOIN c ON a.doc_id = c.doc_id
+      ORDER BY a.doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, spl01, tri01)
+      dd07, dd08, dd09, dd10, dd11, spl01, tri01)
 }

@@ -463,6 +463,97 @@ object Quality {
       ORDER BY l_orderkey, l_linenumber"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, imp01,
+  // -------------------------------------------------------------- dq07
+  /** T-closeness audit (Li et al. 2007) — the third leg of the
+    * governance triple after dq05 (k-anonymity) and dq06 (l-diversity):
+    * an l-diverse group still leaks when its SENSITIVE-value
+    * distribution diverges from the table's. For an ORDERED sensitive
+    * attribute (order-value band = floor(o_totalprice/50000)) the
+    * distance is the Earth Mover's Distance, which over ordered bins is
+    * the mean absolute difference of the two CDFs.
+    *
+    * Determinism: the EMD numerator is computed over a COMMON
+    * denominator — sum_b |cum_gb*n - cum_b*n_g| is exact BIGINT
+    * arithmetic (≤ 15k*15k*11 ≈ 2.5e9 at sf0.01) — and only the final
+    * normalization by n_g*n*(bins-1) is one IEEE division.
+    *
+    * Scale shape: one map-side-combined aggregation over the join
+    * produces the (group × band) counts; the dense group×band grid, the
+    * CDFs and the EMD all live on sketch-sized tables (|groups|·|bands|
+    * rows), windows included. Nothing downstream of the first agg ever
+    * touches the fact again.
+    */
+  /** Generic t-closeness over `assigned` rows carrying the
+    * quasi-identifier columns `groupCols` plus an ordered BIGINT
+    * `band` (the binned sensitive attribute). See dq07 for semantics
+    * and the determinism/scale contract.
+    */
+  def tCloseness(assigned: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], threshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    val gb = assigned.groupBy(gCols :+ col("band"): _*)
+      .agg(count(lit(1)).as("n_gb"))
+    val groups = gb.groupBy(gCols: _*).agg(sum(col("n_gb")).as("n_g"))
+    val bands = gb.groupBy("band").agg(sum(col("n_gb")).as("n_b"))
+    val totals = bands.agg(sum(col("n_b")).as("n"), count(lit(1)).as("n_bins"))
+    val wg = Window.partitionBy(gCols: _*).orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = groups.crossJoin(broadcast(
+        bands.withColumn("cum_b", sum(col("n_b")).over(wb))))
+      .join(broadcast(gb), groupCols :+ "band", "left")
+      .na.fill(0L, Seq("n_gb"))
+      .withColumn("cum_gb", sum(col("n_gb")).over(wg))
+    grid.crossJoin(broadcast(totals))
+      .groupBy(gCols: _*)
+      .agg(max(col("n_g")).as("n"),
+        (sum(abs(col("cum_gb") * col("n") - col("cum_b") * col("n_g")))
+          .cast("double") /
+          (max(col("n_g")) * max(col("n")) * (max(col("n_bins")) - lit(1L)))
+          ).as("t_emd"))
+      .withColumn("at_risk", col("t_emd") > threshold)
+      .orderBy(gCols: _*)
+  }
+
+  private val dq07 = QueryDef(
+    "dq07_t_closeness",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("o_totalprice") / 50000.0).cast("bigint").as("band"))
+      tCloseness(base, Seq("c_nationkey", "c_mktsegment"))
+    },
+    Some("""WITH base AS (SELECT c_nationkey, c_mktsegment,
+          CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS band
+        FROM customer JOIN orders ON c_custkey = o_custkey),
+      gb AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n_gb
+        FROM base GROUP BY 1, 2, 3),
+      groups_ AS (SELECT c_nationkey, c_mktsegment, SUM(n_gb) AS n_g
+        FROM gb GROUP BY 1, 2),
+      bands AS (SELECT band, SUM(n_gb) AS n_b,
+          SUM(SUM(n_gb)) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        FROM gb GROUP BY band),
+      totals AS (SELECT SUM(n_b) AS n, COUNT(*) AS n_bins FROM bands),
+      grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.cum_b,
+          SUM(COALESCE(x.n_gb, 0)) OVER (PARTITION BY g.c_nationkey, g.c_mktsegment
+            ORDER BY b.band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gb
+        FROM groups_ g CROSS JOIN bands b
+        LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
+          AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band)
+      SELECT grid.c_nationkey, grid.c_mktsegment, MAX(n_g) AS n,
+        CAST(SUM(abs(cum_gb * totals.n - cum_b * n_g)) AS DOUBLE) /
+          (MAX(n_g) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) AS t_emd,
+        CAST(SUM(abs(cum_gb * totals.n - cum_b * n_g)) AS DOUBLE) /
+          (MAX(n_g) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) > 0.2 AS at_risk
+      FROM grid CROSS JOIN totals
+      GROUP BY grid.c_nationkey, grid.c_mktsegment
+      ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, imp01,
     qf01, qf02, qf03)
 }

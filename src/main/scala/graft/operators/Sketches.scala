@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Deterministic streaming-sketch operators: count-min heavy-hitter
+  * estimation (cms01) and HyperLogLog cardinality (hll01).
+  *
+  * The point of this module is that SKETCHES DO NOT HAVE TO BE
+  * ORACLE-EXEMPT. q32 uses Spark's built-in approx aggregates, whose
+  * internals (HLL++ bias tables, quantile sketch merge order) no other
+  * engine reproduces — so q32 is no_oracle with a bounds-checking twin.
+  * Here the sketch hash family is md5-derived and every intermediate is
+  * integer (register maxima, cell counts, scaled harmonic sums), so
+  * DuckDB replays the ENTIRE sketch bit-for-bit: build, estimate,
+  * correction and all. Determinism also buys the production property
+  * that a task retry or partition re-split cannot change the answer.
+  *
+  * Scale shapes (both): one map-side-combinable aggregation over the
+  * fact producing a FIXED-size sketch (1,024 cells / 256 registers) —
+  * the reduce side is constant no matter the corpus; estimation joins
+  * are against broadcast-size tables. This is the sketch contract that
+  * matters at 100 TB: memory is O(sketch), not O(distinct keys).
+  *
+  * No counterpart in the reference (its only aggregation is the top-5
+  * error summary, error_handler.py:79-96) — declared extension,
+  * SURVEY.md §2C.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------ cms01
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): depth 4 × width
+    * 256. Row j hashes key x to bucket_j(x) = md5("cms" + j + ":" + x)
+    * taken as a 16-bit prefix mod 256; cell (j, b) accumulates row
+    * counts; the estimate for x is min_j cell(j, bucket_j(x)) — an
+    * OVERestimate with probability-1 (never under), which the output
+    * asserts per key.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  private def cmsBucket(j: Int, key: Column): Column =
+    (conv(substring(md5(concat(lit(s"cms$j:"), key.cast("string")).cast("binary")),
+      1, 4), 16, 10).cast("bigint") % CmsWidth).as(s"b$j")
+
+  private def cmsBucketSql(j: Int, key: String): String =
+    s"('0x' || substr(md5('cms$j:' || CAST($key AS VARCHAR)), 1, 4))::BIGINT % $CmsWidth"
+
+  /** (j, bucket, cnt) sketch cells of `keyCol` occurrences — exactly
+    * CmsDepth×CmsWidth rows upper-bound, map-side combined.
+    */
+  def countMinCells(fact: DataFrame, keyCol: String): DataFrame =
+    fact.select(posexplode(array((0 until CmsDepth)
+        .map(j => cmsBucket(j, col(keyCol))): _*)).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  private val cms01 = QueryDef(
+    "cms01_countmin_heavy",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val cells = countMinCells(li, "l_partkey")
+      // Exact top-20 heavy hitters (count-desc, key tie-break) — the
+      // ground truth the sketch estimates are compared against.
+      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
+      // Probe: 20 keys × 4 rows, joined against the ≤1,024-cell sketch
+      // — both sides broadcast-size by construction.
+      top.select(col("l_partkey"), col("n_exact"),
+          posexplode(array((0 until CmsDepth)
+            .map(j => cmsBucket(j, col("l_partkey"))): _*)).as(Seq("j", "bucket")))
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy("l_partkey")
+        .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
+        .withColumn("never_under", col("n_est") >= col("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT j, CASE j ${(0 until CmsDepth).map(j =>
+          s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
+          COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        GROUP BY 1, 2),
+      top AS (SELECT l_partkey, COUNT(*) AS n_exact FROM lineitem
+        GROUP BY 1 ORDER BY n_exact DESC, l_partkey LIMIT 20),
+      probe AS (SELECT l_partkey, n_exact, j,
+          CASE j ${(0 until CmsDepth).map(j =>
+            s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket
+        FROM top CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j))
+      SELECT p.l_partkey, MAX(p.n_exact) AS n_exact, MIN(c.cnt) AS n_est,
+        MIN(c.cnt) >= MAX(p.n_exact) AS never_under
+      FROM probe p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY p.l_partkey ORDER BY n_exact DESC, l_partkey"""),
+  )
+
+  // ------------------------------------------------------------ hll01
+  /** HyperLogLog (Flajolet et al. 2007) with p=8 (256 registers) over a
+    * 32-bit md5-prefix hash: register = top 8 bits, rho = leading-zero
+    * rank of the low 24 bits (1..25). The register maxima, the scaled
+    * harmonic sum Σ 2^(25-rho) (exact integers — 2^-rho is scaled by
+    * 2^25 so empty registers contribute exactly 2^25), and the
+    * linear-counting small-range correction (est ≤ 2.5m with empty
+    * registers → m·ln(m/zeros)) are all arithmetic DuckDB reproduces
+    * exactly; ln() is bit-identical across engines (txt06 precedent).
+    */
+  private val HllRegs = 256       // m = 2^8
+  private val HllRemBits = 24     // rho in 1..25
+  private val Scale = 1L << (HllRemBits + 1)  // 2^25
+
+  /** alpha_m · m² · 2^25 — literal-arithmetic constant, evaluated in
+    * the same IEEE order in both engines.
+    */
+  private val AlphaSql =
+    s"0.7213 / (1.0 + 1.079 / $HllRegs.0) * $HllRegs.0 * $HllRegs.0 * $Scale.0"
+
+  /** rho(w) for the 24-bit remainder w as a CASE chain — exact integer
+    * compares only (floor(log2) rounds wrong at 2^k - 1 boundaries and
+    * libm may differ across engines).
+    */
+  private def rhoSql(w: String): String =
+    (1 to HllRemBits).map(r =>
+      s"WHEN $w >= ${1L << (HllRemBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${HllRemBits + 1} END")
+
+  private def rhoCol(w: Column): Column =
+    (2 to HllRemBits).foldLeft(when(w >= (1L << (HllRemBits - 1)), 1)) {
+      (acc, r) => acc.when(w >= (1L << (HllRemBits - r)), r)
+    }.otherwise(HllRemBits + 1)
+
+  /** One (label, n_exact, n_est, in_envelope) row estimating the
+    * distinct count of `key` in `fact`.
+    */
+  private def hllSql(table: String, key: String, label: String): String =
+    s"""SELECT '$label' AS col_name, n_exact,
+        CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END AS n_est,
+        abs(CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END - n_exact)
+          <= 0.15 * n_exact AS in_envelope
+      FROM (
+        SELECT MAX(n_exact) AS n_exact,
+          ($AlphaSql) / (SUM(CAST(1::BIGINT << (${HllRemBits + 1} - max_rho) AS DECIMAL(38,0)))
+            + ($HllRegs - COUNT(*)) * CAST($Scale AS DECIMAL(38,0))) AS raw,
+          $HllRegs - COUNT(*) AS zeros
+        FROM (
+          SELECT h // ${1L << HllRemBits} AS reg, MAX(rho) AS max_rho,
+            MAX(n_exact) AS n_exact
+          FROM (
+            SELECT h, ${rhoSql(s"(h % ${1L << HllRemBits})")} AS rho,
+              (SELECT COUNT(DISTINCT $key) FROM $table) AS n_exact
+            FROM (SELECT DISTINCT ('0x' || substr(md5('hll:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT AS h
+                  FROM $table WHERE $key IS NOT NULL))
+          GROUP BY reg))"""
+
+  def hllEstimate(fact: DataFrame, key: String, label: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    val regs = fact.filter(col(key).isNotNull)
+      .select(h.as("h")).distinct()
+      .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+    val exact = fact.agg(count_distinct(col(key)).as("n_exact"))
+    regs.crossJoin(broadcast(exact))
+      .agg(max(col("n_exact")).as("n_exact"),
+        (expr(AlphaSql) /
+          (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
+            .cast("decimal(38,0)")) +
+            (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
+          .as("raw"),
+        (lit(HllRegs) - count(lit(1))).as("zeros"))
+      .select(lit(label).as("col_name"), col("n_exact"),
+        when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
+          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_est"))
+      .withColumn("in_envelope",
+        abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+  }
+
+  private val hll01 = QueryDef(
+    "hll01_hyperloglog",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      hllEstimate(li, "l_orderkey", "l_orderkey")
+        .unionByName(hllEstimate(li, "l_partkey", "l_partkey"))
+        .unionByName(hllEstimate(li, "l_suppkey", "l_suppkey"))
+        .orderBy("col_name")
+    },
+    Some(s"""SELECT * FROM (
+        ${hllSql("lineitem", "l_orderkey", "l_orderkey")}
+        UNION ALL ${hllSql("lineitem", "l_partkey", "l_partkey")}
+        UNION ALL ${hllSql("lineitem", "l_suppkey", "l_suppkey")})
+      ORDER BY col_name"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cms01, hll01)
+}

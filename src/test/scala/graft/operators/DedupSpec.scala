@@ -315,4 +315,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
     scale.foreach { case (k, v) => assert(cart(k) == v, s"pair $k disagrees with cartesian") }
   }
+
+  test("dupSpanCoverage: shared 6-token span covers exactly 6 positions per doc") {
+    val docs = Seq(
+      (0L, "alpha beta one two three four five six gamma delta"),
+      (1L, "epsilon one two three four five six zeta eta theta"),
+      (2L, "completely different words with no overlap at all here now"),
+      (3L, "tiny doc"), // under the gram size: never flagged, never crashes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // two overlapping dup 5-grams at consecutive positions merge into a
+    // 6-token covered interval: min(5, 1) + 5
+    assert(out(0L) == ((6L, 0.6, true)), out(0L).toString)
+    assert(out(1L) == ((6L, 0.6, true)), out(1L).toString)
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(3L) == ((0L, 0.0, false)))
+  }
+
+  test("dupSpanCoverage: whole-doc duplicates are fully covered") {
+    val text = "one two three four five six seven eight nine ten"
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 6 dup grams at positions 0..5, coverage = 5*min-gaps + last = 10
+    assert(out(0L) == ((10L, 10L, 1.0)))
+    assert(out(1L) == ((10L, 10L, 1.0)))
+  }
 }

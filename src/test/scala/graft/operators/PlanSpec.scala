@@ -302,4 +302,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row node count must broadcast, never a shuffled cartesian")
   }
+
+  test("cms01: sketch build is one agg; probe joins the 1,024-cell sketch by broadcast") {
+    val p = plan("cms01_countmin_heavy")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the fixed-size sketch must broadcast against the 20-key probe")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hll01: register maxima aggregate map-side; no shuffled cartesian, no UDF") {
+    val p = plan("hll01_hyperloglog")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row exact-count side must broadcast")
+    assert(!p.contains("ScalaUDF"), "rho must stay a codegen'd CASE chain")
+  }
+
+  test("dq07: CDF grid joins broadcast; the fact is scanned once per leg") {
+    val p = plan("dq07_t_closeness")
+    assert(!p.contains("SortMergeJoin"),
+      "group x band tables are sketch-sized and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd11: coverage comes from a semi-join-reduced window, never a pair expansion") {
+    val p = plan("dd11_dup_spans")
+    assert(p.contains("LeftSemi"),
+      "dup positions must be restricted by a semi join on gram hash")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

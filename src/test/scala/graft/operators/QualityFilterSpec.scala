@@ -163,4 +163,21 @@ class QualityFilterSpec extends SparkSpec {
       assert(r.getLong(0) % 97 != 0)
     }
   }
+
+  test("tCloseness: identical distributions score 0, concentrated groups score high") {
+    import spark.implicits._
+    // both groups mirror the global 50/50 band split -> EMD exactly 0
+    val mirrored = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 0L), ("b", 1L), ("b", 1L)).toDF("g", "band")
+    val m = Quality.tCloseness(mirrored, Seq("g")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m("a") == ((0.0, false)) && m("b") == ((0.0, false)), m.toString)
+    // each group fully concentrated in one band vs a 50/50 global:
+    // |cum_g*n - cum*n_g| at band0 = |4*8 - 4*4| = 16, over n_g*n*(b-1)=32
+    val polarized = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 0L),
+      ("b", 1L), ("b", 1L), ("b", 1L), ("b", 1L)).toDF("g", "band")
+    val p = Quality.tCloseness(polarized, Seq("g")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(p("a") == ((0.5, true)) && p("b") == ((0.5, true)), p.toString)
+  }
 }

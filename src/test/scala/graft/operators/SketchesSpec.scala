@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch operators: count-min never underestimates and
+  * stays fixed-size; HyperLogLog lands inside its error envelope on
+  * both the raw-estimate and linear-counting branches.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min cells are bounded by depth x width and counts are conserved") {
+    val li = graft.sources.Tables(spark, sf0001).lineitem
+    val cells = Sketches.countMinCells(li, "l_partkey").collect()
+    assert(cells.length <= 4 * 256)
+    // every depth row distributes ALL fact rows across its buckets
+    val n = li.count()
+    val perRow = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet == Set(n), s"per-depth totals $perRow != $n")
+  }
+
+  test("cms01 estimates never underestimate the exact heavy-hitter counts") {
+    val rows = graft.Registry.byName("cms01_countmin_heavy")
+      .run(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("never_under")),
+      "count-min must overestimate with probability 1")
+    // width 256 over ~hundreds of keys: estimates stay within a loose
+    // additive bound of exact (eN/w with e≈2.7, N=6k rows) at this SF
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_est") - r.getAs[Long]("n_exact") <= 200L))
+  }
+
+  test("hll01 lands inside the 15% envelope on all three audited columns") {
+    val rows = graft.Registry.byName("hll01_hyperloglog")
+      .run(spark, sf0001).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Boolean]("in_envelope")),
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).mkString(", "))
+  }
+
+  test("hll linear-counting branch: tiny cardinalities are near-exact") {
+    val tiny = (0 until 10).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val est = Sketches.hllEstimate(tiny, "k", "k").collect().head
+    assert(est.getAs[Long]("n_exact") == 10L)
+    // 10 distinct over 256 registers is deep linear-counting territory
+    assert(math.abs(est.getAs[Double]("n_est") - 10.0) <= 1.0)
+  }
+}

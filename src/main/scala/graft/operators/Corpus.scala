@@ -707,7 +707,113 @@ object Corpus {
       FROM sh ORDER BY shard, pos"""),
   )
 
+  // -------------------------------------------------------------- mix03
+  /** Temperature-based multilingual sampling weights (the mT5/XLM-R
+    * mixing rule): language l is sampled with p_l ∝ (n_l/N)^α, α=0.5 —
+    * upweighting low-resource languages relative to their token share
+    * without flattening the mixture entirely (α=1 is proportional,
+    * α=0 is uniform). Complements mix01 (fixed per-language factors)
+    * and mix02 (quality-weighted budget water-filling).
+    *
+    * Determinism: per-language token totals are exact integers; the
+    * normalizer Z = Σ sqrt(n_l/N) is a SORTED-ORDER fold (txt11's
+    * pinned-accumulation idiom) and sqrt/division are single IEEE ops,
+    * so both engines produce bit-identical weights before the final
+    * 6-decimal round.
+    *
+    * Scale shape: one map-side-combined aggregation to |languages|
+    * rows; everything after lives on that sketch-sized table.
+    */
+  private val mix03 = QueryDef(
+    "mix03_temperature_weights",
+    (s, dir) => {
+      val perLang = Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(sum(size(toks)).cast("bigint").as("n_tokens"))
+      val z = perLang
+        .agg(sum(col("n_tokens")).as("n_total"),
+          sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("terms"))
+        .select(col("n_total"),
+          expr("aggregate(terms, 0.0D, (acc, t) -> acc + sqrt(t.n_tokens / CAST(n_total AS DOUBLE)))")
+            .as("z"))
+      perLang.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tokens"),
+          round(col("n_tokens") / col("n_total").cast("double"), 6).as("p_prop"),
+          round(sqrt(col("n_tokens") / col("n_total").cast("double")) / col("z"), 6)
+            .as("p_sampled"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, text, ${OracleSql.Toks} AS toks
+        FROM documents),
+      pl AS (SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        FROM t GROUP BY lang),
+      tot AS (SELECT SUM(n_tokens) AS n_total FROM pl),
+      z AS (SELECT n_total,
+          list_sum(list_transform(list(n_tokens ORDER BY lang),
+            x -> sqrt(x / CAST(n_total AS DOUBLE)))) AS z
+        FROM pl CROSS JOIN tot GROUP BY n_total)
+      SELECT lang, n_tokens,
+        ROUND(n_tokens / CAST(n_total AS DOUBLE), 6) AS p_prop,
+        ROUND(sqrt(n_tokens / CAST(n_total AS DOUBLE)) / z, 6) AS p_sampled
+      FROM pl CROSS JOIN z ORDER BY lang"""),
+  )
+
+  // -------------------------------------------------------------- dc03
+  /** Span-level eval-set decontamination (the GPT-3 appendix-C rule):
+    * a training document is contaminated if it shares ANY exact k-token
+    * span with a held-out eval document (doc_id ≡ 0 mod 97 — dc01's
+    * eval split). dc01 flags fuzzy 3-shingle overlap mass; this catches
+    * verbatim quotation of eval items, the failure mode that actually
+    * inflates benchmark scores. k=4 here (GPT-3 used 13) because the
+    * synthetic corpus shares no longer verbatim runs — the declared
+    * query must exercise a non-empty match set.
+    *
+    * Scale shape: distinct 8-gram fingerprints per doc (linear), eval
+    * side is 1/97 of the corpus and joins broadcast; one aggregation
+    * per contaminated doc. No pair expansion — gram frequency never
+    * multiplies.
+    */
+  /** Contaminated training docs: any doc sharing ≥1 exact k-token span
+    * with a doc the predicate marks as eval. See dc03.
+    */
+  def evalSpanContamination(docs: DataFrame, k: Int = 4,
+      isEval: org.apache.spark.sql.Column = col("doc_id") % 97 === 0): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        graft.functions.TextExpressions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("is_eval"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           i -> md5(array_join(slice(toks, i + 1, $k), ' ')))"""))).as("g"))
+    val eval_ = grams.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val train = grams.filter(!col("is_eval"))
+    train.join(broadcast(eval_), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_spans"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  private val dc03 = QueryDef(
+    "dc03_eval_span_contam",
+    (s, dir) => evalSpanContamination(Tables(s, dir).documents),
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 3)) AS pos
+        FROM t WHERE len(toks) >= 4),
+      g AS (SELECT DISTINCT doc_id,
+          md5(array_to_string(toks[pos + 1:pos + 4], ' ')) AS g
+        FROM g0),
+      ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id,
+        CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_spans,
+        CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      FROM tr JOIN ev USING (g)
+      GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
+  )
+
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, pii01,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01)
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, mix03, pii01,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01, dc03)
 }

@@ -622,5 +622,44 @@ object Similarity {
       GROUP BY t.qid ORDER BY t.qid"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05)
+  // -------------------------------------------------------------- sim06
+  /** Maximum-inner-product search (MIPS) — the retrieval objective of
+    * dot-product-trained embedding models (DPR-style retrievers score
+    * q·d, NOT cosine; the two rank differently whenever corpus norms
+    * vary). Same broadcast-queries shape as [[bruteTopK]] with the
+    * codegen'd double fold as the score — no normalization. At scale
+    * the standard reduction (Bachrach et al. 2014) augments vectors
+    * with sqrt(M² − ‖x‖²) so MIPS becomes cosine and the sim02/sim03
+    * index paths apply unchanged; the exact scan here is the ground
+    * truth that reduction is validated against.
+    */
+  def mipsTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("score", dotD(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  private val sim06 = QueryDef(
+    "sim06_mips",
+    (s, dir) => mipsTopK(Tables(s, dir).embeddings),
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      s AS (SELECT qid, cid,
+        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) AS score
+        FROM c, q WHERE qid <> cid),
+      r AS (SELECT qid, cid, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn
+        FROM s)
+      SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06)
 }

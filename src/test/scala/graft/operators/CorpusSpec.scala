@@ -243,4 +243,31 @@ class CorpusSpec extends SparkSpec {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
     }
   }
+
+  test("mix03: temperature weights normalize and upweight low-resource languages") {
+    val rows = run("mix03_temperature_weights").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "sampled weights must sum to 1")
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._4 > smallest._3,
+      s"alpha=0.5 must upweight the smallest language: $smallest")
+    assert(largest._4 < largest._3,
+      s"alpha=0.5 must downweight the largest language: $largest")
+  }
+
+  test("evalSpanContamination flags exactly the doc quoting an eval span") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),            // eval (0 % 97 == 0)
+      (1L, "intro words then alpha beta gamma delta epsilon trailing"), // quotes 3 spans
+      (2L, "totally unrelated content with no quoted material present"),
+      (3L, "alpha beta but never four in a row"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.evalSpanContamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1 shares the 4-grams "alpha beta gamma delta" and
+    // "beta gamma delta epsilon": 2 spans, 1 eval doc
+    assert(out == Map(1L -> ((2L, 1L))), out.toString)
+  }
 }

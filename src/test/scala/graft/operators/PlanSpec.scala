@@ -331,4 +331,22 @@ class PlanSpec extends SparkSpec {
       "dup positions must be restricted by a semi join on gram hash")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sim06: MIPS scan broadcasts the query side like the cosine baseline") {
+    val p = plan("sim06_mips")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("dc03: the eval-gram side broadcasts against the training-gram stream") {
+    val p = plan("dc03_eval_span_contam")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "eval grams are 1/97 of the corpus and must broadcast")
+  }
+
+  test("mix03: one fact aggregation; the normalizer fold lives on the lang table") {
+    val p = plan("mix03_temperature_weights")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
 }

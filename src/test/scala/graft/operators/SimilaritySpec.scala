@@ -244,4 +244,21 @@ class SimilaritySpec extends SparkSpec {
     assert(adc.intersect(brute).size >= 5,
       s"ADC should recover a good share of true neighbors, got ${adc.intersect(brute).size}/15")
   }
+
+  test("mipsTopK ranks by inner product, diverging from cosine where norms differ") {
+    import spark.implicits._
+    // candidate 10 points the same direction as the query but with a
+    // huge norm; candidate 11 is the unit vector closest in angle.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(5.0f, 0.1f, 0.0f)),   // top by dot (5.0) AND similar angle
+      (11L, Array(0.99f, 0.14f, 0.0f)), // near-unit: best cosine after 10
+      (12L, Array(0.0f, 3.0f, 0.0f)),   // orthogonal-ish: dot 0
+    ).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(emb, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(mips.head._1 == 10L && mips.head._2 == 5.0,
+      s"largest inner product must rank first: ${mips.toSeq}")
+    assert(mips.map(_._1).toSeq == Seq(10L, 11L, 12L), mips.toSeq.toString)
+  }
 }

@@ -813,7 +813,69 @@ object Corpus {
       GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
   )
 
+  // -------------------------------------------------------------- smp04
+  /** Deterministic Poisson bootstrap (the distributed bootstrap: Poisson(1)
+    * weights approximate multinomial resampling without coordinating a
+    * global sample — Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", 2012): R=20 replicates of the corpus-mean
+    * document length, each row weighted by an inverse-CDF Poisson draw
+    * from an md5-derived uniform. The replicate spread is the standard
+    * error a release pipeline reports next to every corpus statistic.
+    *
+    * Determinism: u = 24-bit md5 prefix / 2^24 (exact), compared
+    * against double literals of the Poisson(1) CDF; weights and
+    * weighted sums are exact integers; one IEEE division per replicate.
+    * Task retries cannot change a draw — `rand()` bootstraps break
+    * under Spark's recompute semantics.
+    *
+    * Scale shape: R-way row explode (map-only) into a per-replicate
+    * aggregation with map-side combine — R·|partitions| partials, no
+    * other shuffle. R is a constant; the corpus is streamed once.
+    */
+  private val smp04 = QueryDef(
+    "smp04_poisson_bootstrap",
+    (s, dir) => {
+      // Poisson(1) CDF: P(X<=k) for k=0..5; u beyond the tail gets w=6
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238463, 0.9963401531726563, 0.9994058151824183)
+      val u = conv(substring(md5(concat(lit("bs:"), col("rep").cast("string"),
+        lit(":"), col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+        .cast("bigint") / lit(16777216.0)
+      // w = smallest k whose CDF bound exceeds u (checked ascending)
+      val weight = cdf.zipWithIndex.reverse.foldLeft(lit(6): org.apache.spark.sql.Column) {
+        case (acc, (p, k)) => when(u < p, k).otherwise(acc)
+      }
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(19))).as("rep"))
+        .withColumn("w", weight)
+        .groupBy("rep")
+        .agg(sum(col("w")).cast("bigint").as("n_eff"),
+          (sum(col("w") * col("n_chars")).cast("double") / sum(col("w")))
+            .as("boot_mean"))
+        .orderBy("rep")
+    },
+    Some("""WITH r AS (SELECT doc_id, n_chars, g.rep
+        FROM documents CROSS JOIN generate_series(0, 19) g(rep)),
+      u AS (SELECT rep, n_chars,
+          ('0x' || substr(md5('bs:' || CAST(rep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+            / 16777216.0 AS u
+        FROM r),
+      w AS (SELECT rep, n_chars,
+          CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238463 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               WHEN u < 0.9994058151824183 THEN 5
+               ELSE 6 END AS w
+        FROM u)
+      SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+        CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS boot_mean
+      FROM w GROUP BY rep ORDER BY rep"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, mix03, pii01,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01, dc03)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01, dc03, smp04)
 }

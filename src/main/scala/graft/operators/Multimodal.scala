@@ -202,59 +202,82 @@ object Multimodal {
     * within hamming 6 of 64 bits shares at least one of 4 bands only
     * probabilistically; both sides implement the same any-band
     * candidate rule, so the check is of the bucketing arithmetic).
+    * Both sides also implement the same degenerate-bucket cap
+    * (maxBucket=100): buckets denser than the cap are dropped from
+    * candidate generation — see the shape note inside [[phashPairs]].
     */
   private def aHashBands(media: DataFrame): DataFrame = {
     // byte i of the payload as an int (hex->dec round-trip works for
     // arbitrary binary, not just UTF-8 text).
     //
-    // Shape note (measured, not theoretical): a previous formulation
-    // chained withColumn("bytes") -> withColumn("bit") -> per-band
-    // folds. CollapseProject inlines the alias into EVERY element
-    // access inside the fold lambdas, so the 64-conv byte transform
-    // re-evaluated ~64×64×4 times per row — interpreted, ~85 s for 500
-    // rows. Exploding to (doc_id, pos, byte) rows and aggregating
-    // bands with conditional shiftleft sums keeps every stage in
-    // whole-stage codegen and evaluates the byte transform exactly
-    // twice per row (once for the explode, once for the mean sum);
-    // 64 rows/doc through one doc-keyed hash aggregation is also the
-    // plan that scales.
+    // Shape note (measured, not theoretical — twice now). Any plan
+    // where `bsum` is a PROJECTED alias gets destroyed by
+    // CollapseProject: the 64-element byte fold inlines into every
+    // consumer — first round, into each of 64×4 band-fold lambda
+    // elements (~85 s / 500 rows); second round, into the per-exploded-
+    // row bit predicate (64 folds × 64 elements per doc ≈ 6 s of the
+    // sf0.1 bench, measured by stage bisection). The fix is to make
+    // bsum an AGGREGATION OUTPUT: explode to (pos, byte) rows —
+    // the generator's transform runs once per doc — aggregate per doc
+    // into (bsum, collected (pos, byte) list), then fold the four band
+    // words over the collected list. Projections cannot collapse
+    // through the aggregate, so bsum is a plain column in the fold
+    // lambda and per-doc work is O(64). One doc-keyed shuffle of
+    // 64-row groups — the plan that scales.
     val byteArr =
       "transform(sequence(1, 64), i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as bigint))"
+    def band(j: Int) =
+      expr(s"""aggregate(pb, 0L, (acc, t) ->
+        acc + if(t.pos div 16 = $j AND 64L * t.byte > bsum,
+                 shiftleft(1L, t.pos % 16), 0L))""").as(s"b$j")
     media.filter(length(col("payload")) >= 64)
-      .select(col("doc_id"),
-        expr(s"aggregate($byteArr, 0L, (a, x) -> a + x)").as("bsum"),
-        posexplode(expr(byteArr)).as(Seq("pos", "byte")))
-      .withColumn("bit",
-        when(lit(64L) * col("byte") > col("bsum"), 1L).otherwise(0L))
+      .select(col("doc_id"), posexplode(expr(byteArr)).as(Seq("pos", "byte")))
       .groupBy("doc_id")
-      .agg(
-        sum(expr("if(pos div 16 = 0, shiftleft(bit, pos % 16), 0L)")).as("b0"),
-        sum(expr("if(pos div 16 = 1, shiftleft(bit, pos % 16), 0L)")).as("b1"),
-        sum(expr("if(pos div 16 = 2, shiftleft(bit, pos % 16), 0L)")).as("b2"),
-        sum(expr("if(pos div 16 = 3, shiftleft(bit, pos % 16), 0L)")).as("b3"))
+      .agg(sum(col("byte")).as("bsum"),
+        collect_list(struct(col("pos"), col("byte"))).as("pb"))
+      .select(col("doc_id"), band(0), band(1), band(2), band(3))
   }
 
-  def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def phashPairs(media: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = 100): DataFrame = {
+    // Bucket-bounded pair expansion (Dedup.bandCandidates shape) with
+    // the FULL hash carried through the buckets: group per band value,
+    // DROP degenerate buckets, expand (doc, h0, h1) pairs inside the
+    // survivors, and verify hamming directly on the carried halves.
+    //
+    // Two scale properties bought here (vs the round's first cut, the
+    // slowest bench entry at 8.7 s/sf0.1):
+    //  - the payload-hashing subtree evaluates ONCE — the previous
+    //    shape re-joined the band table for each verify side, so the
+    //    64-byte hash ran 3x per doc and the verify paid two joins of
+    //    the 350k-pair candidate stream against it; carrying 2 longs
+    //    through the bucket expansion makes the whole operator one
+    //    aggregation + one explode, join-free;
+    //  - degenerate buckets are capped (maxBucket=100): aHash over
+    //    near-uniform media is collision-heavy (the hottest 16-bit
+    //    band bucket holds 340 of 5,000 docs at sf0.1) and uncapped
+    //    within-bucket expansion grows ~n² per bucket. The cap is the
+    //    stop-fingerprint trade from dd06: a bucket that dense carries
+    //    no discriminating signal.
     val bands = aHashBands(media)
-    val keyed = bands.select(col("doc_id"), explode(array(
-      (0 until 4).map(j => struct(lit(j).as("band"), col(s"b$j").as("v"))): _*)).as("k"))
-      .select(col("doc_id"), col("k.band").as("band"), col("k.v").as("v"))
-    val cand = keyed.select(col("doc_id").as("doc_a"), col("band"), col("v"))
-      .join(keyed.select(col("doc_id").as("doc_b"), col("band"), col("v")),
-        Seq("band", "v"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val ha = bands.select(col("doc_id").as("doc_a"),
-      (col("b0").bitwiseOR(shiftleft(col("b1"), 16))).as("h0a"),
-      (col("b2").bitwiseOR(shiftleft(col("b3"), 16))).as("h1a"))
-    val hb = bands.select(col("doc_id").as("doc_b"),
-      (col("b0").bitwiseOR(shiftleft(col("b1"), 16))).as("h0b"),
-      (col("b2").bitwiseOR(shiftleft(col("b3"), 16))).as("h1b"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("hamming",
-        expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("bigint"))
+    val keyed = bands.select(col("doc_id"),
+        (col("b0").bitwiseOR(shiftleft(col("b1"), 16))).as("h0"),
+        (col("b2").bitwiseOR(shiftleft(col("b3"), 16))).as("h1"),
+        explode(array(
+          (0 until 4).map(j => struct(lit(j).as("band"), col(s"b$j").as("v"))): _*)).as("k"))
+      .select(col("doc_id"), col("h0"), col("h1"),
+        col("k.band").as("band"), col("k.v").as("v"))
+    keyed.groupBy(col("band"), col("v"))
+      .agg(collect_list(struct(col("doc_id"), col("h0"), col("h1"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))),
+           p -> p.a.doc_id < p.b.doc_id)""")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("bit_count(p.a.h0 ^ p.b.h0) + bit_count(p.a.h1 ^ p.b.h1)")
+          .cast("bigint").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -274,8 +297,19 @@ object Multimodal {
         CAST(list_sum(list_transform(range(16), i -> bit[i+33] << i)) AS BIGINT) AS b2,
         CAST(list_sum(list_transform(range(16), i -> bit[i+49] << i)) AS BIGINT) AS b3
       FROM bits),
+    k AS (SELECT doc_id, 0 AS band, b0 AS v FROM bands
+      UNION ALL SELECT doc_id, 1, b1 FROM bands
+      UNION ALL SELECT doc_id, 2, b2 FROM bands
+      UNION ALL SELECT doc_id, 3, b3 FROM bands),
+    sz AS (SELECT band, v, COUNT(*) AS n FROM k GROUP BY 1, 2),
     cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
-      ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+      ON a.doc_id < b.doc_id
+      LEFT JOIN sz s0 ON s0.band = 0 AND s0.v = a.b0
+      LEFT JOIN sz s1 ON s1.band = 1 AND s1.v = a.b1
+      LEFT JOIN sz s2 ON s2.band = 2 AND s2.v = a.b2
+      LEFT JOIN sz s3 ON s3.band = 3 AND s3.v = a.b3
+      WHERE (a.b0 = b.b0 AND s0.n <= 100) OR (a.b1 = b.b1 AND s1.n <= 100)
+         OR (a.b2 = b.b2 AND s2.n <= 100) OR (a.b3 = b.b3 AND s3.n <= 100)),
     ham AS (SELECT doc_a, doc_b,
         bit_count(xor(ba.b0 | (ba.b1 << 16), bb.b0 | (bb.b1 << 16))) +
         bit_count(xor(ba.b2 | (ba.b3 << 16), bb.b2 | (bb.b3 << 16))) AS hamming

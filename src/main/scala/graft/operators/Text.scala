@@ -474,6 +474,48 @@ object Text {
       FROM a ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- txt12
+  /** Flesch-style readability scoring — the classic per-document
+    * complexity signal next to txt02's quality score: sentences from
+    * terminal-punctuation runs, syllables approximated as vowel-group
+    * runs per word (the standard heuristic when no dictionary ships
+    * with the pipeline). All three counts are codegen'd regex counts
+    * (map-only, no shuffle beyond the presentation sort); the score
+    * arithmetic is a fixed literal-order IEEE expression, identical in
+    * both engines, rounded to 6 decimals. Simple regex classes only
+    * ([.!?]+, [aeiouy]+) so Java regex and DuckDB's RE2 agree — the
+    * txt07 lesson: fancy escapes diverge, character classes don't.
+    */
+  private val txt12 = QueryDef(
+    "txt12_readability",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_words"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+            .cast("bigint").as("n_sentences"),
+          greatest(size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), lit(1))
+            .cast("bigint").as("n_syllables"))
+        .withColumn("flesch",
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text, ${OracleSql.Toks} AS toks
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables,
+        ROUND(206.835
+          - 1.015 * (CAST(len(toks) AS DOUBLE) / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+          - 84.6 * (CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) / len(toks)),
+          6) AS flesch
+      FROM t WHERE len(toks) > 0 ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
-    txt08, txt09, txt10, txt11)
+    txt08, txt09, txt10, txt11, txt12)
 }

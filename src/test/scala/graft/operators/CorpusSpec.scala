@@ -256,6 +256,35 @@ class CorpusSpec extends SparkSpec {
       s"alpha=0.5 must downweight the largest language: $largest")
   }
 
+  test("smp04: Poisson bootstrap replicates center on the corpus and vary across reps") {
+    val rows = run("smp04_poisson_bootstrap").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    val docs = graft.sources.Tables(spark, sf0001).documents
+    val n = docs.count()
+    val trueMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect().head.getDouble(0)
+    rows.foreach { case (_, nEff, bootMean) =>
+      // Poisson(1) row weights: E[n_eff]=n, sd=sqrt(n) — allow 5 sigma
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble), s"n_eff $nEff vs $n")
+      assert(math.abs(bootMean - trueMean) / trueMean < 0.2)
+    }
+    // replicates must actually differ (distinct md5 draws per rep)
+    assert(rows.map(_._3).distinct.length > 10)
+  }
+
+  test("txt12: readability components are self-consistent") {
+    val rows = run("txt12_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, y, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(w >= 1 && s >= 1 && y >= 1)
+      val expect = BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(f - expect) < 1e-9, s"flesch $f != $expect")
+    }
+  }
+
   test("evalSpanContamination flags exactly the doc quoting an eval span") {
     import spark.implicits._
     val docs = Seq(

@@ -434,17 +434,25 @@ object Ingestion {
   private val ing14 = QueryDef(
     "ing14_compaction",
     (s, dir) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_ing14_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      // per-call unique temp dir: a fixed path raced concurrent JVMs
+      // (verify + bench over the same sf dir) and leaked two table
+      // copies per host. The result detaches from the files via an
+      // eager localCheckpoint so the dir can be deleted before return.
+      val base = java.nio.file.Files.createTempDirectory("graft_ing14")
       val frag = base.resolve("fragmented").toString
       val comp = base.resolve("compacted").toString
-      Tables(s, dir).documents.repartition(64)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
-      graft.sink.Sinks.compactParquet(s, frag, comp, targetFiles = 4)
-      s.read.parquet(comp)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+      try {
+        Tables(s, dir).documents.repartition(64)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+        graft.sink.Sinks.compactParquet(s, frag, comp, targetFiles = 4)
+        s.read.parquet(comp)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
     },
     Some("""SELECT doc_id, lang, source, n_chars
       FROM documents ORDER BY doc_id"""),

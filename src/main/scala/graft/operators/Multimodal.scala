@@ -285,7 +285,12 @@ object Multimodal {
     "mm05_phash_neardup",
     (s, dir) => phashPairs(syntheticMedia(Tables(s, dir).documents)),
     Some("""WITH h AS (SELECT doc_id,
-        list_transform(range(64), i -> unicode(text[i+1])) AS bytes
+        -- first 64 BYTES of the UTF-8 payload via hex slicing, matching
+        -- the engine's conv(hex(substring(payload, i, 1))) exactly —
+        -- unicode(text[i+1]) read CODEPOINTS and diverges on any
+        -- non-ASCII document
+        list_transform(range(64),
+          i -> ('0x' || substr(hex(encode(text)), 2 * i + 1, 2))::BIGINT) AS bytes
       FROM documents WHERE octet_length(encode(text)) >= 64),
     s AS (SELECT doc_id, bytes, CAST(list_sum(bytes) AS BIGINT) AS bsum FROM h),
     bits AS (SELECT doc_id,

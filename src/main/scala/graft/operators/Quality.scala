@@ -110,6 +110,10 @@ object Quality {
   def approxProfile(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
       rsd: Double = 0.05): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "approxProfile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"approxProfile column list has duplicates: $cols")
+    require(!cols.contains("n_rows"),
+      "approxProfile reserves the alias 'n_rows'; rename the column first")
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
         approx_count_distinct(col(c), rsd).as(s"_nd_$c"))
@@ -463,6 +467,37 @@ object Quality {
       ORDER BY l_orderkey, l_linenumber"""),
   )
 
+  // -------------------------------------------------------------- dq08
+  /** Data-freshness audit over the event stream: per event type, the
+    * event count, newest event time, and the lag behind the stream's
+    * global high-water mark — the landing-health check a pipeline
+    * dashboard alerts on (a type whose lag exceeds the staleness bound
+    * has stopped flowing). One map-side-combined aggregation to
+    * |event types| rows; the global max broadcasts back over that tiny
+    * table. Lag arithmetic is exact nanosecond integers (ts_ns).
+    */
+  private val dq08 = QueryDef(
+    "dq08_freshness",
+    (s, dir) => {
+      val perType = Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts_ns")).as("last_ns"))
+      val hwm = perType.agg(max(col("last_ns")).as("hwm_ns"))
+      perType.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"),
+          (col("hwm_ns") - col("last_ns")).as("lag_ns"))
+        .withColumn("stale", col("lag_ns") > lit(3600L * 1000000000L))
+        .orderBy("event_type")
+    },
+    Some("""WITH pt AS (SELECT event_type, COUNT(*) AS n_events,
+          MAX(epoch_ns(ts)) AS last_ns
+        FROM events GROUP BY event_type),
+      hwm AS (SELECT MAX(last_ns) AS hwm_ns FROM pt)
+      SELECT event_type, n_events, hwm_ns - last_ns AS lag_ns,
+        hwm_ns - last_ns > 3600000000000 AS stale
+      FROM pt CROSS JOIN hwm ORDER BY event_type"""),
+  )
+
   // -------------------------------------------------------------- dq07
   /** T-closeness audit (Li et al. 2007) — the third leg of the
     * governance triple after dq05 (k-anonymity) and dq06 (l-diversity):
@@ -506,12 +541,19 @@ object Quality {
       .join(broadcast(gb), groupCols :+ "band", "left")
       .na.fill(0L, Seq("n_gb"))
       .withColumn("cum_gb", sum(col("n_gb")).over(wg))
+    // overflow guard: cum*n products reach n_g*n ≈ 1e19 at
+    // multi-billion-row corpora, past Long.MaxValue — compute the EMD
+    // numerator in DECIMAL(38,0) (exact) and the denominator in double
+    // (n_g, n < 2^53 so the casts are exact; one literal-order IEEE
+    // multiply chain, identical in the oracle)
     grid.crossJoin(broadcast(totals))
       .groupBy(gCols: _*)
       .agg(max(col("n_g")).as("n"),
-        (sum(abs(col("cum_gb") * col("n") - col("cum_b") * col("n_g")))
+        (sum(abs(col("cum_gb").cast("decimal(38,0)") * col("n") -
+            col("cum_b").cast("decimal(38,0)") * col("n_g")))
           .cast("double") /
-          (max(col("n_g")) * max(col("n")) * (max(col("n_bins")) - lit(1L)))
+          (max(col("n_g")).cast("double") * max(col("n")) *
+            (max(col("n_bins")) - lit(1L)))
           ).as("t_emd"))
       .withColumn("at_risk", col("t_emd") > threshold)
       .orderBy(gCols: _*)
@@ -545,15 +587,17 @@ object Quality {
         LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
           AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band)
       SELECT grid.c_nationkey, grid.c_mktsegment, MAX(n_g) AS n,
-        CAST(SUM(abs(cum_gb * totals.n - cum_b * n_g)) AS DOUBLE) /
-          (MAX(n_g) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) AS t_emd,
-        CAST(SUM(abs(cum_gb * totals.n - cum_b * n_g)) AS DOUBLE) /
-          (MAX(n_g) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) > 0.2 AS at_risk
+        CAST(SUM(abs(CAST(cum_gb AS DECIMAL(38,0)) * totals.n
+            - CAST(cum_b AS DECIMAL(38,0)) * n_g)) AS DOUBLE) /
+          (CAST(MAX(n_g) AS DOUBLE) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) AS t_emd,
+        CAST(SUM(abs(CAST(cum_gb AS DECIMAL(38,0)) * totals.n
+            - CAST(cum_b AS DECIMAL(38,0)) * n_g)) AS DOUBLE) /
+          (CAST(MAX(n_g) AS DOUBLE) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) > 0.2 AS at_risk
       FROM grid CROSS JOIN totals
       GROUP BY grid.c_nationkey, grid.c_mktsegment
       ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, imp01,
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, imp01,
     qf01, qf02, qf03)
 }

@@ -39,9 +39,25 @@ import graft.streaming.{EventStreams, StreamingDedup, StreamingIngest}
 object StreamingParity {
 
   // unique sink/table names so repeated invocations (bench warmup + 5
-  // passes, dev reruns in one session) never collide or cross-read
+  // passes, dev reruns in one session) never collide or cross-read.
+  // LRU-of-1 per prefix: registering a run's table DROPS the previous
+  // run's (memory-sink tables are pinned in driver memory until the
+  // session ends, and str01 lands real warehouse tables — without the
+  // drop, bench's 6 passes retain 6 full result copies per query and
+  // grow without bound). Same trade as Dedup's candidate-cache slot: a
+  // still-held DataFrame over the PREVIOUS table would break if
+  // re-executed after the drop, and callers (bench, specs) always
+  // materialize before the next run.
   private val seq = new AtomicLong(0L)
-  private def fresh(prefix: String): String = s"${prefix}_${seq.incrementAndGet()}"
+  private val lastNames = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fresh(s: SparkSession, prefix: String): String = {
+    val name = s"${prefix}_${seq.incrementAndGet()}"
+    lastNames.put(prefix, name).foreach { prev =>
+      try { s.catalog.dropTempView(prev); () } catch { case _: Throwable => () }
+      try { s.sql(s"DROP TABLE IF EXISTS $prev"); () } catch { case _: Throwable => () }
+    }
+    name
+  }
 
   private def tempDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
@@ -91,7 +107,7 @@ object StreamingParity {
       docs.select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
         .repartition(6)
         .write.mode("overwrite").text(landing)
-      val table = fresh("str01_landed")
+      val table = fresh(s, "str01_landed")
       val q = StreamingIngest.ingestStream(s, landing, docs.schema, table,
         keys = Seq("doc_id"), checkpointDir = ckpt, maxFilesPerTrigger = 2)
       try q.processAllAvailable() finally q.stop()
@@ -135,7 +151,7 @@ object StreamingParity {
       // every same-band pair is emitted regardless of arrival order
       val pairs = StreamingDedup.nearDupPairs(stream, threshold = 0.25,
         maxBucket = Int.MaxValue)
-      val name = fresh("str02_pairs")
+      val name = fresh(s, "str02_pairs")
       EventStreams.runToMemoryAppend(pairs, name)
       val out = s.table(name)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
@@ -190,7 +206,7 @@ object StreamingParity {
       val counts = EventStreams.hourlyCounts(stream)
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("total_value"))
-      val name = fresh("str03_hourly")
+      val name = fresh(s, "str03_hourly")
       EventStreams.runToMemory(counts, name)
       deleteQuietly(tmp)
       s.table(name).orderBy("hour", "event_type")
@@ -224,7 +240,7 @@ object StreamingParity {
       val enriched = EventStreams.enrichedEvents(stream, dim)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           col("lifetime_events"), col("lifetime_value"))
-      val name = fresh("str04_enriched")
+      val name = fresh(s, "str04_enriched")
       EventStreams.runToMemory(enriched, name,
         org.apache.spark.sql.streaming.OutputMode.Append())
       val out = s.table(name).orderBy("event_id")
@@ -258,7 +274,7 @@ object StreamingParity {
         .select(unix_micros(col("session_start")).as("start_us"),
           unix_micros(col("session_end")).as("end_us"),
           col("user_id"), col("n_events"), col("session_value"))
-      val name = fresh("str05_sessions")
+      val name = fresh(s, "str05_sessions")
       EventStreams.runToMemory(sessions, name)
       val out = s.table(name).orderBy("user_id", "start_us")
         .localCheckpoint(eager = true)
@@ -296,7 +312,7 @@ object StreamingParity {
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           unix_micros(col("purchase_ts")).as("purchase_us"),
           unix_micros(col("click_ts")).as("click_us"), col("value"))
-      val name = fresh("str06_attrib")
+      val name = fresh(s, "str06_attrib")
       EventStreams.runToMemory(attrib, name,
         org.apache.spark.sql.streaming.OutputMode.Append())
       val out = s.table(name).orderBy("purchase_id", "click_id")
@@ -334,7 +350,7 @@ object StreamingParity {
     (s, dir) => withStatePartitions(s) {
       val (stream, tmp) = stagedEventStream(s, dir)
       val profiles = EventStreams.userProfiles(stream)
-      val name = fresh("str07_profiles")
+      val name = fresh(s, "str07_profiles")
       EventStreams.runToMemoryUpdate(profiles, name)
       // a user idle > (watermark + timeout) before the stream's end
       // ALSO fires its event-time timeout, re-emitting the identical

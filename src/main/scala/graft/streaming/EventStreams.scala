@@ -23,8 +23,7 @@ object EventStreams {
 
   /** events parquet schema as written by older generators (ts = raw
     * TIMESTAMP(NANOS) surfaced as long — see graft.sources.Tables).
-    * Used only as a fallback when the landing dir is still empty at
-    * stream-definition time.
+    * Kept for callers that declare the legacy flavor explicitly.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -42,12 +41,21 @@ object EventStreams {
     * generator wrote (nanosecond long vs TIMESTAMP_NTZ micros), then
     * normalize exactly like the batch path
     * ([[graft.sources.Tables.normalizeEventTs]]) so stream == batch by
-    * construction.
+    * construction. An EMPTY landing dir fails loudly: silently assuming
+    * one flavor would make the first micro-batch after files arrive
+    * fail with a schema mismatch (or, worse, corrupt ts_ns) — write at
+    * least one file before defining the stream, or pass an explicit
+    * schema via `spark.readStream.schema(...)` yourself.
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val onDisk =
       try spark.read.parquet(path).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"events landing dir '$path' has no readable parquet to infer the " +
+              "ts flavor from; land at least one file before defining the stream", e)
+      }
     graft.sources.Tables
       .normalizeEventTs(spark.readStream.schema(onDisk).parquet(path))
       .drop("ts_ns")

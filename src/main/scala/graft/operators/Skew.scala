@@ -72,8 +72,9 @@ object Skew {
   // hot key's rows spread to ~4% per sub-key) aggregated per priority
   // must equal the plain join — so the oracle is the UNSALTED join in
   // DuckDB, checking invariance against an independent engine rather
-  // than this one's own plain join. The salted-vs-plain TIMING on the
-  // same skewed input is benched as xs_skew_plain / xs_skew_salted.
+  // than this one's own plain join. The salted-vs-plain TIMING on an
+  // 8x-replicated skewed fact is benched as xs_skew_plain /
+  // xs_skew_salted (see Bench.skewBench for the honest reading).
   private val skw01 = QueryDef(
     "skw01_salted_join",
     (s, dir) => {

@@ -813,6 +813,65 @@ object Corpus {
       GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
   )
 
+  // -------------------------------------------------------------- chk02
+  /** Sentence-boundary-aware chunking — chk01's fixed 48-token stride
+    * splits mid-sentence, which degrades both training windows and RAG
+    * retrieval units; this variant packs WHOLE sentences greedily into
+    * ~64-token chunks: a sentence starts a new chunk when the tokens
+    * accumulated before it cross the budget (budget-crossing packing —
+    * the prefix-sum-expressible form of greedy packing; a sentence
+    * longer than the budget gets a chunk of its own). Sentences split
+    * on terminal-punctuation runs with a lookaround-free regex
+    * ('[^.!?]+[.!?]*' — Java regex and DuckDB's RE2 agree on plain
+    * character classes, the txt07/txt12 lesson).
+    *
+    * Scale shape: linear explode to sentence rows, one per-doc window
+    * (prefix sum of token counts), one (doc, chunk) aggregation — all
+    * map-side combinable, no shuffle beyond the doc key and the
+    * presentation sort. The chunk fingerprint md5's the sentences in
+    * index order via the sorted-fold idiom, so dedup can run on chunks
+    * downstream (mm03 pattern).
+    */
+  private val chk02 = QueryDef(
+    "chk02_sentence_chunks",
+    (s, dir) => {
+      val sents = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(
+          expr("regexp_extract_all(text, '[^.!?]+[.!?]*', 0)"))
+          .as(Seq("sidx", "sentence")))
+        .withColumn("n_tok",
+          size(graft.functions.TextExpressions.tokens(col("sentence"))).cast("bigint"))
+      val w = Window.partitionBy("doc_id").orderBy("sidx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sents
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("chunk_id", floor(col("cum_before") / 64).cast("bigint"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("n_tok")).as("n_chunk_tokens"),
+          md5(concat_ws("", sort_array(collect_list(struct(col("sidx"), col("sentence"))))
+            .getField("sentence")).cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH s0 AS (SELECT doc_id,
+          regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+        FROM documents),
+      s1 AS (SELECT doc_id, ss, unnest(range(len(ss))) AS sidx FROM s0),
+      t AS (SELECT doc_id, sidx, ss[sidx + 1] AS sentence,
+          CAST(len(${OracleSql.Toks.replace("text", "ss[sidx + 1]")}) AS BIGINT) AS n_tok
+        FROM s1),
+      c AS (SELECT doc_id, sidx, sentence, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT doc_id, CAST(cum_before // 64 AS BIGINT) AS chunk_id,
+        COUNT(*) AS n_sentences,
+        CAST(SUM(n_tok) AS BIGINT) AS n_chunk_tokens,
+        md5(string_agg(sentence, '' ORDER BY sidx)) AS chunk_md5
+      FROM c GROUP BY doc_id, cum_before // 64
+      ORDER BY doc_id, chunk_id"""),
+  )
+
   // -------------------------------------------------------------- smp04
   /** Deterministic Poisson bootstrap (the distributed bootstrap: Poisson(1)
     * weights approximate multinomial resampling without coordinating a
@@ -876,6 +935,6 @@ object Corpus {
   )
 
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, mix01, mix02, mix03, pii01,
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01, dc03, smp04)
 }

@@ -467,6 +467,88 @@ object Quality {
       ORDER BY l_orderkey, l_linenumber"""),
   )
 
+  // -------------------------------------------------------------- qf04
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored
+    * by the log importance ratio of a TARGET-domain language model to
+    * the RAW-corpus model, then resampled proportionally to the
+    * weight. Here the target is the English slice (lang='en' — the
+    * stand-in for "looks like my eval domain"), both models are
+    * Laplace-smoothed unigram LMs over the shared corpus vocabulary
+    * (qf03's machinery, twice), and the resampling is DETERMINISTIC
+    * Gumbel-top-k: key = logw + (-ln(-ln(u))) with u an md5-derived
+    * uniform — the standard trick that turns weighted sampling without
+    * replacement into a reproducible top-k, exactly what a production
+    * run needs for task-retry stability.
+    *
+    * Determinism: both models' token counts come from ONE conditional
+    * aggregation pass; the per-token log ratio is quantized to integer
+    * MILLI-NATS once (a single float subtract + floor, identical in
+    * both engines), so per-doc sums are exact BIGINTs; the Gumbel key
+    * adds two IEEE ops to the exact-derived logw. 100 TB shape: token
+    * explode → one keyed count aggregation (map-side combined) →
+    * broadcast totals → per-doc sum → global top-k via one rank
+    * exchange. Nothing iterative, nothing collected.
+    */
+  private val qf04 = QueryDef(
+    "qf04_dsir_select",
+    (s, dir) => {
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+      val tok = t.select(col("doc_id"), (col("lang") === "en").as("is_tgt"),
+        explode(col("toks")).as("tk"))
+      // one pass: per-token raw count + target count
+      val counts = tok.groupBy("tk").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+        count(lit(1)).as("v"))
+      val ratio = counts.crossJoin(broadcast(totals))
+        .withColumn("lr_milli",
+          floor((log((col("ct") + lit(1)).cast("double") / (col("nt") + col("v"))) -
+            log((col("cr") + lit(1)).cast("double") / (col("nr") + col("v"))))
+            * lit(1000.0)).cast("bigint"))
+        .select("tk", "lr_milli")
+      val scored = tok.join(ratio, "tk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_milli")).as("lr_sum"))
+        .withColumn("log_weight", col("lr_sum").cast("double") / 1000.0)
+      val u = conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint") / lit(16777216.0)
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("gumbel_key", col("log_weight") - log(-log(u)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("gumbel_key").desc, col("doc_id"))).cast("bigint"))
+        .filter(col("rank") <= 50)
+        .select("doc_id", "n_tokens", "lr_sum", "log_weight", "gumbel_key", "rank")
+        .orderBy("rank")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, ${OracleSql.Toks} AS toks FROM documents),
+      tok AS (SELECT doc_id, lang = 'en' AS is_tgt, unnest(toks) AS tk FROM t),
+      counts AS (SELECT tk, COUNT(*) AS cr,
+          SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct
+        FROM tok GROUP BY tk),
+      totals AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM counts),
+      ratio AS (SELECT tk,
+          CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+            ln(CAST(cr + 1 AS DOUBLE) / (nr + v))) * 1000.0) AS BIGINT) AS lr_milli
+        FROM counts CROSS JOIN totals),
+      scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(lr_milli) AS BIGINT) AS lr_sum
+        FROM tok JOIN ratio USING (tk) GROUP BY doc_id),
+      keyed AS (SELECT doc_id, n_tokens, lr_sum,
+          CAST(lr_sum AS DOUBLE) / 1000.0 AS log_weight,
+          CAST(lr_sum AS DOUBLE) / 1000.0 - ln(-ln(
+            ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0))
+            AS gumbel_key
+        FROM scored),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rank
+        FROM keyed)
+      SELECT doc_id, n_tokens, lr_sum, log_weight, gumbel_key, rank
+      FROM r WHERE rank <= 50 ORDER BY rank"""),
+  )
+
   // -------------------------------------------------------------- dq08
   /** Data-freshness audit over the event stream: per event type, the
     * event count, newest event time, and the lag behind the stream's
@@ -598,6 +680,6 @@ object Quality {
       ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, imp01,
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, imp01, qf04,
     qf01, qf02, qf03)
 }

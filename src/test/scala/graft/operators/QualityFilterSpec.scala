@@ -164,6 +164,21 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("qf04: DSIR selection favors the target domain and is reproducible") {
+    val docs = graft.sources.Tables(spark, sf0001).documents
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enShare = langOf.values.count(_ == "en").toDouble / langOf.size
+    val sel = run("qf04_dsir_select").collect()
+    assert(sel.length == 50)
+    val selEn = sel.map(r => langOf(r.getLong(0))).count(_ == "en").toDouble / 50
+    assert(selEn > enShare,
+      f"importance resampling toward lang=en must overselect en: $selEn%.2f vs corpus $enShare%.2f")
+    // determinism: a second run returns the identical ranking
+    val again = run("qf04_dsir_select").collect()
+    assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("tCloseness: identical distributions score 0, concentrated groups score high") {
     import spark.implicits._
     // both groups mirror the global 50/50 band split -> EMD exactly 0

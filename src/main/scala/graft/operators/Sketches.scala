@@ -198,5 +198,101 @@ object Sketches {
       ORDER BY col_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cms01, hll01)
+  // ------------------------------------------------------------ cms02
+  /** Sketch MERGEABILITY, oracle-proved: count-min cells are a
+    * commutative monoid under cellwise addition, which is exactly why
+    * the sketch build map-side combines and why executor-local
+    * sketches union into a cluster-global one without a second scan.
+    * The query splits the fact on a key parity, builds each half's
+    * sketch independently, merges by cell addition, and certifies the
+    * merge equals the direct whole-corpus sketch cell for cell. The
+    * same algebra holds for any partitioning — parity is just the
+    * deterministic stand-in for "two executors".
+    */
+  private val cms02 = QueryDef(
+    "cms02_sketch_merge",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val even = countMinCells(li.filter(col("l_orderkey") % 2 === 0), "l_partkey")
+      val odd = countMinCells(li.filter(col("l_orderkey") % 2 =!= 0), "l_partkey")
+      val merged = even.select(col("j"), col("bucket"), col("cnt"))
+        .unionByName(odd)
+        .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      val direct = countMinCells(li, "l_partkey")
+      merged.join(direct.withColumnRenamed("cnt", "cnt_direct"),
+          Seq("j", "bucket"), "full_outer")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("cnt") === col("cnt_direct"), 1L).otherwise(0L))
+            .as("n_equal"))
+        .withColumn("merge_exact", col("n_cells") === col("n_equal"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT l_orderkey % 2 AS half, j,
+          CASE j ${(0 until CmsDepth).map(j =>
+            s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
+          COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        GROUP BY 1, 2, 3),
+      merged AS (SELECT j, bucket, SUM(cnt) AS cnt FROM cells GROUP BY 1, 2),
+      direct AS (SELECT j,
+          CASE j ${(0 until CmsDepth).map(j =>
+            s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
+          COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_cells,
+        CAST(SUM(CASE WHEN m.cnt = d.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        COUNT(*) = SUM(CASE WHEN m.cnt = d.cnt THEN 1 ELSE 0 END) AS merge_exact
+      FROM merged m FULL OUTER JOIN direct d USING (j, bucket)"""),
+  )
+
+  // ------------------------------------------------------------ hll02
+  /** HLL mergeability: registers are a monoid under elementwise MAX —
+    * the union of two sketches estimates the union of the sets, the
+    * property that lets per-partition register maxima combine into the
+    * global cardinality without re-reading anything. The parity halves'
+    * registers, merged by max, must equal the whole-corpus registers.
+    */
+  private val hll02 = QueryDef(
+    "hll02_hll_merge",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      def regs(df: DataFrame) = {
+        val h = conv(substring(md5(concat(lit("hll:"), col("l_partkey").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("bigint")
+        df.filter(col("l_partkey").isNotNull)
+          .select(h.as("h")).distinct()
+          .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+            rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
+          .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+      }
+      val merged = regs(li.filter(col("l_orderkey") % 2 === 0))
+        .unionByName(regs(li.filter(col("l_orderkey") % 2 =!= 0)))
+        .groupBy("reg").agg(max(col("max_rho")).as("max_rho"))
+      merged.join(regs(li).withColumnRenamed("max_rho", "rho_direct"),
+          Seq("reg"), "full_outer")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(when(col("max_rho") === col("rho_direct"), 1L).otherwise(0L))
+            .as("n_equal"))
+        .withColumn("merge_exact", col("n_regs") === col("n_equal"))
+    },
+    Some(s"""WITH hh AS (SELECT DISTINCT l_orderkey % 2 AS half,
+          ('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      halves AS (SELECT half, h // ${1L << HllRemBits} AS reg,
+          MAX(${rhoSql(s"(h % ${1L << HllRemBits})")}) AS max_rho
+        FROM hh GROUP BY 1, 2),
+      merged AS (SELECT reg, MAX(max_rho) AS max_rho FROM halves GROUP BY reg),
+      direct AS (SELECT h // ${1L << HllRemBits} AS reg,
+          MAX(${rhoSql(s"(h % ${1L << HllRemBits})")}) AS max_rho
+        FROM (SELECT DISTINCT ('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+              FROM lineitem WHERE l_partkey IS NOT NULL)
+        GROUP BY 1)
+      SELECT COUNT(*) AS n_regs,
+        CAST(SUM(CASE WHEN m.max_rho = d.max_rho THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        COUNT(*) = SUM(CASE WHEN m.max_rho = d.max_rho THEN 1 ELSE 0 END) AS merge_exact
+      FROM merged m FULL OUTER JOIN direct d USING (reg)"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cms01, cms02, hll01, hll02)
 }

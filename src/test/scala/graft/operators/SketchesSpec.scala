@@ -40,6 +40,14 @@ class SketchesSpec extends SparkSpec {
       rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).mkString(", "))
   }
 
+  test("sketch merges are exact: cells add, registers max") {
+    for (name <- Seq("cms02_sketch_merge", "hll02_hll_merge")) {
+      val r = graft.Registry.byName(name).run(spark, sf0001).collect().head
+      assert(r.getAs[Boolean]("merge_exact"), s"$name: $r")
+      assert(r.getLong(0) == r.getLong(1), s"$name: every cell/register must agree")
+    }
+  }
+
   test("hll linear-counting branch: tiny cardinalities are near-exact") {
     val tiny = (0 until 10).map(i => (i.toLong, s"k$i")).toDF("id", "k")
     val est = Sketches.hllEstimate(tiny, "k", "k").collect().head

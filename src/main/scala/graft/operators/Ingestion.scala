@@ -438,6 +438,11 @@ object Ingestion {
       // (verify + bench over the same sf dir) and leaked two table
       // copies per host. The result detaches from the files via an
       // eager localCheckpoint so the dir can be deleted before return.
+      // localCheckpoint blocks are NOT fault-tolerant: fine for this
+      // single-JVM certification query (the driver materializes the
+      // result immediately); a cluster deployment keeping the result
+      // alive across executor loss would use reliable checkpointing
+      // and defer the cleanup.
       val base = java.nio.file.Files.createTempDirectory("graft_ing14")
       val frag = base.resolve("fragmented").toString
       val comp = base.resolve("compacted").toString

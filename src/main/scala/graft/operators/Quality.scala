@@ -513,8 +513,12 @@ object Quality {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("lr_milli")).as("lr_sum"))
         .withColumn("log_weight", col("lr_sum").cast("double") / 1000.0)
-      val u = conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))
-        .cast("binary")), 1, 6), 16, 10).cast("bigint") / lit(16777216.0)
+      // u strictly inside (0,1): the +0.5 offset keeps ln(-ln(u)) finite
+      // — a doc whose md5 prefix is 000000 (one per ~17M docs) would
+      // otherwise make u = 0, which DuckDB's ln() rejects outright and
+      // Spark maps to NULL (silently un-selecting the doc)
+      val u = (conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint") + lit(0.5)) / lit(16777216.0)
       import org.apache.spark.sql.expressions.Window
       scored
         .withColumn("gumbel_key", col("log_weight") - log(-log(u)))
@@ -540,7 +544,7 @@ object Quality {
       keyed AS (SELECT doc_id, n_tokens, lr_sum,
           CAST(lr_sum AS DOUBLE) / 1000.0 AS log_weight,
           CAST(lr_sum AS DOUBLE) / 1000.0 - ln(-ln(
-            ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0))
+            (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5) / 16777216.0))
             AS gumbel_key
         FROM scored),
       r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rank

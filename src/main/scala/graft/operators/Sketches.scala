@@ -157,14 +157,23 @@ object Sketches {
                   FROM $table WHERE $key IS NOT NULL))
           GROUP BY reg))"""
 
-  def hllEstimate(fact: DataFrame, key: String, label: String): DataFrame = {
+  /** (reg, max_rho) register maxima of `key`'s md5-hash stream — the
+    * shared build stage of [[hllEstimate]] and the hll02 mergeability
+    * proof (ONE copy, so a change to the hash family or register width
+    * cannot silently make the proof test a different sketch).
+    */
+  private def hllRegisters(fact: DataFrame, key: String): DataFrame = {
     val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint")
-    val regs = fact.filter(col(key).isNotNull)
+    fact.filter(col(key).isNotNull)
       .select(h.as("h")).distinct()
       .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
         rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
       .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+  }
+
+  def hllEstimate(fact: DataFrame, key: String, label: String): DataFrame = {
+    val regs = hllRegisters(fact, key)
     val exact = fact.agg(count_distinct(col(key)).as("n_exact"))
     regs.crossJoin(broadcast(exact))
       .agg(max(col("n_exact")).as("n_exact"),
@@ -257,19 +266,10 @@ object Sketches {
     "hll02_hll_merge",
     (s, dir) => {
       val li = Tables(s, dir).lineitem
-      def regs(df: DataFrame) = {
-        val h = conv(substring(md5(concat(lit("hll:"), col("l_partkey").cast("string"))
-          .cast("binary")), 1, 8), 16, 10).cast("bigint")
-        df.filter(col("l_partkey").isNotNull)
-          .select(h.as("h")).distinct()
-          .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
-            rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
-          .groupBy("reg").agg(max(col("rho")).as("max_rho"))
-      }
-      val merged = regs(li.filter(col("l_orderkey") % 2 === 0))
-        .unionByName(regs(li.filter(col("l_orderkey") % 2 =!= 0)))
+      val merged = hllRegisters(li.filter(col("l_orderkey") % 2 === 0), "l_partkey")
+        .unionByName(hllRegisters(li.filter(col("l_orderkey") % 2 =!= 0), "l_partkey"))
         .groupBy("reg").agg(max(col("max_rho")).as("max_rho"))
-      merged.join(regs(li).withColumnRenamed("max_rho", "rho_direct"),
+      merged.join(hllRegisters(li, "l_partkey").withColumnRenamed("max_rho", "rho_direct"),
           Seq("reg"), "full_outer")
         .agg(count(lit(1)).as("n_regs"),
           sum(when(col("max_rho") === col("rho_direct"), 1L).otherwise(0L))

@@ -21,19 +21,6 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events parquet schema as written by older generators (ts = raw
-    * TIMESTAMP(NANOS) surfaced as long — see graft.sources.Tables).
-    * Kept for callers that declare the legacy flavor explicitly.
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
   /** File-source stream of events with `ts` as a real timestamp.
     *
     * File streams need a declared schema; we probe the files already in

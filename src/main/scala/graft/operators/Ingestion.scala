@@ -463,7 +463,110 @@ object Ingestion {
       FROM documents ORDER BY doc_id"""),
   )
 
+  /** Resume an interrupted JSONL bulk backfill into `table`: files
+    * whose basename already appears in the landed `_source_file`
+    * lineage are skipped entirely (never re-parsed), pending files run
+    * through the normal [[JsonIngestor.ingestJsonl]] contract, and
+    * rows land through the key-idempotent upsert — so a backfill
+    * killed mid-run is simply re-invoked and completes, processing
+    * each file's bytes exactly once. Returns the number of rows added.
+    *
+    * Scale notes: the skip decision is file-granular via the lineage
+    * manifest (distinct `_source_file` values — bounded by FILE count,
+    * the same driver-side order as the directory listing itself, not
+    * row count); the upsert's anti-join additionally makes row-level
+    * replays harmless when a file was partially landed by a crashed
+    * run. This is the batch twin of StreamingIngest's checkpointed
+    * file-source resume.
+    */
+  def resumeJsonlBackfill(s: org.apache.spark.sql.SparkSession, landingDir: String,
+      table: String, keys: Seq[String]): Long = {
+    val all = graft.ingest.FileScanner.discover(landingDir, Seq("json"),
+      recursive = true, Nil, graft.ingest.FileScanner.DefaultIgnorePatterns,
+      s.sparkContext.hadoopConfiguration)("json")
+      .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
+    val landed: Set[String] =
+      if (graft.sink.Sinks.tableExists(s, table))
+        s.table(table).select("_source_file").distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    val pending = all.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filterNot(landed).sorted
+    if (pending.isEmpty) 0L
+    else {
+      val res = JsonIngestor.ingestJsonl(s, landingDir, includePatterns = pending)
+      if (!graft.sink.Sinks.tableExists(s, table)) {
+        graft.sink.Sinks.saveTable(res.data, table)
+        res.report.totalRecords
+      } else graft.sink.Sinks.upsertTable(s, table, res.data, keys)
+    }
+  }
+
+  /** Distributed write of `df`'s single string column as ONE .jsonl
+    * file at `outFile` (write a part dir, promote the part file).
+    */
+  private def landJsonlFile(df: org.apache.spark.sql.DataFrame,
+      outFile: java.nio.file.Path): Unit = {
+    val tmpd = java.nio.file.Files.createTempDirectory("graft_jsonl_part")
+    df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .text(tmpd.resolve("d").toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(tmpd.resolve("d")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmpd"))
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.move(part, outFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try graft.ingest.FileUtils.delete(tmpd.toString, recursive = true): Unit
+    catch { case _: Throwable => () }
+  }
+
+  // -------------------------------------------------------------- ing15
+  // Resumable backfill end-to-end: the documents corpus split into 4
+  // JSONL batch files; run 1 lands batches 0-1, the "interrupted"
+  // backfill is then resumed after batches 2-3 appear, and a third
+  // resume is a no-op. The final table must hold every document
+  // exactly once with file-accurate lineage (batch = doc_id % 4 —
+  // deterministic, so the oracle recomputes `_source_file` itself,
+  // a STRONGER check than str01, which must drop nondeterministic
+  // part-file names).
+  private val ing15 = QueryDef(
+    "ing15_resumable_backfill",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ing15r")
+      val landing = tmp.resolve("landing")
+      def writeBatch(k: Int): Unit = landJsonlFile(
+        docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
+        landing.resolve(s"batch$k.jsonl"))
+      val table = "ing15_landed"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      try {
+        writeBatch(0); writeBatch(1)
+        resumeJsonlBackfill(s, landing.toString, table, keys = Seq("doc_id"))
+        writeBatch(2); writeBatch(3)
+        resumeJsonlBackfill(s, landing.toString, table, keys = Seq("doc_id"))
+        require(resumeJsonlBackfill(s, landing.toString, table, Seq("doc_id")) == 0L,
+          "third resume must be a no-op")
+        s.table(table).orderBy(col("doc_id").cast("bigint"))
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(tmp.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
+        COALESCE(lang, '') AS lang,
+        COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
+        COALESCE(source, '') AS source,
+        COALESCE(text, '') AS text,
+        'batch' || CAST(doc_id % 4 AS VARCHAR) || '.jsonl' AS _source_file
+      FROM documents ORDER BY documents.doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14)
+      ing11, ing12, ing13, ing14, ing15)
 }

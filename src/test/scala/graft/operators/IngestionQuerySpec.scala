@@ -74,4 +74,24 @@ class IngestionQuerySpec extends SparkSpec {
     assert(!rows.contains("_source_file"), "lineage meta-column is not drift")
     assert(rows.values.toSet.subsetOf(Set("added", "removed", "common")))
   }
+
+  test("resumeJsonlBackfill: file-granular skip, idempotent re-run") {
+    val dir = tmpDir("graft_resume")
+    val table = "resume_spec_landed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    writeFile(dir, "a.jsonl", """{"id":"1","v":"x"}""" + "\n" + """{"id":"2","v":"y"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 2L)
+    // new file appears: only its rows land
+    writeFile(dir, "b.jsonl", """{"id":"3","v":"z"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 1L)
+    // nothing new: no-op
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 0L)
+    // the skip is FILE-granular by contract: mutating an already-landed
+    // file does not re-process it (lineage says the file is done)
+    writeFile(dir, "a.jsonl", """{"id":"1","v":"x"}""" + "\n" + """{"id":"9","v":"late"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 0L)
+    val landed = spark.table(table).select("id").collect().map(_.getString(0)).toSet
+    assert(landed == Set("1", "2", "3"), landed.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

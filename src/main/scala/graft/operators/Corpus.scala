@@ -579,6 +579,47 @@ object Corpus {
       WHERE rn <= 10 ORDER BY lang, rn"""),
   )
 
+  // -------------------------------------------------------------- dm02
+  /** Equi-width value histogram — the distribution-profiling companion
+    * to dq02's cardinality profile and q31's percentiles: o_totalprice
+    * binned into 20 equal-width buckets between the observed min/max,
+    * with exact counts and computed edges. Determinism: bin index is
+    * floor((v - min) / width), one IEEE subtract + divide + floor per
+    * row with min/width identical in both engines (min/max are exact
+    * doubles from the data; width = (max-min)/20.0 is one division);
+    * the max value clamps into the last bin. Scale shape: one min/max
+    * aggregation broadcast back over the scan, one 20-group hash
+    * aggregation — two passes, no sort, no collect.
+    */
+  private val dm02 = QueryDef(
+    "dm02_value_histogram",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val mm = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+        .withColumn("width", (col("hi") - col("lo")) / lit(20.0))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("lo")) / col("width")), lit(19L))
+            .cast("bigint"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          max(col("lo") + col("bin") * col("width")).as("bin_lo"),
+          max(col("lo") + (col("bin") + 1L) * col("width")).as("bin_hi"))
+        .orderBy("bin")
+    },
+    Some("""WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+          (MAX(o_totalprice) - MIN(o_totalprice)) / 20.0 AS width
+        FROM orders),
+      b AS (SELECT LEAST(FLOOR((o_totalprice - lo) / width), 19) AS bin,
+          lo, width
+        FROM orders CROSS JOIN mm)
+      SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+        MAX(lo + bin * width) AS bin_lo,
+        MAX(lo + (bin + 1) * width) AS bin_hi
+      FROM b GROUP BY bin ORDER BY bin"""),
+  )
+
   // -------------------------------------------------------------- dm01
   /** Per-source (domain) curation report: document/token volume, exact
     * duplicate rate, and language spread per provenance bucket — the
@@ -936,5 +977,5 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, ord01, dc03, smp04)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, dc03, smp04)
 }

@@ -281,6 +281,48 @@ object Corpus {
       FROM customer ORDER BY c_custkey"""),
   )
 
+  // -------------------------------------------------------------- pii02
+  /** Deterministic keyed pseudonymization — the governance op pii01's
+    * redaction can't provide: direct identifiers are replaced by a
+    * peppered-hash surrogate (md5(pepper || key)) CONSISTENTLY across
+    * tables, so analytic joins still line up while the raw key never
+    * appears downstream. The query proves referential consistency by
+    * joining customer and orders ON THE PSEUDONYM and reproducing the
+    * per-customer order stats a raw-key join gives (which is exactly
+    * what the oracle computes, pseudonymizing independently in DuckDB).
+    *
+    * Scale shape: pseudonymization is a map-only projection on each
+    * side (no extra shuffle — the join exchange hashes the surrogate
+    * instead of the key, same distribution since md5 is injective on
+    * the key domain here); the pepper rotates per release in a real
+    * deployment, which re-keys every surrogate without touching data
+    * layout. GDPR-style "pseudonymisation": re-identification requires
+    * the pepper, which lives outside the dataset.
+    */
+  private val pii02 = QueryDef(
+    "pii02_pseudonymize",
+    (s, dir) => {
+      val pepper = "graft-pepper-2026"
+      val t = Tables(s, dir)
+      val cust = t.customer.select(
+        md5(concat(lit(pepper), col("c_custkey").cast("string"))).as("pid"),
+        col("c_mktsegment"))
+      val ords = t.orders.select(
+        md5(concat(lit(pepper), col("o_custkey").cast("string"))).as("pid"),
+        col("o_totalprice"))
+      cust.join(ords, "pid")
+        .groupBy("pid", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_spent"))
+        .orderBy("pid")
+    },
+    Some("""SELECT md5('graft-pepper-2026' || CAST(c_custkey AS VARCHAR)) AS pid,
+        c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY pid"""),
+  )
+
   // -------------------------------------------------------------- pack01
   /** Sequence packing for LM training: documents are concatenated in
     * doc_id order and split into fixed 2048-token sequences; each doc
@@ -976,6 +1018,6 @@ object Corpus {
   )
 
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01,
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, dc03, smp04)
 }

@@ -1111,7 +1111,56 @@ object Dedup {
       ORDER BY a.doc_id"""),
   )
 
+  /** Incremental EXACT dedup — the content-digest twin of
+    * [[incrementalNearDups]], and the op every continuous-ingestion
+    * loop runs first: which batch documents are byte-identical to
+    * something already landed? A bloom of the HISTORY digests
+    * (kilobytes in the task closure, dc02's runtime-filter idiom)
+    * splits the batch in the map: digests the bloom rejects are
+    * DEFINITELY new and never touch the join; only probable dups —
+    * true dups plus the bloom's ~1% false positives — reach the exact
+    * anti-join confirmation. No false negatives (blooms have none), and
+    * the join removes the false positives, so the survivor set is
+    * byte-identical to a full anti-join at a fraction of its shuffle:
+    * at 100 TB the confirmation join input scales with the DUP RATE,
+    * not the batch size. In production the bloom is built once from
+    * the landed digest manifest and updated per batch, not rebuilt.
+    */
+  def incrementalExactSurvivors(history: DataFrame, batch: DataFrame): DataFrame = {
+    val hd = history.select(md5(col("text").cast("binary")).as("content_md5"))
+    // sized to landed-corpus digest cardinality; 100k @ 1% fpp ≈ 120 KB
+    val bloom = hd.stat.bloomFilter("content_md5", 100000L, 0.01)
+    val bd = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"))
+    val probable = graft.functions.TextExpressions
+      .bloom_might_contain(col("content_md5"), bloom)
+    bd.filter(!probable)
+      .unionByName(bd.filter(probable).join(hd, Seq("content_md5"), "left_anti")
+        .select("doc_id", "content_md5"))
+  }
+
+  // -------------------------------------------------------------- dd12
+  // Incremental exact dedup: history = previously landed corpus (¾ of
+  // docs), batch = the arriving quarter; survivors are batch docs whose
+  // content digest is absent from history. The oracle computes the
+  // plain anti-join — certifying the bloom pre-pass changes nothing.
+  private val dd12 = QueryDef(
+    "dd12_incremental_exact",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      incrementalExactSurvivors(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT md5(text) AS m FROM documents WHERE doc_id % 4 <> 0),
+      b AS (SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id, content_md5 FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.m = b.content_md5)
+      ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, spl01, tri01)
+      dd07, dd08, dd09, dd10, dd11, dd12, spl01, tri01)
 }

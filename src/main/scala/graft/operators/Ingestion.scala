@@ -566,7 +566,42 @@ object Ingestion {
       FROM documents ORDER BY documents.doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing16
+  // ORC format interop: the documents corpus written as ORC and read
+  // back through a filtered, projected scan must match the oracle
+  // computing the same filter straight from parquet — the format
+  // conversion loses/mutates nothing, and the ORC reader keeps the
+  // same scan-level optimizations the parquet path gets (predicate
+  // pushdown + column pruning reach the ORC stripe reader; pinned in
+  // PlanSpec). Real lakes are mixed-format — a migration or an
+  // upstream team lands ORC — and the engine must treat it as a
+  // first-class columnar source, not a convert-to-parquet-first step.
+  private val ing16 = QueryDef(
+    "ing16_orc_roundtrip",
+    (s, dir) => {
+      // per-call temp dir + eager localCheckpoint before cleanup: the
+      // same concurrent-JVM + deferred-scan reasoning as ing14.
+      val base = java.nio.file.Files.createTempDirectory("graft_ing16")
+      val orcPath = base.resolve("docs_orc").toString
+      try {
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(orcPath)
+        s.read.orc(orcPath)
+          .filter(col("lang") === "en" && col("n_chars") > 200)
+          .orderBy("doc_id")
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE lang = 'en' AND n_chars > 200
+      ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15)
+      ing11, ing12, ing13, ing14, ing15, ing16)
 }

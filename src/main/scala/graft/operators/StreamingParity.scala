@@ -371,5 +371,51 @@ object StreamingParity {
       FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(str01, str02, str03, str04, str05, str06, str07)
+  // -------------------------------------------------------------- str08
+  // Checkpoint-RESTART parity: the recovery guarantee str01 only
+  // implies, oracle-checked directly. Half the corpus lands, the query
+  // is STOPPED (a deploy, a crash), more files arrive, and a brand-new
+  // query started on the SAME checkpoint must pick up exactly the
+  // unseen files — the final table equals one uninterrupted batch
+  // normalization of everything. Determinism: the file-source
+  // checkpoint makes the second query's first micro-batch exactly the
+  // delta (at-least-once on replayed batches), and the key-idempotent
+  // upsert absorbs any replay — so the landed SET is restart-invariant.
+  // StreamingIngestSpec pins the mechanics (nothing re-landed, row
+  // counts); this row certifies the recovered CONTENT byte-for-byte.
+  private val str08 = QueryDef(
+    "str08_stream_restart_parity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val tmp = tempDir("graft_str08")
+      val landing = tmp.resolve("landing").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val table = fresh(s, "str08_landed")
+      def drain(): Unit = {
+        val q = StreamingIngest.ingestStream(s, landing, docs.schema, table,
+          keys = Seq("doc_id"), checkpointDir = ckpt, maxFilesPerTrigger = 2)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // epoch 1: even doc_ids land, then the query is stopped
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
+        .repartition(3).write.mode("append").text(landing)
+      drain()
+      // epoch 2: odd doc_ids arrive as NEW files; a fresh query on the
+      // same checkpoint resumes and must ingest exactly these
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
+        .repartition(3).write.mode("append").text(landing)
+      drain()
+      deleteQuietly(tmp)
+      s.table(table).drop("_source_file")
+        .orderBy(col("doc_id").cast("bigint"))
+    },
+    // identical contract to str01: the restart must be invisible
+    str01.oracle,
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(str01, str02, str03, str04, str05, str06, str07, str08)
 }

@@ -299,4 +299,22 @@ class CorpusSpec extends SparkSpec {
     // "beta gamma delta epsilon": 2 spans, 1 eval doc
     assert(out == Map(1L -> ((2L, 1L))), out.toString)
   }
+
+  test("pii02: pseudonyms are consistent across tables and never expose the key") {
+    val out = run("pii02_pseudonymize")
+    // no column carries the raw key, and every pid is a 32-hex digest
+    assert(!out.columns.exists(_.contains("custkey")))
+    val pids = out.select("pid").collect().map(_.getString(0))
+    assert(pids.forall(_.matches("[0-9a-f]{32}")))
+    // referential consistency: per-pseudonym order counts equal the
+    // raw-key join's counts (the pseudonym didn't split or merge keys)
+    val t = graft.sources.Tables(spark, sf0001)
+    val rawCounts = t.customer.join(t.orders,
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .groupBy("c_custkey").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val pidCounts = out.collect().map(_.getAs[Long]("n_orders")).sorted.toSeq
+    assert(pidCounts == rawCounts)
+  }
 }

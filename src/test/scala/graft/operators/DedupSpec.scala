@@ -342,4 +342,23 @@ class DedupSpec extends SparkSpec {
     assert(out(0L) == ((10L, 10L, 1.0)))
     assert(out(1L) == ((10L, 10L, 1.0)))
   }
+
+  test("incrementalExactSurvivors: bloom pre-pass equals the plain anti-join") {
+    val history = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),          // exact dup of history 0 -> dropped
+      (11L, unrelated),     // exact dup of history 2 -> dropped
+      (12L, "brand new document text"),
+      (13L, nearDup + " extra"), // near- but not exact-dup -> survives
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalExactSurvivors(history, batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(12L, 13L))
+    // equals the un-bloomed anti-join on the digest
+    val plain = batch.withColumn("m", md5(col("text").cast("binary")))
+      .join(history.select(md5(col("text").cast("binary")).as("m")), Seq("m"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == plain)
+  }
 }

@@ -345,6 +345,31 @@ class PlanSpec extends SparkSpec {
       "eval grams are 1/97 of the corpus and must broadcast")
   }
 
+  test("ing16: ORC scan gets the same pushdown + pruning as parquet") {
+    import org.apache.spark.sql.functions.col
+    // the declared query returns a localCheckpoint (so its temp dir can
+    // be deleted), which hides the scan — rebuild the read here
+    val base = java.nio.file.Files.createTempDirectory("graft_ing16_plan")
+    try {
+      graft.sources.Tables(spark, sf0001).documents
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(base.resolve("o").toString)
+      val p = spark.read.orc(base.resolve("o").toString)
+        .filter(col("lang") === "en" && col("n_chars") > 200)
+        .select("doc_id", "lang")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("FileScan orc"), p.take(800))
+      assert(p.contains("PushedFilters") && p.contains("EqualTo(lang,en)"),
+        s"lang filter must reach the ORC stripe reader:\n${p.take(800)}")
+      // pruned read schema: the projection drops source
+      assert(!p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source"),
+        s"unreferenced columns must be pruned from the ORC read:\n${p.take(800)}")
+    } finally {
+      try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("mix03: one fact aggregation; the normalizer fold lives on the lang table") {
     val p = plan("mix03_temperature_weights")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))

@@ -790,6 +790,48 @@ object Corpus {
       FROM sh ORDER BY shard, pos"""),
   )
 
+  // -------------------------------------------------------------- ord02
+  /** Curriculum training order: documents staged easy→hard by length
+    * decile (the classic curriculum-learning schedule), with a
+    * deterministic md5 shuffle WITHIN each decile — the trainer reads
+    * deciles in order but sees no systematic ordering inside one.
+    * NTILE deciles over (n_tokens, doc_id) are exact and identical in
+    * both engines (standard SQL semantics, total tie-break); the
+    * within-decile position reuses ord01's salted-md5 retry-stable
+    * shuffle key.
+    *
+    * Scale note: NTILE needs a total order — fine at document-COUNT
+    * scale (rows here are docs, not tokens), and the production
+    * variant at extreme corpus sizes swaps the exact decile for
+    * broadcast approximate cutoffs (one sampled-bounds pass), keeping
+    * the schedule identical in distribution. The within-decile stage
+    * partitions by decile and never sorts globally.
+    */
+  private val ord02 = QueryDef(
+    "ord02_curriculum",
+    (s, dir) => {
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+      val deciled = t.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))).cast("bigint"))
+        .withColumn("sk", md5(concat(lit("cur:42:"), col("doc_id").cast("string")).cast("binary")))
+      deciled
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("decile")).orderBy(col("sk"), col("doc_id"))).cast("bigint"))
+        .select("doc_id", "n_tokens", "decile", "pos")
+        .orderBy("decile", "pos")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_tokens
+        FROM documents),
+      d AS (SELECT doc_id, n_tokens,
+          CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
+          md5('cur:42:' || CAST(doc_id AS VARCHAR)) AS sk
+        FROM t)
+      SELECT doc_id, n_tokens, decile,
+        CAST(ROW_NUMBER() OVER (PARTITION BY decile ORDER BY sk, doc_id) AS BIGINT) AS pos
+      FROM d ORDER BY decile, pos"""),
+  )
+
   // -------------------------------------------------------------- mix03
   /** Temperature-based multilingual sampling weights (the mT5/XLM-R
     * mixing rule): language l is sampled with p_l ∝ (n_l/N)^α, α=0.5 —
@@ -1019,5 +1061,5 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, dc03, smp04)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04)
 }

@@ -584,6 +584,57 @@ object Quality {
       FROM pt CROSS JOIN hwm ORDER BY event_type"""),
   )
 
+  // -------------------------------------------------------------- dq09
+  /** Benford's-law first-digit audit — the fraud/anomaly screen
+    * auditors run on monetary columns: naturally-occurring amounts
+    * follow P(d) = log10(1 + 1/d), and a column whose leading-digit
+    * distribution deviates hard from that curve was likely generated,
+    * capped, or tampered with. Per digit: exact count, observed
+    * fraction, the Benford expectation, absolute deviation, and the
+    * screening flag.
+    *
+    * Determinism: the leading digit comes from the INTEGER rendering
+    * (substr of the floored value's decimal string — identical in both
+    * engines; float log10 of the value is NOT reliably identical at
+    * exact powers of ten, so it is never used); expected fractions are
+    * ln(1+1/d)/ln(10) on digit literals (both engines' ln agrees
+    * bit-for-bit on this corpus — the txt06 precedent); observed is
+    * one n/total division. Scale: one map-side digit projection, one
+    * 9-group aggregation, a broadcast 1-row total — no sort, no
+    * collect. (The synthetic uniform-ish prices genuinely FAIL Benford
+    * — the audit's flag fires, which is the point of auditing
+    * generated data.)
+    */
+  private val dq09 = QueryDef(
+    "dq09_benford",
+    (s, dir) => {
+      val d = Tables(s, dir).orders.select(
+        substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .as("digit"))
+        .filter(col("digit").between("1", "9"))
+      val tot = d.agg(count(lit(1)).as("total"))
+      d.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("observed", col("n").cast("double") / col("total"))
+        .withColumn("expected",
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+        .withColumn("abs_dev", abs(col("observed") - col("expected")))
+        .withColumn("suspicious", col("abs_dev") > lit(0.05))
+        .select("digit", "n", "observed", "expected", "abs_dev", "suspicious")
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders
+        WHERE substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) BETWEEN '1' AND '9'),
+      g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT COUNT(*) AS total FROM d)
+      SELECT digit, n, CAST(n AS DOUBLE) / total AS observed,
+        ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected,
+        abs(CAST(n AS DOUBLE) / total - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) AS abs_dev,
+        abs(CAST(n AS DOUBLE) / total - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) > 0.05 AS suspicious
+      FROM g CROSS JOIN t ORDER BY digit"""),
+  )
+
   // -------------------------------------------------------------- dq07
   /** T-closeness audit (Li et al. 2007) — the third leg of the
     * governance triple after dq05 (k-anonymity) and dq06 (l-diversity):
@@ -684,6 +735,6 @@ object Quality {
       ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, imp01, qf04,
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, imp01, qf04,
     qf01, qf02, qf03)
 }

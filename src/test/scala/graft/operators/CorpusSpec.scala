@@ -300,6 +300,24 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 1L))), out.toString)
   }
 
+  test("ord02: deciles are monotone in (n_tokens, doc_id); within-decile order is shuffled") {
+    val rows = run("ord02_curriculum").collect()
+    assert(rows.length > 0)
+    // decile boundaries respect the curriculum order: the max
+    // (n_tokens, doc_id) tuple of decile d precedes the min of d+1
+    val byDecile = rows.groupBy(_.getAs[Long]("decile"))
+    for (d <- 1L until 10L) {
+      val hi = byDecile(d).map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id"))).max
+      val lo = byDecile(d + 1).map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id"))).min
+      assert(Ordering[(Long, Long)].lt(hi, lo), s"decile $d max $hi !< decile ${d + 1} min $lo")
+    }
+    // within a decile the read order is NOT doc_id order (the shuffle
+    // key did something) but positions are dense 1..n
+    val one = byDecile(1L).sortBy(_.getAs[Long]("pos"))
+    assert(one.map(_.getAs[Long]("pos")).toSeq == (1L to one.length).toSeq)
+    assert(one.map(_.getAs[Long]("doc_id")).toSeq != one.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
   test("pii02: pseudonyms are consistent across tables and never expose the key") {
     val out = run("pii02_pseudonymize")
     // no column carries the raw key, and every pid is a 32-hex digest

@@ -195,4 +195,17 @@ class QualityFilterSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
     assert(p("a") == ((0.5, true)) && p("b") == ((0.5, true)), p.toString)
   }
+
+  test("dq09: Benford expectations sum to 1 and the generated prices fail the law") {
+    val rows = run("dq09_benford").collect()
+    assert(rows.length == 9)
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(expSum - 1.0) < 1e-12, expSum.toString)
+    val obsSum = rows.map(_.getAs[Double]("observed")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-12, obsSum.toString)
+    // the synthetic uniform-ish price generator does NOT follow
+    // Benford — the audit must fire on at least one digit (that a
+    // generated column trips the screen is the screen working)
+    assert(rows.exists(_.getAs[Boolean]("suspicious")))
+  }
 }

@@ -364,4 +364,86 @@ object JsonIngestor {
       errors = errors,
       elapsedSec = (System.nanoTime() - t0) / 1e9))
   }
+
+  /** Result of [[ingestJsonlRowIsolated]]: landed good rows, the
+    * quarantine table (`_source_file`, `raw_line`), run metrics, and a
+    * `release()` that drops the shared scan cache once both legs are
+    * materialized.
+    */
+  final case class RowIsolatedResult(data: DataFrame, quarantine: DataFrame,
+      report: IngestReport, release: () => Unit)
+
+  /** Row-level error isolation — the EXTENSION contract next to the
+    * reference's whole-file atomicity (A8, [[ingestJsonl]]): a
+    * malformed line is diverted to a QUARANTINE table (source file +
+    * raw line) while the same file's good lines still land through the
+    * normal §1.2 normalization. Whole-file drop protects a batch
+    * warehouse from a half-written file; row-level quarantine is what
+    * a streaming/landing pipeline wants instead — one bad log line
+    * must not discard a shard, and the quarantine table is the triage
+    * queue an operator replays after fixing the producer.
+    *
+    * One PERMISSIVE scan feeds BOTH legs; it is persisted for the call
+    * (a) so good rows and quarantine don't re-parse the corpus, and
+    * (b) because Spark refuses a file scan whose only referenced
+    * column is the internal corrupt-record column — the cache
+    * materializes the full schema once. Call `release()` after
+    * materializing both legs. `filesFailed` stays 0 by construction;
+    * per-file quarantined-line counts land in `errors` (bounded by
+    * file count, the same driver-side order as the listing itself).
+    */
+  def ingestJsonlRowIsolated(spark: SparkSession, dir: String,
+      includePatterns: Seq[String] = Nil,
+      excludePatterns: Seq[String] = FileScanner.DefaultIgnorePatterns): RowIsolatedResult = {
+    val t0 = System.nanoTime()
+    val files = FileScanner.discover(dir, Seq("json"), recursive = true,
+      includePatterns, excludePatterns,
+      spark.sparkContext.hadoopConfiguration)("json")
+      .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
+    def emptyQuarantine: DataFrame = {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("_source_file", StringType),
+          StructField("raw_line", StringType))))
+    }
+    if (files.isEmpty) {
+      return RowIsolatedResult(spark.emptyDataFrame, emptyQuarantine,
+        IngestReport(0, 0, 0, 0L, Nil, (System.nanoTime() - t0) / 1e9), () => ())
+    }
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(files: _*)
+      .withColumn("_source_path", input_file_name())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hasCorrupt = raw.columns.contains(CorruptCol)
+    val srcFile = element_at(split(col("_source_path"), "/"), -1)
+    val quarantine =
+      if (hasCorrupt)
+        raw.filter(col(CorruptCol).isNotNull)
+          .select(srcFile.as("_source_file"), col(CorruptCol).as("raw_line"))
+      else emptyQuarantine
+    val goodRaw =
+      if (hasCorrupt) raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      else raw
+    val dataCols = goodRaw.columns.filterNot(_ == "_source_path")
+    val data =
+      if (dataCols.isEmpty) spark.emptyDataFrame
+      else Normalizer.normalizeAll(
+        goodRaw.withColumn("_source_file", srcFile).drop("_source_path"),
+        passthrough = Set("_source_file"))
+    val total = if (data.columns.isEmpty) 0L else data.count()
+    val errors = quarantine.groupBy("_source_file").count()
+      .collect().map(r => FileError(r.getString(0), s"${r.getLong(1)} quarantined line(s)"))
+      .sortBy(_.file).toSeq
+    RowIsolatedResult(data, quarantine,
+      IngestReport(
+        filesDiscovered = files.size,
+        filesProcessed = files.size,
+        filesFailed = 0,
+        totalRecords = total,
+        errors = errors,
+        elapsedSec = (System.nanoTime() - t0) / 1e9),
+      () => { raw.unpersist(blocking = false); () })
+  }
 }

@@ -601,7 +601,54 @@ object Ingestion {
       ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing17
+  // Row-level quarantine twin of ing10: same landing dir, OPPOSITE
+  // isolation granularity. ing10 proves the reference's A8 contract
+  // (one malformed line drops broken.jsonl wholesale); ing17 proves
+  // the extension contract — broken.jsonl's two good lines LAND (they
+  // are in this output, tagged broken.jsonl) while only the bad line
+  // is diverted to quarantine (pinned in IngestorSpec). The oracle
+  // replays row-level isolation independently: raw line scan +
+  // json_valid filter + per-key extraction for the damaged file,
+  // read_json for the clean ones.
+  private val ing17 = QueryDef(
+    "ing17_jsonl_row_quarantine",
+    (s, _) => {
+      val r = JsonIngestor.ingestJsonlRowIsolated(s, JsonlFixtureDir)
+      val out = r.data
+        .orderBy(col("_source_file"), col("session_id"), col("metric"), col("ts_day"))
+        .localCheckpoint(eager = true)
+      r.release()
+      out
+    },
+    Some(s"""WITH e AS (SELECT COALESCE(device, '') AS device, COALESCE(event, '') AS event,
+          COALESCE(CAST(session_id AS VARCHAR), '') AS session_id,
+          COALESCE("user", '') AS "user", 'events.jsonl' AS _source_file
+        FROM read_json('$JsonlFixtureDir/events.jsonl', format = 'newline_delimited')),
+      m AS (SELECT COALESCE(metric, '') AS metric, COALESCE(ts_day, '') AS ts_day,
+          COALESCE(CAST(value AS VARCHAR), '') AS value, 'metrics.ndjson' AS _source_file
+        FROM read_json('$JsonlFixtureDir/metrics.ndjson', format = 'newline_delimited')),
+      b AS (SELECT COALESCE(json_extract_string(line, '$$.device'), '') AS device,
+          COALESCE(json_extract_string(line, '$$.event'), '') AS event,
+          COALESCE(json_extract_string(line, '$$.session_id'), '') AS session_id,
+          COALESCE(json_extract_string(line, '$$.user'), '') AS "user",
+          'broken.jsonl' AS _source_file
+        FROM read_csv('$JsonlFixtureDir/broken.jsonl',
+          columns = {'line': 'VARCHAR'}, header = false, delim = E'\\x01', quote = '')
+        WHERE json_valid(line))
+      SELECT * FROM (
+        SELECT device, event, '' AS metric, session_id, '' AS ts_day,
+          "user", '' AS value, _source_file FROM e
+        UNION ALL
+        SELECT device, event, '' AS metric, session_id, '' AS ts_day,
+          "user", '' AS value, _source_file FROM b
+        UNION ALL
+        SELECT '' AS device, '' AS event, metric, '' AS session_id, ts_day,
+          '' AS "user", value, _source_file FROM m)
+      ORDER BY _source_file, session_id, metric, ts_day"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15, ing16)
+      ing11, ing12, ing13, ing14, ing15, ing16, ing17)
 }

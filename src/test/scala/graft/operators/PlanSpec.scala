@@ -370,6 +370,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dd12: bloom splits the batch in the map; only probable dups reach the anti-join") {
+    val p = plan("dd12_incremental_exact")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"definitely-new rows must be decided by the task-closure bloom:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"), "confirmation must be an exact anti-join")
+    assert(!p.contains("SortMergeJoin"),
+      "the bloom-reduced confirmation side must broadcast at this SF")
+  }
+
   test("mix03: one fact aggregation; the normalizer fold lives on the lang table") {
     val p = plan("mix03_temperature_weights")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))

@@ -1189,8 +1189,112 @@ object Relational {
       FROM events ORDER BY event_id"""),
   )
 
+  // ---------------------------------------------------------------- q47
+  // Finite-horizon EWMA trend per event-type daily series — the
+  // monitoring smoother every metrics dashboard runs. The recursion
+  // ewma_t = 0.7*ewma_{t-1} + 0.3*x_t is evaluated as an EXPLICIT
+  // left fold over the last-10-days frame list (zero-initialized, so
+  // the value is the exact 10-term finite-horizon EWMA): Spark's
+  // aggregate() and DuckDB's list_reduce (zero prepended — its
+  // accumulator otherwise seeds from the first element) perform the
+  // identical IEEE op sequence, so the doubles hash-match. Inputs stay
+  // exact until the fold: day index and daily totals are integer
+  // nanosecond/cent arithmetic. One aggregation + one partition-local
+  // window; the frame list is 10 elements regardless of series length.
+  private val q47 = QueryDef(
+    "q47_ewma_trend",
+    (s, dir) => {
+      val daily = T(s, dir).events
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("day_idx"),
+          (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day_idx")
+        .agg(sum(col("cents")).as("day_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+        .rowsBetween(-9, 0)
+      daily
+        .withColumn("xs", collect_list(col("day_cents").cast("double")).over(w))
+        .withColumn("ewma_cents",
+          expr("aggregate(xs, cast(0.0 as double), (acc, x) -> acc * cast(0.7 as double) + cast(0.3 as double) * x)"))
+        .select("event_type", "day_idx", "day_cents", "ewma_cents")
+        .orderBy("event_type", "day_idx")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          EPOCH_NS(ts) // 86400000000000 AS day_idx,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events GROUP BY 1, 2),
+      fr AS (SELECT event_type, day_idx, day_cents,
+          list(CAST(day_cents AS DOUBLE))
+            OVER (PARTITION BY event_type ORDER BY day_idx
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+        FROM daily)
+      SELECT event_type, day_idx, day_cents,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+          (acc, x) -> acc * CAST(0.7 AS DOUBLE) + CAST(0.3 AS DOUBLE) * x) AS ewma_cents
+      FROM fr ORDER BY event_type, day_idx"""),
+  )
+
+  // ---------------------------------------------------------------- q48
+  // Two-proportion A/B z-test per event type: users hash-split into
+  // two arms (user_id parity — the deterministic stand-in for an
+  // assignment column), per-arm reach = distinct users with the event,
+  // pooled two-proportion z statistic, |z| > 1.96 significance flag.
+  // Counts are exact integers; the z expression is written as the
+  // SAME literal IEEE op sequence in both engines. Scale shape: one
+  // distinct-pair aggregation keyed (event_type, user) + a broadcast
+  // 2-row arm-size table — no fact-side second scan.
+  private val q48 = QueryDef(
+    "q48_ab_proportion_test",
+    (s, dir) => {
+      val ev = T(s, dir).events
+      val armSizes = ev.select(col("user_id"), (col("user_id") % 2).as("arm"))
+        .distinct()
+        .groupBy("arm").agg(count(lit(1)).as("n_users"))
+      val n0 = armSizes.filter(col("arm") === 0).select(col("n_users").as("n0"))
+      val n1 = armSizes.filter(col("arm") === 1).select(col("n_users").as("n1"))
+      val reach = ev.select(col("event_type"), col("user_id"), (col("user_id") % 2).as("arm"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("r0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("r1"))
+      reach.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+        .withColumn("p0", col("r0").cast("double") / col("n0"))
+        .withColumn("p1", col("r1").cast("double") / col("n1"))
+        .withColumn("pp", (col("r0") + col("r1")).cast("double") / (col("n0") + col("n1")))
+        // z is undefined when the pooled proportion is degenerate
+        // (everyone or no one reached — denominator 0); emit NULL, not
+        // an ANSI divide-by-zero, and flag it not-significant
+        .withColumn("denom", sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+        .withColumn("z", when(col("denom") =!= 0.0,
+          (col("p0") - col("p1")) / col("denom")))
+        .withColumn("significant", coalesce(abs(col("z")) > lit(1.96), lit(false)))
+        .select("event_type", "r0", "r1", "n0", "n1", "p0", "p1", "z", "significant")
+        .orderBy("event_type")
+    },
+    Some("""WITH arms AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+      sz AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM arms),
+      reach AS (SELECT event_type,
+          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1
+        FROM (SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events)
+        GROUP BY event_type),
+      j AS (SELECT event_type, r0, r1, n0, n1,
+          CAST(r0 AS DOUBLE) / n0 AS p0,
+          CAST(r1 AS DOUBLE) / n1 AS p1,
+          CAST(r0 + r1 AS DOUBLE) / (n0 + n1) AS pp
+        FROM reach CROSS JOIN sz),
+      d AS (SELECT *, sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)) AS denom FROM j),
+      zz AS (SELECT event_type, r0, r1, n0, n1, p0, p1,
+          CASE WHEN denom <> 0.0 THEN (p0 - p1) / denom END AS z
+        FROM d)
+      SELECT event_type, r0, r1, n0, n1, p0, p1, z,
+        COALESCE(abs(z) > 1.96, false) AS significant
+      FROM zz ORDER BY event_type"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46)
+    q40, q41, q43, q44, q45, q46, q47, q48)
 }

@@ -370,6 +370,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q47: EWMA window runs event_type-partitioned, never a global sort") {
+    val p = plan("q47_ewma_trend")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"the frame window must partition by series key:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"), "the fold must stay in the built-in aggregate()")
+  }
+
+  test("q48: the 1-row arm sizes broadcast; no shuffled cartesian") {
+    val p = plan("q48_ab_proportion_test")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "arm-size scalars must broadcast against the 5-row reach table")
+  }
+
   test("dd12: bloom splits the batch in the map; only probable dups reach the anti-join") {
     val p = plan("dd12_incremental_exact")
     assert(p.contains("graft_bloom_might_contain"),

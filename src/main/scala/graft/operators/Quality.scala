@@ -187,6 +187,22 @@ object Quality {
   // whole model inference oracle-checkable. Swapping real trained
   // weights for the synthetic ones means broadcasting a 1024-entry
   // array; the plan shape is unchanged.
+  /** The qf02 scorer as a reusable Spark expression over a `toks`
+    * array column (exact integer score; see qf02's doc comment). The
+    * calibration audit (Drift.cal01) re-scores with the SAME kernel so
+    * the two stay in lockstep.
+    */
+  private[operators] val ClassifierScoreExpr: String =
+    """aggregate(toks, 0L, (a, t) ->
+      a + ((cast(conv(substr(md5(cast(concat('w:', t) as binary)), 1, 8), 16, 10) as bigint) % 1024)
+           * 2654435761L) % 4097 - 2048)"""
+
+  /** DuckDB twin of [[ClassifierScoreExpr]] over a `toks` list. */
+  private[operators] val ClassifierScoreSql: String =
+    """CAST(list_sum(list_transform(toks, t ->
+      ((('0x' || substr(md5('w:' || t), 1, 8))::BIGINT % 1024) * 2654435761) % 4097 - 2048))
+      AS BIGINT)"""
+
   private val qf02 = QueryDef(
     "qf02_classifier_score",
     (s, dir) =>
@@ -194,10 +210,7 @@ object Quality {
         .withColumn("toks", toks)
         .filter(size(col("toks")) > 0)
         .withColumn("n_words", size(col("toks")).cast("bigint"))
-        .withColumn("score_int",
-          expr("""aggregate(toks, 0L, (a, t) ->
-            a + ((cast(conv(substr(md5(cast(concat('w:', t) as binary)), 1, 8), 16, 10) as bigint) % 1024)
-                 * 2654435761L) % 4097 - 2048)"""))
+        .withColumn("score_int", expr(ClassifierScoreExpr))
         .withColumn("score",
           col("score_int").cast("double") / (lit(4096.0) * col("n_words")))
         .withColumn("accept", col("score") > 0.0)
@@ -206,9 +219,7 @@ object Quality {
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
       m AS (SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_words,
-          CAST(list_sum(list_transform(toks, t ->
-            ((('0x' || substr(md5('w:' || t), 1, 8))::BIGINT % 1024) * 2654435761) % 4097 - 2048))
-            AS BIGINT) AS score_int
+          $ClassifierScoreSql AS score_int
         FROM t WHERE len(toks) > 0)
       SELECT doc_id, n_words, score_int,
         CAST(score_int AS DOUBLE) / (4096.0 * n_words) AS score,

@@ -1059,7 +1059,50 @@ object Corpus {
       FROM w GROUP BY rep ORDER BY rep"""),
   )
 
+  // ------------------------------------------------------------- spl02
+  /** Stratified train/val/test split with exact per-stratum quotas:
+    * within every language, documents are ranked by a salted md5 (the
+    * smp01/ord01 deterministic-shuffle idiom) and the first 80% land in
+    * train, the next 10% in val, the rest in test — so EVERY stratum
+    * hits its quota exactly (a plain hash split only hits proportions
+    * in expectation, and small strata can miss entire splits). The
+    * complement of spl01: spl01 guarantees cluster-coherent assignment
+    * for leakage safety; spl02 guarantees stratum-exact proportions.
+    *
+    * 100 TB shape: one window partitioned BY STRATUM (parallel across
+    * languages — never a global sort) computing rank and stratum size
+    * in the same pass; quota boundaries are exact integer arithmetic
+    * ((8·n) div 10), so the assignment is reproducible anywhere.
+    */
+  private val spl02 = QueryDef(
+    "spl02_stratified_split",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"))
+        .withColumn("hx",
+          md5(concat(lit("spl2:"), col("doc_id").cast("string")).cast("binary")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("hx"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("split",
+          when(expr("rn <= (8 * n_s) div 10"), "train")
+            .when(expr("rn <= (9 * n_s) div 10"), "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+          md5('spl2:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      r AS (SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY lang) AS n_s FROM d)
+      SELECT doc_id, lang,
+        CASE WHEN rn <= (8 * n_s) // 10 THEN 'train'
+             WHEN rn <= (9 * n_s) // 10 THEN 'val'
+             ELSE 'test' END AS split
+      FROM r ORDER BY doc_id"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04, spl02)
 }

@@ -89,5 +89,49 @@ object Layout {
       FROM z GROUP BY 1 ORDER BY zbucket"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(zo01)
+  // ------------------------------------------------------------- dpp01
+  /** Dynamic partition pruning: the join-driven twin of ing06's static
+    * pruning. Orders are laid out partitioned by o_year (the 100 TB
+    * fact layout); the filter arrives on the DIM side only (odd years),
+    * so no static predicate exists on the fact — Spark inserts a
+    * dynamic-pruning subquery into the fact scan's PartitionFilters,
+    * and only the matching year directories are read at all. PlanSpec
+    * pins `dynamicpruning` in the scan; at 1000 executors this is the
+    * difference between scanning 2 years and scanning 30.
+    *
+    * The write itself is Overwrite into one fixed per-sf-dir target
+    * (ing06's no-leak idiom); content equals the source table, so the
+    * oracle replays the join+aggregate over raw orders.
+    */
+  private val dpp01 = QueryDef(
+    "dpp01_dynamic_pruning",
+    (s, dir) => {
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_dpp01_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val o = Tables(s, dir).orders
+        .withColumn("o_year", year(col("o_orderdate")))
+      graft.sink.Sinks.saveParquet(o, out, partitionBy = Seq("o_year"))
+      val fact = s.read.parquet(out)
+      val dim = Tables(s, dir).orders
+        .select(year(col("o_orderdate")).as("y")).distinct()
+        .filter(col("y") % 2 === 1)
+      fact.join(dim, fact("o_year") === dim("y"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+        .select(col("o_year").cast("bigint").as("o_year"),
+          col("n_orders").cast("bigint").as("n_orders"), col("sum_price"))
+        .orderBy("o_year")
+    },
+    Some("""WITH dim AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y
+          FROM orders WHERE year(o_orderdate) % 2 = 1)
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN dim ON CAST(year(o_orderdate) AS BIGINT) = dim.y
+      GROUP BY 1 ORDER BY o_year"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01, dpp01)
 }

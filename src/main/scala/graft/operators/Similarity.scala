@@ -661,5 +661,76 @@ object Similarity {
       SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06)
+  // -------------------------------------------------------------- rp01
+  /** First hex nibble of md5(s) — the Scala twin of the oracle's
+    * `('0x' || substr(md5(s), 1, 1))::INT` so plane signs can be
+    * PRE-COMPUTED and embedded as literals (the runtime then does zero
+    * hashing — the projection is a codegen'd fold over constant sign
+    * arrays), while the oracle re-derives the same signs from md5 in
+    * SQL, cross-checking the derivation end to end.
+    */
+  private def md5Nibble(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    (d(0) >> 4) & 0xF
+  }
+
+  /** Johnson–Lindenstrauss random projection audit: every embedding is
+    * projected onto k=16 md5-derived Rademacher planes (y_j = Σ_i
+    * v_i·s_ji, s∈{±1}) and the squared-norm preservation ratio
+    * ‖y‖²/(k·‖v‖²) is reported per vector — E[ratio] = 1 exactly under
+    * random signs, and the concentration around 1 is the JL guarantee
+    * dimensionality reduction rests on. The k-dim sketch is what a
+    * 100 TB pipeline ships to downstream ANN instead of the full
+    * vector (4× here; the ratio column is the quality audit).
+    *
+    * Scale/determinism: sign matrices are plan-time literals (no
+    * runtime hashing, no join, no shuffle — pure map, one pass);
+    * every float is cast to double before multiplying and each y_j is
+    * a fixed-order sequential fold, so Spark and DuckDB agree to the
+    * hash canonicalization digits.
+    */
+  private val rpPlanes = 16
+  private val rpDim = 64
+
+  private val rp01 = QueryDef(
+    "rp01_random_projection",
+    (s, dir) => {
+      def signArr(j: Int): String =
+        (0 until rpDim).map(i =>
+          if (md5Nibble(s"rp:$j:$i") >= 8) "1.0D" else "-1.0D")
+          .mkString("array(", ", ", ")")
+      val ys = (0 until rpPlanes).map { j =>
+        expr(s"aggregate(zip_with(embedding, ${signArr(j)}, (v, sg) -> cast(v as double) * sg), 0D, (a, x) -> a + x)").as(s"y$j")
+      }
+      val n2o = expr(
+        "aggregate(embedding, 0D, (a, v) -> a + cast(v as double) * cast(v as double))")
+        .as("norm2_orig")
+      val proj = (0 until rpPlanes).map(j => s"y$j * y$j").mkString(" + ")
+      Tables(s, dir).embeddings
+        .select((col("vec_id") +: n2o +: ys): _*)
+        .withColumn("norm2_proj", expr(s"($proj) / ${rpPlanes}.0D"))
+        .select(col("vec_id"), col("norm2_orig"), col("norm2_proj"),
+          (col("norm2_proj") / col("norm2_orig")).as("ratio"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val yCols = (0 until rpPlanes).map { j =>
+        s"""list_sum(list_transform(range($rpDim), i -> cv[i + 1] *
+            CASE WHEN ('0x' || substr(md5('rp:$j:' || i), 1, 1))::INT >= 8
+              THEN 1.0 ELSE -1.0 END)) AS y$j"""
+      }.mkString(",\n          ")
+      val proj = (0 until rpPlanes).map(j => s"y$j * y$j").mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        y AS (SELECT vec_id,
+          list_sum(list_transform(range($rpDim), i -> cv[i + 1] * cv[i + 1])) AS n2o,
+          $yCols
+        FROM c)
+      SELECT vec_id, n2o AS norm2_orig,
+        ($proj) / $rpPlanes.0 AS norm2_proj,
+        (($proj) / $rpPlanes.0) / n2o AS ratio
+      FROM y ORDER BY vec_id"""
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, rp01)
 }

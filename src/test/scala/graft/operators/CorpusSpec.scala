@@ -335,4 +335,21 @@ class CorpusSpec extends SparkSpec {
     val pidCounts = out.collect().map(_.getAs[Long]("n_orders")).sorted.toSeq
     assert(pidCounts == rawCounts)
   }
+
+  test("spl02: every stratum hits its train/val/test quota exactly") {
+    val rows = graft.Registry.byName("spl02_stratified_split")
+      .run(spark, sf0001).collect()
+    val perLang = rows.groupBy(_.getString(1))
+    for ((lang, rs) <- perLang) {
+      val n = rs.length.toLong
+      val by = rs.groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+      assert(by.getOrElse("train", 0L) == 8 * n / 10, s"$lang train quota")
+      assert(by.getOrElse("val", 0L) == 9 * n / 10 - 8 * n / 10, s"$lang val quota")
+      assert(by.getOrElse("test", 0L) == n - 9 * n / 10, s"$lang test quota")
+    }
+    // assignment is a pure function of doc_id: rerunning cannot move docs
+    val again = graft.Registry.byName("spl02_stratified_split")
+      .run(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

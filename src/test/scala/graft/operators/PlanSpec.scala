@@ -398,4 +398,49 @@ class PlanSpec extends SparkSpec {
     val p = plan("mix03_temperature_weights")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("ks01: the ECDF runs shard-partitioned; shard bases broadcast back") {
+    val p = plan("ks01_ks_drift")
+    // the data-sized cumulative window must carry its shard partition
+    // key (the only permissible unpartitioned window is the tiny
+    // shard-totals scan — pack01's contract)
+    assert(p.contains("hashpartitioning(shard"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "shard bases and cohort totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("chi01: marginals broadcast; one shuffle on the cell key") {
+    val p = plan("chi01_chisq_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "row/column marginals are tiny and must broadcast")
+  }
+
+  test("cal01/dp01: scoring and noise are pure map work (no UDF, no extra shuffle)") {
+    for (name <- Seq("cal01_reliability_bins", "dp01_dp_counts")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: must stay in built-in expressions")
+      assert(!p.contains("Join"), s"$name: no join belongs in this plan:\n${p.take(1200)}")
+    }
+  }
+
+  test("dpp01: the dim filter prunes fact partitions dynamically") {
+    val p = plan("dpp01_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition-pruning subquery:\n${p.take(2000)}")
+  }
+
+  test("rp01: the projection is map-only over literal sign planes") {
+    val p = plan("rp01_random_projection")
+    assert(!p.contains("Join"), s"sign planes are literals — no join:\n${p.take(1200)}")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      "only the output-order range exchange is allowed")
+    assert(!p.contains("md5"), "signs must be pre-computed literals, not runtime hashes")
+  }
+
+  test("spl02: ranking windows are stratum-partitioned (parallel across langs)") {
+    val p = plan("spl02_stratified_split")
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+  }
 }

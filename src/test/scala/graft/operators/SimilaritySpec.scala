@@ -261,4 +261,18 @@ class SimilaritySpec extends SparkSpec {
       s"largest inner product must rank first: ${mips.toSeq}")
     assert(mips.map(_._1).toSeq == Seq(10L, 11L, 12L), mips.toSeq.toString)
   }
+
+  test("rp01: JL norm-preservation ratios concentrate around 1") {
+    val rows = graft.Registry.byName("rp01_random_projection")
+      .run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("norm2_orig") > 0.0))
+    val ratios = rows.map(_.getAs[Double]("ratio"))
+    val mean = ratios.sum / ratios.length
+    // E[ratio] = 1 under Rademacher signs; k=16 concentrates the mean
+    // of 500 draws tightly even though single-vector spread is wide
+    assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.5) >= (ratios.length * 9) / 10,
+      "at least 90% of vectors inside the loose JL envelope")
+  }
 }

@@ -1031,7 +1031,9 @@ object Corpus {
       }
       Tables(s, dir).documents
         .select(col("doc_id"), col("n_chars"),
-          explode(sequence(lit(0), lit(19))).as("rep"))
+          // BIGINT on both sides (header rule in Relational.scala):
+          // the oracle's generate_series yields BIGINT natively
+          explode(sequence(lit(0L), lit(19L))).as("rep"))
         .withColumn("w", weight)
         .groupBy("rep")
         .agg(sum(col("w")).cast("bigint").as("n_eff"),

@@ -74,21 +74,44 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
-      maxBroadcastCands: Long = 2000000L): DataFrame = {
-    val sh = withShingles(docs).select("doc_id", "shingles")
-    val cands = bandCandidates(docs, numHashes, bands, maxBucket)
+      maxBroadcastCands: Long = 2000000L): DataFrame =
+    verifyOverCandidates(docs,
+      bandCandidates(docs, numHashes, bands, maxBucket), maxBroadcastCands)
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared verify-stage scaffolding of the band-index dedup family
+    * ([[minhashPairs]] and [[containmentPairs]]): persist + LRU-swap
+    * the candidate pairs, decide broadcast-vs-shuffle by counting them
+    * (the count is effectively free — it materializes the cache the
+    * verification join reads anyway), semi-join-reduce the shingle
+    * recomputation to candidate docs when broadcastable, and join the
+    * (sa, sb) shingle sets onto every pair. Scoring (symmetric Jaccard
+    * vs asymmetric containment) stays with the caller — this exists so
+    * a fix to the cache-slot or broadcast-threshold logic lands in ONE
+    * place.
+    *
+    * Semi-join reduction: only docs that appear in some candidate pair
+    * need their shingle sets re-computed — the candidate id set is
+    * broadcast against the corpus scan, so the (expensive) shingle
+    * expression runs over |candidate docs| rows, not the whole corpus,
+    * and with zero shuffle. Above the broadcast bound (adversarial
+    * corpus) fall back to the full-corpus join.
+    */
+  private def verifyOverCandidates(docs: DataFrame, cands0: DataFrame,
+      maxBroadcastCands: Long): DataFrame = {
+    val cands = cands0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.synchronized {
       lastCandsCache.foreach(_.unpersist(blocking = false))
       lastCandsCache = Some(cands)
     }
-    // Semi-join reduction for the verify stage: only docs that appear
-    // in some candidate pair need their shingle sets re-computed — the
-    // candidate id set is broadcast against the corpus scan, so the
-    // (expensive) shingle expression runs over |candidate docs| rows,
-    // not the whole corpus, and with zero shuffle. Above the broadcast
-    // bound (adversarial corpus) fall back to the full-corpus join.
     val broadcastable = cands.count() <= maxBroadcastCands
+    val sh = withShingles(docs).select("doc_id", "shingles")
     val (candSide, shVerify) =
       if (broadcastable) {
         val needed = cands.select(col("doc_a").as("doc_id"))
@@ -97,16 +120,9 @@ object Dedup {
           withShingles(docs.join(broadcast(needed), Seq("doc_id"), "left_semi"))
             .select("doc_id", "shingles"))
       } else (cands, sh)
-    val withSets = shVerify.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    shVerify.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       .join(candSide, "doc_a")
       .join(shVerify.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-    withSets
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** LSH candidate pairs (doc_a < doc_b, distinct): band index →
@@ -866,26 +882,9 @@ object Dedup {
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16, maxBucket: Int = 1000,
       maxBroadcastCands: Long = 2000000L): DataFrame = {
-    val cands = bandCandidates(docs, numHashes, bands, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.synchronized {
-      lastCandsCache.foreach(_.unpersist(blocking = false))
-      lastCandsCache = Some(cands)
-    }
-    val broadcastable = cands.count() <= maxBroadcastCands
-    val sh = withShingles(docs).select("doc_id", "shingles")
-    val (candSide, shVerify) =
-      if (broadcastable) {
-        val needed = cands.select(col("doc_a").as("doc_id"))
-          .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-        (broadcast(cands),
-          withShingles(docs.join(broadcast(needed), Seq("doc_id"), "left_semi"))
-            .select("doc_id", "shingles"))
-      } else (cands, sh)
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    shVerify.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-      .join(candSide, "doc_a")
-      .join(shVerify.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+    verifyOverCandidates(docs,
+      bandCandidates(docs, numHashes, bands, maxBucket), maxBroadcastCands)
       .withColumn("c_ab", inter / size(col("sa")))
       .withColumn("c_ba", inter / size(col("sb")))
       .withColumn("cmax", greatest(col("c_ab"), col("c_ba")))

@@ -205,9 +205,12 @@ object Drift {
     * rate and the exact integer score sum. A well-calibrated scorer's
     * pos_rate should rise monotonically with the bin.
     *
-    * Exactness: binning and the score sum are pure int64 (no floor-vs-
-    * truncate divergence — every div has non-negative operands);
-    * pos_rate is one exact-int division.
+    * Exactness: binning and the score sum are pure int64. score_scaled
+    * has a NEGATIVE numerator for roughly half the docs — that is safe
+    * because Spark's `div` and DuckDB's `//` both truncate toward zero
+    * (verified: -7 // 2 = -3 in DuckDB); an engine with FLOORED integer
+    * division would bin negative scores off by one. pos_rate is one
+    * exact-int division.
     *
     * 100 TB shape: one codegen'd scoring projection (no join — the
     * model is arithmetic, see qf02), one 10-key aggregation.

@@ -208,12 +208,15 @@ object Ingestion {
   private val ing06 = QueryDef(
     "ing06_partitioned_roundtrip",
     (s, dir) => {
-      // fixed per-sf-dir target, Overwrite mode: repeated runs (5 bench
-      // passes × every round) reuse ONE directory instead of leaking a
-      // fresh table copy into tmpdir per invocation
+      // per-(sf-dir, JVM) target, Overwrite mode: repeated runs (5
+      // bench passes × every round) reuse ONE directory instead of
+      // leaking a fresh table copy per invocation, while the pid
+      // suffix keeps a concurrent JVM's Overwrite delete-phase from
+      // racing this JVM's read (dpp01's contract)
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft_ing06_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+        "graft_ing06_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()).toString
       graft.sink.Sinks.saveParquet(Tables(s, dir).documents, out,
         partitionBy = Seq("lang"))
       s.read.parquet(out)
@@ -464,41 +467,56 @@ object Ingestion {
   )
 
   /** Resume an interrupted JSONL bulk backfill into `table`: files
-    * whose basename already appears in the landed `_source_file`
-    * lineage are skipped entirely (never re-parsed), pending files run
-    * through the normal [[JsonIngestor.ingestJsonl]] contract, and
-    * rows land through the key-idempotent upsert — so a backfill
-    * killed mid-run is simply re-invoked and completes, processing
-    * each file's bytes exactly once. Returns the number of rows added.
+    * recorded in the COMPLETION MANIFEST (`<table>_manifest`, one row
+    * per fully-landed file) are skipped entirely (never re-parsed),
+    * pending files run through the normal
+    * [[JsonIngestor.ingestJsonl]] contract, rows land through the
+    * key-idempotent upsert, and only THEN are the batch's files
+    * manifested — so a backfill killed at any point is simply
+    * re-invoked and completes. Returns the number of rows added.
     *
-    * Scale notes: the skip decision is file-granular via the lineage
-    * manifest (distinct `_source_file` values — bounded by FILE count,
-    * the same driver-side order as the directory listing itself, not
-    * row count); the upsert's anti-join additionally makes row-level
-    * replays harmless when a file was partially landed by a crashed
-    * run. This is the batch twin of StreamingIngest's checkpointed
-    * file-source resume.
+    * Why a manifest and not the `_source_file` lineage: "some rows of
+    * this file are in the table" does NOT imply "all rows are".
+    * Deployments where an append can become partially visible before
+    * failing (object-store multipart commits, FileOutputCommitter v2,
+    * speculative tasks — the 100 TB targets) would make a lineage-based
+    * skip silently drop the missing remainder of a half-committed
+    * file. The manifest row is written strictly AFTER the rows commit,
+    * so the crash window between the two only causes a harmless
+    * re-ingest that the upsert's anti-join deduplicates; under no
+    * interleaving is a file skipped before all its rows are visible.
+    *
+    * Scale notes: the manifest is file-count sized (same order as the
+    * directory listing the resume must do anyway); skip decisions are
+    * one tiny-table collect, never a fact scan. This is the batch twin
+    * of StreamingIngest's checkpointed file-source resume.
     */
   def resumeJsonlBackfill(s: org.apache.spark.sql.SparkSession, landingDir: String,
       table: String, keys: Seq[String]): Long = {
+    val manifest = table + "_manifest"
     val all = graft.ingest.FileScanner.discover(landingDir, Seq("json"),
       recursive = true, Nil, graft.ingest.FileScanner.DefaultIgnorePatterns,
       s.sparkContext.hadoopConfiguration)("json")
       .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
-    val landed: Set[String] =
-      if (graft.sink.Sinks.tableExists(s, table))
-        s.table(table).select("_source_file").distinct()
-          .collect().map(_.getString(0)).toSet
+    val completed: Set[String] =
+      if (graft.sink.Sinks.tableExists(s, manifest))
+        s.table(manifest).select("file").collect().map(_.getString(0)).toSet
       else Set.empty
     val pending = all.map(f => f.substring(f.lastIndexOf('/') + 1))
-      .filterNot(landed).sorted
+      .filterNot(completed).sorted
     if (pending.isEmpty) 0L
     else {
       val res = JsonIngestor.ingestJsonl(s, landingDir, includePatterns = pending)
-      if (!graft.sink.Sinks.tableExists(s, table)) {
-        graft.sink.Sinks.saveTable(res.data, table)
-        res.report.totalRecords
-      } else graft.sink.Sinks.upsertTable(s, table, res.data, keys)
+      val added =
+        if (!graft.sink.Sinks.tableExists(s, table)) {
+          graft.sink.Sinks.saveTable(res.data, table)
+          res.report.totalRecords
+        } else graft.sink.Sinks.upsertTable(s, table, res.data, keys)
+      // manifest AFTER the data commit (the ordering the correctness
+      // argument above rests on)
+      import s.implicits._
+      graft.sink.Sinks.saveTable(pending.toDF("file"), manifest)
+      added
     }
   }
 
@@ -543,6 +561,7 @@ object Ingestion {
         landing.resolve(s"batch$k.jsonl"))
       val table = "ing15_landed"
       s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
       try {
         writeBatch(0); writeBatch(1)
         resumeJsonlBackfill(s, landing.toString, table, keys = Seq("doc_id"))

@@ -99,16 +99,21 @@ object Layout {
     * pins `dynamicpruning` in the scan; at 1000 executors this is the
     * difference between scanning 2 years and scanning 30.
     *
-    * The write itself is Overwrite into one fixed per-sf-dir target
-    * (ing06's no-leak idiom); content equals the source table, so the
-    * oracle replays the join+aggregate over raw orders.
+    * The write is Overwrite into one per-(sf-dir, JVM) target: reused
+    * across this JVM's bench passes, but never shared with a CONCURRENT
+    * JVM (verify + bench over the same sf dir) whose Overwrite
+    * delete-phase would yank files out from under this JVM's scan.
+    * ing14's delete-before-return trick is not available here — the
+    * result must stay a live scan over the partitioned files or there
+    * is no partition pruning to demonstrate.
     */
   private val dpp01 = QueryDef(
     "dpp01_dynamic_pruning",
     (s, dir) => {
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft_dpp01_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+        "graft_dpp01_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()).toString
       val o = Tables(s, dir).orders
         .withColumn("o_year", year(col("o_orderdate")))
       graft.sink.Sinks.saveParquet(o, out, partitionBy = Seq("o_year"))

@@ -113,10 +113,16 @@ object Sketches {
   private val Scale = 1L << (HllRemBits + 1)  // 2^25
 
   /** alpha_m · m² · 2^25 — literal-arithmetic constant, evaluated in
-    * the same IEEE order in both engines.
+    * the same IEEE order in both engines. The fractional literals are
+    * CAST to DOUBLE explicitly: Spark parses bare `0.7213` as DECIMAL
+    * and would round the quotient HALF_UP at decimal scale (~4e-9
+    * relative difference), while DuckDB's decimal/decimal division
+    * returns DOUBLE — the casts force both engines onto the identical
+    * IEEE double path.
     */
   private val AlphaSql =
-    s"0.7213 / (1.0 + 1.079 / $HllRegs.0) * $HllRegs.0 * $HllRegs.0 * $Scale.0"
+    s"CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / $HllRegs.0)" +
+      s" * $HllRegs.0 * $HllRegs.0 * $Scale.0"
 
   /** rho(w) for the 24-bit remainder w as a CASE chain — exact integer
     * compares only (floor(log2) rounds wrong at 2^k - 1 boundaries and

@@ -258,7 +258,7 @@ class CorpusSpec extends SparkSpec {
 
   test("smp04: Poisson bootstrap replicates center on the corpus and vary across reps") {
     val rows = run("smp04_poisson_bootstrap").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.length == 20)
     val docs = graft.sources.Tables(spark, sf0001).documents
     val n = docs.count()

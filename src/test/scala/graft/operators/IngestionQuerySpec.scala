@@ -79,6 +79,7 @@ class IngestionQuerySpec extends SparkSpec {
     val dir = tmpDir("graft_resume")
     val table = "resume_spec_landed"
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
     writeFile(dir, "a.jsonl", """{"id":"1","v":"x"}""" + "\n" + """{"id":"2","v":"y"}""" + "\n")
     assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 2L)
     // new file appears: only its rows land
@@ -93,5 +94,31 @@ class IngestionQuerySpec extends SparkSpec {
     val landed = spark.table(table).select("id").collect().map(_.getString(0)).toSet
     assert(landed == Set("1", "2", "3"), landed.toString)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
+  }
+
+  test("resumeJsonlBackfill: a partially-committed file is replayed, not skipped") {
+    val dir = tmpDir("graft_resume_partial")
+    val table = "resume_partial_landed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
+    writeFile(dir, "a.jsonl", """{"id":"1","v":"x"}""" + "\n" + """{"id":"2","v":"y"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 2L)
+    // simulate a crashed run whose append became PARTIALLY visible:
+    // one row of b.jsonl is in the table, but b.jsonl never reached
+    // the completion manifest (the manifest write is ordered after the
+    // data commit, so this is exactly the crash-window state)
+    writeFile(dir, "b.jsonl", """{"id":"3","v":"z"}""" + "\n" + """{"id":"4","v":"w"}""" + "\n")
+    import spark.implicits._
+    val partial = Seq(("z", "3", "b.jsonl")).toDF("v", "id", "_source_file")
+      .select(spark.table(table).columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    graft.sink.Sinks.saveTable(partial, table)
+    // a lineage-based skip would see b.jsonl "landed" and lose id=4;
+    // the manifest-based resume replays it and the upsert drops the dup
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 1L)
+    val landed = spark.table(table).select("id").collect().map(_.getString(0)).sorted
+    assert(landed.toSeq == Seq("1", "2", "3", "4"), landed.mkString(","))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
   }
 }

@@ -1061,6 +1061,95 @@ object Corpus {
       FROM w GROUP BY rep ORDER BY rep"""),
   )
 
+  // ------------------------------------------------------------- scd01
+  /** Type-2 slowly-changing-dimension merge: two snapshot versions of
+    * a dimension become the warehouse-standard SCD2 history table —
+    * every key carries its full attribute timeline as
+    * (valid_from, valid_to, is_current) rows. Versions are INTEGER
+    * release numbers (not wall-clock timestamps) so the history is
+    * bit-deterministic and replayable.
+    *
+    * Row rules per key: unchanged → one open row [v_from, null];
+    * changed → closed old row [v_from, v_to] + open new row
+    * [v_to, null]; deleted → closed old row; inserted → open new row.
+    *
+    * 100 TB shape: ONE full-outer equi-join on the dimension key plus
+    * a conditional 1-or-2-row explode — the same single-shuffle cost
+    * as dif01's snapshot diff; over key-bucketed snapshots it is
+    * shuffle-free. Attribute comparison is null-safe (`<=>`) so NULL
+    * attribute transitions are tracked, not swallowed.
+    */
+  def scd2History(v1: DataFrame, v2: DataFrame, key: String, attrs: Seq[String],
+      fromVersion: Long = 1L, toVersion: Long = 2L): DataFrame = {
+    require(attrs.nonEmpty, "scd2History needs at least one tracked attribute")
+    val a = v1.select((key +: attrs).map(c => col(c).as(s"a_$c")): _*)
+    val b = v2.select((key +: attrs).map(c => col(c).as(s"b_$c")): _*)
+    val j = a.join(b, col(s"a_$key") === col(s"b_$key"), "full_outer")
+    val same = attrs.map(c => col(s"a_$c") <=> col(s"b_$c")).reduce(_ && _)
+    def row(side: String, from: Long, to: org.apache.spark.sql.Column,
+        current: org.apache.spark.sql.Column) =
+      struct((Seq(col(s"${side}_$key").as(key)) ++
+        attrs.map(c => col(s"${side}_$c").as(c)) ++
+        Seq(lit(from).as("valid_from"), to.cast("bigint").as("valid_to"),
+          current.as("is_current"))): _*)
+    val oldClosed = row("a", fromVersion, lit(toVersion), lit(false))
+    val oldOpen = row("a", fromVersion, lit(null), lit(true))
+    val newOpen = row("b", toVersion, lit(null), lit(true))
+    j.select(explode(
+        when(col(s"a_$key").isNull, array(newOpen))          // inserted
+          .when(col(s"b_$key").isNull, array(oldClosed))     // deleted
+          .when(same, array(oldOpen))                        // unchanged
+          .otherwise(array(oldClosed, newOpen))).as("r"))    // changed
+      .select(col("r.*"))
+  }
+
+  /** scd01 over the customer dimension with deterministic v2
+    * perturbations: segment updated for custkey ≡ 0 (mod 7), rows
+    * deleted for custkey ≡ 0 (mod 13), new keys inserted at
+    * custkey + 1000000 for custkey ≡ 0 (mod 11). The oracle replays
+    * the row rules as three legs of a UNION.
+    */
+  private val scd01 = QueryDef(
+    "scd01_scd2_history",
+    (s, dir) => {
+      val c = Tables(s, dir).customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val v2 = c.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("*")))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+      scd2History(c, v2, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      v2 AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '*' ELSE c_mktsegment END AS c_mktsegment,
+          c_acctbal
+        FROM c WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        FROM c WHERE c_custkey % 11 = 0),
+      j AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+          a.c_mktsegment AS am, a.c_acctbal AS ab,
+          b.c_mktsegment AS bm, b.c_acctbal AS bb,
+          (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+            AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal) AS same
+        FROM c a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+      SELECT * FROM (
+        SELECT bk AS c_custkey, bm AS c_mktsegment, bb AS c_acctbal,
+          CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+          TRUE AS is_current
+        FROM j WHERE ak IS NULL OR (bk IS NOT NULL AND NOT same)
+        UNION ALL
+        SELECT ak, am, ab, CAST(1 AS BIGINT),
+          CASE WHEN bk IS NULL OR NOT same THEN CAST(2 AS BIGINT) END,
+          bk IS NOT NULL AND same
+        FROM j WHERE ak IS NOT NULL)
+      ORDER BY c_custkey, valid_from"""),
+  )
+
   // ------------------------------------------------------------- spl02
   /** Stratified train/val/test split with exact per-stratum quotas:
     * within every language, documents are ranked by a salted md5 (the
@@ -1106,5 +1195,6 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04, spl02)
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04, spl02,
+      scd01)
 }

@@ -1293,8 +1293,77 @@ object Relational {
       FROM zz ORDER BY event_type"""),
   )
 
+  // ---------------------------------------------------------------- q49
+  // Period-over-period growth: the monthly revenue spine (q19's
+  // aggregate) extended with lag windows — month-over-month and
+  // year-over-year deltas, the standard release-dashboard analytic.
+  // Growth is one exact-decimal subtraction and one IEEE division per
+  // row; lag(12) handles the YoY baseline without a self-join. The
+  // window runs over the MONTH-level aggregate (tiny — one row per
+  // month), so the unpartitioned window is aggregate-sized, never
+  // fact-sized.
+  private val q49 = QueryDef(
+    "q49_growth",
+    (s, dir) => {
+      val monthly = T(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(m(col("o_totalprice"))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("prev_year", lag(col("rev"), 12).over(w))
+        .select(col("month"), col("rev").cast("double").as("revenue"),
+          ((col("rev") - col("prev")).cast("double") / col("prev").cast("double"))
+            .as("mom_growth"),
+          ((col("rev") - col("prev_year")).cast("double") / col("prev_year").cast("double"))
+            .as("yoy_growth"))
+        .orderBy("month")
+    },
+    Some("""WITH m AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1),
+      l AS (SELECT month, rev,
+          lag(rev, 1) OVER (ORDER BY month) AS prev,
+          lag(rev, 12) OVER (ORDER BY month) AS prev_year
+        FROM m)
+      SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_growth,
+        CAST(rev - prev_year AS DOUBLE) / CAST(prev_year AS DOUBLE) AS yoy_growth
+      FROM l ORDER BY month"""),
+  )
+
+  // ---------------------------------------------------------------- q50
+  // Latest-record-per-key dedup: the canonical CDC compaction pattern
+  // (row_number over key, newest first, keep rank 1) — what a landing
+  // zone runs to collapse multiple updates of the same entity into the
+  // current state. Ties on the nanosecond timestamp break by event_id
+  // so the survivor is total-ordered. Scale shape: one hash shuffle on
+  // the key; Catalyst plans the rank<=1 filter as WindowGroupLimit, so
+  // each partition keeps one row per key BEFORE the window sort (the
+  // q09 pruning guarantee, pinned there).
+  private val q50 = QueryDef(
+    "q50_latest_per_key",
+    (s, dir) => {
+      val e = T(s, dir).events
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_ns").as("ts_ns"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (SELECT user_id, event_id, event_type,
+          epoch_ns(ts) AS ts_ns,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id, event_type, ts_ns
+      FROM r WHERE rn = 1 ORDER BY user_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46, q47, q48)
+    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50)
 }

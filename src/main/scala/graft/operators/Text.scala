@@ -516,6 +516,47 @@ object Text {
       FROM t WHERE len(toks) > 0 ORDER BY doc_id"""),
   )
 
+  // --------------------------------------------------------------- ii01
+  /** Inverted-index build: the posting-list table a retrieval system
+    * (and txt10's BM25 scoring) reads — one row per frequent term with
+    * document frequency, total term frequency, and the HEAD of the
+    * doc-id posting list (first 16 ids ascending, comma-joined so the
+    * output stays scalar-typed for the oracle hash). Terms below the
+    * df floor are dropped (the Zipf hapax tail is index noise).
+    *
+    * 100 TB shape: one (doc, token) aggregation and one token
+    * aggregation, both map-side combinable and sharing the token
+    * shuffle key; the posting-list head is built with the sorted-fold
+    * idiom (sort_array before slice) so it is deterministic under any
+    * partitioning. Full posting lists at scale would be written
+    * per-term-bucket rather than concat'd — the head column is the
+    * audit surface, the (token, doc, tf) table IS the index.
+    */
+  private val ii01 = QueryDef(
+    "ii01_inverted_index",
+    (s, dir) => {
+      val tf = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 16))
+            .as("postings_head"))
+        .filter(col("df") >= 50)
+        .select(col("token"), col("df").cast("bigint").as("df"),
+          col("total_tf").cast("bigint").as("total_tf"), col("postings_head"))
+        .orderBy("token")
+    },
+    Some(s"""WITH tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(${OracleSql.Toks}) AS token FROM documents)
+        GROUP BY token, doc_id)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(tf) AS BIGINT) AS total_tf,
+        array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings_head
+      FROM tf GROUP BY token HAVING COUNT(*) >= 50 ORDER BY token"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
-    txt08, txt09, txt10, txt11, txt12)
+    txt08, txt09, txt10, txt11, txt12, ii01)
 }

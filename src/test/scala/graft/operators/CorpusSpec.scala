@@ -352,4 +352,36 @@ class CorpusSpec extends SparkSpec {
       .run(spark, sf0001).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("scd2History: all four key fates produce the right timeline rows") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (4L, null.asInstanceOf[String], "w")).toDF("k", "seg", "v")
+    val v2 = Seq((1L, "a", "x"),            // unchanged
+      (2L, "B", "y"),                        // changed
+      (4L, "now-set", "w"),                  // NULL -> value transition
+      (9L, "new", "n")                       // inserted; 3 deleted
+    ).toDF("k", "seg", "v")
+    val h = Corpus.scd2History(v1, v2, "k", Seq("seg", "v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .sortBy(r => (r._1, r._3))
+    // unchanged: one open current row
+    assert(h.filter(_._1 == 1L).toSeq ==
+      Seq((1L, Some("a"), 1L, None, true)))
+    // changed: closed old + open new
+    assert(h.filter(_._1 == 2L).toSeq ==
+      Seq((2L, Some("b"), 1L, Some(2L), false), (2L, Some("B"), 2L, None, true)))
+    // deleted: closed old only, nothing current
+    assert(h.filter(_._1 == 3L).toSeq == Seq((3L, Some("c"), 1L, Some(2L), false)))
+    // NULL -> value is a CHANGE (null-safe compare), not an unchanged row
+    assert(h.filter(_._1 == 4L).toSeq ==
+      Seq((4L, None, 1L, Some(2L), false), (4L, Some("now-set"), 2L, None, true)))
+    // inserted: open new row at v2
+    assert(h.filter(_._1 == 9L).toSeq == Seq((9L, Some("new"), 2L, None, true)))
+    // reconstruction: the is_current rows ARE snapshot v2
+    val current = Corpus.scd2History(v1, v2, "k", Seq("seg", "v"))
+      .filter($"is_current").select("k", "seg", "v")
+    assert(current.exceptAll(v2).isEmpty && v2.exceptAll(current).isEmpty)
+  }
 }

@@ -33,4 +33,22 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out(2L)._1 - 3.0) < 1e-9) // log2(8) with 8 singletons
     assert(out(1L)._2 == 0.125 && out(2L)._2 == 1.0)
   }
+
+  test("ii01: posting heads match a brute-force index; df floor holds") {
+    val rows = graft.Registry.byName("ii01_inverted_index")
+      .run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("df") >= 50L))
+    // brute-force the index for the first term from raw text
+    val term = rows.head.getString(0)
+    val docs = graft.sources.Tables(spark, sf0001).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val withTerm = docs.filter(_._2.contains(term))
+    assert(rows.head.getAs[Long]("df") == withTerm.length.toLong)
+    assert(rows.head.getAs[Long]("total_tf") ==
+      docs.map(_._2.count(_ == term).toLong).sum)
+    assert(rows.head.getAs[String]("postings_head") ==
+      withTerm.map(_._1).sorted.take(16).mkString(","))
+  }
 }

@@ -1159,7 +1159,78 @@ object Dedup {
       ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- dd14
+  /** Detector-quality evaluation: precision/recall of the MinHash-LSH
+    * near-dup detector ([[minhashPairs]]) against EXACT all-pairs
+    * Jaccard ground truth on a bounded doc_id < 500 subset (bounded at
+    * every SF — the cartesian truth is an eval-harness cost, never a
+    * production path). Because minhashPairs verifies every candidate
+    * with exact Jaccard, precision is 1.0 BY CONSTRUCTION (the row
+    * proves it); recall is the real measurement — the fraction of true
+    * pairs the 16-band/2-row blocking surfaces, i.e. what the r/b
+    * S-curve gives up at threshold 0.5. This is the harness a pipeline
+    * reruns after every (bands, rows, threshold) retune.
+    */
+  private val dd14 = QueryDef(
+    "dd14_lsh_eval",
+    (s, dir) => {
+      val sub = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val sh = withShingles(sub).select("doc_id", "shingles")
+      val truth = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+          col("doc_a") < col("doc_b"))
+        .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))) >= 0.5)
+        .select("doc_a", "doc_b")
+      val det = minhashPairs(sub).select("doc_a", "doc_b")
+      val hit = det.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_detected"), col("n_hit"),
+          (col("n_hit").cast("double") /
+            expr("nullif(n_detected, 0)").cast("double")).as("precision"),
+          (col("n_hit").cast("double") /
+            expr("nullif(n_true, 0)").cast("double")).as("recall"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks
+        FROM documents WHERE doc_id < 500),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+      det AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN bc ON bc.band = a.band AND bc.bh = a.bh
+        JOIN g ga ON ga.doc_id = a.doc_id
+        JOIN g gb ON gb.doc_id = b.doc_id
+        WHERE bc.n <= 1000
+          AND CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5),
+      hit AS (SELECT * FROM det WHERE EXISTS (SELECT 1 FROM truth t2
+        WHERE t2.doc_a = det.doc_a AND t2.doc_b = det.doc_b))
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM det) AS n_detected,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+          / NULLIF((SELECT COUNT(*) FROM det), 0) AS precision,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+          / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, spl01, tri01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, spl01, tri01)
 }

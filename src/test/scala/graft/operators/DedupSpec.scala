@@ -361,4 +361,15 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == plain)
   }
+
+  test("dd14: detector eval — precision 1.0 by construction, counts reconcile") {
+    val r = graft.Registry.byName("dd14_lsh_eval").run(spark, sf0001).collect().head
+    val (t, d, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_detected"), r.getAs[Long]("n_hit"))
+    assert(h <= d && h <= t)
+    // minhashPairs verifies candidates with exact Jaccard, so every
+    // detected pair is true: hit == detected, precision == 1.0
+    assert(h == d)
+    if (d > 0) assert(r.getAs[Double]("precision") == 1.0)
+    if (t > 0) assert(r.getAs[Double]("recall") == h.toDouble / t)
+  }
 }

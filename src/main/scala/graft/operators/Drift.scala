@@ -258,5 +258,52 @@ object Drift {
       FROM b GROUP BY bin ORDER BY bin"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01)
+  // -------------------------------------------------------------- fe01
+  /** Equal-frequency (quantile) discretization of o_totalprice into 10
+    * bins — the feature-engineering binning step — WITHOUT a global
+    * sort: a naive ntile() is one single-partition window over the
+    * fact. This reuses ks01's hierarchical ECDF: per-value counts
+    * shard by price range, within-shard cumulative counts run in
+    * parallel, shard bases broadcast back, and a value's bin is the
+    * integer rank-quantile of its FIRST row, ((cum − cnt) · 10) div n
+    * — so ties share a bin and the arithmetic is exact. Output is the
+    * bin summary (count + value range) a feature store publishes;
+    * boundary rows: bins can be uneven exactly where ties cross a
+    * quantile edge, which equal-frequency binning accepts by
+    * definition.
+    */
+  private val fe01 = QueryDef(
+    "fe01_quantile_bins",
+    (s, dir) => {
+      val c = Tables(s, dir).orders.groupBy(col("o_totalprice").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("shard", floor(col("x") / lit(25000.0)).cast("long"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("x"))
+      val withCum = c.withColumn("p", sum(col("cnt")).over(wIn))
+      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
+      val bases = c.groupBy(col("shard")).agg(sum(col("cnt")).as("t"))
+        .withColumn("b", sum(col("t")).over(wShard) - col("t"))
+        .select("shard", "b")
+      val tot = c.agg(sum(col("cnt")).as("n"))
+      withCum.join(broadcast(bases), "shard")
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("((p + b - cnt) * 10) div n"))
+        .groupBy("bin")
+        .agg(sum(col("cnt")).as("n_rows"), min(col("x")).as("x_min"),
+          max(col("x")).as("x_max"))
+        .select(col("bin").cast("bigint").as("bin"),
+          col("n_rows").cast("bigint").as("n_rows"), col("x_min"), col("x_max"))
+        .orderBy("bin")
+    },
+    Some("""WITH c AS (SELECT o_totalprice AS x, COUNT(*) AS cnt
+          FROM orders GROUP BY 1),
+      cc AS (SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum FROM c),
+      t AS (SELECT SUM(cnt) AS n FROM c),
+      b AS (SELECT x, cnt, ((cum - cnt) * 10) // t.n AS bin FROM cc, t)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        MIN(x) AS x_min, MAX(x) AS x_max
+      FROM b GROUP BY bin ORDER BY bin"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01)
 }

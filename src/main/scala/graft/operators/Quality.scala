@@ -746,6 +746,56 @@ object Quality {
       ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
   )
 
+  // -------------------------------------------------------------- gov01
+  /** Right-to-be-forgotten cascade audit: a deterministic forget set
+    * (user_id ≡ 0 mod 37) is erased from the events fact AND from a
+    * derived per-type aggregate rebuilt over the clean fact; the audit
+    * row per table reports rows before/after and — the compliance
+    * proof — the RESIDUE count of forgotten keys still reachable,
+    * which must be 0. Erasure is one broadcast anti-join per table
+    * (the forget set is user-count bounded, never fact-sized); the
+    * derived table is REBUILT from the clean fact rather than patched,
+    * the only cascade that is provably residue-free.
+    */
+  private val gov01 = QueryDef(
+    "gov01_forget_cascade",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val forget = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 37 === 0)
+      val clean = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+      val residue = clean.join(broadcast(forget), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("residue"))
+      val evRow = ev.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(clean.agg(count(lit(1)).as("rows_after")))
+        .crossJoin(residue)
+        .select(lit("events").as("table_name"), col("rows_before"),
+          col("rows_after"), col("residue"))
+      def daily(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val aggRow = daily(ev).agg(count(lit(1)).as("rows_before"))
+        .crossJoin(daily(clean).agg(count(lit(1)).as("rows_after")))
+        .crossJoin(residue.select(col("residue")))
+        .select(lit("events_by_type").as("table_name"), col("rows_before"),
+          col("rows_after"), col("residue"))
+      evRow.unionByName(aggRow).orderBy("table_name")
+    },
+    Some("""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+      clean AS (SELECT * FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM forget))
+      SELECT 'events' AS table_name,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS rows_after,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM clean
+          WHERE user_id IN (SELECT user_id FROM forget)) AS residue
+      UNION ALL
+      SELECT 'events_by_type',
+        (SELECT COUNT(*) FROM (SELECT event_type FROM events GROUP BY 1)),
+        (SELECT COUNT(*) FROM (SELECT event_type FROM clean GROUP BY 1)),
+        (SELECT COUNT(*) FROM clean WHERE user_id IN (SELECT user_id FROM forget))
+      ORDER BY table_name"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, imp01, qf04,
-    qf01, qf02, qf03)
+    qf01, qf02, qf03, gov01)
 }

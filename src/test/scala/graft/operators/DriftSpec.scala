@@ -93,4 +93,22 @@ class DriftSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("sum_score_scaled")) <=
         r.getAs[Long]("n_docs") * 50000L)
   }
+
+  test("fe01: quantile bins are near-equal, ordered, and non-overlapping") {
+    val rows = graft.Registry.byName("fe01_quantile_bins")
+      .run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    rows.foreach { r =>
+      // equal-frequency: each bin within one tie-run of n/10
+      assert(math.abs(r.getAs[Long]("n_rows") - n / 10) <= n / 20 + 2,
+        s"bin ${r.getAs[Long]("bin")}: ${r.getAs[Long]("n_rows")} of $n")
+      assert(r.getAs[Double]("x_min") <= r.getAs[Double]("x_max"))
+    }
+    // ranges ascend without overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("x_max") < b.getAs[Double]("x_min"))
+    case _ => ()
+    }
+  }
 }

@@ -208,4 +208,16 @@ class QualityFilterSpec extends SparkSpec {
     // generated column trips the screen is the screen working)
     assert(rows.exists(_.getAs[Boolean]("suspicious")))
   }
+
+  test("gov01: forget cascade leaves zero residue and books every erased row") {
+    val rows = graft.Registry.byName("gov01_forget_cascade")
+      .run(spark, sf0001).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Long]("residue") == 0L,
+      s"${r.getString(0)}: forgotten keys still reachable"))
+    val ev = rows.find(_.getString(0) == "events").get
+    val erased = graft.sources.Tables(spark, sf0001).events
+      .filter(org.apache.spark.sql.functions.col("user_id") % 37 === 0).count()
+    assert(ev.getAs[Long]("rows_before") - ev.getAs[Long]("rows_after") == erased)
+  }
 }

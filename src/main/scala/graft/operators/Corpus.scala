@@ -1061,6 +1061,59 @@ object Corpus {
       FROM w GROUP BY rep ORDER BY rep"""),
   )
 
+  // ------------------------------------------------------------- ord03
+  /** Length-grouped training batches (dynamic batching): documents are
+    * ranked by token count DESCENDING (doc_id tie-break) and chunked
+    * into fixed batches of 16, so each batch holds similar-length docs
+    * and padding waste (n·max − Σlen per batch) is minimized — the
+    * standard alternative to ord01's uniform shuffle when step-time
+    * variance matters more than ordering randomness.
+    *
+    * 100 TB shape: the global descending rank is the pack01/ks01
+    * hierarchical prefix-sum again — shard by length bucket, rank
+    * within shards in parallel, broadcast shard bases — never a
+    * single-partition row_number over the corpus. The oracle replays
+    * the flat ROW_NUMBER.
+    */
+  private val ord03 = QueryDef(
+    "ord03_length_batches",
+    (s, dir) => {
+      val B = 16L
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+        .withColumn("key1", -col("n_tokens"))
+        .withColumn("shard", floor(col("key1") / lit(64.0)).cast("long"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("key1"), col("doc_id"))
+      val withRank = d.withColumn("r_in", count(lit(1)).over(wIn))
+      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
+      val bases = d.groupBy(col("shard")).agg(count(lit(1)).as("t"))
+        .withColumn("b", sum(col("t")).over(wShard) - col("t"))
+        .select("shard", "b")
+      withRank.join(broadcast(bases), "shard")
+        .withColumn("batch_id", expr(s"(r_in + b - 1) div $B"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("batch_id").cast("bigint").as("batch_id"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("max_tokens").cast("bigint").as("max_tokens"),
+          col("sum_tokens").cast("bigint").as("sum_tokens"),
+          (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+            .cast("bigint").as("pad_waste"))
+        .orderBy("batch_id")
+    },
+    Some(s"""$TokCte,
+      n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      r AS (SELECT doc_id, n_tokens,
+          ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn FROM n)
+      SELECT (rn - 1) // 16 AS batch_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+      FROM r GROUP BY 1 ORDER BY batch_id"""),
+  )
+
   // ------------------------------------------------------------- scd01
   /** Type-2 slowly-changing-dimension merge: two snapshot versions of
     * a dimension become the warehouse-standard SCD2 history table —
@@ -1196,5 +1249,5 @@ object Corpus {
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04, spl02,
-      scd01)
+      scd01, ord03)
 }

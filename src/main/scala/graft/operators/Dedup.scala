@@ -1230,7 +1230,77 @@ object Dedup {
           / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall"""),
   )
 
+  // ------------------------------------------------------------- leak01
+  /** Split-leakage audit: distinct word 3-shingles shared between the
+    * train split and the held-out (val+test) splits, measured for BOTH
+    * the cluster-hash split ([[leakageSafeSplit]]) and the naive
+    * per-doc hash split — same hash, same thresholds, only the key
+    * differs. Near-duplicates share most of their shingles, so keeping
+    * each cluster in one split (the spl01 guarantee) should leak fewer
+    * shingles across the boundary than hashing doc ids independently;
+    * the spec asserts the inequality, the oracle pins both counts.
+    * Shapes: the audit is two distinct-aggregations and one equi-join
+    * per method, all shingle-keyed.
+    */
+  private val leak01 = QueryDef(
+    "leak01_split_leakage",
+    (s, dir) => {
+      val docs120 = Tables(s, dir).documents.filter(col("doc_id") < 120)
+      val clusterSplit = leakageSafeSplit(docs120, ngramPairEdges(s, dir))
+        .select("doc_id", "split")
+      val naiveSplit = docs120.select("doc_id")
+        .withColumn("hx", substring(
+          md5(concat(lit("spl:"), col("doc_id").cast("string")).cast("binary")), 1, 2))
+        .withColumn("split",
+          when(col("hx") < "1a", "test").when(col("hx") < "34", "val")
+            .otherwise("train"))
+        .select("doc_id", "split")
+      val sh = withShingles(docs120)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      def audit(split: DataFrame, method: String): DataFrame = {
+        val tagged = sh.join(split, "doc_id")
+        val train = tagged.filter(col("split") === "train").select("sh").distinct()
+        val heldout = tagged.filter(col("split") =!= "train").select("sh").distinct()
+        train.agg(count(lit(1)).as("n_train_shingles"))
+          .crossJoin(heldout.agg(count(lit(1)).as("n_heldout_shingles")))
+          .crossJoin(train.join(heldout, "sh").agg(count(lit(1)).as("n_shared")))
+          .select(lit(method).as("method"), col("n_train_shingles"),
+            col("n_heldout_shingles"), col("n_shared"))
+      }
+      audit(clusterSplit, "cluster_hash")
+        .unionByName(audit(naiveSplit, "doc_hash"))
+        .orderBy("method")
+    },
+    Some(s"""$closureOracle,
+      cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+      cs AS (SELECT d.doc_id,
+          substring(md5('spl:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) AS hx
+        FROM d LEFT JOIN cl USING (doc_id)),
+      csp AS (SELECT doc_id, CASE WHEN hx < '1a' THEN 'test'
+          WHEN hx < '34' THEN 'val' ELSE 'train' END AS split FROM cs),
+      ns AS (SELECT doc_id,
+          substring(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx FROM d),
+      nsp AS (SELECT doc_id, CASE WHEN hx < '1a' THEN 'test'
+          WHEN hx < '34' THEN 'val' ELSE 'train' END AS split FROM ns),
+      shn AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      ctr AS (SELECT DISTINCT sh FROM shn JOIN csp USING (doc_id) WHERE split = 'train'),
+      che AS (SELECT DISTINCT sh FROM shn JOIN csp USING (doc_id) WHERE split <> 'train'),
+      ntr AS (SELECT DISTINCT sh FROM shn JOIN nsp USING (doc_id) WHERE split = 'train'),
+      nhe AS (SELECT DISTINCT sh FROM shn JOIN nsp USING (doc_id) WHERE split <> 'train')
+      SELECT 'cluster_hash' AS method,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ctr) AS n_train_shingles,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM che) AS n_heldout_shingles,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ctr JOIN che USING (sh)) AS n_shared
+      UNION ALL
+      SELECT 'doc_hash',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ntr),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM nhe),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ntr JOIN nhe USING (sh))
+      ORDER BY method"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, spl01, tri01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, spl01, tri01, leak01)
 }

@@ -384,4 +384,17 @@ class CorpusSpec extends SparkSpec {
       .filter($"is_current").select("k", "seg", "v")
     assert(current.exceptAll(v2).isEmpty && v2.exceptAll(current).isEmpty)
   }
+
+  test("ord03: batches are full, length-sorted, and account for every doc") {
+    val rows = run("ord03_length_batches").collect()
+    val nDocs = graft.sources.Tables(spark, sf0001).documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // all batches full except possibly the last
+    rows.sortBy(_.getAs[Long]("batch_id")).init.foreach(r =>
+      assert(r.getAs[Long]("n_docs") == 16L))
+    // descending length order => batch max_tokens never increases
+    val maxes = rows.sortBy(_.getAs[Long]("batch_id")).map(_.getAs[Long]("max_tokens"))
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => a >= b }, maxes.mkString(","))
+    rows.foreach(r => assert(r.getAs[Long]("pad_waste") >= 0L))
+  }
 }

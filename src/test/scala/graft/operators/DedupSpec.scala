@@ -372,4 +372,15 @@ class DedupSpec extends SparkSpec {
     if (d > 0) assert(r.getAs[Double]("precision") == 1.0)
     if (t > 0) assert(r.getAs[Double]("recall") == h.toDouble / t)
   }
+
+  test("leak01: the cluster-hash split leaks fewer shingles than the naive split") {
+    val rows = graft.Registry.byName("leak01_split_leakage")
+      .run(spark, sf0001).collect().map(r => r.getString(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(rows.keySet == Set("cluster_hash", "doc_hash"))
+    // the operator's reason to exist: same thresholds, same hash, only
+    // the split KEY differs — clustering the near-dups into one split
+    // must strictly reduce the cross-split shingle overlap
+    assert(rows("cluster_hash") < rows("doc_hash"),
+      s"cluster ${rows("cluster_hash")} !< naive ${rows("doc_hash")}")
+  }
 }

@@ -109,5 +109,59 @@ object AsOf {
       ORDER BY p_event_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ao01, ao02)
+  /** FORWARD as-of join: each left row picks up the EARLIEST right row
+    * with `right.ts >= left.ts` per key — the lookahead enrichment
+    * (order → next shipment, click → next purchase). Same one-shuffle
+    * union+window shape as [[asofJoin]], mirrored: the frame looks
+    * forward (`first` over [current, unbounded following]) and the
+    * side tag orders LEFT first at equal timestamps so a simultaneous
+    * right row still matches (`>=` semantics).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val tag = "_graft_side" // left=0 sorts before right=1 at equal ts
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn(tag, lit(0))
+    val r = right
+      .select((keys :+ ts).map(col) ++ valueCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn(tag, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tag).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", first(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col(tag) === 0)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  // ---------------------------------------------------------------- ao03
+  // Forward twin of ao01: each view picks up the same user's NEXT (or
+  // simultaneous) purchase value — time-to-conversion enrichment.
+  // Oracle uses DuckDB's native ASOF with the >= comparison.
+  private val ao03 = QueryDef(
+    "ao03_asof_forward",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      asofJoinForward(views, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select(col("v_event_id"), col("user_id"),
+          col("asof_purchase_value").as("purchase_value"))
+        .orderBy("v_event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, event_type,
+        MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      v AS (SELECT event_id AS v_event_id, user_id, ts FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts, MAX(value) AS purchase_value FROM e
+        WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT v_event_id, v.user_id, p.purchase_value
+      FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+      ORDER BY v_event_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ao01, ao02, ao03)
 }

@@ -667,7 +667,57 @@ object Ingestion {
       ORDER BY _source_file, session_id, metric, ts_day"""),
   )
 
+  /** Write-audit-publish: land `batch` into a STAGING table, audit it
+    * (non-empty, no NULL keys, no duplicate keys — the gate a landing
+    * pipeline runs), and only on a clean audit swap staging into the
+    * published name; on failure the staging table is dropped and the
+    * previously published version stays live. Returns whether the
+    * batch published. The swap here is drop+rename (two catalog ops —
+    * the demo-scale stand-in; a transactional catalog/table format
+    * makes the same swap atomic, with an identical call shape). The
+    * audit is ONE aggregation over the staged scan.
+    */
+  def writeAuditPublish(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, table: String, keyCol: String): Boolean = {
+    val staging = table + "_staging"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.sink.Sinks.saveTable(batch, staging)
+    val a = s.table(staging).agg(
+      count(lit(1)).as("n"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls"),
+      (count(lit(1)) - countDistinct(col(keyCol))).as("dups")).collect().head
+    val ok = a.getLong(0) > 0 && a.getLong(1) == 0 && a.getLong(2) == 0
+    if (ok) {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"ALTER TABLE $staging RENAME TO $table")
+    } else s.sql(s"DROP TABLE IF EXISTS $staging")
+    ok
+  }
+
+  // -------------------------------------------------------------- ing18
+  // WAP end-to-end: a clean batch publishes; a corrupted batch (NULLed
+  // keys) fails the audit and must NOT touch the published table — the
+  // final read is certified against the clean source by the oracle.
+  private val ing18 = QueryDef(
+    "ing18_write_audit_publish",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "source", "n_chars")
+      val table = "ing18_published"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      require(writeAuditPublish(s, docs, table, "doc_id"),
+        "clean batch must pass the audit and publish")
+      val bad = docs.withColumn("doc_id",
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("doc_id")))
+      require(!writeAuditPublish(s, bad, table, "doc_id"),
+        "corrupted batch must be rejected")
+      s.table(table).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+      FROM documents ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15, ing16, ing17)
+      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18)
 }

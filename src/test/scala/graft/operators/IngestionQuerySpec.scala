@@ -121,4 +121,22 @@ class IngestionQuerySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
   }
+
+  test("writeAuditPublish: bad batch rejected, staging cleaned, published intact") {
+    import spark.implicits._
+    val table = "wap_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_staging")
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Ingestion.writeAuditPublish(spark, good, table, "id"))
+    assert(spark.table(table).count() == 2)
+    // duplicate keys fail the audit; published content untouched
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    assert(!Ingestion.writeAuditPublish(spark, dup, table, "id"))
+    assert(spark.table(table).orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    // staging must not linger after a rejection
+    assert(!graft.sink.Sinks.tableExists(spark, table + "_staging"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

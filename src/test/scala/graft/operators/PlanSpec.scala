@@ -443,4 +443,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("spl02_stratified_split")
     assert(p.contains("hashpartitioning(lang"), p.take(2000))
   }
+
+  test("forward as-of join: earliest right at-or-after, per-row reference check") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 9L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 4L, 3.0))
+      .toDF("k", "t", "v")
+    val out = AsOf.asofJoinForward(left, right, Seq("k"), "t", Seq("v"))
+      .orderBy("lid").collect()
+    // lid=100: right at t=10 (equal ts counts, >=) -> 1.0
+    assert(out(0).getDouble(3) == 1.0)
+    // lid=101: no right at t>=25 -> null
+    assert(out(1).isNullAt(3))
+    // lid=102: right t=4 < 5 -> null (strictly forward)
+    assert(out(2).isNullAt(3))
+    // lid=103: no right rows for k=3 -> null
+    assert(out(3).isNullAt(3))
+  }
 }

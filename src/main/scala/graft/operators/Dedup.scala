@@ -1170,17 +1170,31 @@ object Dedup {
     * pairs the 16-band/2-row blocking surfaces, i.e. what the r/b
     * S-curve gives up at threshold 0.5. This is the harness a pipeline
     * reruns after every (bands, rows, threshold) retune.
+    *
+    * The exact ground truth is NOT a cartesian with per-pair array
+    * intersections (measured 7.6 s at sf0.1): a pair with Jaccard ≥
+    * 0.5 must share at least one shingle, so truth comes from the
+    * inverted-index self-join — explode shingles, equi-join on the
+    * shingle, count shared shingles per pair, |A∪B| = |A|+|B|−|A∩B|
+    * from per-doc sizes. Pure hash joins and aggregations (1.1 s),
+    * and the shape that stays exact at ANY corpus size where the
+    * candidate pair count is manageable.
     */
   private val dd14 = QueryDef(
     "dd14_lsh_eval",
     (s, dir) => {
       val sub = Tables(s, dir).documents.filter(col("doc_id") < 500)
-      val sh = withShingles(sub).select("doc_id", "shingles")
-      val truth = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
-          col("doc_a") < col("doc_b"))
-        .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))) >= 0.5)
+      val ex = withShingles(sub)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truth = ex.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")) >= 0.5)
         .select("doc_a", "doc_b")
       val det = minhashPairs(sub).select("doc_a", "doc_b")
       val hit = det.join(truth, Seq("doc_a", "doc_b"), "left_semi")

@@ -444,6 +444,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"), p.take(2000))
   }
 
+  test("fe01/ord03: rank machinery is shard-partitioned, bases broadcast") {
+    for (name <- Seq("fe01_quantile_bins", "ord03_length_batches")) {
+      val p = plan(name)
+      assert(p.contains("hashpartitioning(shard"),
+        s"$name: the data-sized window must be sharded:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: shard bases must broadcast")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("scd01: one full-outer key join, no row-multiplying join shapes") {
+    val p = plan("scd01_scd2_history")
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the timeline explode must come from the single keyed join")
+  }
+
+  test("q50: latest-per-key plans the WindowGroupLimit pruning") {
+    val p = plan("q50_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("gov01: erasure joins broadcast the forget set (never a fact shuffle)") {
+    val p = plan("gov01_forget_cascade")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the user-count-bounded forget set must broadcast")
+  }
+
+  test("ii01: both index aggregations keep map-side partial passes") {
+    val p = plan("ii01_inverted_index")
+    assert(!p.contains("ScalaUDF"))
+    // (doc,token) tf and per-token rollup: 2 aggregations x (partial+final)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3, p.take(1500))
+  }
+
   test("forward as-of join: earliest right at-or-after, per-row reference check") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 9L, 103L))

@@ -1244,6 +1244,84 @@ object Dedup {
           / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall"""),
   )
 
+  // -------------------------------------------------------------- dd15
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * SSJoin/All-Pairs family: Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07) — the zero-false-negative counterpart to dd02's MinHash
+    * LSH. Where LSH trades recall for blocking (dd14 measures what the
+    * S-curve gives up), prefix filtering is lossless: order every
+    * doc's shingles by ascending GLOBAL document frequency (rarest
+    * first, ties by shingle text — a total order both engines share),
+    * and for Jaccard ≥ t a doc of size n only needs its first
+    * p = n − ceil(t·n) + 1 shingles indexed: two sets meeting the
+    * threshold MUST collide on at least one prefix shingle, so the
+    * prefix equi-join loses nothing. With t = 1/2, p = n − (n+1) div 2
+    * + 1 in pure integer arithmetic (no FP ceil to diverge across
+    * engines). A size filter (t·|a| ≤ |b| ≤ |a|/t, i.e. within 2× at
+    * t = 1/2) prunes candidates in the join condition itself.
+    *
+    * Scale shape: one shingle-keyed df aggregation, one per-doc window
+    * (rank + size share a single partition exchange), a prefix-token
+    * equi-join — frequency-ascending ordering pushes boilerplate
+    * shingles OUT of prefixes, which is what bounds bucket fan-out —
+    * then exact verification of the candidate set only. Everything is
+    * hash-partitioned; nothing is quadratic in the corpus.
+    */
+  def prefixFilterPairs(docs: DataFrame, withSizeFilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // shingles are distinct per doc, so count == document frequency
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = ex.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rn") <= expr("sz - (sz + 1) div 2 + 1"))
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val sizeOk =
+      if (withSizeFilter) col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2
+      else lit(true)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id") && sizeOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dd15 = QueryDef(
+    "dd15_ssjoin_prefix",
+    (s, dir) => prefixFilterPairs(Tables(s, dir).documents),
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh),
+      r AS (SELECT e.doc_id, e.sh,
+          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn,
+          COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+        FROM e JOIN d USING (sh)),
+      p AS (SELECT doc_id, sh, sz FROM r WHERE rn <= sz - (sz + 1) // 2 + 1),
+      c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz),
+      v AS (SELECT c.doc_a, c.doc_b,
+          CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(ga.shingles, gb.shingles))) AS jaccard
+        FROM c JOIN g ga ON ga.doc_id = c.doc_a JOIN g gb ON gb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""),
+  )
+
   // ------------------------------------------------------------- leak01
   /** Split-leakage audit: distinct word 3-shingles shared between the
     * train split and the held-out (val+test) splits, measured for BOTH
@@ -1316,5 +1394,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, spl01, tri01, leak01)
 }

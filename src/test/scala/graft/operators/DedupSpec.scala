@@ -316,6 +316,37 @@ class DedupSpec extends SparkSpec {
     scale.foreach { case (k, v) => assert(cart(k) == v, s"pair $k disagrees with cartesian") }
   }
 
+  test("dd15: prefix-filter join equals brute-force exact Jaccard (recall 1 by construction)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 150).select("doc_id", "text")
+      // planted exact + near pair on top of real docs (ids offset clear
+      // of the real 0..149 range)
+      .union(corpus.select(col("doc_id") + 1000L, col("text")))
+    val got = Dedup.prefixFilterPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force ground truth: all pairs, exact Jaccard >= 0.5
+    val sh = Dedup.withShingles(docs).select("doc_id", "shingles")
+    val truth = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(truth.contains((1000L, 1001L)) && truth((1000L, 1001L)) == 1.0)
+    assert(got == truth, s"prefix-filter join diverged: got ${got.size}, truth ${truth.size}")
+  }
+
+  test("dd15: size filter is lossless pruning (same output with it off)") {
+    val docs = corpus
+    val withFilter = Dedup.prefixFilterPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val without = Dedup.prefixFilterPairs(docs, withSizeFilter = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(withFilter == without && withFilter.nonEmpty)
+  }
+
   test("dupSpanCoverage: shared 6-token span covers exactly 6 positions per doc") {
     val docs = Seq(
       (0L, "alpha beta one two three four five six gamma delta"),

@@ -800,20 +800,43 @@ object Corpus {
     * within-decile position reuses ord01's salted-md5 retry-stable
     * shuffle key.
     *
-    * Scale note: NTILE needs a total order — fine at document-COUNT
-    * scale (rows here are docs, not tokens), and the production
-    * variant at extreme corpus sizes swaps the exact decile for
-    * broadcast approximate cutoffs (one sampled-bounds pass), keeping
-    * the schedule identical in distribution. The within-decile stage
-    * partitions by decile and never sorts globally.
+    * Scale note: a literal NTILE would be a single-partition window
+    * over the whole corpus. Instead the GLOBAL rank under
+    * (n_tokens, doc_id) comes from the pack01 hierarchical prefix-sum
+    * idiom — within-shard row_number (shard = n_tokens div 32, so
+    * shard order IS length order), tiny shard-count prefix scan,
+    * rank = shard base + within-shard position — and the decile is
+    * NTILE's exact integer formula applied to that rank: with n rows,
+    * the first n%10 buckets hold n/10+1 rows, the rest n/10. Same
+    * output bit-for-bit as the oracle's NTILE, no global sort. The
+    * within-decile stage partitions by decile and never sorts
+    * globally.
     */
   private val ord02 = QueryDef(
     "ord02_curriculum",
     (s, dir) => {
       val t = Tables(s, dir).documents
         .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
-      val deciled = t.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))).cast("bigint"))
+        .withColumn("shard", expr("n_tokens div 32"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("n_tokens"), col("doc_id"))
+      val withPos = t.withColumn("rn_in", row_number().over(wIn).cast("bigint"))
+      // shard totals: one row per 32-token length band — tiny at any SF
+      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
+      val bases = t.groupBy(col("shard")).agg(count(lit(1)).as("tot"))
+        .withColumn("base", sum(col("tot")).over(wShard) - col("tot"))
+        .select("shard", "base")
+      val tot = t.agg(count(lit(1)).as("n"))
+      val deciled = withPos.join(broadcast(bases), "shard")
+        .crossJoin(broadcast(tot))
+        .withColumn("rn", col("base") + col("rn_in"))
+        // NTILE(10) closed form over the exact rank: q = n div 10,
+        // r = n % 10; buckets 1..r have q+1 rows, buckets r+1..10 have q
+        .withColumn("decile", expr("""CASE
+            WHEN rn <= (n div 10 + 1) * (n % 10)
+              THEN (rn - 1) div (n div 10 + 1) + 1
+            ELSE (n % 10) + (rn - (n div 10 + 1) * (n % 10) - 1) div (n div 10) + 1
+          END""").cast("bigint"))
+        .drop("shard", "rn_in", "base", "n", "rn")
         .withColumn("sk", md5(concat(lit("cur:42:"), col("doc_id").cast("string")).cast("binary")))
       deciled
         .withColumn("pos", row_number().over(

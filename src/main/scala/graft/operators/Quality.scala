@@ -498,8 +498,10 @@ object Quality {
     * both engines), so per-doc sums are exact BIGINTs; the Gumbel key
     * adds two IEEE ops to the exact-derived logw. 100 TB shape: token
     * explode → one keyed count aggregation (map-side combined) →
-    * broadcast totals → per-doc sum → global top-k via one rank
-    * exchange. Nothing iterative, nothing collected.
+    * broadcast totals → per-doc sum → global top-k as
+    * TakeOrderedAndProject (per-partition local top-50, driver merge
+    * of 50·P rows — never a full-corpus rank window). Nothing
+    * iterative, nothing collected.
     */
   private val qf04 = QueryDef(
     "qf04_dsir_select",
@@ -531,11 +533,18 @@ object Quality {
       val u = (conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))
         .cast("binary")), 1, 6), 16, 10).cast("bigint") + lit(0.5)) / lit(16777216.0)
       import org.apache.spark.sql.expressions.Window
-      scored
+      // Global top-50 via orderBy+limit (TakeOrderedAndProject: each
+      // partition keeps its local top-50, the driver merges 50·P rows)
+      // — NOT a row_number window over the full corpus, which would
+      // move every scored doc to one partition. The rank window then
+      // runs over the already-limited 50 rows only.
+      val top = scored
         .withColumn("gumbel_key", col("log_weight") - log(-log(u)))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+        .limit(50)
+      top
         .withColumn("rank", row_number().over(
           Window.orderBy(col("gumbel_key").desc, col("doc_id"))).cast("bigint"))
-        .filter(col("rank") <= 50)
         .select("doc_id", "n_tokens", "lr_sum", "log_weight", "gumbel_key", "rank")
         .orderBy("rank")
     },

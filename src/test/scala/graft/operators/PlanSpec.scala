@@ -454,6 +454,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ord02: decile rank is shard-partitioned (no global ntile window); qf04 top-k is TakeOrdered") {
+    val p = plan("ord02_curriculum")
+    assert(p.contains("hashpartitioning(shard"),
+      s"ord02: the corpus-sized rank window must be sharded:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("ntile"),
+      "ord02 must derive the decile from the hierarchical rank, not a global NTILE")
+    val q = plan("qf04_dsir_select")
+    assert(q.contains("TakeOrderedAndProject"),
+      s"qf04: global top-50 must plan as TakeOrderedAndProject:\n${q.take(1500)}")
+  }
+
+  test("dd15: prefix join is a hash equi-join on the shingle (no cartesian, no nested loop)") {
+    val p = plan("dd15_ssjoin_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("scd01: one full-outer key join, no row-multiplying join shapes") {
     val p = plan("scd01_scd2_history")
     assert(p.contains("FullOuter"), p.take(1200))

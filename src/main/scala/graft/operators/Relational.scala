@@ -1362,8 +1362,70 @@ object Relational {
       FROM r WHERE rn = 1 ORDER BY user_id"""),
   )
 
+  // -------------------------------------------------------------- sky01
+  /** 2-D Pareto frontier (skyline): the parts no other part beats on
+    * BOTH axes — cheaper-or-equal price AND larger-or-equal size, with
+    * at least one strict. The selection query behind "best trade-off"
+    * dashboards and multi-objective data pruning.
+    *
+    * Scale shape: a naive skyline is the quadratic NOT-EXISTS
+    * dominance join the oracle runs. In 2-D it collapses to a running
+    * max: sort by price, and a row survives iff its size beats the max
+    * size over all STRICTLY cheaper rows (and ties its own price
+    * group's max). That running max is the pack01 hierarchical idiom —
+    * per-price aggregate, within-shard running max over price order
+    * (shard = price div 1000), tiny shard-count prefix-max broadcast
+    * back — so the frontier costs two keyed aggregations and zero
+    * pairwise comparisons, with no global sort and no window over the
+    * full table.
+    */
+  /** Rows minimizing `minCol` while maximizing `maxCol` that no other
+    * row weakly dominates (<= on min, >= on max, one strict). Ties on
+    * both axes all survive. `shardWidth` bins `minCol` for the
+    * hierarchical running max — any positive width is correct; pick
+    * one giving roughly #values/1000 shards.
+    */
+  def paretoFrontier2D(df: DataFrame, minCol: String, maxCol: String,
+      shardWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = df.groupBy(minCol).agg(max(col(maxCol)).as("maxsz"))
+      .withColumn("shard", floor(col(minCol) / shardWidth).cast("long"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col(minCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRun = byPrice.withColumn("run_in", max(col("maxsz")).over(wIn))
+    val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = byPrice.groupBy(col("shard")).agg(max(col("maxsz")).as("shard_max"))
+      .withColumn("base", max(col("shard_max")).over(wShard))
+      .select("shard", "base")
+    // greatest() skips NULLs: a globally-cheapest price simply has no
+    // cheaper max and survives on its own group's tie check
+    val frontier = withRun.join(broadcast(bases), "shard")
+      .withColumn("cheaper_max", greatest(col("run_in"), col("base")))
+      .filter(col("cheaper_max").isNull || col("cheaper_max") < col("maxsz"))
+      .select(col(minCol), col("maxsz"))
+    df.join(frontier, minCol)
+      .filter(col(maxCol) === col("maxsz"))
+      .drop("maxsz")
+  }
+
+  private val sky01 = QueryDef(
+    "sky01_pareto_frontier",
+    (s, dir) =>
+      paretoFrontier2D(
+        T(s, dir).part.select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size", shardWidth = 1000.0)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_retailprice", "p_partkey"),
+    Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+      WHERE NOT EXISTS (SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      ORDER BY p_retailprice, p_partkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50)
+    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, sky01)
 }

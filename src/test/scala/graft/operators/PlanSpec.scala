@@ -471,6 +471,32 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("sky01: skyline equals brute-force dominance incl. ties; no pairwise join in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // planted frontier with every tie case: duplicate point (1,9),
+    // same price different size (2: 8 beats 5), strictly dominated (3,7),
+    // frontier tail (5,10 is cheapest-largest? no: price 5 size 10 only
+    // survives if nothing cheaper has size >= 10)
+    val rows = Seq((1L, 1.0, 9), (2L, 1.0, 9), (3L, 2.0, 8), (4L, 2.0, 5),
+      (5L, 3.0, 8), (6L, 0.5, 3), (7L, 5.0, 10), (8L, 6.0, 10)).toDF("id", "price", "sz")
+    val got = Relational.paretoFrontier2D(rows, "price", "sz", shardWidth = 1.0)
+      .select("id").as[Long].collect().toSet
+    // brute force dominance
+    val pts = Seq((1L, 1.0, 9), (2L, 1.0, 9), (3L, 2.0, 8), (4L, 2.0, 5),
+      (5L, 3.0, 8), (6L, 0.5, 3), (7L, 5.0, 10), (8L, 6.0, 10))
+    val truth = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(got == truth, s"got $got, truth $truth")
+    assert(got.contains(1L) && got.contains(2L), "tied duplicate points must both survive")
+    val plan = Registry.byName("sky01_pareto_frontier").run(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "skyline must never plan a pairwise dominance join")
+  }
+
   test("scd01: one full-outer key join, no row-multiplying join shapes") {
     val p = plan("scd01_scd2_history")
     assert(p.contains("FullOuter"), p.take(1200))

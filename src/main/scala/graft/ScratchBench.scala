@@ -1,18 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Scratch driver for one-off plan/timing probes (not part of the API).
+  * Current probe: report every registered query whose physical plan
+  * contains a WindowExec with an EMPTY partition spec over
+  * non-broadcast input — the single-partition-window scale smell.
+  */
 object ScratchBench {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.tune(SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.ui.enabled", "false")).getOrCreate()
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val spark = GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (name <- args; _ <- 1 to 3) {
-      val t0 = System.nanoTime()
-      Registry.byName(name).run(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val skip = (n: String) => n.startsWith("str") || n.startsWith("cp01")
+    for (d <- Registry.all if !skip(d.name)) {
+      try {
+        // logical plan: AQE-proof (AdaptiveSparkPlanExec hides its
+        // children from TreeNode.collect until execution)
+        val plan = d.run(spark, dir).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) println(s"GLOBALWIN ${d.name}: ${bad.size}")
+      } catch {
+        case e: Throwable => println(s"ERR ${d.name}: ${e.getMessage.take(120)}")
+      }
     }
     spark.stop()
   }

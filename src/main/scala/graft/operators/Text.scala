@@ -370,7 +370,10 @@ object Text {
     *
     * Scale: tf filters to the query terms at the scan (a handful of
     * rows per doc survive), df and the corpus stats are tiny broadcast
-    * sides, and the final top-k is a rank window.
+    * sides, and the final top-k plans as TakeOrderedAndProject (a
+    * frequent query term can match millions of docs, so the global
+    * rank must never be a single-partition window; the rank column is
+    * assigned over the already-limited 20 rows).
     */
   private val txt10 = QueryDef(
     "txt10_bm25",
@@ -401,8 +404,9 @@ object Text {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_micro").desc, col("doc_id"))
       scored.groupBy("doc_id").agg(sum(col("score_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
         .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 20)
         .select("doc_id", "score_micro", "rn")
         .orderBy("rn")
     },

@@ -460,9 +460,11 @@ class PlanSpec extends SparkSpec {
       s"ord02: the corpus-sized rank window must be sharded:\n${p.take(1500)}")
     assert(!p.toLowerCase.contains("ntile"),
       "ord02 must derive the decile from the hierarchical rank, not a global NTILE")
-    val q = plan("qf04_dsir_select")
-    assert(q.contains("TakeOrderedAndProject"),
-      s"qf04: global top-50 must plan as TakeOrderedAndProject:\n${q.take(1500)}")
+    for (name <- Seq("qf04_dsir_select", "txt10_bm25")) {
+      val q = plan(name)
+      assert(q.contains("TakeOrderedAndProject"),
+        s"$name: global top-k must plan as TakeOrderedAndProject:\n${q.take(1500)}")
+    }
   }
 
   test("dd15: prefix join is a hash equi-join on the shingle (no cartesian, no nested loop)") {

@@ -24,26 +24,43 @@ import graft.sources.Tables
   */
 object AsOf {
 
+  /** Shared union+window as-of kernel; [[asofJoin]] / [[asofJoinForward]]
+    * are the two directions. Backward: right rows tag 0 (sort before
+    * left at equal ts → `<=` matches), frame looks back, `last` picks
+    * the most recent. Forward: left rows tag 0 (`>=` matches), frame
+    * looks ahead, `first` picks the earliest. Everything else — the
+    * `_r_` column isolation, the single key-partitioned shuffle, the
+    * null-fill contract — is direction-independent and lives here once.
+    */
+  private def asofKernel(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, valueCols: Seq[String], forward: Boolean): DataFrame = {
+    val tag = "_graft_side"
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn(tag, lit(leftTag))
+    val r = right
+      .select((keys :+ ts).map(col) ++ valueCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn(tag, lit(rightTag))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tag).asc)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true) else last(c, ignoreNulls = true)
+    val filled = valueCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", pick(col(s"_r_$c")).over(w)))
+    filled.filter(col(tag) === leftTag)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Left as-of join. `valueCols` are brought over from `right`
     * (nulled where no earlier right row exists).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-      valueCols: Seq[String]): DataFrame = {
-    val tag = "_graft_side" // right=0 sorts before left=1 at equal ts
-    val leftCols = left.columns.toSeq
-    val l = left.withColumn(tag, lit(1))
-    val r = right
-      .select((keys :+ ts).map(col) ++ valueCols.map(c => col(c).as(s"_r_$c")): _*)
-      .withColumn(tag, lit(0))
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col(tag) === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
-  }
+      valueCols: Seq[String]): DataFrame =
+    asofKernel(left, right, keys, ts, valueCols, forward = false)
 
   // ---------------------------------------------------------------- ao01
   // Each purchase picks up the same user's most recent prior (or
@@ -118,22 +135,8 @@ object AsOf {
     * right row still matches (`>=` semantics).
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-      valueCols: Seq[String]): DataFrame = {
-    val tag = "_graft_side" // left=0 sorts before right=1 at equal ts
-    val leftCols = left.columns.toSeq
-    val l = left.withColumn(tag, lit(0))
-    val r = right
-      .select((keys :+ ts).map(col) ++ valueCols.map(c => col(c).as(s"_r_$c")): _*)
-      .withColumn(tag, lit(1))
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", first(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col(tag) === 0)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
-  }
+      valueCols: Seq[String]): DataFrame =
+    asofKernel(left, right, keys, ts, valueCols, forward = true)
 
   // ---------------------------------------------------------------- ao03
   // Forward twin of ao01: each view picks up the same user's NEXT (or

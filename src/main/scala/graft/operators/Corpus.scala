@@ -346,16 +346,9 @@ object Corpus {
         .withColumn("shard", expr("doc_id div 1000"))
       val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       val withCum = n.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
-      // constant-valued (but non-foldable) partition key: the
-      // shard-totals scan (one row per shard — tiny by construction)
-      // intentionally runs in a single partition; naming the partition
-      // silences WindowExec's unpartitioned-window warning without
-      // changing the execution (a lit(0) key would be constant-folded
-      // back to an empty partition spec)
-      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      val bases = n.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
-        .withColumn("base", sum(col("tot")).over(wShard) - col("tot"))
-        .select("shard", "base")
+      val bases = Sharded.prefixSumBases(
+        n.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot")),
+        "shard", Seq("tot" -> "base"))
       withCum.join(broadcast(bases), "shard")
         .withColumn("start", col("base") + col("cum_in") - col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"),
@@ -821,10 +814,9 @@ object Corpus {
       val wIn = Window.partitionBy(col("shard")).orderBy(col("n_tokens"), col("doc_id"))
       val withPos = t.withColumn("rn_in", row_number().over(wIn).cast("bigint"))
       // shard totals: one row per 32-token length band — tiny at any SF
-      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      val bases = t.groupBy(col("shard")).agg(count(lit(1)).as("tot"))
-        .withColumn("base", sum(col("tot")).over(wShard) - col("tot"))
-        .select("shard", "base")
+      val bases = Sharded.prefixSumBases(
+        t.groupBy(col("shard")).agg(count(lit(1)).as("tot")),
+        "shard", Seq("tot" -> "base"))
       val tot = t.agg(count(lit(1)).as("n"))
       val deciled = withPos.join(broadcast(bases), "shard")
         .crossJoin(broadcast(tot))
@@ -1108,10 +1100,9 @@ object Corpus {
         .withColumn("shard", floor(col("key1") / lit(64.0)).cast("long"))
       val wIn = Window.partitionBy(col("shard")).orderBy(col("key1"), col("doc_id"))
       val withRank = d.withColumn("r_in", count(lit(1)).over(wIn))
-      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      val bases = d.groupBy(col("shard")).agg(count(lit(1)).as("t"))
-        .withColumn("b", sum(col("t")).over(wShard) - col("t"))
-        .select("shard", "b")
+      val bases = Sharded.prefixSumBases(
+        d.groupBy(col("shard")).agg(count(lit(1)).as("t")),
+        "shard", Seq("t" -> "b"))
       withRank.join(broadcast(bases), "shard")
         .withColumn("batch_id", expr(s"(r_in + b - 1) div $B"))
         .groupBy("batch_id")
@@ -1182,8 +1173,12 @@ object Corpus {
   /** scd01 over the customer dimension with deterministic v2
     * perturbations: segment updated for custkey ≡ 0 (mod 7), rows
     * deleted for custkey ≡ 0 (mod 13), new keys inserted at
-    * custkey + 1000000 for custkey ≡ 0 (mod 11). The oracle replays
-    * the row rules as three legs of a UNION.
+    * −custkey for custkey ≡ 0 (mod 11) — NEGATED, not offset: real
+    * custkeys are positive at every scale factor, so the synthetic
+    * inserts can never collide with a real key (a fixed +1000000
+    * offset would, once the key range outgrows the offset, silently
+    * break the key-unique snapshot assumption scd2History requires).
+    * The oracle replays the row rules as three legs of a UNION.
     */
   private val scd01 = QueryDef(
     "scd01_scd2_history",
@@ -1194,7 +1189,7 @@ object Corpus {
           when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("*")))
             .otherwise(col("c_mktsegment")))
         .unionByName(c.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          .select((-col("c_custkey")).as("c_custkey"),
             col("c_mktsegment"), col("c_acctbal")))
       scd2History(c, v2, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
         .orderBy("c_custkey", "valid_from")
@@ -1205,7 +1200,7 @@ object Corpus {
           c_acctbal
         FROM c WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        SELECT -c_custkey, c_mktsegment, c_acctbal
         FROM c WHERE c_custkey % 11 = 0),
       j AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
           a.c_mktsegment AS am, a.c_acctbal AS ab,

@@ -1340,12 +1340,13 @@ object Dedup {
       val docs120 = Tables(s, dir).documents.filter(col("doc_id") < 120)
       val clusterSplit = leakageSafeSplit(docs120, ngramPairEdges(s, dir))
         .select("doc_id", "split")
-      val naiveSplit = docs120.select("doc_id")
-        .withColumn("hx", substring(
-          md5(concat(lit("spl:"), col("doc_id").cast("string")).cast("binary")), 1, 2))
-        .withColumn("split",
-          when(col("hx") < "1a", "test").when(col("hx") < "34", "val")
-            .otherwise("train"))
+      // the naive per-doc arm IS splitFromClusters under an empty
+      // cluster map (cluster_id coalesces to doc_id) — one source of
+      // truth for the salt and split thresholds, so a fraction retune
+      // can never leave the two arms comparing different policies
+      val emptyClusters = docs120.select(col("doc_id"),
+        col("doc_id").as("cluster_id")).limit(0)
+      val naiveSplit = splitFromClusters(docs120, emptyClusters)
         .select("doc_id", "split")
       val sh = withShingles(docs120)
         .select(col("doc_id"), explode(col("shingles")).as("sh"))

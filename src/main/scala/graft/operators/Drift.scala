@@ -65,14 +65,10 @@ object Drift {
       val withCum = c
         .withColumn("p1", sum(col("c1")).over(wIn))
         .withColumn("p2", sum(col("c2")).over(wIn))
-      // shard-totals scan: one row per price shard — tiny by
-      // construction (pack01's named-constant-partition idiom)
-      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      val bases = c.groupBy(col("shard"))
-        .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
-        .withColumn("b1", sum(col("t1")).over(wShard) - col("t1"))
-        .withColumn("b2", sum(col("t2")).over(wShard) - col("t2"))
-        .select("shard", "b1", "b2")
+      val bases = Sharded.prefixSumBases(
+        c.groupBy(col("shard"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2")),
+        "shard", Seq("t1" -> "b1", "t2" -> "b2"))
       val cum = withCum.join(broadcast(bases), "shard")
         .select((col("p1") + col("b1")).as("cum1"), (col("p2") + col("b2")).as("cum2"))
       val tot = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
@@ -280,10 +276,9 @@ object Drift {
         .withColumn("shard", floor(col("x") / lit(25000.0)).cast("long"))
       val wIn = Window.partitionBy(col("shard")).orderBy(col("x"))
       val withCum = c.withColumn("p", sum(col("cnt")).over(wIn))
-      val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      val bases = c.groupBy(col("shard")).agg(sum(col("cnt")).as("t"))
-        .withColumn("b", sum(col("t")).over(wShard) - col("t"))
-        .select("shard", "b")
+      val bases = Sharded.prefixSumBases(
+        c.groupBy(col("shard")).agg(sum(col("cnt")).as("t")),
+        "shard", Seq("t" -> "b"))
       val tot = c.agg(sum(col("cnt")).as("n"))
       withCum.join(broadcast(bases), "shard")
         .crossJoin(broadcast(tot))

@@ -672,9 +672,12 @@ object Ingestion {
     * pipeline runs), and only on a clean audit swap staging into the
     * published name; on failure the staging table is dropped and the
     * previously published version stays live. Returns whether the
-    * batch published. The swap here is drop+rename (two catalog ops —
-    * the demo-scale stand-in; a transactional catalog/table format
-    * makes the same swap atomic, with an identical call shape). The
+    * batch published. The swap is retire-then-rename (park the live
+    * table under `<table>_retired`, rename staging in, drop the
+    * retired copy): non-atomic — readers can briefly see no table —
+    * but never destructive, since at every step either the old or the
+    * new version exists on disk; a transactional catalog/table format
+    * makes the same swap atomic with an identical call shape. The
     * audit is ONE aggregation over the staged scan.
     */
   def writeAuditPublish(s: org.apache.spark.sql.SparkSession,
@@ -688,8 +691,20 @@ object Ingestion {
       (count(lit(1)) - countDistinct(col(keyCol))).as("dups")).collect().head
     val ok = a.getLong(0) > 0 && a.getLong(1) == 0 && a.getLong(2) == 0
     if (ok) {
-      s.sql(s"DROP TABLE IF EXISTS $table")
+      // Publish via retire-then-swap, never drop-then-rename: parking
+      // the live version under a _retired name first means a failure
+      // at ANY point leaves a recoverable copy (the old version at
+      // _retired and the new one at _staging) instead of destroying
+      // the only published copy before its replacement exists. A
+      // HMS-less catalog has no atomic two-table swap, so the brief
+      // readers-see-no-table window between the renames is inherent;
+      // what this ordering guarantees is zero data-loss windows.
+      val retired = table + "_retired"
+      s.sql(s"DROP TABLE IF EXISTS $retired")
+      if (s.catalog.tableExists(table))
+        s.sql(s"ALTER TABLE $table RENAME TO $retired")
       s.sql(s"ALTER TABLE $staging RENAME TO $table")
+      s.sql(s"DROP TABLE IF EXISTS $retired")
     } else s.sql(s"DROP TABLE IF EXISTS $staging")
     ok
   }

@@ -765,6 +765,12 @@ object Quality {
     * (the forget set is user-count bounded, never fact-sized); the
     * derived table is REBUILT from the clean fact rather than patched,
     * the only cascade that is provably residue-free.
+    *
+    * The oracle's erasure is NOT EXISTS, not NOT IN: a NULL-keyed fact
+    * row survives a left_anti join (NULL never equals a forget key)
+    * and NOT EXISTS matches that, while NOT IN would evaluate to NULL
+    * and silently drop the row — a latent cross-engine divergence the
+    * moment the data carries NULL user_ids.
     */
   private val gov01 = QueryDef(
     "gov01_forget_cascade",
@@ -790,8 +796,8 @@ object Quality {
       evRow.unionByName(aggRow).orderBy("table_name")
     },
     Some("""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
-      clean AS (SELECT * FROM events
-        WHERE user_id NOT IN (SELECT user_id FROM forget))
+      clean AS (SELECT * FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id))
       SELECT 'events' AS table_name,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS rows_after,

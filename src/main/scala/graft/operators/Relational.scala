@@ -1298,20 +1298,24 @@ object Relational {
   // aggregate) extended with lag windows — month-over-month and
   // year-over-year deltas, the standard release-dashboard analytic.
   // Growth is one exact-decimal subtraction and one IEEE division per
-  // row; lag(12) handles the YoY baseline without a self-join. The
-  // window runs over the MONTH-level aggregate (tiny — one row per
-  // month), so the unpartitioned window is aggregate-sized, never
-  // fact-sized.
+  // row. The baselines are CALENDAR joins on the month key, not
+  // positional lag(1)/lag(12): a month with zero orders would make a
+  // positional lag silently compare against the wrong month (and the
+  // oracle, replaying the same lag, could never catch it) — the keyed
+  // join yields NULL growth instead, which is the truthful answer.
+  // The self-joins run over the MONTH-level aggregate (tiny — one row
+  // per month), so both are broadcasts, never a fact-sized shuffle.
   private val q49 = QueryDef(
     "q49_growth",
     (s, dir) => {
       val monthly = T(s, dir).orders
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(sum(m(col("o_totalprice"))).as("rev"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      val prevM = monthly.select(col("month").as("pm"), col("rev").as("prev"))
+      val prevY = monthly.select(col("month").as("py"), col("rev").as("prev_year"))
       monthly
-        .withColumn("prev", lag(col("rev"), 1).over(w))
-        .withColumn("prev_year", lag(col("rev"), 12).over(w))
+        .join(broadcast(prevM), add_months(col("month"), -1) === col("pm"), "left")
+        .join(broadcast(prevY), add_months(col("month"), -12) === col("py"), "left")
         .select(col("month"), col("rev").cast("double").as("revenue"),
           ((col("rev") - col("prev")).cast("double") / col("prev").cast("double"))
             .as("mom_growth"),
@@ -1322,10 +1326,10 @@ object Relational {
     Some("""WITH m AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
         FROM orders GROUP BY 1),
-      l AS (SELECT month, rev,
-          lag(rev, 1) OVER (ORDER BY month) AS prev,
-          lag(rev, 12) OVER (ORDER BY month) AS prev_year
-        FROM m)
+      l AS (SELECT m.month, m.rev, p.rev AS prev, y.rev AS prev_year
+        FROM m
+        LEFT JOIN m p ON p.month = CAST(m.month - INTERVAL 1 MONTH AS DATE)
+        LEFT JOIN m y ON y.month = CAST(m.month - INTERVAL 12 MONTH AS DATE))
       SELECT month, CAST(rev AS DOUBLE) AS revenue,
         CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_growth,
         CAST(rev - prev_year AS DOUBLE) / CAST(prev_year AS DOUBLE) AS yoy_growth
@@ -1393,11 +1397,9 @@ object Relational {
     val wIn = Window.partitionBy(col("shard")).orderBy(col(minCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withRun = byPrice.withColumn("run_in", max(col("maxsz")).over(wIn))
-    val wShard = Window.partitionBy(col("shard") - col("shard")).orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = byPrice.groupBy(col("shard")).agg(max(col("maxsz")).as("shard_max"))
-      .withColumn("base", max(col("shard_max")).over(wShard))
-      .select("shard", "base")
+    val bases = Sharded.prefixMaxBefore(
+      byPrice.groupBy(col("shard")).agg(max(col("maxsz")).as("shard_max")),
+      "shard", "shard_max", "base")
     // greatest() skips NULLs: a globally-cheapest price simply has no
     // cheaper max and survives on its own group's tie check
     val frontier = withRun.join(broadcast(bases), "shard")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -416,6 +417,97 @@ object StreamingParity {
     str01.oracle,
   )
 
+  // -------------------------------------------------------------- str09
+  // Stream-stream LEFT OUTER interval-join parity — the null-emission
+  // semantics str06's inner join never exercises: a purchase with NO
+  // qualifying click must still emit (null click columns), and in a
+  // stream that verdict is a WATERMARK decision — the row may only
+  // emit once no earlier click can arrive. Mechanics of the bounded
+  // replay: the corpus lands as micro-batch 1; a second, later-mtime
+  // sentinel file (one click + one purchase at max_ts + 3 h, user −1)
+  // lands as micro-batch 2 and advances BOTH legs' watermarks (the
+  // global watermark is the min across inputs) past every real
+  // purchase, so the engine's no-data flush batch emits the unmatched
+  // rows; the drain polls until every real purchase has emitted
+  // (matched or null) because the flush batch runs asynchronously
+  // after processAllAvailable returns. Sentinel rows are filtered from
+  // the result. The oracle is the plain relational LEFT JOIN.
+  private val str09 = QueryDef(
+    "str09_stream_outer_join_parity",
+    (s, dir) => withStatePartitions(s) {
+      val tmp = tempDir("graft_str09")
+      graft.ingest.FileUtils.copy(s"$dir/events.parquet",
+        tmp.resolve("events.parquet").toString)
+      // sentinel file, built from the on-disk schema so either ts
+      // flavor (ns-long / TIMESTAMP) round-trips unchanged
+      val raw = s.read.parquet(tmp.toString)
+      val bumped = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("mx") + lit(10800L * 1000000000L)
+        case _ => col("mx") + expr("INTERVAL 3 HOURS")
+      }
+      val sentinel = raw.agg(max(col("ts")).as("mx"))
+        .select(explode(array(lit("click"), lit("purchase"))).as("event_type"), col("mx"))
+        .select(
+          when(col("event_type") === "click", lit(-1L)).otherwise(lit(-2L)).as("event_id"),
+          bumped.as("ts"), lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .select(raw.columns.map(col).toSeq: _*)
+      val scratch = tempDir("graft_str09_sent")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel write produced no parquet part"))
+      val sentDst = tmp.resolve("zz_sentinel.parquet")
+      graft.ingest.FileUtils.copy(part.toString, sentDst.toString)
+      // strictly later mtime: the file source processes oldest-first,
+      // so the sentinel must land as its own later micro-batch
+      sentDst.toFile.setLastModified(System.currentTimeMillis() + 60000L): Unit
+      deleteQuietly(scratch)
+
+      val stream = EventStreams.readStream(s, tmp.toString, maxFilesPerTrigger = Some(1))
+      val outer = EventStreams.purchaseAttributionOuter(stream)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us"), col("value"))
+      val nPurchases = Tables(s, dir).events
+        .filter(col("event_type") === "purchase").count()
+      val name = fresh(s, "str09_outer")
+      val q = outer.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def emitted(): Long = s.table(name).filter(col("user_id") >= 0)
+          .select("purchase_id").distinct().count()
+        while (emitted() < nPurchases && System.nanoTime() < deadline) {
+          Thread.sleep(250)
+          q.processAllAvailable()
+        }
+        require(emitted() == nPurchases,
+          s"outer join flush incomplete: ${emitted()} of $nPurchases purchases emitted")
+      } finally q.stop()
+      val out = s.table(name).filter(col("user_id") >= 0)
+        .orderBy("purchase_id", "click_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
+          EPOCH_NS(ts) // 1000 AS us FROM events),
+      c AS (SELECT user_id, us AS click_us, event_id AS click_id
+        FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, us AS purchase_us, event_id AS purchase_id, value
+        FROM e WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, c.click_id, p.purchase_us, c.click_us,
+        p.value
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        AND c.click_us <= p.purchase_us
+        AND c.click_us >= p.purchase_us - 1800000000
+      ORDER BY p.purchase_id, c.click_id"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(str01, str02, str03, str04, str05, str06, str07, str08)
+    Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09)
 }

@@ -34,7 +34,8 @@ object EventStreams {
     * least one file before defining the stream, or pass an explicit
     * schema via `spark.readStream.schema(...)` yourself.
     */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
+  def readStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val onDisk =
       try spark.read.parquet(path).schema
       catch {
@@ -43,8 +44,11 @@ object EventStreams {
             s"events landing dir '$path' has no readable parquet to infer the " +
               "ts flavor from; land at least one file before defining the stream", e)
       }
+    val reader0 = spark.readStream.schema(onDisk)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
     graft.sources.Tables
-      .normalizeEventTs(spark.readStream.schema(onDisk).parquet(path))
+      .normalizeEventTs(reader.parquet(path))
       .drop("ts_ns")
   }
 
@@ -89,7 +93,25 @@ object EventStreams {
     * canonical bounded-state stream-stream join shape.
     */
   def purchaseAttribution(events: DataFrame, horizon: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours"): DataFrame =
+    attributionJoin(events, horizon, watermark, "inner")
+
+  /** LEFT OUTER twin of [[purchaseAttribution]]: a purchase with NO
+    * qualifying click still emits, with null click columns — but only
+    * once the watermark passes its timestamp (no earlier click can
+    * arrive anymore), which is the hard semantics of streaming outer
+    * joins: the null verdict is a WATERMARK decision, not a batch
+    * boundary one. Callers draining a bounded source must push the
+    * watermark past the last real purchase (e.g. a late sentinel
+    * event on BOTH legs — the global watermark is the min across
+    * inputs) or final unmatched purchases stay in state forever.
+    */
+  def purchaseAttributionOuter(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    attributionJoin(events, horizon, watermark, "left_outer")
+
+  private def attributionJoin(events: DataFrame, horizon: String,
+      watermark: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -101,7 +123,8 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -732,5 +732,104 @@ object Similarity {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, rp01)
+  // -------------------------------------------------------------- neg01
+  /** Deterministic random-negative mining for contrastive training:
+    * each anchor document draws candidate negatives by md5 (10
+    * oversampled draws), maps each draw to a document through its
+    * dense corpus POSITION, excludes the anchor itself and any
+    * near-duplicate of it (a near-dup used as a "negative" teaches the
+    * model to push apart semantically identical text — the classic
+    * false-negative bug in contrastive pipelines), and keeps the first
+    * 4 surviving draws in draw order. Every step is md5-derived, so
+    * the sample is reproducible across runs, retries, and engines.
+    *
+    * The exclusion set is [[Dedup.prefixFilterPairs]] — the EXACT
+    * set-similarity join, so the guarantee is "no negative has Jaccard
+    * ≥ 0.5 with its anchor", not an LSH approximation of it.
+    *
+    * 100 TB shape: draws are map-side (explode 10 per anchor); the
+    * position lookup is one equi-join on the position key (positions
+    * come from the [[Sharded]] hierarchical rank, never a global
+    * row_number); the near-dup exclusion is an anti-join on the pair
+    * key; the per-anchor keep-first-4 is a window partitioned by
+    * anchor. n (corpus size) is the only broadcast scalar.
+    */
+  private val neg01 = QueryDef(
+    "neg01_negative_mining",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents.select("doc_id")
+      val sharded = docs.withColumn("shard", expr("doc_id div 64"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      val ranked = sharded.withColumn("rn_in", row_number().over(wIn).cast("bigint"))
+      val bases = Sharded.prefixSumBases(
+        sharded.groupBy(col("shard")).agg(count(lit(1)).as("tot")),
+        "shard", Seq("tot" -> "base"))
+      val pos = ranked.join(broadcast(bases), "shard")
+        .select(col("doc_id"), (col("base") + col("rn_in") - 1).as("pos"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val draws = docs.select(col("doc_id").as("anchor_id"))
+        .crossJoin(broadcast(n))
+        .select(col("anchor_id"), explode(sequence(lit(0), lit(9))).as("j"), col("n"))
+        .withColumn("cand_pos",
+          expr("cast(conv(substr(md5(concat('neg:42:', cast(anchor_id as string), " +
+            "':', cast(j as string))), 1, 8), 16, 10) as bigint) % n"))
+      val cands = draws
+        .join(pos.select(col("pos").as("cand_pos"), col("doc_id").as("neg_id")), "cand_pos")
+        .filter(col("neg_id") =!= col("anchor_id"))
+      // symmetric near-dup edges from the exact prefix-filter join
+      val dup = Dedup.prefixFilterPairs(Tables(s, dir).documents)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = dup.select(col("doc_a").as("anchor_id"), col("doc_b").as("neg_id"))
+        .unionByName(dup.select(col("doc_b").as("anchor_id"), col("doc_a").as("neg_id")))
+      val clean = cands.join(edges, Seq("anchor_id", "neg_id"), "left_anti")
+        // two draws can hit the same doc: keep the earliest draw
+        .groupBy("anchor_id", "neg_id").agg(min(col("j")).as("j"))
+      val wA = Window.partitionBy(col("anchor_id")).orderBy(col("j"), col("neg_id"))
+      clean.withColumn("neg_rank", row_number().over(wA).cast("bigint"))
+        .filter(col("neg_rank") <= 4)
+        .select(col("anchor_id"), col("neg_rank"), col("neg_id"))
+        .orderBy("anchor_id", "neg_rank")
+    },
+    Some(s"""WITH d AS (SELECT doc_id FROM documents),
+      pos AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM d),
+      n AS (SELECT COUNT(*) AS n FROM d),
+      draws AS (SELECT doc_id AS anchor_id, j,
+          ('0x' || substr(md5('neg:42:' || CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 8))::BIGINT % n.n AS cand_pos
+        FROM d, range(10) r(j), n),
+      cand AS (SELECT anchor_id, j, p.doc_id AS neg_id
+        FROM draws JOIN pos p ON p.pos = draws.cand_pos
+        WHERE p.doc_id <> draws.anchor_id),
+      t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      df AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh),
+      r2 AS (SELECT e.doc_id, e.sh,
+          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.sh) AS rn,
+          COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+        FROM e JOIN df USING (sh)),
+      p2 AS (SELECT doc_id, sh, sz FROM r2 WHERE rn <= sz - (sz + 1) // 2 + 1),
+      cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM p2 a JOIN p2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz),
+      dup AS (SELECT c.doc_a, c.doc_b FROM cp c
+        JOIN g ga ON ga.doc_id = c.doc_a JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5),
+      edges AS (SELECT doc_a AS anchor_id, doc_b AS neg_id FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      clean AS (SELECT anchor_id, neg_id, MIN(j) AS j FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM edges x
+          WHERE x.anchor_id = cand.anchor_id AND x.neg_id = cand.neg_id)
+        GROUP BY anchor_id, neg_id),
+      rk AS (SELECT anchor_id, neg_id, j,
+          CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j, neg_id)
+            AS BIGINT) AS neg_rank
+        FROM clean)
+      SELECT anchor_id, neg_rank, neg_id FROM rk WHERE neg_rank <= 4
+      ORDER BY anchor_id, neg_rank"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, rp01, neg01)
 }

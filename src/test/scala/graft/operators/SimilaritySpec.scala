@@ -275,4 +275,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.count(r => r > 0.3 && r < 2.5) >= (ratios.length * 9) / 10,
       "at least 90% of vectors inside the loose JL envelope")
   }
+
+  test("neg01: 4 negatives per anchor, reproducible, never a near-duplicate of the anchor") {
+    val out = graft.Registry.byName("neg01_negative_mining").run(spark, sf0001).collect()
+    val byAnchor = out.groupBy(_.getLong(0))
+    assert(byAnchor.size == 500 && byAnchor.values.forall(_.length == 4),
+      "every anchor draws exactly 4 negatives")
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "anchor never its own negative")
+    // reproducible: a second run is identical
+    val again = graft.Registry.byName("neg01_negative_mining").run(spark, sf0001).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // the exclusion guarantee, checked against the EXACT pair set
+    val dup = Dedup.prefixFilterPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    assert(out.forall(r => !dup.contains((r.getLong(0), r.getLong(2)))),
+      "no negative may be a near-duplicate of its anchor")
+  }
 }

@@ -655,6 +655,63 @@ object Corpus {
       FROM b GROUP BY bin ORDER BY bin"""),
   )
 
+  // -------------------------------------------------------------- dm03
+  /** Join-key skew report — the pre-flight health check run on a key
+    * BEFORE shuffling 100 TB on it (skw01 is the mitigation; this is
+    * the detector that tells you whether you need it). For o_custkey
+    * over orders: key cardinality, total rows, the hottest key's
+    * count, its corpus share in exact ppm, and the exact MEDIAN and
+    * P99 of the per-key count distribution.
+    *
+    * Scale shape: one groupBy(key) count (map-side combined), then the
+    * stats run over the COUNT DISTRIBUTION (cnt → how many keys have
+    * that count — Zipf-compact, far smaller than the key table):
+    * median/p99 come from the [[Sharded]] ECDF over count order
+    * (never a global sort), thresholds in pure integer ceil
+    * arithmetic; the hottest-key share is max·10^6 div total. One
+    * output row, everything BIGINT-exact.
+    */
+  private val dm03 = QueryDef(
+    "dm03_skew_report",
+    (s, dir) => {
+      val perKey = Tables(s, dir).orders
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val dist = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+        .withColumn("shard", expr("cnt div 16"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("cnt"))
+      val withCum = dist.withColumn("p", sum(col("freq")).over(wIn))
+      val bases = Sharded.prefixSumBases(
+        dist.groupBy(col("shard")).agg(sum(col("freq")).as("t")),
+        "shard", Seq("t" -> "b"))
+      val cum = withCum.join(broadcast(bases), "shard")
+        .select(col("cnt"), (col("p") + col("b")).as("cum"))
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"), max(col("cnt")).as("max_cnt"))
+      val median = cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(n_keys + 1) div 2"))
+        .agg(min(col("cnt")).as("median_cnt"))
+      val p99 = cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(99 * n_keys + 99) div 100"))
+        .agg(min(col("cnt")).as("p99_cnt"))
+      tot.crossJoin(broadcast(median)).crossJoin(broadcast(p99))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          expr("(max_cnt * 1000000) div total_rows").as("top_share_ppm"),
+          col("median_cnt"), col("p99_cnt"))
+    },
+    Some("""WITH k AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+      d AS (SELECT cnt, COUNT(*) AS freq FROM k GROUP BY cnt),
+      c AS (SELECT cnt, SUM(freq) OVER (ORDER BY cnt) AS cum FROM d),
+      t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+          CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k)
+      SELECT t.n_keys, t.total_rows, t.max_cnt,
+        (t.max_cnt * 1000000) // t.total_rows AS top_share_ppm,
+        (SELECT CAST(MIN(cnt) AS BIGINT) FROM c, t
+          WHERE cum >= (t.n_keys + 1) // 2) AS median_cnt,
+        (SELECT CAST(MIN(cnt) AS BIGINT) FROM c, t
+          WHERE cum >= (99 * t.n_keys + 99) // 100) AS p99_cnt
+      FROM t"""),
+  )
+
   // -------------------------------------------------------------- dm01
   /** Per-source (domain) curation report: document/token volume, exact
     * duplicate rate, and language spread per provenance bucket — the
@@ -1266,6 +1323,6 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, ord01, ord02, dc03, smp04, spl02,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, spl02,
       scd01, ord03)
 }

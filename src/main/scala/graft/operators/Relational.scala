@@ -1366,6 +1366,45 @@ object Relational {
       FROM r WHERE rn = 1 ORDER BY user_id"""),
   )
 
+  // ---------------------------------------------------------------- q51
+  // Rolling distinct count: per event day, distinct active users that
+  // day (DAU) and over the trailing 7 days (WAU) — the engagement
+  // dashboard staple whose naive form is a 7-way self-join over the
+  // FACT table. Scale shape: dedupe (day, user) FIRST (the fact
+  // collapses to active-pairs, orders of magnitude smaller), explode
+  // each pair to the <= 7 window days it serves, distinct again (a
+  // user active on several days of one window must count once), then
+  // one count per day. The expansion factor is bounded by the window
+  // length and applies to the DEDUPED pairs, never the raw events.
+  // Only days with activity of their own are reported (LEFT-join
+  // shape would report ghost days).
+  private val q51 = QueryDef(
+    "q51_rolling_distinct",
+    (s, dir) => {
+      val du = T(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau").cast("bigint").as("dau"),
+          col("wau7").cast("bigint").as("wau7"))
+        .orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT
+          CAST(MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS DATE) AS day, user_id
+        FROM events),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      ex AS (SELECT DISTINCT du.day + CAST(j AS INTEGER) AS day, du.user_id
+        FROM du, range(7) r(j)),
+      wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau7 FROM ex GROUP BY day)
+      SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau7 AS BIGINT) AS wau7
+      FROM dau JOIN wau USING (day) ORDER BY day"""),
+  )
+
   // -------------------------------------------------------------- sky01
   /** 2-D Pareto frontier (skyline): the parts no other part beats on
     * BOTH axes — cheaper-or-equal price AND larger-or-equal size, with
@@ -1429,5 +1468,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, sky01)
+    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, sky01)
 }

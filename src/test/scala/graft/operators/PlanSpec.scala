@@ -473,6 +473,18 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("neg01/dm03/q51: every join is keyed or a 1-row broadcast (no cartesian)") {
+    // neg01's pos lookup and pair anti-join legitimately plan as
+    // sort-merge at scale (both sides fact-sized, equi-keyed) — the
+    // guard here is only that nothing multiplies rows: no cartesian
+    // product anywhere (the crossJoins in these ops attach 1-row
+    // aggregates, which plan as broadcast nested loops, not cartesians)
+    for (name <- Seq("neg01_negative_mining", "dm03_skew_report", "q51_rolling_distinct")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(1200)}")
+    }
+  }
+
   test("sky01: skyline equals brute-force dominance incl. ties; no pairwise join in the plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -29,6 +29,7 @@ object Dedup {
   // little at the cost of every call site managing lifecycle.
   private var lastCandsCache: Option[DataFrame] = None
   private var lastProbeCache: Option[DataFrame] = None
+  private var lastPrefixCache: Option[DataFrame] = None
 
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("shingles", graft.functions.TextExpressions.word_shingles(col("text"), 3))
@@ -1270,22 +1271,44 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, withSizeFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // sz comes from the ARRAY size before the explode — a count window
+    // over the exploded table would re-derive what the array knows
+    val ex = sh.select(col("doc_id"), size(col("shingles")).cast("bigint").as("sz"),
+      explode(col("shingles")).as("sh"))
     // shingles are distinct per doc, so count == document frequency
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
     val ranked = ex.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))).cast("bigint"))
+    // Persisted (LRU-of-1 slot, the minhashPairs pattern): the prefix
+    // table feeds BOTH sides of the self-join AND sits under the
+    // verify lineage — unpersisted, the explode+df+rank pass (the
+    // expensive 60% of this operator) computes three times.
     val prefix = ranked
       .filter(col("rn") <= expr("sz - (sz + 1) div 2 + 1"))
-      .select(col("doc_id"), col("sh"), col("sz"))
+      .select(col("doc_id"), col("sh"), col("sz"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastPrefixCache.foreach(_.unpersist(blocking = false))
+      lastPrefixCache = Some(prefix)
+    }
     val sizeOk =
       if (withSizeFilter) col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2
       else lit(true)
+    // PPJoin positional filter (Xiao et al. 2008 §3.2): a match on
+    // prefix positions (i, j) caps the total overlap at
+    // 1 + min(|a|−i, |b|−j); Jaccard ≥ 1/2 needs overlap ≥
+    // ceil((|a|+|b|)/3), so pairs whose colliding shingle sits too
+    // deep in both prefixes are pruned INSIDE the join condition —
+    // before the distinct, before the verify. Lossless: the bound is
+    // an upper bound on the true overlap. Exact integer arithmetic.
+    val posOk =
+      if (withSizeFilter)
+        expr("1 + least(a.sz - a.rn, b.sz - b.rn) >= (a.sz + b.sz + 2) div 3")
+      else lit(true)
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id") && sizeOk)
+        col("a.doc_id") < col("b.doc_id") && sizeOk && posOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands

@@ -687,13 +687,16 @@ object Corpus {
         .select(col("cnt"), (col("p") + col("b")).as("cum"))
       val tot = perKey.agg(count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("total_rows"), max(col("cnt")).as("max_cnt"))
-      val median = cum.crossJoin(broadcast(tot))
-        .filter(col("cum") >= expr("(n_keys + 1) div 2"))
-        .agg(min(col("cnt")).as("median_cnt"))
-      val p99 = cum.crossJoin(broadcast(tot))
-        .filter(col("cum") >= expr("(99 * n_keys + 99) div 100"))
-        .agg(min(col("cnt")).as("p99_cnt"))
-      tot.crossJoin(broadcast(median)).crossJoin(broadcast(p99))
+      // one pass probes both quantiles: min(cnt) over the rows whose
+      // cumulative count clears each threshold (two filtered mins in
+      // one aggregation, not two copies of the ECDF lineage)
+      val quantiles = cum.crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") >= expr("(n_keys + 1) div 2"), col("cnt")))
+            .as("median_cnt"),
+          min(when(col("cum") >= expr("(99 * n_keys + 99) div 100"), col("cnt")))
+            .as("p99_cnt"))
+      tot.crossJoin(broadcast(quantiles))
         .select(col("n_keys"), col("total_rows"), col("max_cnt"),
           expr("(max_cnt * 1000000) div total_rows").as("top_share_ppm"),
           col("median_cnt"), col("p99_cnt"))

@@ -1383,12 +1383,15 @@ object Relational {
     (s, dir) => {
       val du = T(s, dir).events
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      // du is (day, user)-distinct by construction, so plain counts
+      // suffice — countDistinct here would re-dedup what the upstream
+      // distinct already paid for (one extra exchange+aggregate each)
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
       val wau = du
         .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
           col("user_id"))
         .distinct()
-        .groupBy("day").agg(countDistinct(col("user_id")).as("wau7"))
+        .groupBy("day").agg(count(lit(1)).as("wau7"))
       dau.join(wau, "day")
         .select(col("day"), col("dau").cast("bigint").as("dau"),
           col("wau7").cast("bigint").as("wau7"))

@@ -455,9 +455,12 @@ object StreamingParity {
         .select(raw.columns.map(col).toSeq: _*)
       val scratch = tempDir("graft_str09_sent")
       sentinel.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("sentinel write produced no parquet part"))
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("sentinel write produced no parquet part"))
+        finally listing.close()
       val sentDst = tmp.resolve("zz_sentinel.parquet")
       graft.ingest.FileUtils.copy(part.toString, sentDst.toString)
       // strictly later mtime: the file source processes oldest-first,

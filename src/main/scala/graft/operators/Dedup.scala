@@ -776,13 +776,26 @@ object Dedup {
     */
   def incrementalNearDups(history: DataFrame, batch: DataFrame,
       threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    probeCore(
+      bandTable(history, numHashes, bands),
+      withShingles(history).select(col("doc_id"), col("shingles")),
+      batch, threshold, numHashes, bands, maxBucket)
+
+  /** The probe kernel shared by [[incrementalNearDups]] (history
+    * recomputed in-line) and [[probeNearDupIndex]] (history loaded
+    * from the persisted index) — one implementation, so the persisted
+    * path cannot drift from the recompute path it must equal.
+    */
+  private def probeCore(histBands: DataFrame, histShingles: DataFrame,
+      batch: DataFrame, threshold: Double, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     // Bucket-size filter as a window over ONE band-table instance: a
     // groupBy-count + self-join here would evaluate the history-side
     // shingle+signature pass twice per call — the very pass this
     // operator exists to avoid repeating. The window shuffles the band
     // table once by (band, bh) and filters in the same stage.
-    val histOk = bandTable(history, numHashes, bands)
+    val histOk = histBands
       .withColumn("_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
       .filter(col("_n") <= maxBucket)
@@ -809,7 +822,7 @@ object Dedup {
     // candidate hist-id set is batch-bounded, hence broadcastable.
     val histNeeded = cands.select(col("hist_id").as("doc_id")).distinct()
     val bSh = withShingles(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sa"))
-    val hSh = withShingles(history.join(broadcast(histNeeded), Seq("doc_id"), "left_semi"))
+    val hSh = histShingles.join(broadcast(histNeeded), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("hist_id"), col("shingles").as("sb"))
     cands.join(bSh, "batch_id").join(hSh, "hist_id")
       .withColumn("jaccard",
@@ -818,6 +831,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "hist_id", "jaccard")
       .orderBy("batch_id", "hist_id")
+  }
+
+  /** Persist a corpus's near-dup index — the band table plus the
+    * shingle sets the verify stage needs — as two parquet tables under
+    * `path`. This is the "built once, persisted and appended to" index
+    * [[incrementalNearDups]]'s contract describes, as code: subsequent
+    * batches probe the LOADED index ([[probeNearDupIndex]]) and extend
+    * it ([[appendNearDupIndex]]) without ever recomputing a history
+    * signature. Layout: `bands/` is (doc_id, band, bh) — the probe
+    * side of the candidate equi-join; `shingles/` is
+    * (doc_id, shingles) — the verify side, read semi-join-reduced to
+    * candidate docs only.
+    */
+  def saveNearDupIndex(corpus: DataFrame, path: String,
+      numHashes: Int = 32, bands: Int = 16): Unit = {
+    bandTable(corpus, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    withShingles(corpus).select(col("doc_id"), col("shingles"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Extend a persisted index with a new batch (append-only writes —
+    * the index never rewrites history; callers dedup batches upstream
+    * via the key-idempotent ingestion path).
+    */
+  def appendNearDupIndex(batch: DataFrame, path: String,
+      numHashes: Int = 32, bands: Int = 16): Unit = {
+    bandTable(batch, numHashes, bands)
+      .write.mode("append").parquet(s"$path/bands")
+    withShingles(batch).select(col("doc_id"), col("shingles"))
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Probe a batch against a PERSISTED index — identical semantics to
+    * [[incrementalNearDups]] (shared kernel), with the history side
+    * read from parquet instead of recomputed: per-batch cost is batch
+    * signatures + the band join + candidate-reduced shingle reads,
+    * independent of how the history was accumulated.
+    */
+  def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    probeCore(s.read.parquet(s"$path/bands"),
+      s.read.parquet(s"$path/shingles"),
+      batch, threshold, numHashes, bands, maxBucket)
+
+  // Same split as dd09, but the history index is SAVED (two thirds)
+  // then APPENDED (the rest) before the batch probes the loaded
+  // index — proving the persisted path emits byte-identical pairs to
+  // dd09's recompute path (they share the oracle).
+  private lazy val dd16 = QueryDef( // lazy: shares dd09's oracle, defined below
+    "dd16_index_probe",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hist = docs.filter(col("doc_id") % 7 =!= 3)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dd16_index").toString
+      saveNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
+      appendNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
+      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+        .localCheckpoint(eager = true)
+      deleteRecursively(new java.io.File(path))
+      out
+    },
+    dd09.oracle, // the persisted path must agree with dd09's recompute
+  )
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   // Deterministic batch split (doc_id ≡ 3 mod 7 ≈ 1/7 of the corpus
@@ -1418,5 +1501,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, spl01, tri01, leak01)
 }

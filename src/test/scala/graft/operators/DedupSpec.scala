@@ -338,6 +338,21 @@ class DedupSpec extends SparkSpec {
     assert(got == truth, s"prefix-filter join diverged: got ${got.size}, truth ${truth.size}")
   }
 
+  test("dd16: probing the persisted (saved + appended) index equals the in-line probe") {
+    val hist = Seq((0L, base), (1L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, "totally different content here nothing shared")).toDF("doc_id", "text")
+    val inline = Dedup.incrementalNearDups(hist, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("dd16spec").toString
+    // build the index in two installments: save one doc, append the rest
+    Dedup.saveNearDupIndex(hist.filter(col("doc_id") === 0L), path)
+    Dedup.appendNearDupIndex(hist.filter(col("doc_id") =!= 0L), path)
+    val loaded = Dedup.probeNearDupIndex(spark, path, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inline.nonEmpty, "planted near-dup must be found")
+    assert(loaded == inline, s"persisted-index probe diverged: $loaded vs $inline")
+  }
+
   test("dd15: size filter is lossless pruning (same output with it off)") {
     val docs = corpus
     val withFilter = Dedup.prefixFilterPairs(docs).collect()

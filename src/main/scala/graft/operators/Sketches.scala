@@ -312,5 +312,73 @@ object Sketches {
       FROM merged m FULL OUTER JOIN direct d USING (reg)"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cms01, cms02, hll01, hll02)
+  // ------------------------------------------------------------ hll03
+  /** GROUPED HyperLogLog — the sketch as a per-group aggregate, which
+    * is how cardinality runs at 100 TB (per-domain distinct users,
+    * per-source distinct docs): registers key on (group, reg), so the
+    * whole build is ONE hash aggregation with map-side combine and
+    * every group carries a fixed 256-register state regardless of its
+    * row count. Same estimator, same exact-integer arithmetic, same
+    * linear-counting correction as hll01 — just GROUP BY'd; the exact
+    * per-group distinct joins in for the envelope check.
+    */
+  private def hllRegistersBy(fact: DataFrame, grp: String, key: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    fact.filter(col(key).isNotNull)
+      .select(col(grp), h.as("h")).distinct()
+      .select(col(grp), (col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
+      .groupBy(col(grp), col("reg")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  def hllEstimateBy(fact: DataFrame, grp: String, key: String): DataFrame = {
+    val regs = hllRegistersBy(fact, grp, key)
+    val exact = fact.groupBy(col(grp)).agg(count_distinct(col(key)).as("n_exact"))
+    regs.groupBy(col(grp))
+      .agg(
+        (expr(AlphaSql) /
+          (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
+            .cast("decimal(38,0)")) +
+            (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
+          .as("raw"),
+        (lit(HllRegs) - count(lit(1))).as("zeros"))
+      .join(exact, grp)
+      .select(col(grp), col("n_exact"),
+        when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
+          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_est"))
+      .withColumn("in_envelope",
+        abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+  }
+
+  private val hll03 = QueryDef(
+    "hll03_grouped_hll",
+    (s, dir) =>
+      hllEstimateBy(Tables(s, dir).orders, "o_orderpriority", "o_custkey")
+        .orderBy("o_orderpriority"),
+    Some(s"""WITH hh AS (SELECT DISTINCT o_orderpriority,
+          ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM orders WHERE o_custkey IS NOT NULL),
+      r AS (SELECT o_orderpriority, h // ${1L << HllRemBits} AS reg,
+          MAX(${rhoSql(s"(h % ${1L << HllRemBits})")}) AS max_rho
+        FROM hh GROUP BY 1, 2),
+      agg AS (SELECT o_orderpriority,
+          ($AlphaSql) / (SUM(CAST(1::BIGINT << (${HllRemBits + 1} - max_rho) AS DECIMAL(38,0)))
+            + ($HllRegs - COUNT(*)) * CAST($Scale AS DECIMAL(38,0))) AS raw,
+          $HllRegs - COUNT(*) AS zeros
+        FROM r GROUP BY 1),
+      ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+        FROM orders GROUP BY 1)
+      SELECT agg.o_orderpriority, n_exact,
+        CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END AS n_est,
+        abs(CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END - n_exact)
+          <= 0.15 * n_exact AS in_envelope
+      FROM agg JOIN ex USING (o_orderpriority)
+      ORDER BY o_orderpriority"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cms01, cms02, hll01, hll02, hll03)
 }

@@ -1366,6 +1366,115 @@ object Relational {
       FROM r WHERE rn = 1 ORDER BY user_id"""),
   )
 
+  // ---------------------------------------------------------------- q52
+  // TPC-H Q21 shape ("suppliers who kept orders waiting"): for each
+  // finished multi-supplier order, blame the supplier whose line
+  // shipped late (> 60 days after the order date) when EVERY other
+  // supplier's lines were on time — a correlated EXISTS plus a
+  // correlated NOT EXISTS over lineitem self-joins that Catalyst must
+  // decorrelate into one semi- and one anti-join (the hardest
+  // decorrelation shape in the TPC-H suite; our lineitem has no
+  // commit/receipt dates, so lateness is ship-vs-order + 60 days).
+  // Through the SQL passthrough: the declared surface is SQL, the
+  // plan is the optimizer's.
+  private val q52 = QueryDef(
+    "q52_waiting_supplier",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.supplier.createOrReplaceTempView("graft_q52_supplier")
+      t.lineitem.createOrReplaceTempView("graft_q52_lineitem")
+      t.orders.createOrReplaceTempView("graft_q52_orders")
+      t.nation.createOrReplaceTempView("graft_q52_nation")
+      s.sql("""SELECT s_name, n_name, COUNT(*) AS numwait
+        FROM graft_q52_supplier s
+        JOIN graft_q52_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN graft_q52_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN graft_q52_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM graft_q52_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM graft_q52_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""SELECT s_name, n_name, COUNT(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name, n_name
+      ORDER BY numwait DESC, s_name LIMIT 20"""),
+  )
+
+  // ---------------------------------------------------------------- q53
+  // TPC-H Q8 shape (national market share): of all revenue ASIA-region
+  // customers generated per order year, the share supplied by one
+  // nation's suppliers. Exact-decimal revenue on both the numerator
+  // (CASE leg) and denominator, one IEEE division at the end — a
+  // two-branch aggregation over a five-table join tree whose dimension
+  // legs should all broadcast.
+  private val q53 = QueryDef(
+    "q53_market_share",
+    (s, dir) => {
+      val t = T(s, dir)
+      val custAsia = t.customer
+        .join(broadcast(t.nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNation = t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_7",
+            m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
+              .cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""WITH asia_cust AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'),
+      sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey)
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          AS mkt_share
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN asia_cust ON c_custkey = o_custkey
+      JOIN sn ON s_suppkey = l_suppkey
+      GROUP BY 1 ORDER BY o_year"""),
+  )
+
   // ---------------------------------------------------------------- q51
   // Rolling distinct count: per event day, distinct active users that
   // day (DAU) and over the trailing 7 days (WAU) — the engagement
@@ -1471,5 +1580,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, sky01)
+    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, sky01)
 }

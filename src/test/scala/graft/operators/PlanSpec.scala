@@ -473,6 +473,16 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q52: correlated EXISTS/NOT EXISTS decorrelate into semi- and anti-joins; q53 dims broadcast") {
+    val p = plan("q52_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the decorrelated plan")
+    val q = plan("q53_market_share")
+    assert(q.contains("BroadcastHashJoin"), s"q53 dimension legs must broadcast:\n${q.take(1200)}")
+    assert(!q.contains("CartesianProduct"), "q53")
+  }
+
   test("neg01/dm03/q51: every join is keyed or a 1-row broadcast (no cartesian)") {
     // neg01's pos lookup and pair anti-join legitimately plan as
     // sort-merge at scale (both sides fact-sized, equi-keyed) — the

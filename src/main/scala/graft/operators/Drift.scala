@@ -300,5 +300,65 @@ object Drift {
       FROM b GROUP BY bin ORDER BY bin"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01)
+  // ------------------------------------------------------------- psi01
+  /** Population Stability Index — THE model-monitoring drift metric
+    * (credit-risk lineage; the number dashboards alert on at 0.1/0.25
+    * thresholds), complementing ks01's sup-norm view with a per-bin
+    * decomposition: PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i), over 10
+    * equal-width bins spanning the EARLY cohort's value range (the
+    * reference distribution defines the binning; late-cohort outliers
+    * clamp into the edge bins). Counts get +1 smoothing so empty bins
+    * stay finite — deterministic, and both engines smooth identically.
+    *
+    * Determinism: bin index is one subtract/divide/floor over the
+    * early min/width (dm02's contract); fractions and the ln() chain
+    * are the same literal-order IEEE ops in both engines. Scale: one
+    * min/max pass over the early cohort broadcast back, one
+    * 10×2-group aggregation, a 20-row PSI fold — nothing sorts,
+    * nothing collects.
+    */
+  private val psi01 = QueryDef(
+    "psi01_psi_drift",
+    (s, dir) => {
+      val o = Tables(s, dir).orders.select(col("o_totalprice").as("x"),
+        (col("o_orderdate") < lit(SplitTs).cast("timestamp")).as("early"))
+      val mm = o.filter(col("early"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .withColumn("width", (col("hi") - col("lo")) / lit(10.0))
+      val binned = o.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          greatest(least(floor((col("x") - col("lo")) / col("width")), lit(9L)), lit(0L))
+            .cast("bigint"))
+        .groupBy("bin")
+        .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ce"),
+          sum(when(col("early"), 0L).otherwise(1L)).as("cl"))
+      val tot = binned.agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
+      val perBin = binned.crossJoin(broadcast(tot))
+        .withColumn("p", (col("ce") + 1L).cast("double") / (col("ne") + 10L).cast("double"))
+        .withColumn("q", (col("cl") + 1L).cast("double") / (col("nl") + 10L).cast("double"))
+        .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      perBin.agg(sum(col("contrib")).as("psi"),
+          count(lit(1)).cast("bigint").as("n_bins"))
+        .select(col("psi"), col("n_bins"), (col("psi") > 0.1).as("drift_flag"))
+    },
+    Some(s"""WITH o AS (SELECT o_totalprice AS x,
+          o_orderdate < TIMESTAMP '$SplitTs' AS early FROM orders),
+      mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+          (MAX(x) - MIN(x)) / 10.0 AS width FROM o WHERE early),
+      b AS (SELECT GREATEST(LEAST(FLOOR((x - lo) / width), 9), 0) AS bin,
+          SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ce,
+          SUM(CASE WHEN early THEN 0 ELSE 1 END) AS cl
+        FROM o CROSS JOIN mm GROUP BY 1),
+      t AS (SELECT SUM(ce) AS ne, SUM(cl) AS nl FROM b),
+      pb AS (SELECT
+          CAST(ce + 1 AS DOUBLE) / CAST(ne + 10 AS DOUBLE) AS p,
+          CAST(cl + 1 AS DOUBLE) / CAST(nl + 10 AS DOUBLE) AS q
+        FROM b CROSS JOIN t)
+      SELECT SUM((p - q) * ln(p / q)) AS psi,
+        CAST(COUNT(*) AS BIGINT) AS n_bins,
+        SUM((p - q) * ln(p / q)) > 0.1 AS drift_flag
+      FROM pb"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01, psi01)
 }

@@ -748,9 +748,14 @@ object Dedup {
     * buckets in BOTH engines alike; the exact-Jaccard verify then
     * discards any false candidates it added).
     */
-  private def bandTable(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandTable(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandTableFromShingles(withShingles(docs).select("doc_id", "shingles"),
+      numHashes, bands)
+
+  private def bandTableFromShingles(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = withShingles(docs).select("doc_id", "shingles").withColumn("sig",
+    val sigs = sh.withColumn("sig",
       graft.functions.TextExpressions.minhash_signature(col("shingles"), numHashes))
     val bandCols = (0 until bands).map { b =>
       val bh = (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, j) =>
@@ -846,36 +851,62 @@ object Dedup {
     */
   def saveNearDupIndex(corpus: DataFrame, path: String,
       numHashes: Int = 32, bands: Int = 16): Unit = {
-    bandTable(corpus, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    withShingles(corpus).select(col("doc_id"), col("shingles"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    // geometry metadata FIRST: a probe against bands built with a
+    // different (numHashes, bands) would collide essentially at
+    // random and silently miss true near-dups — append/probe read the
+    // stored geometry instead of trusting a caller to repeat it
+    val s = corpus.sparkSession
+    import s.implicits._
+    Seq((numHashes, bands)).toDF("num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeIndexTables(corpus, path, numHashes, bands, "overwrite")
   }
 
-  /** Extend a persisted index with a new batch (append-only writes —
-    * the index never rewrites history; callers dedup batches upstream
-    * via the key-idempotent ingestion path).
+  /** Extend a persisted index with a new batch (append-only writes,
+    * under the geometry the index was SAVED with — the index never
+    * rewrites history; callers dedup batches upstream via the
+    * key-idempotent ingestion path).
     */
-  def appendNearDupIndex(batch: DataFrame, path: String,
-      numHashes: Int = 32, bands: Int = 16): Unit = {
-    bandTable(batch, numHashes, bands)
-      .write.mode("append").parquet(s"$path/bands")
-    withShingles(batch).select(col("doc_id"), col("shingles"))
-      .write.mode("append").parquet(s"$path/shingles")
+  def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
+    val (nh, b) = indexGeometry(batch.sparkSession, path)
+    writeIndexTables(batch, path, nh, b, "append")
+  }
+
+  // one shingle pass feeds BOTH writes: the band table and the
+  // shingle table share lineage from a persisted shingle set —
+  // unshared, every save/append would tokenize and shingle the corpus
+  // twice (the very pass probeCore exists to avoid repeating)
+  private def writeIndexTables(corpus: DataFrame, path: String,
+      numHashes: Int, bands: Int, mode: String): Unit = {
+    val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandTableFromShingles(sh, numHashes, bands)
+        .write.mode(mode).parquet(s"$path/bands")
+      sh.write.mode(mode).parquet(s"$path/shingles")
+    } finally { sh.unpersist(blocking = false); () }
+  }
+
+  private def indexGeometry(s: SparkSession, path: String): (Int, Int) = {
+    val m = s.read.parquet(s"$path/meta").select("num_hashes", "bands").head
+    (m.getInt(0), m.getInt(1))
   }
 
   /** Probe a batch against a PERSISTED index — identical semantics to
     * [[incrementalNearDups]] (shared kernel), with the history side
     * read from parquet instead of recomputed: per-batch cost is batch
     * signatures + the band join + candidate-reduced shingle reads,
-    * independent of how the history was accumulated.
+    * independent of how the history was accumulated. Batch signatures
+    * are computed under the geometry stored IN the index (see
+    * [[saveNearDupIndex]]) — a probe cannot silently mismatch it.
     */
   def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
-      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame =
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val (nh, b) = indexGeometry(s, path)
     probeCore(s.read.parquet(s"$path/bands"),
       s.read.parquet(s"$path/shingles"),
-      batch, threshold, numHashes, bands, maxBucket)
+      batch, threshold, nh, b, maxBucket)
+  }
 
   // Same split as dd09, but the history index is SAVED (two thirds)
   // then APPENDED (the rest) before the batch probes the loaded

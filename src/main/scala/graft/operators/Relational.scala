@@ -1448,11 +1448,11 @@ object Relational {
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
         .agg(
-          (sum(when(col("supp_nation") === "NATION_7",
+          (dsum(when(col("supp_nation") === "NATION_7",
             m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
-            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
-            sum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
-              .cast("double")).as("mkt_share"))
+            .otherwise(lit(0).cast("decimal(12,2)"))) /
+            dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount")))))
+            .as("mkt_share"))
         .orderBy("o_year")
     },
     Some("""WITH asia_cust AS (

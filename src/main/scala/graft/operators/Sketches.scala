@@ -175,39 +175,54 @@ object Sketches {
                   FROM $table WHERE $key IS NOT NULL))
           GROUP BY reg))"""
 
-  /** (reg, max_rho) register maxima of `key`'s md5-hash stream — the
-    * shared build stage of [[hllEstimate]] and the hll02 mergeability
-    * proof (ONE copy, so a change to the hash family or register width
-    * cannot silently make the proof test a different sketch).
+  /** ((grp...,) reg, max_rho) register maxima of `key`'s md5-hash
+    * stream, optionally keyed per group — the SINGLE copy of the hash
+    * family and register build shared by [[hllEstimate]] (global,
+    * grp = Nil), [[hllEstimateBy]] (grouped), and the hll02
+    * mergeability proof, so a change to the hash family or register
+    * width cannot silently make any of them a different sketch.
     */
-  private def hllRegisters(fact: DataFrame, key: String): DataFrame = {
+  private def hllRegisters(fact: DataFrame, key: String,
+      grp: Seq[String] = Nil): DataFrame = {
     val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    val g = grp.map(col)
     fact.filter(col(key).isNotNull)
-      .select(h.as("h")).distinct()
-      .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
-        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
-      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+      .select(g :+ h.as("h"): _*).distinct()
+      .select(g ++ Seq((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho")): _*)
+      .groupBy(g :+ col("reg"): _*).agg(max(col("rho")).as("max_rho"))
   }
 
-  def hllEstimate(fact: DataFrame, key: String, label: String): DataFrame = {
-    val regs = hllRegisters(fact, key)
-    val exact = fact.agg(count_distinct(col(key)).as("n_exact"))
-    regs.crossJoin(broadcast(exact))
-      .agg(max(col("n_exact")).as("n_exact"),
+  /** Shared estimator over register maxima (one copy of the raw /
+    * zeros / linear-counting arithmetic, whatever the grouping). */
+  private def hllCore(fact: DataFrame, key: String, grp: Seq[String]): DataFrame = {
+    val g = grp.map(col)
+    val exact = fact.groupBy(g: _*).agg(count_distinct(col(key)).as("n_exact"))
+    val agg = hllRegisters(fact, key, grp).groupBy(g: _*)
+      .agg(
         (expr(AlphaSql) /
           (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
             .cast("decimal(38,0)")) +
             (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
           .as("raw"),
         (lit(HllRegs) - count(lit(1))).as("zeros"))
-      .select(lit(label).as("col_name"), col("n_exact"),
+    val joined =
+      if (grp.isEmpty) agg.crossJoin(broadcast(exact))
+      else agg.join(exact, grp)
+    joined
+      .select(g ++ Seq(col("n_exact"),
         when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
           lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
-          .otherwise(col("raw")).as("n_est"))
+          .otherwise(col("raw")).as("n_est")): _*)
       .withColumn("in_envelope",
         abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
   }
+
+  def hllEstimate(fact: DataFrame, key: String, label: String): DataFrame =
+    hllCore(fact, key, Nil)
+      .select(lit(label).as("col_name"), col("n_exact"), col("n_est"),
+        col("in_envelope"))
 
   private val hll01 = QueryDef(
     "hll01_hyperloglog",
@@ -322,35 +337,8 @@ object Sketches {
     * linear-counting correction as hll01 — just GROUP BY'd; the exact
     * per-group distinct joins in for the envelope check.
     */
-  private def hllRegistersBy(fact: DataFrame, grp: String, key: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
-      .cast("binary")), 1, 8), 16, 10).cast("bigint")
-    fact.filter(col(key).isNotNull)
-      .select(col(grp), h.as("h")).distinct()
-      .select(col(grp), (col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
-        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
-      .groupBy(col(grp), col("reg")).agg(max(col("rho")).as("max_rho"))
-  }
-
-  def hllEstimateBy(fact: DataFrame, grp: String, key: String): DataFrame = {
-    val regs = hllRegistersBy(fact, grp, key)
-    val exact = fact.groupBy(col(grp)).agg(count_distinct(col(key)).as("n_exact"))
-    regs.groupBy(col(grp))
-      .agg(
-        (expr(AlphaSql) /
-          (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
-            .cast("decimal(38,0)")) +
-            (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
-          .as("raw"),
-        (lit(HllRegs) - count(lit(1))).as("zeros"))
-      .join(exact, grp)
-      .select(col(grp), col("n_exact"),
-        when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
-          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
-          .otherwise(col("raw")).as("n_est"))
-      .withColumn("in_envelope",
-        abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
-  }
+  def hllEstimateBy(fact: DataFrame, grp: String, key: String): DataFrame =
+    hllCore(fact, key, Seq(grp))
 
   private val hll03 = QueryDef(
     "hll03_grouped_hll",

@@ -351,6 +351,16 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(inline.nonEmpty, "planted near-dup must be found")
     assert(loaded == inline, s"persisted-index probe diverged: $loaded vs $inline")
+    // geometry is stored IN the index: a non-default save must make the
+    // probe compute batch signatures under the saved geometry, matching
+    // the in-line probe at that geometry (not the defaults)
+    val path2 = java.nio.file.Files.createTempDirectory("dd16geo").toString
+    Dedup.saveNearDupIndex(hist, path2, numHashes = 16, bands = 8)
+    val loaded2 = Dedup.probeNearDupIndex(spark, path2, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline2 = Dedup.incrementalNearDups(hist, batch, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(loaded2 == inline2, "probe must follow the index's stored geometry")
   }
 
   test("dd15: size filter is lossless pruning (same output with it off)") {

@@ -36,6 +36,23 @@ object Fuzzy {
         transform(sequence(lit(1), length(c)), i =>
           concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i)))))
 
+  /** Deletion neighborhood of depth 2: the string, every 1-deletion,
+    * and every 2-deletion (delete positions i < j — three substring
+    * concats per pair; ~1 + L + L(L−1)/2 distinct entries). The FastSS
+    * theorem (Bocek et al. 2007) gives losslessness: lev(a, b) ≤ 2
+    * implies the depth-2 neighborhoods intersect.
+    */
+  def deletionVariants2(c: Column): Column =
+    when(length(c) <= 1, deletionVariants(c)).otherwise(
+      array_union(
+        deletionVariants(c),
+        array_distinct(flatten(
+          transform(sequence(lit(1), length(c) - 1), i =>
+            transform(sequence(i + 1, length(c)), j =>
+              concat(c.substr(lit(1), i - 1),
+                c.substr(i + 1, j - i - 1),
+                c.substr(j + 1, length(c) - j))))))))
+
   /** All pairs (id_a < id_b) whose keys are within edit distance
     * `maxDist` (≤ 1 for lossless blocking), via deletion-neighborhood
     * candidates + exact levenshtein verify.
@@ -59,11 +76,25 @@ object Fuzzy {
     *    shuffling their keys again.
     */
   def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
-      maxDist: Int = 1): DataFrame = {
-    require(maxDist <= 1,
-      s"deletion-neighborhood blocking is lossless only for maxDist <= 1, got $maxDist")
-    val v = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-      .withColumn("vh", explode(transform(deletionVariants(col("k")), x => xxhash64(x))))
+      maxDist: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion-neighborhood blocking supports maxDist 1 or 2 (FastSS theorem), got $maxDist")
+    val variants =
+      if (maxDist == 1) deletionVariants(col("k")) else deletionVariants2(col("k"))
+    val v0 = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .withColumn("vh", explode(transform(variants, x => xxhash64(x))))
+    // Optional degenerate-bucket guard (the dd02 maxBucket idiom): on
+    // LOW-ENTROPY keys — sequential zero-padded ids are the worst
+    // case — a depth-2 variant can collide across thousands of keys
+    // and the candidate join goes quadratic in the bucket. Capping
+    // drops those buckets (documented recall trade: a true pair ALL
+    // of whose shared variants are boilerplate is missed). The
+    // default keeps the join exact.
+    val v =
+      if (maxBucket == Int.MaxValue) v0
+      else v0.withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
+        .filter(col("_n") <= maxBucket).drop("_n")
     val a = v.select(col("id").as("id_a"), col("k").as("k_a"), col("vh"))
     val b = v.select(col("id").as("id_b"), col("k").as("k_b"), col("vh"))
     a.join(b, Seq("vh"))
@@ -94,5 +125,27 @@ object Fuzzy {
       ORDER BY id_a, id_b"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(fz01)
+  // Edit-distance-2 twin on a bounded slice: the synthetic customer
+  // names are sequential zero-padded numbers — the ADVERSARIAL case
+  // for deletion blocking (a depth-2 variant of a 5-digit suffix
+  // matches every number containing that 3-digit subsequence, so
+  // full-corpus buckets go quadratic; real name/address keys carry far
+  // more entropy). The declared query therefore runs the exact,
+  // uncapped join on c_custkey < 1000 against the naive quadratic
+  // oracle — losslessness at distance 2 is the claim being checked —
+  // while production use on low-entropy keys reaches for maxBucket.
+  private val fz02 = QueryDef(
+    "fz02_fuzzy_join_dist2",
+    (s, dir) => fuzzyPairs(
+      Tables(s, dir).customer.filter(col("c_custkey") < 1000),
+      "c_name", "c_custkey", maxDist = 2),
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        levenshtein(a.c_name, b.c_name) AS lev
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE a.c_custkey < 1000 AND b.c_custkey < 1000
+        AND levenshtein(a.c_name, b.c_name) <= 2
+      ORDER BY id_a, id_b"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(fz01, fz02)
 }

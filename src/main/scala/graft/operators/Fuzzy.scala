@@ -131,18 +131,18 @@ object Fuzzy {
   // matches every number containing that 3-digit subsequence, so
   // full-corpus buckets go quadratic; real name/address keys carry far
   // more entropy). The declared query therefore runs the exact,
-  // uncapped join on c_custkey < 1000 against the naive quadratic
+  // uncapped join on c_custkey < 400 against the naive quadratic
   // oracle — losslessness at distance 2 is the claim being checked —
   // while production use on low-entropy keys reaches for maxBucket.
   private val fz02 = QueryDef(
     "fz02_fuzzy_join_dist2",
     (s, dir) => fuzzyPairs(
-      Tables(s, dir).customer.filter(col("c_custkey") < 1000),
+      Tables(s, dir).customer.filter(col("c_custkey") < 400),
       "c_name", "c_custkey", maxDist = 2),
     Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         levenshtein(a.c_name, b.c_name) AS lev
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-      WHERE a.c_custkey < 1000 AND b.c_custkey < 1000
+      WHERE a.c_custkey < 400 AND b.c_custkey < 400
         AND levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY id_a, id_b"""),
   )

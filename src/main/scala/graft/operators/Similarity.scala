@@ -743,16 +743,21 @@ object Similarity {
     * 4 surviving draws in draw order. Every step is md5-derived, so
     * the sample is reproducible across runs, retries, and engines.
     *
-    * The exclusion set is [[Dedup.prefixFilterPairs]] — the EXACT
-    * set-similarity join, so the guarantee is "no negative has Jaccard
-    * ≥ 0.5 with its anchor", not an LSH approximation of it.
+    * The exclusion is EXACT Jaccard, verified DIRECTLY on each drawn
+    * (anchor, candidate) pair — so the guarantee is "no negative has
+    * Jaccard ≥ 0.5 with its anchor", with cost proportional to the
+    * DRAWN pairs (10·n, bounded by construction), not to a corpus-wide
+    * similarity join: the draw set already names exactly the pairs
+    * whose similarity matters. (The spec cross-checks the surviving
+    * set against [[Dedup.prefixFilterPairs]]' global exact pair list.)
     *
     * 100 TB shape: draws are map-side (explode 10 per anchor); the
     * position lookup is one equi-join on the position key (positions
     * come from the [[Sharded]] hierarchical rank, never a global
-    * row_number); the near-dup exclusion is an anti-join on the pair
-    * key; the per-anchor keep-first-4 is a window partitioned by
-    * anchor. n (corpus size) is the only broadcast scalar.
+    * row_number); the exclusion is two doc-keyed shingle joins + one
+    * exact Jaccard per drawn pair; the per-anchor keep-first-4 is a
+    * window partitioned by anchor. n (corpus size) is the only
+    * broadcast scalar.
     */
   private val neg01 = QueryDef(
     "neg01_negative_mining",
@@ -777,12 +782,19 @@ object Similarity {
       val cands = draws
         .join(pos.select(col("pos").as("cand_pos"), col("doc_id").as("neg_id")), "cand_pos")
         .filter(col("neg_id") =!= col("anchor_id"))
-      // symmetric near-dup edges from the exact prefix-filter join
-      val dup = Dedup.prefixFilterPairs(Tables(s, dir).documents)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = dup.select(col("doc_a").as("anchor_id"), col("doc_b").as("neg_id"))
-        .unionByName(dup.select(col("doc_b").as("anchor_id"), col("doc_a").as("neg_id")))
-      val clean = cands.join(edges, Seq("anchor_id", "neg_id"), "left_anti")
+      // exact-Jaccard exclusion verified per DRAWN pair (10·n pairs,
+      // bounded) — not a corpus-wide similarity join. The shingle
+      // table feeds BOTH pair legs; localCheckpoint materializes the
+      // one tokenize+shingle pass so the second join reuses it
+      // instead of re-shingling the corpus.
+      val sh = Dedup.withShingles(Tables(s, dir).documents)
+        .select(col("doc_id"), col("shingles"))
+        .localCheckpoint(true)
+      val clean = cands
+        .join(sh.select(col("doc_id").as("anchor_id"), col("shingles").as("sa")), "anchor_id")
+        .join(sh.select(col("doc_id").as("neg_id"), col("shingles").as("sb")), "neg_id")
+        .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))) < 0.5)
         // two draws can hit the same doc: keep the earliest draw
         .groupBy("anchor_id", "neg_id").agg(min(col("j")).as("j"))
       val wA = Window.partitionBy(col("anchor_id")).orderBy(col("j"), col("neg_id"))
@@ -803,25 +815,12 @@ object Similarity {
         WHERE p.doc_id <> draws.anchor_id),
       t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
       g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
-      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
-      df AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh),
-      r2 AS (SELECT e.doc_id, e.sh,
-          ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.sh) AS rn,
-          COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
-        FROM e JOIN df USING (sh)),
-      p2 AS (SELECT doc_id, sh, sz FROM r2 WHERE rn <= sz - (sz + 1) // 2 + 1),
-      cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM p2 a JOIN p2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz),
-      dup AS (SELECT c.doc_a, c.doc_b FROM cp c
-        JOIN g ga ON ga.doc_id = c.doc_a JOIN g gb ON gb.doc_id = c.doc_b
+      clean AS (SELECT anchor_id, neg_id, MIN(j) AS j
+        FROM cand
+        JOIN g ga ON ga.doc_id = cand.anchor_id
+        JOIN g gb ON gb.doc_id = cand.neg_id
         WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
-          len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5),
-      edges AS (SELECT doc_a AS anchor_id, doc_b AS neg_id FROM dup
-        UNION ALL SELECT doc_b, doc_a FROM dup),
-      clean AS (SELECT anchor_id, neg_id, MIN(j) AS j FROM cand
-        WHERE NOT EXISTS (SELECT 1 FROM edges x
-          WHERE x.anchor_id = cand.anchor_id AND x.neg_id = cand.neg_id)
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) < 0.5
         GROUP BY anchor_id, neg_id),
       rk AS (SELECT anchor_id, neg_id, j,
           CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY j, neg_id)

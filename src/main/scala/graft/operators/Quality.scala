@@ -664,10 +664,14 @@ object Quality {
     * distance is the Earth Mover's Distance, which over ordered bins is
     * the mean absolute difference of the two CDFs.
     *
-    * Determinism: the EMD numerator is computed over a COMMON
-    * denominator — sum_b |cum_gb*n - cum_b*n_g| is exact BIGINT
-    * arithmetic (≤ 15k*15k*11 ≈ 2.5e9 at sf0.01) — and only the final
-    * normalization by n_g*n*(bins-1) is one IEEE division.
+    * Determinism: ALL arithmetic is exact integer. The EMD numerator
+    * sum_b |cum_gb*n - cum_b*n_g| is exact in DECIMAL(38,0) (HUGEINT on
+    * the oracle — DuckDB's DECIMAL(38,0)*BIGINT would widen past 38
+    * digits and fall back to inexact DOUBLE products, which is exactly
+    * how the round-6 version diverged in the last bit); the reported
+    * `t_emd_micro` is (10^6 · numerator) div (n_g·n·(bins−1)) — an
+    * integer division with no IEEE step anywhere, so both engines hash
+    * identical BIGINTs (the qf03/ks01 scaled-integer idiom).
     *
     * Scale shape: one map-side-combined aggregation over the join
     * produces the (group × band) counts; the dense group×band grid, the
@@ -699,20 +703,21 @@ object Quality {
       .na.fill(0L, Seq("n_gb"))
       .withColumn("cum_gb", sum(col("n_gb")).over(wg))
     // overflow guard: cum*n products reach n_g*n ≈ 1e19 at
-    // multi-billion-row corpora, past Long.MaxValue — compute the EMD
-    // numerator in DECIMAL(38,0) (exact) and the denominator in double
-    // (n_g, n < 2^53 so the casts are exact; one literal-order IEEE
-    // multiply chain, identical in the oracle)
+    // multi-billion-row corpora, past Long.MaxValue — the EMD numerator
+    // stays exact in DECIMAL(38,0), and the ×10^6 scaling (+7 digits)
+    // still fits: a 10^12-row corpus puts the scaled numerator near
+    // 10^12·10^12·10^6 = 10^30 < 10^38
     grid.crossJoin(broadcast(totals))
       .groupBy(gCols: _*)
       .agg(max(col("n_g")).as("n"),
-        (sum(abs(col("cum_gb").cast("decimal(38,0)") * col("n") -
-            col("cum_b").cast("decimal(38,0)") * col("n_g")))
-          .cast("double") /
-          (max(col("n_g")).cast("double") * max(col("n")) *
-            (max(col("n_bins")) - lit(1L)))
-          ).as("t_emd"))
-      .withColumn("at_risk", col("t_emd") > threshold)
+        sum(abs(col("cum_gb").cast("decimal(38,0)") * col("n") -
+            col("cum_b").cast("decimal(38,0)") * col("n_g"))).as("emd_num"),
+        (max(col("n_g")).cast("decimal(38,0)") * max(col("n")) *
+          (max(col("n_bins")) - lit(1L))).as("emd_den"))
+      .withColumn("t_emd_micro",
+        expr("CAST((emd_num * CAST(1000000 AS DECIMAL(38,0))) div emd_den AS BIGINT)"))
+      .withColumn("at_risk", col("t_emd_micro") > lit(math.round(threshold * 1e6)))
+      .select(gCols ++ Seq(col("n"), col("t_emd_micro"), col("at_risk")): _*)
       .orderBy(gCols: _*)
   }
 
@@ -742,17 +747,17 @@ object Quality {
             ORDER BY b.band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gb
         FROM groups_ g CROSS JOIN bands b
         LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
-          AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band)
-      SELECT grid.c_nationkey, grid.c_mktsegment, MAX(n_g) AS n,
-        CAST(SUM(abs(CAST(cum_gb AS DECIMAL(38,0)) * totals.n
-            - CAST(cum_b AS DECIMAL(38,0)) * n_g)) AS DOUBLE) /
-          (CAST(MAX(n_g) AS DOUBLE) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) AS t_emd,
-        CAST(SUM(abs(CAST(cum_gb AS DECIMAL(38,0)) * totals.n
-            - CAST(cum_b AS DECIMAL(38,0)) * n_g)) AS DOUBLE) /
-          (CAST(MAX(n_g) AS DOUBLE) * MAX(totals.n) * (MAX(totals.n_bins) - 1)) > 0.2 AS at_risk
-      FROM grid CROSS JOIN totals
-      GROUP BY grid.c_nationkey, grid.c_mktsegment
-      ORDER BY grid.c_nationkey, grid.c_mktsegment"""),
+          AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band),
+      emd AS (SELECT grid.c_nationkey, grid.c_mktsegment, MAX(n_g) AS n,
+          CAST((SUM(abs(CAST(cum_gb AS HUGEINT) * totals.n
+              - CAST(cum_b AS HUGEINT) * n_g)) * 1000000)
+            // (CAST(MAX(n_g) AS HUGEINT) * MAX(totals.n) * (MAX(totals.n_bins) - 1))
+            AS BIGINT) AS t_emd_micro
+        FROM grid CROSS JOIN totals
+        GROUP BY grid.c_nationkey, grid.c_mktsegment)
+      SELECT c_nationkey, c_mktsegment, n, t_emd_micro,
+        t_emd_micro > 200000 AS at_risk
+      FROM emd ORDER BY c_nationkey, c_mktsegment"""),
   )
 
   // -------------------------------------------------------------- gov01

@@ -185,15 +185,16 @@ class QualityFilterSpec extends SparkSpec {
     val mirrored = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
       ("b", 0L), ("b", 0L), ("b", 1L), ("b", 1L)).toDF("g", "band")
     val m = Quality.tCloseness(mirrored, Seq("g")).collect()
-      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(m("a") == ((0.0, false)) && m("b") == ((0.0, false)), m.toString)
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(m("a") == ((0L, false)) && m("b") == ((0L, false)), m.toString)
     // each group fully concentrated in one band vs a 50/50 global:
     // |cum_g*n - cum*n_g| at band0 = |4*8 - 4*4| = 16, over n_g*n*(b-1)=32
+    // -> EMD 0.5 -> 500000 micro
     val polarized = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 0L),
       ("b", 1L), ("b", 1L), ("b", 1L), ("b", 1L)).toDF("g", "band")
     val p = Quality.tCloseness(polarized, Seq("g")).collect()
-      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(p("a") == ((0.5, true)) && p("b") == ((0.5, true)), p.toString)
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(p("a") == ((500000L, true)) && p("b") == ((500000L, true)), p.toString)
   }
 
   test("dq09: Benford expectations sum to 1 and the generated prices fail the law") {

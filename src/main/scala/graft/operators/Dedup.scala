@@ -548,7 +548,7 @@ object Dedup {
     * reliable checkpoints survive executor loss at the cost of a
     * distributed-FS write per round.
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 10,
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 50,
       reliable: Boolean = false, driverThreshold: Long = 500000L): DataFrame = {
     if (reliable) require(
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,

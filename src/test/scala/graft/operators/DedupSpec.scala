@@ -120,6 +120,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("clusterPairs default maxIters converges a slow chain; wrappers share one map") {
+    import spark.implicits._
+    // a 2048-node chain is the worst case for label propagation: plain
+    // hook would need ~2047 rounds and even hook+jump needs ~log2(n)
+    // rounds — the old maxIters=10 primitive default sat right at the
+    // edge while its wrappers used 50. Defaults are now shared, and the
+    // distributed path at the shared default must fully converge.
+    val n = 2048L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val dist = Dedup.clusterPairs(pairs, driverThreshold = 0L).collect()
+    assert(dist.length == n && dist.forall(_.getLong(1) == 0L),
+      s"default maxIters left ${dist.count(_.getLong(1) != 0L)} nodes unconverged")
+    // retainCanonical and leakageSafeSplit at THEIR defaults must see
+    // the same single component: one survivor, one split label
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id")).as("text"))
+    val kept = Dedup.retainCanonical(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L), s"one canonical doc expected, got $kept")
+    val splits = Dedup.leakageSafeSplit(docs, pairs)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(splits.length == 1, s"one component must get one split label, got $splits")
+  }
+
   test("clusterPairs: both physical strategies match BFS ground truth on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -844,13 +844,24 @@ object Dedup {
     * [[incrementalNearDups]]'s contract describes, as code: subsequent
     * batches probe the LOADED index ([[probeNearDupIndex]]) and extend
     * it ([[appendNearDupIndex]]) without ever recomputing a history
-    * signature. Layout: `bands/` is (doc_id, band, bh) — the probe
-    * side of the candidate equi-join; `shingles/` is
-    * (doc_id, shingles) — the verify side, read semi-join-reduced to
-    * candidate docs only.
+    * signature. Layout: each save/append lands as ONE batch directory
+    * `batches/b<N>/{bands,shingles}` sealed by a `_COMMITTED` marker —
+    * `bands/` is (doc_id, band, bh), the probe side of the candidate
+    * equi-join; `shingles/` is (doc_id, shingles), the verify side,
+    * read semi-join-reduced to candidate docs only. The marker is the
+    * commit point: readers ignore markerless dirs and a retried append
+    * always writes a FRESH batch dir, so a crash mid-append can never
+    * leave the index half-updated (bands without shingles would
+    * silently drop verified pairs) nor a retry duplicate rows (inflated
+    * bucket counts would push buckets over maxBucket) — a poor-man's
+    * transaction log, the same idea a table format's manifest commit
+    * makes atomic on object storage.
     */
   def saveNearDupIndex(corpus: DataFrame, path: String,
       numHashes: Int = 32, bands: Int = 16): Unit = {
+    // a save REPLACES any index at path: clear stale batches first so
+    // an old committed batch cannot leak into the new index
+    deleteRecursively(new java.io.File(s"$path/batches"))
     // geometry metadata FIRST: a probe against bands built with a
     // different (numHashes, bands) would collide essentially at
     // random and silently miss true near-dups — append/probe read the
@@ -859,32 +870,52 @@ object Dedup {
     import s.implicits._
     Seq((numHashes, bands)).toDF("num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    writeIndexTables(corpus, path, numHashes, bands, "overwrite")
+    commitIndexBatch(corpus, path, numHashes, bands)
   }
 
-  /** Extend a persisted index with a new batch (append-only writes,
+  /** Extend a persisted index with a new batch (append-only commits,
     * under the geometry the index was SAVED with — the index never
     * rewrites history; callers dedup batches upstream via the
-    * key-idempotent ingestion path).
+    * key-idempotent ingestion path). Safe to retry: a failed attempt
+    * leaves only an uncommitted dir readers never see.
     */
   def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
     val (nh, b) = indexGeometry(batch.sparkSession, path)
-    writeIndexTables(batch, path, nh, b, "append")
+    commitIndexBatch(batch, path, nh, b)
   }
 
   // one shingle pass feeds BOTH writes: the band table and the
   // shingle table share lineage from a persisted shingle set —
   // unshared, every save/append would tokenize and shingle the corpus
   // twice (the very pass probeCore exists to avoid repeating)
-  private def writeIndexTables(corpus: DataFrame, path: String,
-      numHashes: Int, bands: Int, mode: String): Unit = {
+  private def commitIndexBatch(corpus: DataFrame, path: String,
+      numHashes: Int, bands: Int): Unit = {
+    val root = new java.io.File(s"$path/batches")
+    root.mkdirs()
+    // next id is one past the highest EXISTING dir, committed or not:
+    // an abandoned attempt's id is never reused, so its partial files
+    // can never be mistaken for this batch's
+    val ids = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("b").toLongOption)
+    val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bandTableFromShingles(sh, numHashes, bands)
-        .write.mode(mode).parquet(s"$path/bands")
-      sh.write.mode(mode).parquet(s"$path/shingles")
+        .write.mode("overwrite").parquet(s"$bdir/bands")
+      sh.write.mode("overwrite").parquet(s"$bdir/shingles")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$bdir/_COMMITTED"))
+      ()
     } finally { sh.unpersist(blocking = false); () }
+  }
+
+  private def committedBatchDirs(path: String): Seq[String] = {
+    val dirs = Option(new java.io.File(s"$path/batches").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
+      .map(_.toString).toSeq.sorted
+    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+    dirs
   }
 
   private def indexGeometry(s: SparkSession, path: String): (Int, Int) = {
@@ -903,8 +934,9 @@ object Dedup {
   def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val (nh, b) = indexGeometry(s, path)
-    probeCore(s.read.parquet(s"$path/bands"),
-      s.read.parquet(s"$path/shingles"),
+    val dirs = committedBatchDirs(path)
+    probeCore(s.read.parquet(dirs.map(_ + "/bands"): _*),
+      s.read.parquet(dirs.map(_ + "/shingles"): _*),
       batch, threshold, nh, b, maxBucket)
   }
 

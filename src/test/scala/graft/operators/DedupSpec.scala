@@ -369,23 +369,66 @@ class DedupSpec extends SparkSpec {
     val inline = Dedup.incrementalNearDups(hist, batch).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val path = java.nio.file.Files.createTempDirectory("dd16spec").toString
-    // build the index in two installments: save one doc, append the rest
-    Dedup.saveNearDupIndex(hist.filter(col("doc_id") === 0L), path)
-    Dedup.appendNearDupIndex(hist.filter(col("doc_id") =!= 0L), path)
-    val loaded = Dedup.probeNearDupIndex(spark, path, batch).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(inline.nonEmpty, "planted near-dup must be found")
-    assert(loaded == inline, s"persisted-index probe diverged: $loaded vs $inline")
-    // geometry is stored IN the index: a non-default save must make the
-    // probe compute batch signatures under the saved geometry, matching
-    // the in-line probe at that geometry (not the defaults)
     val path2 = java.nio.file.Files.createTempDirectory("dd16geo").toString
-    Dedup.saveNearDupIndex(hist, path2, numHashes = 16, bands = 8)
-    val loaded2 = Dedup.probeNearDupIndex(spark, path2, batch).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val inline2 = Dedup.incrementalNearDups(hist, batch, numHashes = 16, bands = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(loaded2 == inline2, "probe must follow the index's stored geometry")
+    try {
+      // build the index in two installments: save one doc, append the rest
+      Dedup.saveNearDupIndex(hist.filter(col("doc_id") === 0L), path)
+      Dedup.appendNearDupIndex(hist.filter(col("doc_id") =!= 0L), path)
+      val loaded = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(inline.nonEmpty, "planted near-dup must be found")
+      assert(loaded == inline, s"persisted-index probe diverged: $loaded vs $inline")
+      // geometry is stored IN the index: a non-default save must make the
+      // probe compute batch signatures under the saved geometry, matching
+      // the in-line probe at that geometry (not the defaults)
+      Dedup.saveNearDupIndex(hist, path2, numHashes = 16, bands = 8)
+      val loaded2 = Dedup.probeNearDupIndex(spark, path2, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val inline2 = Dedup.incrementalNearDups(hist, batch, numHashes = 16, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(loaded2 == inline2, "probe must follow the index's stored geometry")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path)); rm(new java.io.File(path2))
+    }
+  }
+
+  test("dd16: a failed append is invisible and its retry is idempotent") {
+    val hist = Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val late = Seq((1L, nearDup)).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dd16retry").toString
+    try {
+      Dedup.saveNearDupIndex(hist, path)
+      // simulate a crash mid-append: a batch dir with bands but no
+      // shingles and NO commit marker — readers must ignore it
+      // (half-visible bands would emit candidates that silently drop
+      // at the shingle verify join)
+      val dead = new java.io.File(s"$path/batches/b1/bands")
+      dead.mkdirs()
+      val beforeRetry = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(beforeRetry == Seq((10L, 0L)),
+        s"uncommitted batch leaked into the probe: $beforeRetry")
+      // the retried append lands in a fresh committed dir; the probe
+      // now sees history + late exactly once (no duplicated rows)
+      Dedup.appendNearDupIndex(late, path)
+      val after = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val inline = Dedup.incrementalNearDups(hist.union(late), batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(after == inline && after.toSet == Set((10L, 0L), (10L, 1L)),
+        s"retried append diverged: $after vs $inline")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
   }
 
   test("dd15: size filter is lossless pruning (same output with it off)") {

@@ -325,13 +325,19 @@ object Drift {
       val mm = o.filter(col("early"))
         .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
         .withColumn("width", (col("hi") - col("lo")) / lit(10.0))
-      val binned = o.crossJoin(broadcast(mm))
+      val observed = o.crossJoin(broadcast(mm))
         .withColumn("bin",
           greatest(least(floor((col("x") - col("lo")) / col("width")), lit(9L)), lit(0L))
             .cast("bigint"))
         .groupBy("bin")
         .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ce"),
           sum(when(col("early"), 0L).otherwise(1L)).as("cl"))
+      // fixed 0..9 spine: a bin empty in BOTH cohorts still contributes
+      // its smoothed term (without it sum(p) < 1 and n_bins < 10 —
+      // deviating from standard fixed-10-bin smoothed PSI)
+      val binned = s.range(10).select(col("id").as("bin"))
+        .join(observed, Seq("bin"), "left")
+        .na.fill(0L, Seq("ce", "cl"))
       val tot = binned.agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
       val perBin = binned.crossJoin(broadcast(tot))
         .withColumn("p", (col("ce") + 1L).cast("double") / (col("ne") + 10L).cast("double"))
@@ -345,10 +351,12 @@ object Drift {
           o_orderdate < TIMESTAMP '$SplitTs' AS early FROM orders),
       mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
           (MAX(x) - MIN(x)) / 10.0 AS width FROM o WHERE early),
-      b AS (SELECT GREATEST(LEAST(FLOOR((x - lo) / width), 9), 0) AS bin,
+      b0 AS (SELECT CAST(GREATEST(LEAST(FLOOR((x - lo) / width), 9), 0) AS BIGINT) AS bin,
           SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ce,
           SUM(CASE WHEN early THEN 0 ELSE 1 END) AS cl
         FROM o CROSS JOIN mm GROUP BY 1),
+      b AS (SELECT s.bin, COALESCE(ce, 0) AS ce, COALESCE(cl, 0) AS cl
+        FROM (SELECT range AS bin FROM range(10)) s LEFT JOIN b0 ON b0.bin = s.bin),
       t AS (SELECT SUM(ce) AS ne, SUM(cl) AS nl FROM b),
       pb AS (SELECT
           CAST(ce + 1 AS DOUBLE) / CAST(ne + 10 AS DOUBLE) AS p,

@@ -486,10 +486,11 @@ object Ingestion {
     * re-ingest that the upsert's anti-join deduplicates; under no
     * interleaving is a file skipped before all its rows are visible.
     *
-    * Scale notes: the manifest is file-count sized (same order as the
-    * directory listing the resume must do anyway); skip decisions are
-    * one tiny-table collect, never a fact scan. This is the batch twin
-    * of StreamingIngest's checkpointed file-source resume.
+    * Scale notes: the skip decision is a listing-vs-manifest anti-join
+    * — the all-history manifest is never collected; only the PENDING
+    * file names reach the driver, and they must anyway (they become the
+    * ingest include patterns). This is the batch twin of
+    * StreamingIngest's checkpointed file-source resume.
     */
   def resumeJsonlBackfill(s: org.apache.spark.sql.SparkSession, landingDir: String,
       table: String, keys: Seq[String]): Long = {
@@ -498,12 +499,18 @@ object Ingestion {
       recursive = true, Nil, graft.ingest.FileScanner.DefaultIgnorePatterns,
       s.sparkContext.hadoopConfiguration)("json")
       .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
-    val completed: Set[String] =
-      if (graft.sink.Sinks.tableExists(s, manifest))
-        s.table(manifest).select("file").collect().map(_.getString(0)).toSet
-      else Set.empty
-    val pending = all.map(f => f.substring(f.lastIndexOf('/') + 1))
-      .filterNot(completed).sorted
+    // skip decision is an ANTI-JOIN against the manifest table, never a
+    // manifest collect: across many resumes the manifest accumulates
+    // every file ever landed (millions at a 100 TB landing zone), while
+    // the pending collect below is bounded by THIS run's unlanded batch
+    // — which must reach the driver anyway as ingest include patterns.
+    import s.implicits._
+    val names = all.map(f => f.substring(f.lastIndexOf('/') + 1)).toDF("file")
+    val pending =
+      (if (graft.sink.Sinks.tableExists(s, manifest))
+        names.join(s.table(manifest).select("file"), Seq("file"), "left_anti")
+      else names)
+        .collect().map(_.getString(0)).toSeq.sorted
     if (pending.isEmpty) 0L
     else {
       val res = JsonIngestor.ingestJsonl(s, landingDir, includePatterns = pending)
@@ -514,7 +521,6 @@ object Ingestion {
         } else graft.sink.Sinks.upsertTable(s, table, res.data, keys)
       // manifest AFTER the data commit (the ordering the correctness
       // argument above rests on)
-      import s.implicits._
       graft.sink.Sinks.saveTable(pending.toDF("file"), manifest)
       added
     }
@@ -677,12 +683,20 @@ object Ingestion {
     * retired copy): non-atomic — readers can briefly see no table —
     * but never destructive, since at every step either the old or the
     * new version exists on disk; a transactional catalog/table format
-    * makes the same swap atomic with an identical call shape. The
+    * makes the same swap atomic with an identical call shape. On entry
+    * the call self-heals the one crash window the ordering leaves (only
+    * `<table>_retired` on disk) by renaming the retired copy back. The
     * audit is ONE aggregation over the staged scan.
     */
   def writeAuditPublish(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, table: String, keyCol: String): Boolean = {
     val staging = table + "_staging"
+    // self-healing recovery for the documented non-atomic swap window:
+    // a crash between 'RENAME TO _retired' and 'RENAME _staging TO
+    // table' leaves only the retired copy — restore it on entry so
+    // readers see the last published version until this publish lands
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(table + "_retired"))
+      s.sql(s"ALTER TABLE ${table}_retired RENAME TO $table")
     s.sql(s"DROP TABLE IF EXISTS $staging")
     graft.sink.Sinks.saveTable(batch, staging)
     val a = s.table(staging).agg(

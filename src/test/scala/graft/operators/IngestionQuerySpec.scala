@@ -97,6 +97,29 @@ class IngestionQuerySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
   }
 
+  test("resumeJsonlBackfill: skip decision scales past a toy manifest") {
+    val dir = tmpDir("graft_resume_big")
+    val table = "resume_big_landed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
+    writeFile(dir, "a.jsonl", """{"id":"1","v":"x"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 1L)
+    // grow the manifest to 20k rows (a year of hourly landings): the
+    // anti-join skip must keep working — and only the pending file may
+    // land — without the manifest ever being collected
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val filler = spark.range(20000)
+      .select(concat(lit("hist_"), col("id"), lit(".jsonl")).as("file"))
+    graft.sink.Sinks.saveTable(filler, s"${table}_manifest")
+    writeFile(dir, "b.jsonl", """{"id":"2","v":"y"}""" + "\n")
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 1L)
+    assert(Ingestion.resumeJsonlBackfill(spark, dir.toString, table, Seq("id")) == 0L)
+    val landed = spark.table(table).select("id").collect().map(_.getString(0)).toSet
+    assert(landed == Set("1", "2"), landed.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
+  }
+
   test("resumeJsonlBackfill: a partially-committed file is replayed, not skipped") {
     val dir = tmpDir("graft_resume_partial")
     val table = "resume_partial_landed"
@@ -137,6 +160,28 @@ class IngestionQuerySpec extends SparkSpec {
       Seq("a", "b"))
     // staging must not linger after a rejection
     assert(!graft.sink.Sinks.tableExists(spark, table + "_staging"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("writeAuditPublish: recovers a crash-orphaned _retired copy on entry") {
+    import spark.implicits._
+    val table = "wap_recover_tbl"
+    Seq(table, s"${table}_retired", s"${table}_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // simulate the crash window: live table parked under _retired,
+    // staging already gone, published name missing
+    graft.sink.Sinks.saveTable(Seq((1L, "old")).toDF("id", "v"), s"${table}_retired")
+    // next publish must first restore the retired copy (readers see the
+    // old version if THIS audit fails), then swap in the new batch
+    assert(Ingestion.writeAuditPublish(spark, Seq((2L, "new")).toDF("id", "v"), table, "id"))
+    assert(spark.table(table).collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!graft.sink.Sinks.tableExists(spark, s"${table}_retired"))
+    // and a failing publish after recovery leaves the restored old copy live
+    Seq(table, s"${table}_retired").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.sink.Sinks.saveTable(Seq((1L, "old")).toDF("id", "v"), s"${table}_retired")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    assert(!Ingestion.writeAuditPublish(spark, dup, table, "id"))
+    assert(spark.table(table).collect().map(_.getString(1)).toSeq == Seq("old"))
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

@@ -10,38 +10,72 @@ import graft.sources.Tables
   * typed metadata; decode/feature-extract runs as a batched
   * per-partition operator.
   *
-  * The container ships no image/audio codecs, so [[FakeCodec]] is a
-  * clearly-marked deterministic STUB standing in for a real decoder
-  * (JNI/external process in production) — everything around it (binary
-  * schema, partition batching, feature-vector schema, metadata
-  * extraction) is real Spark plumbing and is what the tests exercise.
-  * The testdata has no media table, so the binary column is
-  * synthesized from document text bytes.
+  * The decoder is [[PpmCodec]] — a REAL parser for binary PPM (P6), the
+  * simplest actual image format: magic + ASCII dims/maxval header +
+  * raw RGB triples. The container ships no JPEG/audio codecs, so
+  * production swaps a heavier decoder (JNI/external process) behind
+  * the same batched `mapPartitions` shape; everything here — binary
+  * schema, header parse, pixel accumulation, typed feature schema —
+  * runs for real and is oracle-checked (mm02). The testdata has no
+  * media table, so payloads are synthesized from document text
+  * ([[syntheticPpm]]) with a formula DuckDB replays byte-for-byte.
   */
 object Multimodal {
 
-  /** STUB decoder: stands in for e.g. JPEG decode + embedding. Maps the
-    * first 8 payload bytes to floats in [0,1); deterministic.
+  /** Minimal real image codec: binary PPM "P6" (netpbm). Parses the
+    * header (magic, whitespace-separated width/height/maxval, one
+    * whitespace) and accumulates per-channel pixel sums — exact
+    * integers, so the decode is cross-engine hashable.
     */
-  object FakeCodec {
-    val FeatureDim = 8
-    def features(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatureDim)
+  object PpmCodec {
+    final case class Decoded(width: Int, height: Int, maxval: Int,
+        sumR: Long, sumG: Long, sumB: Long)
+
+    def decode(payload: Array[Byte]): Decoded = {
+      require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+        "not a binary PPM (P6) payload")
+      var pos = 2
+      def skipWs(): Unit = {
+        while (pos < payload.length && (payload(pos) == ' ' || payload(pos) == '\n' ||
+          payload(pos) == '\r' || payload(pos) == '\t')) pos += 1
+      }
+      def int(): Int = {
+        skipWs()
+        require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
+          s"malformed PPM header at byte $pos")
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val mv = int()
+      pos += 1 // exactly one whitespace byte separates header from raster
+      require(payload.length - pos >= 3 * w * h,
+        s"truncated raster: need ${3 * w * h} bytes, have ${payload.length - pos}")
+      var (sr, sg, sb) = (0L, 0L, 0L)
       var i = 0
-      while (i < FeatureDim) {
-        out(i) = ((if (i < payload.length) payload(i) & 0xFF else 0).toFloat) / 255.0f
+      while (i < w * h) {
+        sr += payload(pos + 3 * i) & 0xFF
+        sg += payload(pos + 3 * i + 1) & 0xFF
+        sb += payload(pos + 3 * i + 2) & 0xFF
         i += 1
       }
-      out
+      Decoded(w, h, mv, sr, sg, sb)
     }
   }
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class FeatureRow(doc_id: Long, n_bytes: Long, feature: Array[Float])
+  final case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, maxval: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      feature: Array[Float])
 
   /** Batched decode/feature-extract: one codec instance per partition,
     * rows streamed through it (the Scala analogue of a pandas-batched
-    * UDF — `Dataset.mapPartitions`, not a per-row UDF).
+    * UDF — `Dataset.mapPartitions`, not a per-row UDF). The feature
+    * vector is the per-channel mean scaled to [0,1] in float32: exact
+    * integer sums, ONE float division each — deterministic across
+    * engines and retries.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val ds = media.select(col("doc_id"), col("payload"))
@@ -49,13 +83,31 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition codec setup would go here (decoder init is the
       // expensive part in real pipelines)
-      it.map(r => FeatureRow(r.doc_id, r.payload.length.toLong, FakeCodec.features(r.payload)))
+      it.map { r =>
+        val d = PpmCodec.decode(r.payload)
+        val denom = (d.width * d.height * d.maxval).toFloat
+        FeatureRow(r.doc_id, r.payload.length.toLong, d.width, d.height,
+          d.maxval, d.sumR, d.sumG, d.sumB,
+          Array(d.sumR.toFloat / denom, d.sumG.toFloat / denom, d.sumB.toFloat / denom))
+      }
     }(Encoders.product[FeatureRow]).toDF()
   }
 
   /** documents.text → opaque binary payload column. */
   def syntheticMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** documents.text → a REAL 4×4 binary PPM payload: "P6\n4 4\n255\n"
+    * + 48 raster bytes taken from the ASCII hex of two text digests
+    * (48 ASCII chars = 48 bytes — no UTF-8 width ambiguity, and DuckDB
+    * rebuilds the identical raster from `md5(text) || md5('x:'||text)`).
+    */
+  def syntheticPpm(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("P6\n4 4\n255\n"),
+        substring(concat(md5(col("text").cast("binary")),
+          md5(concat(lit("x:"), col("text")).cast("binary"))), 1, 48))
+        .cast("binary").as("payload"))
 
   /** Frame sampling: keep every `stride`-th fixed-size frame of the
     * payload (the video keyframe-sampling shape). Pure expressions —
@@ -93,49 +145,56 @@ object Multimodal {
   )
 
   // -------------------------------------------------------------- mm02
-  // Stubbed decode + feature extraction; aggregate of the feature
-  // space so the output is small and deterministic.
+  // REAL decode, oracle-checked end to end (round-7 stub retirement):
+  // the P6 payloads synthesized from text digests run through the
+  // actual header parser + raster accumulation in mapPartitions, and
+  // DuckDB recomputes every integer from the same digest hex — a
+  // hash-exact certificate that the codec parses what the synthesizer
+  // wrote. The raster chars are ASCII hex digits, so each channel sum
+  // is a sum of 16 `ord()`s over known positions (r/g/b interleave at
+  // stride 3).
   private val mm02 = QueryDef(
     "mm02_feature_extract",
     (s, dir) =>
-      extractFeatures(syntheticMedia(Tables(s, dir).documents))
-        .select(col("doc_id"), col("n_bytes"),
-          round(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + x)"), 6).as("feat_sum"))
+      extractFeatures(syntheticPpm(Tables(s, dir).documents))
+        .select("doc_id", "n_bytes", "width", "height", "maxval",
+          "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id"),
-    None, // decode stub is engine-side only; ScalaTest pins the values
+    Some("""WITH d AS (SELECT doc_id,
+          substr(md5(text) || md5('x:' || text), 1, 48) AS px FROM documents)
+      SELECT doc_id, CAST(59 AS BIGINT) AS n_bytes,
+        4 AS width, 4 AS height, 255 AS maxval,
+        CAST(list_sum(list_transform(range(16),
+          i -> ord(substr(px, 3 * i + 1, 1)))) AS BIGINT) AS sum_r,
+        CAST(list_sum(list_transform(range(16),
+          i -> ord(substr(px, 3 * i + 2, 1)))) AS BIGINT) AS sum_g,
+        CAST(list_sum(list_transform(range(16),
+          i -> ord(substr(px, 3 * i + 3, 1)))) AS BIGINT) AS sum_b
+      FROM d ORDER BY doc_id"""),
   )
 
   // ------------------------------------------------------------- mm02v
-  // Oracle twin of the feature-extraction path: the stub codec is
-  // deterministic byte arithmetic (byte/255 in float32), so the full
-  // mapPartitions pipeline — binary synthesis, batched codec, typed
-  // feature schema — is verifiable element-wise against DuckDB
-  // recomputing the same bytes via hex digits. float32 division then
-  // widening to double is bit-identical in both engines.
-  private val mm02v = {
-    val duckByte = (i: Int) =>
-      s"""CAST(CAST(CASE WHEN $i < n_bytes
-         THEN (strpos('0123456789abcdef', h[${i * 2 + 1}]) - 1) * 16
-            + (strpos('0123456789abcdef', h[${i * 2 + 2}]) - 1)
-         ELSE 0 END AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS f$i"""
-    QueryDef(
-      "mm02v_feature_oracle",
-      (s, dir) => {
-        val feats = extractFeatures(syntheticMedia(Tables(s, dir).documents))
-        feats.select(
-          (Seq(col("doc_id"), col("n_bytes")) ++
-            (0 until FakeCodec.FeatureDim).map(i =>
-              element_at(col("feature"), i + 1).cast("double").as(s"f$i"))): _*)
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH d AS (SELECT doc_id,
-          octet_length(encode(text)) AS n_bytes,
-          lower(hex(encode(text))) AS h FROM documents)
-        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-          ${(0 until FakeCodec.FeatureDim).map(duckByte).mkString(",\n          ")}
-        FROM d ORDER BY doc_id"""),
-    )
-  }
+  // Float-feature twin: the typed Array[Float] feature column (channel
+  // means in [0,1]) is ALSO cross-engine exact — each element is one
+  // float32 division of an exact integer sum by 4080, bit-identical
+  // in both engines, widened to double for the dump.
+  private val mm02v = QueryDef(
+    "mm02v_feature_oracle",
+    (s, dir) =>
+      extractFeatures(syntheticPpm(Tables(s, dir).documents))
+        .select((Seq(col("doc_id"), col("n_bytes")) ++
+          (0 until 3).map(i =>
+            element_at(col("feature"), i + 1).cast("double").as(s"f$i"))): _*)
+        .orderBy("doc_id"),
+    Some(s"""WITH d AS (SELECT doc_id,
+        substr(md5(text) || md5('x:' || text), 1, 48) AS px FROM documents)
+      SELECT doc_id, CAST(59 AS BIGINT) AS n_bytes,
+        ${(0 until 3).map(c =>
+          s"""CAST(CAST(list_sum(list_transform(range(16),
+            i -> ord(substr(px, 3 * i + ${c + 1}, 1)))) AS FLOAT)
+            / CAST(4080 AS FLOAT) AS DOUBLE) AS f$c""").mkString(",\n        ")}
+      FROM d ORDER BY doc_id"""),
+  )
 
   // -------------------------------------------------------------- mm03
   // Chunk-level dedup (CDC-lite): fixed 64-char windows hashed and

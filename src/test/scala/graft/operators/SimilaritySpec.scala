@@ -87,24 +87,46 @@ class SimilaritySpec extends SparkSpec {
     assert(frames.length == 2)
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1))
     assert(frames(0).getAs[Array[Byte]]("frame").length == 16)
-    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
-    val wide = Multimodal.resizeFeature(feats, 12).collect().head.getSeq[Float](2)
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticPpm(docs))
+    val wideRow = Multimodal.resizeFeature(feats, 12).collect().head
+    val wide = wideRow.getSeq[Float](wideRow.fieldIndex("feature"))
     assert(wide.length == 12 && wide(8) == 0f && wide(11) == 0f)
-    val narrow = Multimodal.resizeFeature(feats, 3).collect().head.getSeq[Float](2)
-    assert(narrow.length == 3)
+    val narrowRow = Multimodal.resizeFeature(feats, 2).collect().head
+    val narrow = narrowRow.getSeq[Float](narrowRow.fieldIndex("feature"))
+    assert(narrow.length == 2)
   }
 
-  test("multimodal feature stub: deterministic features from payload bytes") {
+  test("PpmCodec: parses a hand-built P6 and rejects malformed payloads") {
+    // 2x1 image, channel bytes chosen distinct per channel
+    val payload = "P6\n2 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val d = Multimodal.PpmCodec.decode(payload)
+    assert(d == Multimodal.PpmCodec.Decoded(2, 1, 255, 50L, 70L, 90L), d.toString)
+    // high-bit raster bytes must read unsigned
+    val hb = "P6\n1 1\n255\n".getBytes("UTF-8") ++ Array[Byte](-1, 0, -128)
+    assert(Multimodal.PpmCodec.decode(hb) ==
+      Multimodal.PpmCodec.Decoded(1, 1, 255, 255L, 0L, 128L))
+    intercept[IllegalArgumentException](
+      Multimodal.PpmCodec.decode("P5\n1 1\n255\nxxx".getBytes("UTF-8")))
+    intercept[IllegalArgumentException](
+      Multimodal.PpmCodec.decode("P6\n2 2\n255\nshort".getBytes("UTF-8")))
+  }
+
+  test("multimodal decode: synthesized PPMs round-trip through the real codec") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
-    val out = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
+    val out = Multimodal.extractFeatures(Multimodal.syntheticPpm(docs))
       .orderBy("doc_id").collect()
-    assert(out(0).getLong(1) == 3L) // "abc" = 3 bytes
-    val f = out(0).getSeq[Float](2)
-    assert(f.length == 8)
-    assert(math.abs(f.head - 97f / 255f) < 1e-6) // 'a'
-    assert(f(3) == 0f)                           // padded
-    assert(out(1).getLong(1) == 0L)
+    assert(out.forall(_.getAs[Long]("n_bytes") == 59L)) // 11 header + 48 raster
+    assert(out.forall(r => r.getAs[Int]("width") == 4 &&
+      r.getAs[Int]("height") == 4 && r.getAs[Int]("maxval") == 255))
+    // raster = first 48 chars of md5("abc") || md5("x:abc")
+    val px = (org.apache.commons.codec.digest.DigestUtils.md5Hex("abc") +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("x:abc")).take(48)
+    val expR = (0 until 16).map(i => px(3 * i).toLong).sum
+    assert(out(0).getAs[Long]("sum_r") == expR, s"sum_r ${out(0)} vs $expR")
+    val f = out(0).getSeq[Float](out(0).fieldIndex("feature"))
+    assert(f.length == 3 && f.head == expR.toFloat / 4080f)
   }
 
   test("sq01: int8 codes in range, reconstruction error bounded by the grid") {

@@ -147,5 +147,76 @@ object Fuzzy {
       ORDER BY id_a, id_b"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(fz01, fz02)
+  // ------------------------------------------------------------- fz03
+  /** Recall eval for the CAPPED fuzzy join (the dd14 pattern): runs
+    * `fuzzyPairs(maxDist = 2, maxBucket = 50)` on the adversarial
+    * low-entropy slice and scores it against the exact uncapped join
+    * (itself oracle-proved lossless by fz02). Dropping a bucket can
+    * only REMOVE candidates, so precision is 1.0 by construction (the
+    * row proves it); recall is the measurement — exactly what the
+    * documented trade in [[fuzzyPairs]]'s maxBucket guard gives up on
+    * sequential zero-padded keys. This is the harness a pipeline
+    * reruns after retuning maxBucket, as dd14 is for LSH geometry.
+    *
+    * The oracle replays the capped detector in SQL — deletion
+    * neighborhoods, bucket counts BY VARIANT STRING (Spark buckets on
+    * xxhash64(variant); a 64-bit collision merging two buckets would
+    * flip the hash check, so the green row also certifies collision-
+    * freeness on this slice), cap, verify — against the naive
+    * quadratic truth.
+    */
+  private val fz03 = QueryDef(
+    "fz03_fuzzy_capped_recall",
+    (s, dir) => {
+      val slice = Tables(s, dir).customer.filter(col("c_custkey") < 400)
+      val truth = fuzzyPairs(slice, "c_name", "c_custkey", maxDist = 2)
+        .select("id_a", "id_b")
+      val det = fuzzyPairs(slice, "c_name", "c_custkey",
+        maxDist = 2, maxBucket = 50).select("id_a", "id_b")
+      val hit = det.join(truth, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_detected"), col("n_hit"),
+          (col("n_hit").cast("double") /
+            expr("nullif(n_detected, 0)").cast("double")).as("precision"),
+          (col("n_hit").cast("double") /
+            expr("nullif(n_true, 0)").cast("double")).as("recall"))
+    },
+    // variant lengths are bounded by the key length; range(1, 64) +
+    // an i <= len(k) filter sidesteps DuckDB's lateral-column
+    // generate_series limitation (see q51)
+    Some("""WITH keys AS (SELECT c_custkey AS id, c_name AS k
+        FROM customer WHERE c_custkey < 400),
+      v1 AS (SELECT id, k, k AS v FROM keys
+        UNION
+        SELECT id, k, substr(k, 1, i - 1) || substr(k, i + 1, len(k) - i) AS v
+        FROM keys, range(1, 64) r(i) WHERE i <= len(k)
+        UNION
+        SELECT id, k, substr(k, 1, i - 1) || substr(k, i + 1, j - i - 1)
+          || substr(k, j + 1, len(k) - j) AS v
+        FROM keys, range(1, 64) r(i), range(2, 65) r2(j)
+        WHERE i < j AND j <= len(k)),
+      vb AS (SELECT v, COUNT(*) AS n FROM v1 GROUP BY v),
+      vkeep AS (SELECT v1.id, v1.k, v1.v
+        FROM v1 JOIN vb USING (v) WHERE vb.n <= 50),
+      det AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM vkeep a JOIN vkeep b ON a.v = b.v AND a.id < b.id
+        WHERE levenshtein(a.k, b.k) <= 2),
+      truth AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE a.c_custkey < 400 AND b.c_custkey < 400
+          AND levenshtein(a.c_name, b.c_name) <= 2),
+      hit AS (SELECT * FROM det WHERE EXISTS (SELECT 1 FROM truth t
+        WHERE t.id_a = det.id_a AND t.id_b = det.id_b))
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM det) AS n_detected,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+          / NULLIF((SELECT COUNT(*) FROM det), 0) AS precision,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+          / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(fz01, fz02, fz03)
 }

@@ -71,6 +71,18 @@ object Sketches {
         .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** GROUPED count-min cells — the sketch as a per-group aggregate
+    * (hll03's grouped form for heavy hitters: "top URLs per domain"):
+    * cells key on (group, j, bucket), so the whole build stays ONE
+    * hash aggregation with map-side combine and each group carries at
+    * most CmsDepth×CmsWidth cells regardless of its row count.
+    */
+  def countMinCellsBy(fact: DataFrame, grp: String, keyCol: String): DataFrame =
+    fact.select(col(grp), cmsDigest(col(keyCol)).as("_h"))
+      .select(col(grp), posexplode(array((0 until CmsDepth)
+        .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
+      .groupBy(grp, "j", "bucket").agg(count(lit(1)).as("cnt"))
+
   private val cms01 = QueryDef(
     "cms01_countmin_heavy",
     (s, dir) => {
@@ -288,6 +300,93 @@ object Sketches {
       FROM merged m FULL OUTER JOIN direct d USING (j, bucket)"""),
   )
 
+  // ------------------------------------------------------------ cms03
+  /** Grouped heavy hitters + grouped mergeability in one audit row set:
+    * per l_returnflag, the exact top-5 part keys probe the per-group
+    * sketch ([[countMinCellsBy]]) — `never_under` is the count-min
+    * one-sided guarantee within each group — and `merge_exact` proves
+    * the grouped cells are still a monoid under cell-wise SUM (parity
+    * halves re-built and merged must equal the direct build, per
+    * group). Probe and merge proof both live on sketch-sized tables;
+    * only the exact top-5 (the eval's ground truth, not the production
+    * path) scans per-(group, key) counts, through a window PARTITIONED
+    * by group.
+    */
+  private val cms03 = QueryDef(
+    "cms03_grouped_countmin",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val cells = countMinCellsBy(li, "l_returnflag", "l_partkey")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+      val top = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).drop("rk")
+      val halves = countMinCellsBy(
+          li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_partkey")
+        .unionByName(countMinCellsBy(
+          li.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag", "l_partkey"))
+        .groupBy("l_returnflag", "j", "bucket").agg(sum(col("cnt")).as("cnt_m"))
+      val mergeOk = halves
+        .join(cells.withColumnRenamed("cnt", "cnt_d"),
+          Seq("l_returnflag", "j", "bucket"), "full_outer")
+        .groupBy("l_returnflag")
+        .agg((count(lit(1)) ===
+          sum(when(col("cnt_m") === col("cnt_d"), 1L).otherwise(0L)))
+          .as("merge_exact"))
+      top.withColumn("_h", cmsDigest(col("l_partkey")))
+        .select(col("l_returnflag"), col("l_partkey"), col("n_exact"),
+          posexplode(array((0 until CmsDepth)
+            .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
+        .join(broadcast(cells), Seq("l_returnflag", "j", "bucket"))
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
+        .withColumn("never_under", col("n_est") >= col("n_exact"))
+        .join(broadcast(mergeOk), "l_returnflag")
+        .select("l_returnflag", "l_partkey", "n_exact", "n_est",
+          "never_under", "merge_exact")
+        .orderBy(col("l_returnflag"), col("n_exact").desc, col("l_partkey"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT l_returnflag, j, CASE j ${(0 until CmsDepth).map(j =>
+          s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
+          COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        GROUP BY 1, 2, 3),
+      halves AS (
+        SELECT l_returnflag, l_orderkey % 2 AS half, j,
+          CASE j ${(0 until CmsDepth).map(j =>
+            s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
+          COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        GROUP BY 1, 2, 3, 4),
+      merged AS (SELECT l_returnflag, j, bucket, SUM(cnt) AS cnt_m
+        FROM halves GROUP BY 1, 2, 3),
+      mok AS (SELECT l_returnflag,
+          COUNT(*) = SUM(CASE WHEN m.cnt_m = c.cnt THEN 1 ELSE 0 END) AS merge_exact
+        FROM merged m FULL OUTER JOIN cells c USING (l_returnflag, j, bucket)
+        GROUP BY 1),
+      top AS (SELECT l_returnflag, l_partkey, COUNT(*) AS n_exact
+        FROM lineitem GROUP BY 1, 2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY COUNT(*) DESC, l_partkey) <= 5),
+      probe AS (SELECT l_returnflag, l_partkey, n_exact, j,
+          CASE j ${(0 until CmsDepth).map(j =>
+            s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket
+        FROM top CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)),
+      est AS (SELECT p.l_returnflag, p.l_partkey,
+          MAX(p.n_exact) AS n_exact, MIN(c.cnt) AS n_est
+        FROM probe p JOIN cells c ON p.l_returnflag = c.l_returnflag
+          AND p.j = c.j AND p.bucket = c.bucket
+        GROUP BY 1, 2)
+      SELECT e.l_returnflag, e.l_partkey, n_exact, n_est,
+        n_est >= n_exact AS never_under, mok.merge_exact
+      FROM est e JOIN mok USING (l_returnflag)
+      ORDER BY l_returnflag, n_exact DESC, l_partkey"""),
+  )
+
   // ------------------------------------------------------------ hll02
   /** HLL mergeability: registers are a monoid under elementwise MAX —
     * the union of two sketches estimates the union of the sets, the
@@ -368,5 +467,5 @@ object Sketches {
       ORDER BY o_orderpriority"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cms01, cms02, hll01, hll02, hll03)
+  val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03)
 }

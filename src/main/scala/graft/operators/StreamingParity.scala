@@ -484,8 +484,12 @@ object StreamingParity {
         val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
         def emitted(): Long = s.table(name).filter(col("user_id") >= 0)
           .select("purchase_id").distinct().count()
+        // the no-data flush batch runs on the engine's own trigger
+        // cadence after processAllAvailable returns; a short poll
+        // keeps drain latency (and bench jitter) at ~50 ms rather
+        // than a full coarse sleep quantum
         while (emitted() < nPurchases && System.nanoTime() < deadline) {
-          Thread.sleep(250)
+          Thread.sleep(50)
           q.processAllAvailable()
         }
         require(emitted() == nPurchases,

@@ -176,6 +176,79 @@ object Quality {
       FROM m ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- qf05
+  /** Gopher repetition signals (Rae et al. 2021 §A1.2) — the
+    * WITHIN-document repetition family qf01's word-level rules don't
+    * cover: duplicate-token fraction, duplicate word-2-gram fraction,
+    * and the top-2-gram multiplicity (count-weighted rather than
+    * Gopher's character-weighted variant — documented simplification;
+    * the line/paragraph signals are omitted because the synthetic
+    * corpus is single-line). Complements dd11 (cross-doc dup spans)
+    * and bp01 (cross-doc boilerplate): this one flags a doc that
+    * repeats ITSELF.
+    *
+    * Scale shape: token stats are per-row expressions fused into the
+    * scan; the 2-gram histogram is explode → ONE map-side-combined
+    * (doc_id, gram) count → per-doc re-agg — robust to arbitrarily
+    * long documents where a per-row O(len²) multiplicity expression
+    * would not be — then a doc-sized join back (AQE broadcasts it).
+    * All counts exact integers; the two fractions are single IEEE
+    * divisions, hash-identical cross-engine.
+    */
+  private val qf05 = QueryDef(
+    "qf05_repetition_signals",
+    (s, dir) => {
+      val base = Tables(s, dir).documents
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 2)
+      val tokStats = base.select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        (size(col("toks")) - size(array_distinct(col("toks"))))
+          .cast("bigint").as("dup_tok_excess"))
+      val grams = base.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+           i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))
+        .as("g"))
+      val gstats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_2grams"),
+          (sum(col("n")) - count(lit(1))).as("dup_2gram_excess"),
+          max(col("n")).as("top_2gram_n"))
+      tokStats.join(gstats, "doc_id")
+        .withColumn("dup_tok_frac",
+          col("dup_tok_excess").cast("double") / col("n_toks"))
+        .withColumn("dup_2gram_frac",
+          col("dup_2gram_excess").cast("double") / col("n_2grams"))
+        .withColumn("flagged",
+          col("dup_tok_frac") > 0.6 || col("dup_2gram_frac") > 0.05)
+        .select("doc_id", "n_toks", "dup_tok_excess", "dup_tok_frac",
+          "n_2grams", "dup_2gram_excess", "top_2gram_n", "dup_2gram_frac",
+          "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      m AS (SELECT doc_id, toks,
+          list_transform(range(len(toks) - 1),
+            i -> toks[i + 1] || ' ' || toks[i + 2]) AS g2
+        FROM t WHERE len(toks) >= 2),
+      e AS (SELECT doc_id, unnest(g2) AS g FROM m),
+      gc AS (SELECT doc_id, g, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      gs AS (SELECT doc_id, SUM(n) AS n_2grams, SUM(n) - COUNT(*) AS dup_2gram_excess,
+          MAX(n) AS top_2gram_n FROM gc GROUP BY doc_id)
+      SELECT m.doc_id,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_tok_excess,
+        CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac,
+        CAST(n_2grams AS BIGINT) AS n_2grams,
+        CAST(dup_2gram_excess AS BIGINT) AS dup_2gram_excess,
+        CAST(top_2gram_n AS BIGINT) AS top_2gram_n,
+        CAST(dup_2gram_excess AS DOUBLE) / n_2grams AS dup_2gram_frac,
+        (CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.6
+          OR CAST(dup_2gram_excess AS DOUBLE) / n_2grams > 0.05) AS flagged
+      FROM m JOIN gs ON gs.doc_id = m.doc_id
+      ORDER BY m.doc_id"""),
+  )
+
   // -------------------------------------------------------------- qf02
   // Hashed-feature linear quality classifier — the fasttext-style
   // scorer (hash token → bucket, sum bucket weights, threshold) that
@@ -817,5 +890,5 @@ object Quality {
   )
 
   val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, imp01, qf04,
-    qf01, qf02, qf03, gov01)
+    qf01, qf02, qf03, qf05, gov01)
 }

@@ -179,6 +179,28 @@ class QualityFilterSpec extends SparkSpec {
     assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("qf05: repetition signals are internally consistent and flag the repetitive tail") {
+    val rows = run("qf05_repetition_signals").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nToks = r.getAs[Long]("n_toks")
+      val dupTok = r.getAs[Long]("dup_tok_excess")
+      val n2 = r.getAs[Long]("n_2grams")
+      val dup2 = r.getAs[Long]("dup_2gram_excess")
+      val top2 = r.getAs[Long]("top_2gram_n")
+      assert(n2 == nToks - 1, s"doc ${r.getLong(0)}: 2-gram count must be n_toks - 1")
+      assert(dupTok >= 0 && dupTok < nToks && dup2 >= 0 && dup2 < n2.max(1))
+      // top multiplicity exceeds 1 exactly when some 2-gram repeats
+      assert((top2 > 1) == (dup2 > 0))
+      val flagged = r.getAs[Boolean]("flagged")
+      assert(flagged == (r.getAs[Double]("dup_tok_frac") > 0.6 ||
+        r.getAs[Double]("dup_2gram_frac") > 0.05))
+    }
+    // thresholds are calibrated to split the corpus, not rubber-stamp it
+    val nf = rows.count(_.getAs[Boolean]("flagged"))
+    assert(nf > 0 && nf < rows.length, s"flagged $nf of ${rows.length}")
+  }
+
   test("tCloseness: identical distributions score 0, concentrated groups score high") {
     import spark.implicits._
     // both groups mirror the global 50/50 band split -> EMD exactly 0

@@ -515,6 +515,49 @@ object StreamingParity {
       ORDER BY p.purchase_id, c.click_id"""),
   )
 
+  // -------------------------------------------------------------- str10
+  // Streaming exact-dedup parity: the whole corpus replayed TWICE —
+  // the byte-identical copy arrives as a later micro-batch (mtime
+  // ordering + maxFilesPerTrigger=1) — through
+  // dropDuplicatesWithinWatermark on event_id must emit every event
+  // exactly once. The replay exercises BOTH exactly-once paths: rows
+  // still inside the watermark horizon hit retained dedup state and
+  // drop as duplicates; rows already behind the watermark drop as late
+  // data. Either way the emitted set equals the batch table —
+  // deterministic because replays are exact row copies, so whichever
+  // arrival survives carries identical values. This is the ingestion
+  // dedup guarantee (at-least-once source → exactly-once sink) as an
+  // oracle row; the batch twin is dd01/Sinks.upsertTable.
+  private val str10 = QueryDef(
+    "str10_stream_dedup_parity",
+    (s, dir) => withStatePartitions(s) {
+      val tmp = tempDir("graft_str10")
+      graft.ingest.FileUtils.copy(s"$dir/events.parquet",
+        tmp.resolve("events.parquet").toString)
+      graft.ingest.FileUtils.copy(s"$dir/events.parquet",
+        tmp.resolve("replay.parquet").toString)
+      // strictly later mtime: the duplicate copy must arrive as its
+      // own later micro-batch, not interleave into the first
+      tmp.resolve("replay.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + 60000L): Unit
+      val stream = EventStreams.readStream(s, tmp.toString,
+        maxFilesPerTrigger = Some(1))
+      val deduped = EventStreams.dedupedEvents(stream)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val name = fresh(s, "str10_deduped")
+      EventStreams.runToMemory(deduped, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val out = s.table(name).orderBy("event_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""SELECT event_id, user_id, event_type, value,
+        EPOCH_NS(ts) // 1000 AS us
+      FROM events ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09)
+    Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10)
 }

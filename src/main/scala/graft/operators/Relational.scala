@@ -1475,6 +1475,114 @@ object Relational {
       GROUP BY 1 ORDER BY o_year"""),
   )
 
+  // ---------------------------------------------------------------- q54
+  // TPC-H Q17 shape (small-quantity-order revenue), generalized per
+  // brand: revenue from lines whose quantity is below 20% of that
+  // part's average quantity — the classic CORRELATED SCALAR SUBQUERY
+  // in WHERE (one per outer part), which Catalyst must decorrelate
+  // into an aggregate-join rather than re-running the inner per row.
+  // Exactness: per-part avg = exact decimal sum cast double / count
+  // (identical IEEE division), threshold scaled by CAST(0.2 AS DOUBLE)
+  // (a bare 0.2 parses as decimal with engine-specific widening).
+  private val q54 = QueryDef(
+    "q54_small_qty_revenue",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.createOrReplaceTempView("graft_q54_lineitem")
+      t.part.createOrReplaceTempView("graft_q54_part")
+      s.sql("""SELECT p_brand,
+          CAST(COUNT(*) AS BIGINT) AS n_small,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM graft_q54_lineitem JOIN graft_q54_part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT CAST(0.2 AS DOUBLE) *
+            (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+          FROM graft_q54_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    },
+    Some("""SELECT p_brand,
+        CAST(COUNT(*) AS BIGINT) AS n_small,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity < (
+        SELECT CAST(0.2 AS DOUBLE) *
+          (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand"""),
+  )
+
+  // ---------------------------------------------------------------- q55
+  // TPC-H Q20 spirit on the available schema (no partsupp table):
+  // suppliers DOMINANT in some part — supplying > 15% of a part's
+  // total shipped quantity. The inner total is a correlated scalar
+  // aggregate over the ungrouped fact, referenced from a WHERE above a
+  // grouped derived table: a decorrelation Catalyst turns into one
+  // per-part aggregate joined back (never a per-group rescan).
+  private val q55 = QueryDef(
+    "q55_dominant_supplier",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.createOrReplaceTempView("graft_q55_lineitem")
+      t.supplier.createOrReplaceTempView("graft_q55_supplier")
+      s.sql("""SELECT s_suppkey, s_name,
+          CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+        FROM (SELECT l_partkey, l_suppkey,
+            SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+          FROM graft_q55_lineitem GROUP BY l_partkey, l_suppkey) g
+        JOIN graft_q55_supplier ON s_suppkey = g.l_suppkey
+        WHERE CAST(q AS DOUBLE) > CAST(0.15 AS DOUBLE) * (
+          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          FROM graft_q55_lineitem l2 WHERE l2.l_partkey = g.l_partkey)
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_dominant_parts DESC, s_suppkey""")
+    },
+    Some("""SELECT s_suppkey, s_name,
+        CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+      FROM (SELECT l_partkey, l_suppkey,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        FROM lineitem GROUP BY l_partkey, l_suppkey) g
+      JOIN supplier ON s_suppkey = g.l_suppkey
+      WHERE CAST(q AS DOUBLE) > CAST(0.15 AS DOUBLE) * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        FROM lineitem l2 WHERE l2.l_partkey = g.l_partkey)
+      GROUP BY s_suppkey, s_name
+      ORDER BY n_dominant_parts DESC, s_suppkey"""),
+  )
+
+  // ---------------------------------------------------------------- q56
+  // TPC-H Q11 shape (important-stock cut): parts whose revenue exceeds
+  // a fixed fraction of GLOBAL revenue. The inner scalar is
+  // UNCORRELATED — the plan should compute it once and broadcast the
+  // single-row threshold into the filter, never joining the fact to
+  // itself. Revenue is the exact decimal product idiom (q01).
+  private val q56 = QueryDef(
+    "q56_important_parts",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.createOrReplaceTempView("graft_q56_lineitem")
+      s.sql("""WITH rev AS (SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+        FROM graft_q56_lineitem GROUP BY l_partkey)
+        SELECT l_partkey, CAST(v AS DOUBLE) AS value
+        FROM rev
+        WHERE CAST(v AS DOUBLE) > CAST(0.0005 AS DOUBLE) *
+          (SELECT CAST(SUM(v) AS DOUBLE) FROM rev)
+        ORDER BY value DESC, l_partkey""")
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+      FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS value
+      FROM rev
+      WHERE CAST(v AS DOUBLE) > CAST(0.0005 AS DOUBLE) *
+        (SELECT CAST(SUM(v) AS DOUBLE) FROM rev)
+      ORDER BY value DESC, l_partkey"""),
+  )
+
   // ---------------------------------------------------------------- q51
   // Rolling distinct count: per event day, distinct active users that
   // day (DAU) and over the trailing 7 days (WAU) — the engagement
@@ -1580,5 +1688,6 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, sky01)
+    q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55, q56, sky01)
 }

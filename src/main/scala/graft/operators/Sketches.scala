@@ -317,12 +317,24 @@ object Sketches {
     (s, dir) => {
       val li = Tables(s, dir).lineitem
       val cells = countMinCellsBy(li, "l_returnflag", "l_partkey")
-      val w = org.apache.spark.sql.expressions.Window
+      // two-phase top-5: the group column has only 3 values, so a
+      // window partitioned by group alone would funnel every per-key
+      // count through 3 giant partitions at scale. Phase 1 takes a
+      // local top-5 within (group, key-hash salt) — global top-5 keys
+      // are necessarily in their salt's local top-5 — phase 2 re-ranks
+      // the <= groups*32*5 survivors (bounded, not data-sized)
+      val cnts = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("n_exact"))
+      val wSalt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"), pmod(col("l_partkey"), lit(32)))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+      val wG = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag")
         .orderBy(col("n_exact").desc, col("l_partkey"))
-      val top = li.groupBy("l_returnflag", "l_partkey")
-        .agg(count(lit(1)).as("n_exact"))
-        .withColumn("rk", row_number().over(w))
+      val top = cnts
+        .withColumn("rk", row_number().over(wSalt))
+        .filter(col("rk") <= 5).drop("rk")
+        .withColumn("rk", row_number().over(wG))
         .filter(col("rk") <= 5).drop("rk")
       val halves = countMinCellsBy(
           li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_partkey")

@@ -165,7 +165,7 @@ object Sketches {
   /** One (label, n_exact, n_est, in_envelope) row estimating the
     * distinct count of `key` in `fact`.
     */
-  private def hllSql(table: String, key: String, label: String): String =
+  private[operators] def hllSql(table: String, key: String, label: String): String =
     s"""SELECT '$label' AS col_name, n_exact,
         CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
              THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END AS n_est,
@@ -194,6 +194,42 @@ object Sketches {
     * mergeability proof, so a change to the hash family or register
     * width cannot silently make any of them a different sketch.
     */
+  /** Streaming-legal register build: per-row (reg, rho) projection +
+    * ONE groupBy(reg).max aggregation with fixed 256-row state —
+    * runnable as a Structured Streaming Complete-mode aggregation
+    * (chained aggregations are illegal in streams, and max(rho) is
+    * duplicate-invariant, so the batch path's row-reducing
+    * pre-distinct is simply unnecessary here). This is how the sketch
+    * runs in production: the STREAM maintains the register state;
+    * estimation is a batch read of the landed 256 rows
+    * ([[hllEstimateFromRegisters]], proven by str11's parity oracle).
+    */
+  def hllRegisterUpdates(fact: DataFrame, key: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    fact.filter(col(key).isNotNull)
+      .select(h.as("h"))
+      .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Estimator over a landed (reg, max_rho) table — the batch tail of
+    * a stream-maintained sketch; same raw/zeros/linear-counting
+    * arithmetic as [[hllEstimate]].
+    */
+  def hllEstimateFromRegisters(regs: DataFrame): DataFrame =
+    regs.agg(
+      (expr(AlphaSql) /
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
+          .cast("decimal(38,0)")) +
+          (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
+        .as("raw"),
+      (lit(HllRegs) - count(lit(1))).as("zeros"))
+      .select(when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
+        lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
+        .otherwise(col("raw")).as("n_est"))
+
   private def hllRegisters(fact: DataFrame, key: String,
       grp: Seq[String] = Nil): DataFrame = {
     val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))

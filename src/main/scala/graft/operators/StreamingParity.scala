@@ -558,6 +558,40 @@ object StreamingParity {
       FROM events ORDER BY event_id"""),
   )
 
+  // -------------------------------------------------------------- str11
+  // Stream-maintained sketch parity: the events stream feeds the HLL
+  // register build as a Complete-mode streaming aggregation (ONE
+  // groupBy(reg).max over per-row projections — fixed 256-row state,
+  // the production shape for continuous distinct-count dashboards);
+  // estimation is a BATCH read of the landed registers, because
+  // chained aggregations are illegal in a stream and unnecessary —
+  // the expensive, unbounded part (hashing the firehose) is what the
+  // stream does. The oracle replays build + estimate + linear-counting
+  // correction relationally (hll01's proven SQL over events.user_id),
+  // so a hash match certifies the whole streamed sketch bit-for-bit.
+  private val str11 = QueryDef(
+    "str11_stream_hll_parity",
+    (s, dir) => withStatePartitions(s) {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val regs = Sketches.hllRegisterUpdates(stream, "user_id")
+      val name = fresh(s, "str11_regs")
+      EventStreams.runToMemory(regs, name) // Complete mode
+      val exact = Tables(s, dir).events
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      val out = Sketches.hllEstimateFromRegisters(s.table(name))
+        .crossJoin(broadcast(exact))
+        .select(lit("stream_user_hll").as("col_name"), col("n_exact"),
+          col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+            .as("in_envelope"))
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some(Sketches.hllSql("events", "user_id", "stream_user_hll")),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10)
+    Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
+      str11)
 }

@@ -220,6 +220,108 @@ object Multimodal {
       SELECT COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks FROM c"""),
   )
 
+  // -------------------------------------------------------------- mm06
+  /** Content-defined chunking (CDC — the rolling-window boundary rule
+    * behind dedup storage and blob delta-sync), completing mm03: a
+    * chunk boundary falls after position i wherever the hash of the
+    * 16-char window ending at i satisfies H % 64 == 0, so boundaries
+    * depend only on LOCAL content and an insertion shifts — not
+    * destroys — the chunk alignment. The declared row PROVES the
+    * property it exists for: the same slice chunked raw and with a
+    * 2-char prefix insertion shares ~all CDC chunk hashes (only each
+    * doc's first chunk changes) while the fixed 64-char grid (mm03's
+    * scheme) loses alignment entirely. Window hash is the established
+    * md5-prefix integer idiom, so DuckDB replays boundaries, chunks
+    * and both shared-fractions bit-for-bit.
+    *
+    * Scale shape: pure per-row expressions (window hash + boundary
+    * filter + chunk slice fused into the scan) followed by one
+    * explode + two-key aggregation; bounded to the doc_id < 200 slice
+    * like dd14 — the per-position md5 is the eval harness cost, and a
+    * production deployment lifts the window hash into a codegen'd
+    * rolling-hash expression.
+    */
+  private val mm06 = {
+    def cdc(t: String): String =
+      s"""transform(sequence(0, size(bounds_$t) - 2),
+         k -> md5(cast(substring($t, element_at(bounds_$t, k + 1) + 1,
+           element_at(bounds_$t, k + 2) - element_at(bounds_$t, k + 1)) as binary)))"""
+    def fixed(t: String): String =
+      s"""transform(sequence(0, cast(ceil(length($t) / 64.0) as int) - 1),
+         i -> md5(cast(substring($t, i * 64 + 1, 64) as binary)))"""
+    def bounds(t: String): String =
+      s"""array_sort(array_distinct(concat(array(0),
+         filter(sequence(16, length($t)),
+           i -> CAST(conv(substring(md5(cast(substring($t, i - 15, 16) as binary)), 1, 8), 16, 10) AS BIGINT) % 64 = 0),
+         array(length($t)))))"""
+    QueryDef(
+      "mm06_cdc_chunks",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .filter(col("doc_id") < 200 && length(col("text")) >= 16)
+          .withColumn("orig", col("text"))
+          .withColumn("shift", concat(lit("X:"), col("text")))
+          .withColumn("bounds_orig", expr(bounds("orig")))
+          .withColumn("bounds_shift", expr(bounds("shift")))
+          .select(
+            expr(cdc("orig")).as("cdc_o"), expr(cdc("shift")).as("cdc_s"),
+            expr(fixed("orig")).as("fx_o"), expr(fixed("shift")).as("fx_s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def dist(c: String) = d.select(explode(col(c)).as("h")).distinct()
+        def shared(a: String, b: String) =
+          dist(a).join(dist(b), "h").agg(count(lit(1)).as("n"))
+        val out = d.select(expr("size(cdc_o)").as("n")).agg(sum(col("n")).as("n_cdc_chunks_orig"))
+          .crossJoin(d.select(explode(col("cdc_s"))).agg(count(lit(1)).as("n_cdc_chunks_shift")))
+          .crossJoin(dist("cdc_o").agg(count(lit(1)).as("n_cdc_distinct_orig")))
+          .crossJoin(shared("cdc_o", "cdc_s").withColumnRenamed("n", "cdc_shared"))
+          .crossJoin(dist("fx_o").agg(count(lit(1)).as("n_fixed_distinct_orig")))
+          .crossJoin(shared("fx_o", "fx_s").withColumnRenamed("n", "fixed_shared"))
+          .select(col("n_cdc_chunks_orig"), col("n_cdc_chunks_shift"),
+            col("cdc_shared"),
+            (col("cdc_shared").cast("double") / col("n_cdc_distinct_orig"))
+              .as("cdc_shared_frac"),
+            col("fixed_shared"),
+            (col("fixed_shared").cast("double") / col("n_fixed_distinct_orig"))
+              .as("fixed_shared_frac"))
+          .localCheckpoint(eager = true)
+        d.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+          WHERE doc_id < 200 AND length(text) >= 16),
+        fl AS (SELECT doc_id, 'orig' AS flavor, text AS t FROM d
+          UNION ALL SELECT doc_id, 'shift', 'X:' || text FROM d),
+        bb AS (SELECT doc_id, flavor, t,
+            list_sort(list_distinct(list_concat(list_concat([0],
+              list_filter(range(16, len(t) + 1),
+                i -> ('0x' || substr(md5(substr(t, i - 15, 16)), 1, 8))::BIGINT % 64 = 0)),
+              [len(t)]))) AS bounds
+          FROM fl),
+        c AS (SELECT doc_id, flavor, unnest(list_transform(range(len(bounds) - 1),
+            k -> md5(substr(t, bounds[k + 1] + 1, bounds[k + 2] - bounds[k + 1])))) AS h
+          FROM bb),
+        f AS (SELECT doc_id, flavor, unnest(list_transform(
+            range(CAST(ceil(len(t) / 64.0) AS INT)),
+            i -> md5(substr(t, i * 64 + 1, 64)))) AS h
+          FROM fl),
+        cs AS (SELECT COUNT(*) AS n FROM (
+          SELECT DISTINCT h FROM c WHERE flavor = 'orig'
+          INTERSECT SELECT DISTINCT h FROM c WHERE flavor = 'shift')),
+        fs AS (SELECT COUNT(*) AS n FROM (
+          SELECT DISTINCT h FROM f WHERE flavor = 'orig'
+          INTERSECT SELECT DISTINCT h FROM f WHERE flavor = 'shift'))
+        SELECT
+          (SELECT COUNT(*) FROM c WHERE flavor = 'orig') AS n_cdc_chunks_orig,
+          (SELECT COUNT(*) FROM c WHERE flavor = 'shift') AS n_cdc_chunks_shift,
+          (SELECT n FROM cs) AS cdc_shared,
+          CAST((SELECT n FROM cs) AS DOUBLE) /
+            (SELECT COUNT(DISTINCT h) FROM c WHERE flavor = 'orig') AS cdc_shared_frac,
+          (SELECT n FROM fs) AS fixed_shared,
+          CAST((SELECT n FROM fs) AS DOUBLE) /
+            (SELECT COUNT(DISTINCT h) FROM f WHERE flavor = 'orig') AS fixed_shared_frac"""),
+    )
+  }
+
   // -------------------------------------------------------------- mm04
   // Frame sampling as a declared, oracle-checked query: every 4th
   // 16-byte frame of each payload, fingerprinted. The oracle recomputes
@@ -382,5 +484,5 @@ object Multimodal {
     WHERE hamming <= 6 ORDER BY doc_a, doc_b"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05)
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06)
 }

@@ -178,75 +178,70 @@ object Quality {
 
   // -------------------------------------------------------------- qf05
   /** Gopher repetition signals (Rae et al. 2021 §A1.2) — the
-    * WITHIN-document repetition family qf01's word-level rules don't
-    * cover: duplicate-token fraction, duplicate word-2-gram fraction,
-    * and the top-2-gram multiplicity (count-weighted rather than
-    * Gopher's character-weighted variant — documented simplification;
-    * the line/paragraph signals are omitted because the synthetic
-    * corpus is single-line). Complements dd11 (cross-doc dup spans)
-    * and bp01 (cross-doc boilerplate): this one flags a doc that
-    * repeats ITSELF.
+    * within-document repetition signals rep01's bigram histogram does
+    * NOT cover: the duplicate-TOKEN fraction (vocabulary collapse) and
+    * the longest CONSECUTIVE same-token run (the "word word word"
+    * stutter n-gram histograms wash out because they count unordered
+    * multiplicity, not adjacency). Complements rep01 (per-doc bigram
+    * repetition), dd11 (cross-doc dup spans) and bp01 (cross-doc
+    * boilerplate); line/paragraph signals are omitted because the
+    * synthetic corpus is single-line.
     *
-    * Scale shape: token stats are per-row expressions fused into the
-    * scan; the 2-gram histogram is explode → ONE map-side-combined
-    * (doc_id, gram) count → per-doc re-agg — robust to arbitrarily
-    * long documents where a per-row O(len²) multiplicity expression
-    * would not be — then a doc-sized join back (AQE broadcasts it).
-    * All counts exact integers; the two fractions are single IEEE
-    * divisions, hash-identical cross-engine.
+    * Scale shape: ENTIRELY map-only — both signals are per-row
+    * expressions fused into the scan (max_run is one linear
+    * `aggregate` fold over the token array, no explode, no shuffle
+    * but the presentation sort). All counts exact integers; the one
+    * fraction is a single IEEE division, hash-identical cross-engine.
     */
   private val qf05 = QueryDef(
     "qf05_repetition_signals",
-    (s, dir) => {
-      val base = Tables(s, dir).documents
+    (s, dir) =>
+      Tables(s, dir).documents
         .withColumn("toks", toks)
-        .filter(size(col("toks")) >= 2)
-      val tokStats = base.select(col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_toks"),
-        (size(col("toks")) - size(array_distinct(col("toks"))))
-          .cast("bigint").as("dup_tok_excess"))
-      val grams = base.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 2),
-           i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))
-        .as("g"))
-      val gstats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(sum(col("n")).as("n_2grams"),
-          (sum(col("n")) - count(lit(1))).as("dup_2gram_excess"),
-          max(col("n")).as("top_2gram_n"))
-      tokStats.join(gstats, "doc_id")
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_toks"),
+          (size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("bigint").as("dup_tok_excess"),
+          expr("""aggregate(toks,
+              named_struct('run', 0, 'best', 0, 'prev', CAST(NULL AS STRING)),
+              (s, t) -> named_struct(
+                'run', CASE WHEN s.prev IS NOT NULL AND t = s.prev
+                  THEN s.run + 1 ELSE 1 END,
+                'best', GREATEST(s.best,
+                  CASE WHEN s.prev IS NOT NULL AND t = s.prev
+                    THEN s.run + 1 ELSE 1 END),
+                'prev', t),
+              s -> s.best)""").cast("bigint").as("max_run"))
         .withColumn("dup_tok_frac",
           col("dup_tok_excess").cast("double") / col("n_toks"))
-        .withColumn("dup_2gram_frac",
-          col("dup_2gram_excess").cast("double") / col("n_2grams"))
         .withColumn("flagged",
-          col("dup_tok_frac") > 0.6 || col("dup_2gram_frac") > 0.05)
+          col("dup_tok_frac") > 0.6 || col("max_run") >= 3)
         .select("doc_id", "n_toks", "dup_tok_excess", "dup_tok_frac",
-          "n_2grams", "dup_2gram_excess", "top_2gram_n", "dup_2gram_frac",
-          "flagged")
-        .orderBy("doc_id")
-    },
+          "max_run", "flagged")
+        .orderBy("doc_id"),
+    // the oracle computes max_run via the classic gaps-and-islands
+    // window (position minus per-token rank is constant within a run)
+    // — an INDEPENDENT derivation of the same quantity, not a replay
+    // of the fold
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
-      m AS (SELECT doc_id, toks,
-          list_transform(range(len(toks) - 1),
-            i -> toks[i + 1] || ' ' || toks[i + 2]) AS g2
-        FROM t WHERE len(toks) >= 2),
-      e AS (SELECT doc_id, unnest(g2) AS g FROM m),
-      gc AS (SELECT doc_id, g, COUNT(*) AS n FROM e GROUP BY 1, 2),
-      gs AS (SELECT doc_id, SUM(n) AS n_2grams, SUM(n) - COUNT(*) AS dup_2gram_excess,
-          MAX(n) AS top_2gram_n FROM gc GROUP BY doc_id)
-      SELECT m.doc_id,
+      f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+      u AS (SELECT doc_id, unnest(toks) AS w,
+          generate_subscripts(toks, 1) AS i FROM f),
+      p AS (SELECT doc_id, w, i,
+          i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS isl
+        FROM u),
+      runs AS (SELECT doc_id, COUNT(*) AS run FROM p GROUP BY doc_id, w, isl),
+      mx AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+      SELECT f.doc_id,
         CAST(len(toks) AS BIGINT) AS n_toks,
         CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_tok_excess,
         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac,
-        CAST(n_2grams AS BIGINT) AS n_2grams,
-        CAST(dup_2gram_excess AS BIGINT) AS dup_2gram_excess,
-        CAST(top_2gram_n AS BIGINT) AS top_2gram_n,
-        CAST(dup_2gram_excess AS DOUBLE) / n_2grams AS dup_2gram_frac,
+        CAST(max_run AS BIGINT) AS max_run,
         (CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.6
-          OR CAST(dup_2gram_excess AS DOUBLE) / n_2grams > 0.05) AS flagged
-      FROM m JOIN gs ON gs.doc_id = m.doc_id
-      ORDER BY m.doc_id"""),
+          OR max_run >= 3) AS flagged
+      FROM f JOIN mx ON mx.doc_id = f.doc_id
+      ORDER BY f.doc_id"""),
   )
 
   // -------------------------------------------------------------- qf02

@@ -185,20 +185,39 @@ class QualityFilterSpec extends SparkSpec {
     rows.foreach { r =>
       val nToks = r.getAs[Long]("n_toks")
       val dupTok = r.getAs[Long]("dup_tok_excess")
-      val n2 = r.getAs[Long]("n_2grams")
-      val dup2 = r.getAs[Long]("dup_2gram_excess")
-      val top2 = r.getAs[Long]("top_2gram_n")
-      assert(n2 == nToks - 1, s"doc ${r.getLong(0)}: 2-gram count must be n_toks - 1")
-      assert(dupTok >= 0 && dupTok < nToks && dup2 >= 0 && dup2 < n2.max(1))
-      // top multiplicity exceeds 1 exactly when some 2-gram repeats
-      assert((top2 > 1) == (dup2 > 0))
+      val maxRun = r.getAs[Long]("max_run")
+      assert(dupTok >= 0 && dupTok < nToks)
+      assert(maxRun >= 1 && maxRun <= nToks)
+      // a run of length >= 2 IS a duplicate token; singleton docs run 1
+      assert(maxRun <= dupTok + 1, s"doc ${r.getLong(0)}: run $maxRun vs excess $dupTok")
       val flagged = r.getAs[Boolean]("flagged")
-      assert(flagged == (r.getAs[Double]("dup_tok_frac") > 0.6 ||
-        r.getAs[Double]("dup_2gram_frac") > 0.05))
+      assert(flagged == (r.getAs[Double]("dup_tok_frac") > 0.6 || maxRun >= 3))
     }
     // thresholds are calibrated to split the corpus, not rubber-stamp it
     val nf = rows.count(_.getAs[Boolean]("flagged"))
     assert(nf > 0 && nf < rows.length, s"flagged $nf of ${rows.length}")
+  }
+
+  test("qf05 max_run fold: hand-built stutter and clean docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "spam spam spam egg"), (2L, "one two one two one"),
+      (3L, "solo")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("qf05_spec_docs")
+    val out = Quality.defs.find(_.name == "qf05_repetition_signals").get
+    // drive the same fold expression over the tiny corpus via a direct
+    // projection (the declared query reads the sf table)
+    val got = docs.withColumn("toks",
+        graft.functions.TextExpressions.tokens(org.apache.spark.sql.functions.col("text")))
+      .selectExpr("doc_id", """aggregate(toks,
+          named_struct('run', 0, 'best', 0, 'prev', CAST(NULL AS STRING)),
+          (s, t) -> named_struct(
+            'run', CASE WHEN s.prev IS NOT NULL AND t = s.prev THEN s.run + 1 ELSE 1 END,
+            'best', GREATEST(s.best, CASE WHEN s.prev IS NOT NULL AND t = s.prev THEN s.run + 1 ELSE 1 END),
+            'prev', t),
+          s -> s.best) AS max_run""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1), got.toString)
+    assert(out.name == "qf05_repetition_signals")
   }
 
   test("tCloseness: identical distributions score 0, concentrated groups score high") {

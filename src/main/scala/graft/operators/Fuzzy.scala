@@ -134,6 +134,12 @@ object Fuzzy {
   // uncapped join on c_custkey < 400 against the naive quadratic
   // oracle — losslessness at distance 2 is the claim being checked —
   // while production use on low-entropy keys reaches for maxBucket.
+  // An UNCAPPED full-corpus declaration stays out of scope by
+  // measurement, not omission: on these keys the TRUE dist-2 pair set
+  // is itself near-quadratic (fz03 counts 32,166 true pairs on just
+  // the 400-key slice), so the blowup is in the answer, not the
+  // algorithm — no blocking scheme can emit it cheaply, and fz03
+  // quantifies exactly what the production cap trades for tractability.
   private val fz02 = QueryDef(
     "fz02_fuzzy_join_dist2",
     (s, dir) => fuzzyPairs(

@@ -165,6 +165,16 @@ object Sketches {
   /** One (label, n_exact, n_est, in_envelope) row estimating the
     * distinct count of `key` in `fact`.
     */
+  // oracle-SQL building blocks for parity rows defined outside this
+  // file (str12) — single copies of the geometry constants and rho
+  // CASE chain so a sketch retune cannot drift the cross-file oracles
+  private[operators] def Regs: Int = HllRegs
+  private[operators] def RemBitsP1: Int = HllRemBits + 1
+  private[operators] def HllRemBitsDiv: Long = 1L << HllRemBits
+  private[operators] def ScaleConst: Long = Scale
+  private[operators] def AlphaOracleSql: String = AlphaSql
+  private[operators] def rhoOracleSql: String = rhoSql(s"(h % ${1L << HllRemBits})")
+
   private[operators] def hllSql(table: String, key: String, label: String): String =
     s"""SELECT '$label' AS col_name, n_exact,
         CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
@@ -214,21 +224,36 @@ object Sketches {
       .groupBy("reg").agg(max(col("rho")).as("max_rho"))
   }
 
+  /** [[hllRegisterUpdates]] keyed per group — (grp, reg) state, still
+    * ONE streaming-legal aggregation, 256 rows per group.
+    */
+  def hllRegisterUpdatesBy(fact: DataFrame, grp: String, key: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    fact.filter(col(key).isNotNull)
+      .select(col(grp), h.as("h"))
+      .select(col(grp), (col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
+      .groupBy(grp, "reg").agg(max(col("rho")).as("max_rho"))
+  }
+
   /** Estimator over a landed (reg, max_rho) table — the batch tail of
     * a stream-maintained sketch; same raw/zeros/linear-counting
-    * arithmetic as [[hllEstimate]].
+    * arithmetic as [[hllEstimate]]. Pass `grp` columns for a
+    * per-group register table.
     */
-  def hllEstimateFromRegisters(regs: DataFrame): DataFrame =
-    regs.agg(
+  def hllEstimateFromRegisters(regs: DataFrame, grp: Seq[String] = Nil): DataFrame =
+    regs.groupBy(grp.map(col): _*).agg(
       (expr(AlphaSql) /
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRemBits + 1} - max_rho)")
           .cast("decimal(38,0)")) +
           (lit(HllRegs) - count(lit(1))) * lit(Scale).cast("decimal(38,0)")))
         .as("raw"),
       (lit(HllRegs) - count(lit(1))).as("zeros"))
-      .select(when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
-        lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
-        .otherwise(col("raw")).as("n_est"))
+      .select(grp.map(col) :+
+        when(col("raw") <= 2.5 * HllRegs && col("zeros") > 0,
+          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_est"): _*)
 
   private def hllRegisters(fact: DataFrame, key: String,
       grp: Seq[String] = Nil): DataFrame = {

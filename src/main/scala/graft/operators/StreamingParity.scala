@@ -591,7 +591,59 @@ object StreamingParity {
     Some(Sketches.hllSql("events", "user_id", "stream_user_hll")),
   )
 
+  // -------------------------------------------------------------- str12
+  // str11's grouped twin — per-event-type distinct users, the
+  // continuous "distinct per segment" dashboard: register state keys
+  // on (event_type, reg), still ONE Complete-mode aggregation with
+  // 256 rows per group; estimation + envelope per group in batch from
+  // the landed registers. Oracle mirrors hll03's grouped replay over
+  // events.
+  private val str12 = QueryDef(
+    "str12_stream_grouped_hll_parity",
+    (s, dir) => withStatePartitions(s) {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val regs = Sketches.hllRegisterUpdatesBy(stream, "event_type", "user_id")
+      val name = fresh(s, "str12_regs")
+      EventStreams.runToMemory(regs, name) // Complete mode
+      val exact = Tables(s, dir).events
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      val out = Sketches
+        .hllEstimateFromRegisters(s.table(name), Seq("event_type"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+            .as("in_envelope"))
+        .orderBy("event_type")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some(s"""WITH hh AS (SELECT DISTINCT event_type,
+          ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT event_type, h // ${Sketches.HllRemBitsDiv} AS reg,
+          MAX(${Sketches.rhoOracleSql}) AS max_rho
+        FROM hh GROUP BY 1, 2),
+      agg AS (SELECT event_type,
+          (${Sketches.AlphaOracleSql}) /
+            (SUM(CAST(1::BIGINT << (${Sketches.RemBitsP1} - max_rho) AS DECIMAL(38,0)))
+            + (${Sketches.Regs} - COUNT(*)) * CAST(${Sketches.ScaleConst} AS DECIMAL(38,0))) AS raw,
+          ${Sketches.Regs} - COUNT(*) AS zeros
+        FROM r GROUP BY 1),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT agg.event_type, n_exact,
+        CASE WHEN raw <= 2.5 * ${Sketches.Regs} AND zeros > 0
+             THEN ${Sketches.Regs}.0 * ln(${Sketches.Regs}.0 / zeros) ELSE raw END AS n_est,
+        abs(CASE WHEN raw <= 2.5 * ${Sketches.Regs} AND zeros > 0
+             THEN ${Sketches.Regs}.0 * ln(${Sketches.Regs}.0 / zeros) ELSE raw END - n_exact)
+          <= 0.15 * n_exact AS in_envelope
+      FROM agg JOIN ex USING (event_type)
+      ORDER BY event_type"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11)
+      str11, str12)
 }

@@ -564,4 +564,44 @@ class PlanSpec extends SparkSpec {
     // lid=103: no right rows for k=3 -> null
     assert(out(3).isNullAt(3))
   }
+
+  test("q54/q55: correlated scalar aggregates decorrelate; q56 computes its global scalar once") {
+    def opt(name: String): String =
+      Registry.byName(name).run(spark, sf0001).queryExecution.optimizedPlan.toString
+    for (name <- Seq("q54_small_qty_revenue", "q55_dominant_supplier")) {
+      val p = opt(name)
+      // the per-key inner aggregate must surface as a decorrelated
+      // Aggregate feeding a keyed join - never a per-outer-row subquery
+      assert(!p.contains("scalar-subquery"),
+        s"$name: correlation must decorrelate to an aggregate join:\n${p.take(1500)}")
+      assert(p.contains("Aggregate [l_partkey"),
+        s"$name: expected the decorrelated per-part aggregate:\n${p.take(1500)}")
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+    val p6 = opt("q56_important_parts")
+    assert(p6.contains("scalar-subquery"),
+      s"q56's UNcorrelated global total is a genuine once-computed scalar:\n${p6.take(1500)}")
+    assert(!plan("q56_important_parts").contains("CartesianProduct"))
+  }
+
+  test("qf05: both repetition signals fuse into the scan (map-only)") {
+    val p = plan("qf05_repetition_signals")
+    assert(!p.contains("Join"), s"qf05 must not join:\n${p.take(1200)}")
+    assert(!p.contains("Generate"), "qf05 must not explode - the run fold is per-row")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      "only the presentation-order range exchange is allowed")
+    assert(!p.contains("ScalaUDF"), "fold stays in built-in expressions")
+  }
+
+  test("cms03: per-group top-k ranks within (group, salt) before the bounded re-rank") {
+    // probed on the optimized plan: AQE's executedPlan string elides
+    // the collapsed salt projection (see verify SKILL gotcha)
+    val p = Registry.byName("cms03_grouped_countmin").run(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("pmod"),
+      s"phase-1 window must partition by (group, key-hash salt):\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-then-filter must plan the group-limit pruning")
+    assert(!plan("cms03_grouped_countmin").contains("CartesianProduct"), "cms03")
+  }
 }

@@ -540,5 +540,44 @@ object Sketches {
       ORDER BY o_orderpriority"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03)
+  // ------------------------------------------------------------ hll04
+  /** Persisted sketch warehouse — the dd16 pattern for sketches: each
+    * ingestion batch APPENDS its register delta to a managed table and
+    * estimation merges on read (groupBy(reg).max — the monoid hll02
+    * proves), so the warehouse is append-only, retry-tolerant (a
+    * replayed batch's registers merge idempotently under max) and
+    * never rewritten. The oracle replays the DIRECT whole-corpus build
+    * from raw data, so a hash match proves neither batch boundaries
+    * (hll02) NOR the persistence roundtrip can change the estimate.
+    * At 100 TB this is the continuous-cardinality architecture: 256
+    * small rows per batch land next to the data, and any reader gets
+    * the corpus-level estimate without touching a fact table.
+    */
+  private val hll04 = QueryDef(
+    "hll04_sketch_warehouse",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val table = "hll04_registers"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      graft.sink.Sinks.saveTable(
+        hllRegisterUpdates(li.filter(col("l_orderkey") % 3 =!= 0), "l_partkey"), table)
+      graft.sink.Sinks.saveTable(
+        hllRegisterUpdates(li.filter(col("l_orderkey") % 3 === 0), "l_partkey"), table)
+      val merged = s.table(table).groupBy("reg")
+        .agg(max(col("max_rho")).as("max_rho"))
+      val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
+      val out = hllEstimateFromRegisters(merged)
+        .crossJoin(broadcast(exact))
+        .select(lit("warehouse_partkey_hll").as("col_name"), col("n_exact"),
+          col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+            .as("in_envelope"))
+        .localCheckpoint(eager = true)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      out
+    },
+    Some(hllSql("lineitem", "l_partkey", "warehouse_partkey_hll")),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04)
 }

@@ -55,4 +55,23 @@ class SketchesSpec extends SparkSpec {
     // 10 distinct over 256 registers is deep linear-counting territory
     assert(math.abs(est.getAs[Double]("n_est") - 10.0) <= 1.0)
   }
+
+  test("register warehouse: a replayed batch merges idempotently under max") {
+    val a = (0 until 400).map(i => (i.toLong, s"u${i % 97}")).toDF("id", "k")
+    val b = (0 until 400).map(i => (i.toLong, s"v${i % 53}")).toDF("id", "k")
+    val once = Sketches.hllRegisterUpdates(a, "k")
+      .unionByName(Sketches.hllRegisterUpdates(b, "k"))
+      .groupBy("reg").agg(max(col("max_rho")).as("max_rho"))
+    // batch b lands TWICE (the at-least-once replay a warehouse must absorb)
+    val replayed = Sketches.hllRegisterUpdates(a, "k")
+      .unionByName(Sketches.hllRegisterUpdates(b, "k"))
+      .unionByName(Sketches.hllRegisterUpdates(b, "k"))
+      .groupBy("reg").agg(max(col("max_rho")).as("max_rho"))
+    val e1 = Sketches.hllEstimateFromRegisters(once).collect().head.getDouble(0)
+    val e2 = Sketches.hllEstimateFromRegisters(replayed).collect().head.getDouble(0)
+    assert(e1 == e2, s"replay changed the estimate: $e1 vs $e2")
+    val regs1 = once.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val regs2 = replayed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regs1 == regs2, "register state must be replay-invariant")
+  }
 }

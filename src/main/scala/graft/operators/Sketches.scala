@@ -579,5 +579,76 @@ object Sketches {
     Some(hllSql("lineitem", "l_partkey", "warehouse_partkey_hll")),
   )
 
-  val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04)
+  // ------------------------------------------------------------ hll05
+  /** Sketch SET OPERATIONS — audience overlap from sketches alone:
+    * with per-cohort register states (customers ordering before vs
+    * after the drift split date), |A∪B| comes from the MERGED
+    * registers (the max monoid) and |A∩B| from inclusion–exclusion
+    * est(A) + est(B) − est(A∪B) — no raw-data join, the classic
+    * audience-overlap answer two sketch tables give for free. The row
+    * carries the exact counts beside every estimate; intersection
+    * error compounds three estimates, so its envelope is checked
+    * against the UNION size (the quantity whose scale bounds the
+    * absolute error), not the possibly-tiny intersection itself.
+    * Deterministic end to end — DuckDB replays all three register
+    * states and the same I–E arithmetic.
+    */
+  private val hll05 = QueryDef(
+    "hll05_sketch_set_ops",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val split = lit("1995-07-01").cast("timestamp")
+      val a = o.filter(col("o_orderdate") < split)
+      val b = o.filter(col("o_orderdate") >= split)
+      val regsA = hllRegisterUpdates(a, "o_custkey")
+      val regsB = hllRegisterUpdates(b, "o_custkey")
+      val regsU = regsA.unionByName(regsB)
+        .groupBy("reg").agg(max(col("max_rho")).as("max_rho"))
+      val exact = a.select(col("o_custkey")).intersect(b.select(col("o_custkey")))
+        .agg(count(lit(1)).as("inter_exact"))
+        .crossJoin(a.agg(count_distinct(col("o_custkey")).as("a_exact")))
+        .crossJoin(b.agg(count_distinct(col("o_custkey")).as("b_exact")))
+      val out = hllEstimateFromRegisters(regsA).withColumnRenamed("n_est", "a_est")
+        .crossJoin(hllEstimateFromRegisters(regsB).withColumnRenamed("n_est", "b_est"))
+        .crossJoin(hllEstimateFromRegisters(regsU).withColumnRenamed("n_est", "u_est"))
+        .crossJoin(broadcast(exact))
+        .select(col("a_exact"), col("a_est"), col("b_exact"), col("b_est"),
+          col("inter_exact"),
+          (col("a_est") + col("b_est") - col("u_est")).as("inter_est"))
+        .withColumn("in_envelope",
+          abs(col("inter_est") - col("inter_exact")) <=
+            lit(0.25) * (col("a_est") + col("b_est") - col("inter_est")))
+        .localCheckpoint(eager = true)
+      out
+    },
+    Some(s"""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-07-01'),
+      ha AS (SELECT ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h FROM a),
+      hb AS (SELECT ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h FROM b),
+      ra AS (SELECT h // $HllRemBitsDiv AS reg, MAX($rhoOracleSql) AS max_rho FROM ha GROUP BY 1),
+      rb AS (SELECT h // $HllRemBitsDiv AS reg, MAX($rhoOracleSql) AS max_rho FROM hb GROUP BY 1),
+      ru AS (SELECT reg, MAX(max_rho) AS max_rho FROM
+        (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+      est AS (${Seq("ra" -> "a_est", "rb" -> "b_est", "ru" -> "u_est").map { case (t, n) =>
+        s"""(SELECT CASE WHEN raw <= 2.5 * $Regs AND zeros > 0
+           THEN $Regs.0 * ln($Regs.0 / zeros) ELSE raw END FROM (
+           SELECT ($AlphaOracleSql) /
+             (SUM(CAST(1::BIGINT << ($RemBitsP1 - max_rho) AS DECIMAL(38,0)))
+             + ($Regs - COUNT(*)) * CAST($ScaleConst AS DECIMAL(38,0))) AS raw,
+             $Regs - COUNT(*) AS zeros FROM $t)) AS $n"""}.mkString("SELECT ", ",\n        ", "")})
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS a_exact, a_est,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS b_exact, b_est,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS inter_exact,
+        a_est + b_est - u_est AS inter_est,
+        abs((a_est + b_est - u_est) -
+          (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)))
+          <= 0.25 * (a_est + b_est - (a_est + b_est - u_est)) AS in_envelope
+      FROM est"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
+    hll05)
 }

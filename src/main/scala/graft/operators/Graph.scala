@@ -104,5 +104,63 @@ object Graph {
       ORDER BY rank_scaled DESC, doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(pr01)
+  /** Multi-source shortest hop counts (BFS) over an undirected edge
+    * list — "how far does contamination spread from these seed
+    * documents through the duplicate web", the reachability question a
+    * forget-cascade or leakage audit asks after gov01 identifies bad
+    * seeds. Every node with id < `seedBelow` is a 0-hop source; the
+    * output is each reached node's distance to its NEAREST seed.
+    * Unreached nodes are omitted (their distance is infinite).
+    *
+    * 100 TB shape: the textbook distributed frontier relaxation — each
+    * round is one keyed equi-join of the current distance vector
+    * against the edge list plus one min-aggregation on the destination;
+    * rounds are bounded by `maxHops`, each round's state is one row per
+    * node, and lineage is truncated per round (localCheckpoint, the
+    * pageRank/clusterPairs contract). Nothing is ever driver-collected.
+    * The oracle walks the same graph with a recursive CTE (UNION, so
+    * (v, d) states dedup and the recursion is finite).
+    */
+  def shortestHops(edges: DataFrame, maxHops: Int = 6,
+      seedBelow: Long = 10L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "maxHops in [1,32]")
+    val e = edges.select(col("doc_a").cast("bigint").as("a"),
+        col("doc_b").cast("bigint").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .persist()
+    val nodes = sym.select(col("a").as("v")).distinct()
+    var dist = nodes
+      .select(col("v"),
+        when(col("v") < seedBelow, 0L).otherwise(lit(null).cast("bigint")).as("d"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.filter(col("d").isNotNull)
+        .join(sym, col("v") === col("a"))
+        .select(col("b").as("v"), (col("d") + 1L).as("nd"))
+        .groupBy("v").agg(min(col("nd")).as("nd"))
+      // least() skips nulls: an unreached node adopts the new distance
+      dist = dist.join(relaxed, Seq("v"), "left")
+        .select(col("v"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(false)
+    dist.filter(col("d").isNotNull)
+      .select(col("v").as("doc_id"), col("d").as("hops"))
+      .orderBy(col("hops"), col("doc_id"))
+  }
+
+  private val gr02 = QueryDef(
+    "gr02_shortest_hops",
+    (s, dir) => shortestHops(Dedup.ngramPairEdges(s, dir)),
+    Some(s"""WITH RECURSIVE ${Dedup.edgesOracle},
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+      walk(v, d) AS (
+        SELECT DISTINCT a, 0 FROM e WHERE a < 10
+        UNION
+        SELECT e.b, w.d + 1 FROM walk w JOIN e ON e.a = w.v WHERE w.d < 6)
+      SELECT v AS doc_id, CAST(MIN(d) AS BIGINT) AS hops
+      FROM walk GROUP BY v ORDER BY hops, doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(pr01, gr02)
 }

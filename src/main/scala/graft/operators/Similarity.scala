@@ -561,6 +561,172 @@ object Similarity {
       SELECT qid, cid, adist, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
+  /** IVF-PQ search (Jégou et al. 2011 §V — the FAISS IVFADC layout):
+    * the two index structures above COMPOSED, which is how
+    * billion-vector ANN actually deploys — the IVF coarse quantizer
+    * prunes the corpus to nProbe inverted lists, and within a list
+    * vectors are stored as PQ codes of their RESIDUAL (v − centroid),
+    * scored by per-(query, probed-cell) ADC lookup tables
+    * LUT[m][c] = ‖(q − centroid)_m − rcb_m[c]‖². Residual encoding is
+    * the part that matters: residuals are centered near zero, so one
+    * shared codebook covers every cell at far lower distortion than
+    * PQ over raw vectors (sim05).
+    *
+    * Quantizers are pinned for oracle replay (the sim03v/pq01
+    * contract): coarse centroids are the first-nCells vectors, and the
+    * residual codebook entries are the residuals of the NEXT nCodes
+    * vectors (vec_id in [nCells, nCells+nCodes)) — their own residuals
+    * are nonzero because they are not centroids. Trained quantizers
+    * drop in without changing the plan.
+    *
+    * 100 TB shape: one bounded collect (nCells + nCodes + nQueries
+    * rows) pins everything; corpus assignment + residual + 8 codes are
+    * a single codegen'd map (NearestCentroids per subspace — the
+    * stored index is (cell, 8 nibbles) per vector); the query side
+    * ships nQueries·nProbe·nSub·nCodes literal LUT doubles and scores
+    * candidates with 8 element_at adds. The only exchange is the
+    * per-query top-k rank. The cell-match filter after the explode IS
+    * the inverted-list probe: a row is scored only under the ≤ nProbe
+    * (query, cell) structs matching its own cell.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, subDim: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
+    val dim = nSub * subDim
+    // bounded collect: nCells + nCodes + nQueries pinned rows
+    val pinned = emb.filter(col("vec_id") < nCells + nCodes).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cen = pinned.take(nCells)
+    // nearest cell, matching NearestCentroids exactly: full-dim
+    // ascending squared-L2 fold, strict < so the lowest index wins ties
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < nCells) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = v(i) - cen(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // shared residual codebook: residual of each base vector vs ITS cell
+    val rcb = pinned.drop(nCells).map { b =>
+      val cc = cen(cellOf(b))
+      Array.tabulate(dim)(i => b(i) - cc(i))
+    }
+    val rcbSub = (0 until nSub).map(m =>
+      rcb.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val queries = emb.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long").as("qid"), asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def probesOf(qv: Array[Double]): Seq[Int] = {
+      val d = Array.tabulate(nCells) { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val x = qv(i) - cen(c)(i); s += x * x; i += 1 }
+        s
+      }
+      d.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(nProbe).map(_._2).toSeq
+    }
+    // LUT[m][c] = ||(q - cen_cell)_m - rcb[c]_m||², dim-ascending fold —
+    // the exact double sequence the oracle's list_sum(range(subDim)) runs
+    def lutFor(qv: Array[Double], cell: Int, m: Int): Seq[Double] =
+      rcb.map { r =>
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val j = m * subDim + i
+          val x = (qv(j) - cen(cell)(j)) - r(j); d += x * x; i += 1
+        }
+        d
+      }.toSeq
+    val c = emb.select(col("vec_id").cast("long").as("cid"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("cell", element_at(nearest_centroids(col("v"), cen, 1), 1))
+    // stored index image: (cell, code_0..code_7) — each code from the
+    // SUB-residual against the shared sub-codebook, all in one map
+    val coded = (0 until nSub).foldLeft(c) { (df, m) =>
+      val cenSub = cen.map(_.slice(m * subDim, (m + 1) * subDim)).map(_.toSeq).toSeq
+      val subRes = zip_with(
+        slice(col("v"), m * subDim + 1, subDim),
+        element_at(typedLit(cenSub), col("cell") + 1),
+        (x, cc) => x - cc)
+      df.withColumn(s"code_$m",
+        element_at(nearest_centroids(subRes, rcbSub(m), 1), 1))
+    }
+    val perQC = queries.flatMap { case (qid, qv) =>
+      probesOf(qv).map { cell =>
+        val adist = (0 until nSub).map(m =>
+            element_at(typedLit(lutFor(qv, cell, m)), col(s"code_$m") + 1))
+          .reduce(_ + _) // subspace-ascending add order, same as the oracle
+        struct(lit(qid).as("qid"), lit(cell).as("pcell"), adist.as("adist"))
+      }
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    coded.select(col("cid"), col("cell"), explode(array(perQC: _*)).as("qa"))
+      .filter(col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid"))
+      .select(col("qa.qid").as("qid"), col("cid"), col("qa.adist").as("adist"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "adist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  // The oracle rebuilds the ENTIRE index: coarse assignment (sim03v's
+  // CTEs), the residual codebook from vectors 16..31's own residuals,
+  // per-vector residual codes, the probe lists, the per-(query, cell)
+  // ADC tables, and the ranked scan — so a hash match certifies the
+  // composed pipeline end to end.
+  private val sim07 = QueryDef(
+    "sim07_ivfpq",
+    (s, dir) => ivfPqTopK(Tables(s, dir).embeddings),
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, k,
+          list_sum(list_transform(range(64), i ->
+            (cv[i + 1] - kv[i + 1]) * (cv[i + 1] - kv[i + 1]))) AS dist
+        FROM c, cen),
+      rk AS (SELECT cid, k,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, k) AS r FROM d),
+      assign AS (SELECT cid, k AS cell FROM rk WHERE r = 1),
+      rcb AS (SELECT c.cid - 16 AS kk,
+          list_transform(range(64), i -> c.cv[i + 1] - cen.kv[i + 1]) AS rv
+        FROM c JOIN assign a ON a.cid = c.cid JOIN cen ON cen.k = a.cell
+        WHERE c.cid >= 16 AND c.cid < 32),
+      res AS (SELECT c.cid, a.cell,
+          list_transform(range(64), i -> c.cv[i + 1] - cen.kv[i + 1]) AS rv
+        FROM c JOIN assign a ON a.cid = c.cid JOIN cen ON cen.k = a.cell),
+      cd AS (SELECT res.cid, m, rcb.kk,
+          list_sum(list_transform(range(8), i ->
+            (res.rv[m * 8 + i + 1] - rcb.rv[m * 8 + i + 1]) *
+            (res.rv[m * 8 + i + 1] - rcb.rv[m * 8 + i + 1]))) AS dist
+        FROM res, range(8) r(m), rcb),
+      crk AS (SELECT cid, m, kk,
+          ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, kk) AS r FROM cd),
+      codes AS (SELECT cid, m, kk AS code FROM crk WHERE r = 1),
+      probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),
+      q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),
+      lut AS (SELECT p.qid, p.cell, m, rcb.kk AS code,
+          list_sum(list_transform(range(8), i ->
+            ((q.qv[m * 8 + i + 1] - cen.kv[m * 8 + i + 1]) - rcb.rv[m * 8 + i + 1]) *
+            ((q.qv[m * 8 + i + 1] - cen.kv[m * 8 + i + 1]) - rcb.rv[m * 8 + i + 1]))) AS pdist
+        FROM probes p JOIN q ON q.qid = p.qid JOIN cen ON cen.k = p.cell,
+          range(8) r(m), rcb),
+      cand AS (SELECT p.qid, a.cid, a.cell
+        FROM probes p JOIN assign a ON a.cell = p.cell WHERE a.cid <> p.qid),
+      ad AS (SELECT cand.qid, cand.cid,
+          list_sum(list(l.pdist ORDER BY l.m)) AS adist
+        FROM cand
+        JOIN codes ON codes.cid = cand.cid
+        JOIN lut l ON l.qid = cand.qid AND l.cell = cand.cell
+          AND l.m = codes.m AND l.code = codes.code
+        GROUP BY cand.qid, cand.cid),
+      r2 AS (SELECT qid, cid, adist,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS BIGINT) AS rn
+        FROM ad)
+      SELECT qid, cid, adist, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
   /** Recall@k of the LSH index against the brute-force ground truth —
     * the evaluation operator every ANN deployment runs before trusting
     * an index (recall is THE quality/cost dial being tuned; sim02's
@@ -830,5 +996,5 @@ object Similarity {
       ORDER BY anchor_id, neg_rank"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, rp01, neg01)
 }

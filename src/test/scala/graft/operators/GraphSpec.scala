@@ -46,4 +46,35 @@ class GraphSpec extends SparkSpec {
     val g2 = math.abs(ranks(e, iters = 12)(10L) - ranks(e, iters = 10)(10L))
     assert(g2 < g1, s"same-parity gap must decay: $g2 !< $g1")
   }
+
+  private def hops(edges: Seq[(Long, Long)], maxHops: Int = 6,
+      seedBelow: Long = 10L) =
+    Graph.shortestHops(edges.toDF("doc_a", "doc_b"), maxHops, seedBelow)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("gr02: BFS levels on a path graph from a single seed") {
+    val h = hops(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), seedBelow = 2L)
+    assert(h == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("gr02: shortcut edge wins over the long way; undirected relaxation") {
+    // 1-2-3-4 chain plus a 1-4 shortcut given in reverse orientation
+    val h = hops(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), seedBelow = 2L)
+    assert(h(4L) == 1L, s"shortcut must relax 4 to hop 1: $h")
+    assert(h(3L) == 2L, "3 is reachable both ways at 2 hops")
+  }
+
+  test("gr02: multi-source takes the NEAREST seed; unreached nodes omitted") {
+    // chain 1-10-20-30-5: seeds are 1 and 5 (seedBelow=6), interior
+    // nodes relabeled above the threshold; 30 is 1 hop from seed 5
+    val h = hops(Seq((1L, 10L), (10L, 20L), (20L, 30L), (30L, 5L), (100L, 101L)),
+      seedBelow = 6L)
+    assert(h(30L) == 1L && h(20L) == 2L && h(10L) == 1L)
+    assert(h(1L) == 0L && h(5L) == 0L)
+    assert(!h.contains(100L) && !h.contains(101L), "far component unreachable")
+    // a path longer than maxHops truncates
+    val far = hops((1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      maxHops = 3, seedBelow = 2L)
+    assert(far.keySet == Set(1L, 2L, 3L, 4L) && far(4L) == 3L)
+  }
 }

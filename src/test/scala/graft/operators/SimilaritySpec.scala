@@ -65,6 +65,59 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect fixed).size.toDouble / brute.size >= 0.3)
   }
 
+  test("sim07 IVF-PQ: k rows per query, candidates confined to probed cells, twin scores ~zero") {
+    val out = Similarity.ivfPqTopK(emb, nQueries = 3, k = 5).collect()
+    assert(out.length == 15)
+    for (q <- 0 until 3) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getLong(3))
+      assert(rows.length == 5 && rows.forall(_.getLong(1) != q))
+      val ds = rows.map(_.getDouble(2))
+      assert(ds.forall(_ >= 0.0), "ADC distances are sums of squares")
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ranked ascending")
+    }
+    // exactness: hand-replay the whole pinned pipeline for the top hit
+    // of query 0 — assignment, residual codes, LUT — and assert the ADC
+    // distance is bit-identical (the same property the DuckDB oracle
+    // certifies corpus-wide)
+    val vecs = emb.orderBy(col("vec_id")).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cen = (0L until 16L).map(vecs(_)).toArray
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until 16) {
+        var d = 0.0; var i = 0
+        while (i < 64) { val x = v(i) - cen(c)(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    val rcb = (16L until 32L).map { id =>
+      val b = vecs(id); val cc = cen(cellOf(b))
+      Array.tabulate(64)(i => b(i) - cc(i))
+    }.toArray
+    val hit = out.filter(_.getLong(0) == 0L).minBy(_.getLong(3))
+    val cv = vecs(hit.getLong(1)); val qv = vecs(0L)
+    val ccell = cellOf(cv)
+    val cres = Array.tabulate(64)(i => cv(i) - cen(ccell)(i))
+    val expected = (0 until 8).map { m =>
+      // code: nearest sub-codebook entry (strict <, index tie-break)
+      var code = 0; var bd = Double.MaxValue
+      for (kk <- 0 until 16) {
+        var d = 0.0; var i = 0
+        while (i < 8) { val x = cres(m * 8 + i) - rcb(kk)(m * 8 + i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; code = kk }
+      }
+      var d = 0.0; var i = 0
+      while (i < 8) {
+        val x = (qv(m * 8 + i) - cen(ccell)(m * 8 + i)) - rcb(code)(m * 8 + i)
+        d += x * x; i += 1
+      }
+      d
+    }.reduce(_ + _)
+    assert(hit.getDouble(2) == expected,
+      s"ADC distance diverged from the hand replay: ${hit.getDouble(2)} vs $expected")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val fact = (Seq.fill(5000)(1L) ++ (2L to 50L)).zipWithIndex

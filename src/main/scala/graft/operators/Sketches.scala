@@ -649,6 +649,139 @@ object Sketches {
       FROM est"""),
   )
 
+  // ------------------------------------------------------------- bf01
+  /** Bloom filter as an ORACLE-CHECKED sketch — the third classic
+    * sketch next to count-min (frequency) and HLL (cardinality):
+    * membership. dc02 already USES a Bloom filter (Spark's built-in,
+    * engine-internal bit layout) for decontamination; this row makes
+    * the sketch itself portable and provable: m = 16,384 bit positions,
+    * k = 4 md5-sliced hashes (the cms01 family idiom, "bf:" prefix),
+    * the filter materialized as its SET-BIT POSITION SET. The audit row
+    * certifies the three properties a production membership sketch
+    * lives on:
+    *  - no_false_neg: every inserted key passes (probability-1
+    *    guarantee — all k positions were set by construction);
+    *  - fpr: the MEASURED false-positive rate on a same-size probe set
+    *    of guaranteed-absent keys (key + 10^7), the number the m/k
+    *    sizing trades against memory;
+    *  - merge_exact: the position set is a monoid under set UNION —
+    *    parity-half filters merged must equal the direct build, which
+    *    is why per-executor filters OR together without a second scan.
+    *
+    * 100 TB shape: the build is one map + a distinct whose state is
+    * capped at m positions (map-side partial dedup, reduce side is
+    * O(m) no matter the corpus); probes join against the ≤ m-row
+    * position set broadcast. Memory is O(m), not O(keys) — the sketch
+    * contract.
+    */
+  private val BfBits = 16384
+  private val BfHashes = 4
+
+  private def bfDigest(key: Column): Column =
+    md5(concat(lit("bf:"), key.cast("string")).cast("binary"))
+
+  private def bfPos(j: Int, digest: Column): Column =
+    conv(substring(digest, 1 + 4 * j, 4), 16, 10).cast("bigint") % BfBits
+
+  private def bfPosSql(j: Int, key: String): String =
+    s"('0x' || substr(md5('bf:' || CAST($key AS VARCHAR)), ${1 + 4 * j}, 4))::BIGINT % $BfBits"
+
+  /** The filter's set-bit positions for `keyCol`'s values — ≤ BfBits
+    * rows, map-side deduped.
+    */
+  def bloomBits(fact: DataFrame, keyCol: String): DataFrame =
+    fact.select(bfDigest(col(keyCol)).as("_h"))
+      .select(explode(array((0 until BfHashes)
+        .map(j => bfPos(j, col("_h"))): _*)).as("pos"))
+      .distinct()
+
+  /** (key, hits) membership probes: hits == BfHashes means "maybe
+    * present" (a pass); the bit set joins in broadcast.
+    */
+  private def bloomProbe(keys: DataFrame, bits: DataFrame): DataFrame =
+    keys.withColumn("_h", bfDigest(col("key")))
+      .select(col("key"), posexplode(array((0 until BfHashes)
+        .map(j => bfPos(j, col("_h"))): _*)).as(Seq("j", "pos")))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy("key").agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+
+  private val bf01 = QueryDef(
+    "bf01_bloom_filter",
+    (s, dir) => {
+      val part = Tables(s, dir).part
+      val bits = bloomBits(part, "p_partkey")
+      val keys = part.select(col("p_partkey").as("key")).distinct()
+      val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+      val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+      val presentPass = bloomProbe(keys, bits)
+        .agg(sum(when(col("hits") === BfHashes, 1L).otherwise(0L)).as("n_present_pass"))
+      val absentStats = bloomProbe(
+          keys.select((col("key") + 10000000L).as("key")), bits)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hits") === BfHashes, 1L).otherwise(0L)).as("n_false_pos"))
+      val merged = bloomBits(part.filter(col("p_partkey") % 2 === 0), "p_partkey")
+        .unionByName(bloomBits(part.filter(col("p_partkey") % 2 =!= 0), "p_partkey"))
+        .distinct()
+      val mergeOk = merged.withColumn("m", lit(1L))
+        .join(bits.withColumn("d", lit(1L)), Seq("pos"), "full_outer")
+        .agg((count(lit(1)) ===
+          sum(when(col("m").isNotNull && col("d").isNotNull, 1L).otherwise(0L)))
+          .as("merge_exact"))
+      broadcast(nKeys).crossJoin(broadcast(nBits))
+        .crossJoin(broadcast(presentPass))
+        .crossJoin(broadcast(absentStats))
+        .crossJoin(broadcast(mergeOk))
+        .select(col("n_keys"), col("n_bits_set"),
+          (col("n_present_pass") === col("n_keys")).as("no_false_neg"),
+          col("n_probes"), col("n_false_pos"),
+          (col("n_false_pos").cast("double") / col("n_probes")).as("fpr"),
+          col("merge_exact"))
+    },
+    Some(s"""WITH bits AS (SELECT DISTINCT
+          CASE j ${(0 until BfHashes).map(j =>
+            s"WHEN $j THEN ${bfPosSql(j, "p_partkey")}").mkString(" ")} END AS pos
+        FROM part CROSS JOIN generate_series(0, ${BfHashes - 1}) g(j)),
+      keys AS (SELECT DISTINCT p_partkey AS key FROM part),
+      ppos AS (SELECT key, j,
+          CASE j ${(0 until BfHashes).map(j =>
+            s"WHEN $j THEN ${bfPosSql(j, "key")}").mkString(" ")} END AS pos
+        FROM keys CROSS JOIN generate_series(0, ${BfHashes - 1}) g(j)),
+      phit AS (SELECT key, SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM ppos p LEFT JOIN bits b ON b.pos = p.pos GROUP BY key),
+      akeys AS (SELECT key + 10000000 AS key FROM keys),
+      apos AS (SELECT key, j,
+          CASE j ${(0 until BfHashes).map(j =>
+            s"WHEN $j THEN ${bfPosSql(j, "key")}").mkString(" ")} END AS pos
+        FROM akeys CROSS JOIN generate_series(0, ${BfHashes - 1}) g(j)),
+      ahit AS (SELECT key, SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM apos p LEFT JOIN bits b ON b.pos = p.pos GROUP BY key),
+      halves AS (SELECT DISTINCT
+          CASE j ${(0 until BfHashes).map(j =>
+            s"WHEN $j THEN ${bfPosSql(j, "p_partkey")}").mkString(" ")} END AS pos
+        FROM part CROSS JOIN generate_series(0, ${BfHashes - 1}) g(j)
+        WHERE p_partkey % 2 = 0
+        UNION
+        SELECT DISTINCT
+          CASE j ${(0 until BfHashes).map(j =>
+            s"WHEN $j THEN ${bfPosSql(j, "p_partkey")}").mkString(" ")} END AS pos
+        FROM part CROSS JOIN generate_series(0, ${BfHashes - 1}) g(j)
+        WHERE p_partkey % 2 = 1),
+      mok AS (SELECT COUNT(*) = SUM(CASE WHEN m.pos IS NOT NULL AND b.pos IS NOT NULL
+            THEN 1 ELSE 0 END) AS merge_exact
+        FROM halves m FULL OUTER JOIN bits b ON m.pos = b.pos)
+      SELECT
+        (SELECT COUNT(*) FROM keys) AS n_keys,
+        (SELECT COUNT(*) FROM bits) AS n_bits_set,
+        (SELECT SUM(CASE WHEN hits = $BfHashes THEN 1 ELSE 0 END) FROM phit)
+          = (SELECT COUNT(*) FROM keys) AS no_false_neg,
+        (SELECT COUNT(*) FROM ahit) AS n_probes,
+        (SELECT CAST(SUM(CASE WHEN hits = $BfHashes THEN 1 ELSE 0 END) AS BIGINT)
+          FROM ahit) AS n_false_pos,
+        (SELECT CAST(SUM(CASE WHEN hits = $BfHashes THEN 1 ELSE 0 END) AS DOUBLE)
+          FROM ahit) / (SELECT COUNT(*) FROM ahit) AS fpr,
+        (SELECT merge_exact FROM mok) AS merge_exact"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
-    hll05)
+    hll05, bf01)
 }

@@ -74,4 +74,16 @@ class SketchesSpec extends SparkSpec {
     val regs2 = replayed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(regs1 == regs2, "register state must be replay-invariant")
   }
+
+  test("bf01: no false negatives, measured FPR near theory, merge exact") {
+    val row = graft.Registry.byName("bf01_bloom_filter").run(spark, sf0001)
+      .collect().head
+    val nBitsSet = row.getLong(1)
+    assert(row.getBoolean(2), "an inserted key can never fail the probe")
+    assert(row.getBoolean(6), "parity-half union must equal the direct build")
+    // measured FPR ≈ (load)^k with m=16384, k=4 — allow a generous band
+    val theory = math.pow(nBitsSet.toDouble / 16384.0, 4)
+    val fpr = row.getDouble(5)
+    assert(fpr <= theory * 4 + 0.01, s"fpr $fpr way above theory $theory")
+  }
 }

@@ -1583,6 +1583,52 @@ object Relational {
       ORDER BY value DESC, l_partkey"""),
   )
 
+  // ---------------------------------------------------------------- q57
+  // TPC-H Q22 shape (global-sales-opportunity) on the available
+  // schema: customers with an above-average POSITIVE account balance
+  // gone DORMANT — no order since 2000 — summarized per market
+  // segment (the lapsed-high-value-customer report). Two
+  // optimizer shapes in one query: the inner average is an
+  // UNCORRELATED scalar computed once (q56's contract), and NOT EXISTS
+  // must plan as a LEFT ANTI hash join on c_custkey — never a
+  // per-customer probe or a cartesian. Exactness: the average is an
+  // exact decimal sum cast double / count; the per-segment balance
+  // total stays decimal until the final cast.
+  private val q57 = QueryDef(
+    "q57_rich_no_orders",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.customer.createOrReplaceTempView("graft_q57_customer")
+      t.orders.createOrReplaceTempView("graft_q57_orders")
+      s.sql("""SELECT c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM graft_q57_customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+              / COUNT(*)
+            FROM graft_q57_customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_q57_orders o WHERE o.o_custkey = c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            / COUNT(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+  )
+
   // ---------------------------------------------------------------- q51
   // Rolling distinct count: per event day, distinct active users that
   // day (DAU) and over the trailing 7 days (WAU) — the engagement
@@ -1689,5 +1735,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, sky01)
+    q55, q56, q57, sky01)
 }

@@ -584,6 +584,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q56_important_parts").contains("CartesianProduct"))
   }
 
+  test("q57: NOT EXISTS plans as a left anti join; the average is a once-computed scalar") {
+    val p = Registry.byName("q57_rich_no_orders").run(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must become an anti join:\n${p.take(1500)}")
+    assert(p.contains("scalar-subquery"),
+      s"the uncorrelated average is a genuine once-computed scalar:\n${p.take(1500)}")
+    assert(!plan("q57_rich_no_orders").contains("CartesianProduct"), "q57")
+  }
+
   test("qf05: both repetition signals fuse into the scan (map-only)") {
     val p = plan("qf05_repetition_signals")
     assert(!p.contains("Join"), s"qf05 must not join:\n${p.take(1200)}")

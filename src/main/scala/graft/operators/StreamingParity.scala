@@ -643,7 +643,45 @@ object StreamingParity {
       ORDER BY event_type"""),
   )
 
+  // -------------------------------------------------------------- str13
+  // CEP parity: per-user funnel completion (view → click → purchase,
+  // each stage strictly after the previous) detected by the
+  // flatMapGroupsWithState pattern machine — the row-EMITTING stateful
+  // surface (groups emit zero rows until the pattern completes, then
+  // exactly one, then never again via the done latch), complementing
+  // str07's always-emitting mapGroupsWithState. Drained in one
+  // micro-batch; within a batch the machine advances in event-time
+  // order, so the emitted set equals q38's relational funnel — which
+  // the oracle replays per user (first view, first click after it,
+  // first purchase after that).
+  private val str13 = QueryDef(
+    "str13_stream_funnel_parity",
+    (s, dir) => withStatePartitions(s) {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val hits = EventStreams.funnelHits(stream)
+      val name = fresh(s, "str13_funnels")
+      EventStreams.runToMemoryAppend(hits, name)
+      val out = s.table(name)
+        .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"))
+        .orderBy("user_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, EPOCH_NS(ts) // 1000 AS tus
+          FROM events),
+      v AS (SELECT user_id, MIN(tus) AS view_us FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.tus) AS click_us FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.tus > v.view_us GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.tus) AS purchase_us FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tus > c.click_us GROUP BY e.user_id)
+      SELECT p.user_id, v.view_us, c.click_us, p.purchase_us
+      FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+      ORDER BY p.user_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12)
+      str11, str12, str13)
 }

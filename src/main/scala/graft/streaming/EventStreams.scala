@@ -201,6 +201,72 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(updateProfile(ms))
   }
 
+  // ----- CEP: per-user funnel detection via flatMapGroupsWithState
+
+  final case class FunnelEvent(ts: java.sql.Timestamp, ts_us: Long, user_id: Long,
+      event_type: String, event_id: Long)
+  final case class FunnelState(view_us: Long, click_us: Long, done: Boolean)
+  final case class FunnelHit(user_id: Long, view_us: Long, click_us: Long,
+      purchase_us: Long)
+
+  private def advanceFunnel(userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+    if (st.done) Iterator.empty
+    else {
+      // within a micro-batch, advance in EVENT-TIME order (event_id
+      // tie-break) so the machine is arrival-order-free; per-user batch
+      // rows are already materialized by the operator, so the sort adds
+      // no asymptotic cost
+      val ordered = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var hit: Option[FunnelHit] = None
+      for (e <- ordered if hit.isEmpty) {
+        if (st.view_us < 0) {
+          if (e.event_type == "view") st = st.copy(view_us = e.ts_us)
+        } else if (st.click_us < 0) {
+          if (e.event_type == "click" && e.ts_us > st.view_us)
+            st = st.copy(click_us = e.ts_us)
+        } else if (e.event_type == "purchase" && e.ts_us > st.click_us) {
+          hit = Some(FunnelHit(userId, st.view_us, st.click_us, e.ts_us))
+          st = st.copy(done = true)
+        }
+      }
+      state.update(st)
+      hit.iterator
+    }
+  }
+
+  /** Per-user funnel completion (view → click → purchase, each stage
+    * strictly after the previous) as a streaming CEP over
+    * `flatMapGroupsWithState` — the row-emitting stateful surface
+    * mapGroupsWithState (userProfiles) doesn't exercise: a group emits
+    * ZERO rows until its pattern completes, then exactly one FunnelHit,
+    * then nothing ever again (the `done` latch). State per user is three
+    * fixed fields — the bounded-state property that lets the same
+    * topology watch billions of users.
+    *
+    * Semantics contract (what the str13 oracle replays): view_us = the
+    * user's first view, click_us = first click strictly after it,
+    * purchase_us = first purchase strictly after that — exactly q38's
+    * relational funnel, emitted per user instead of counted. Exact
+    * under a single-micro-batch replay (the parity harness) or
+    * event-time-ordered arrival; under arbitrary multi-batch splits it
+    * is the standard greedy CEP (a stage commits when observed, even if
+    * an earlier-timestamped candidate arrives in a later batch).
+    */
+  def funnelHits(events: DataFrame): Dataset[FunnelHit] = {
+    implicit val feEnc = Encoders.product[FunnelEvent]
+    implicit val fhEnc = Encoders.product[FunnelHit]
+    implicit val fsEnc = Encoders.product[FunnelState]
+    events
+      .select(col("ts"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advanceFunnel)
+  }
+
   /** Stream into any registered [[graft.sink.Connectors]] connector via
     * `foreachBatch` — the streaming half of the pluggable-sink story:
     * each micro-batch lands through the same connector code path batch

@@ -135,4 +135,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(written.count() == batchEvents.count()) // sf0.001 events are unique
     assert(written.columns.contains("event_type"))
   }
+
+  test("flatMapGroupsWithState funnel: one hit per completing user, stage order enforced") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1 completes; user 2 clicks BEFORE its view (no funnel); user 3
+    // never purchases; user 4's purchase ties the click timestamp
+    // (strictly-after fails). Shuffled input order: the machine sorts by
+    // event time within the batch.
+    val rows = Seq(
+      (5L, ts(30), 1L, "purchase", 1.0), (1L, ts(10), 1L, "view", 0.0),
+      (3L, ts(20), 1L, "click", 0.0), (2L, ts(15), 1L, "view", 0.0),
+      (6L, ts(5), 2L, "click", 0.0), (7L, ts(10), 2L, "view", 0.0),
+      (8L, ts(30), 2L, "error", 0.0),
+      (9L, ts(1), 3L, "view", 0.0), (10L, ts(2), 3L, "click", 0.0),
+      (11L, ts(1), 4L, "view", 0.0), (12L, ts(2), 4L, "click", 0.0),
+      (13L, ts(2), 4L, "purchase", 1.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val landing = tmpDir("funnel-src")
+    rows.write.mode("overwrite").parquet(landing.toString)
+    val stream = spark.readStream.schema(rows.schema).parquet(landing.toString)
+    EventStreams.runToMemoryAppend(EventStreams.funnelHits(stream), "funnel_hits")
+    val hits = spark.table("funnel_hits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hits.keySet == Set(1L), s"only user 1 completes: $hits")
+    assert(hits(1L) == (600000000L, 1200000000L, 1800000000L),
+      "first view (t=10m), first click after it (t=20m), first purchase after (t=30m)")
+  }
 }

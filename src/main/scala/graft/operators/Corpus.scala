@@ -323,6 +323,82 @@ object Corpus {
       GROUP BY 1, 2 ORDER BY pid"""),
   )
 
+  // -------------------------------------------------------------- pii03
+  /** Checksum-GATED redaction — the practice that separates a PII scrub
+    * from pii01's blanket regex: a 16-digit string is only a payment
+    * card if its Luhn check digit verifies, so the scrubber masks
+    * exactly the validating candidates and leaves random numeric ids
+    * alone (blanket masking destroys join keys and analytics for no
+    * privacy gain). Candidate numbers are synthesized deterministically
+    * from c_custkey — 15 payload digits plus a check digit that is
+    * CORRECT for even keys and off-by-5 for odd keys — so exactly half
+    * the corpus validates, and both engines rebuild identical
+    * candidates from the same integer arithmetic.
+    *
+    * The Luhn fold (ISO/IEC 7812: right-to-left, double every second
+    * digit, subtract 9 above 9, total ≡ 0 mod 10) runs as ONE
+    * sequence-aggregate expression per row — map-only, codegen'd, no
+    * UDF; the oracle replays it with list_sum over the same positions.
+    * Valid cards mask to their last 4 digits (the PCI display rule);
+    * invalid candidates pass through untouched.
+    */
+  private val pii03 = QueryDef(
+    "pii03_luhn_redact",
+    (s, dir) => {
+      // payload: 15 digits from a fixed multiplicative scramble of the key
+      val payload = lpad((col("c_custkey") * 7919L % 1000000000000000L)
+        .cast("string"), 15, "0")
+      // Luhn sum of the 15 payload digits, rightmost payload digit
+      // doubled (it sits immediately left of the check digit): position
+      // i (1-based from the LEFT of the 15) doubles when i is odd
+      // (15,13,... from the right). Fold ascending — integer adds.
+      def luhnPayloadSum(c: String) = expr(
+        s"""aggregate(sequence(1, 15), 0, (acc, i) -> acc + (
+           CASE WHEN i % 2 = 1 THEN
+             CASE WHEN 2 * CAST(substring($c, i, 1) AS INT) > 9
+                  THEN 2 * CAST(substring($c, i, 1) AS INT) - 9
+                  ELSE 2 * CAST(substring($c, i, 1) AS INT) END
+           ELSE CAST(substring($c, i, 1) AS INT) END))""")
+      val t = Tables(s, dir)
+      val withCard = t.customer
+        .select(col("c_custkey"), payload.as("pay"))
+        .withColumn("psum", luhnPayloadSum("pay"))
+        .withColumn("check_ok", (lit(10) - col("psum") % 10) % 10)
+        .withColumn("check", when(col("c_custkey") % 2 === 0, col("check_ok"))
+          .otherwise((col("check_ok") + 5) % 10))
+        .withColumn("card", concat(col("pay"), col("check").cast("string")))
+      withCard
+        .withColumn("luhn_valid", (col("psum") + col("check")) % 10 === 0)
+        .select(col("c_custkey"),
+          when(col("luhn_valid"),
+            concat(lit("************"), substring(col("card"), 13, 4)))
+            .otherwise(col("card")).as("masked"),
+          col("luhn_valid"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH cand AS (SELECT c_custkey,
+          lpad(CAST(c_custkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0') AS pay
+        FROM customer),
+      summed AS (SELECT c_custkey, pay,
+          CAST(list_sum(list_transform(range(1, 16), i ->
+            CASE WHEN i % 2 = 1 THEN
+              CASE WHEN 2 * CAST(substring(pay, i, 1) AS INT) > 9
+                   THEN 2 * CAST(substring(pay, i, 1) AS INT) - 9
+                   ELSE 2 * CAST(substring(pay, i, 1) AS INT) END
+            ELSE CAST(substring(pay, i, 1) AS INT) END)) AS INT) AS psum
+        FROM cand),
+      carded AS (SELECT c_custkey, pay, psum,
+          CASE WHEN c_custkey % 2 = 0 THEN (10 - psum % 10) % 10
+               ELSE ((10 - psum % 10) % 10 + 5) % 10 END AS chk
+        FROM summed)
+      SELECT c_custkey,
+        CASE WHEN (psum + chk) % 10 = 0
+             THEN '************' || substring(pay || CAST(chk AS VARCHAR), 13, 4)
+             ELSE pay || CAST(chk AS VARCHAR) END AS masked,
+        (psum + chk) % 10 = 0 AS luhn_valid
+      FROM carded ORDER BY c_custkey"""),
+  )
+
   // -------------------------------------------------------------- pack01
   /** Sequence packing for LM training: documents are concatenated in
     * doc_id order and split into fixed 2048-token sequences; each doc
@@ -1325,7 +1401,7 @@ object Corpus {
   )
 
   def defs: Seq[QueryDef] =
-    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02,
+    Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02, pii03,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, spl02,
       scd01, ord03)
 }

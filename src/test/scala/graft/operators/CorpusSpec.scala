@@ -318,6 +318,30 @@ class CorpusSpec extends SparkSpec {
     assert(one.map(_.getAs[Long]("doc_id")).toSeq != one.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("pii03: exactly the Luhn-validating half masks; masks keep only the last 4") {
+    val rows = run("pii03_luhn_redact").collect()
+    assert(rows.nonEmpty)
+    // reference Luhn over the full 16-digit string (right-to-left,
+    // double every second) — independent of the operator's payload fold
+    def luhn(card: String): Boolean = {
+      val s = card.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      s % 10 == 0
+    }
+    rows.foreach { r =>
+      val key = r.getLong(0); val masked = r.getString(1); val valid = r.getBoolean(2)
+      assert(valid == (key % 2 == 0), s"validity must track key parity: $key")
+      if (valid) {
+        assert(masked.startsWith("************") && masked.length == 16, masked)
+      } else {
+        assert(masked.length == 16 && masked.forall(_.isDigit), masked)
+        assert(!luhn(masked), s"unmasked candidate must fail Luhn: $masked")
+      }
+    }
+  }
+
   test("pii02: pseudonyms are consistent across tables and never expose the key") {
     val out = run("pii02_pseudonymize")
     // no column carries the raw key, and every pid is a 32-hex digest

@@ -74,6 +74,19 @@ object CurationPipeline {
     pred.isin(langs.toSeq: _*)
   }
 
+  /** The per-doc quality signals both pipeline shapes share — one copy
+    * so the incremental path cannot drift from curate()'s stages.
+    */
+  private def withSignals(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", TextExpressions.tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("distinct_ratio",
+      size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+
+  private def qualityPred(cfg: Config): Column =
+    col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
+      col("distinct_ratio") >= cfg.minDistinctRatio
+
   /** Run the full curation pass over a (doc_id, text) corpus.
     *
     * `benchmark`, when given, appends a decontamination stage: any
@@ -97,16 +110,10 @@ object CurationPipeline {
     val obsQuality = org.apache.spark.sql.Observation()
     val obsLang = org.apache.spark.sql.Observation()
 
-    val base = docs.select(col("doc_id"), col("text"))
-      .observe(obsInput, count(lit(1)).as("n"))
-      .withColumn("toks", TextExpressions.tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("distinct_ratio",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+    val base = withSignals(docs.select(col("doc_id"), col("text"))
+      .observe(obsInput, count(lit(1)).as("n")))
 
-    val quality = base.filter(
-      col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
-        col("distinct_ratio") >= cfg.minDistinctRatio)
+    val quality = base.filter(qualityPred(cfg))
       .observe(obsQuality, count(lit(1)).as("n"))
 
     val lang = quality.filter(langPred(col("toks"), cfg.langs))
@@ -178,6 +185,142 @@ object CurationPipeline {
       () => { exactKeep.unpersist(blocking = false); releaseRetained() },
       splits)
   }
+
+  /** INCREMENTAL curation — the way a 100 TB pipeline actually runs:
+    * batches arrive, previously-landed work is NEVER recomputed, and
+    * the maintained corpus must equal what a from-scratch run over
+    * everything would produce. Stages per batch: quality + language
+    * gate (per-row, trivially incremental) → exact dedup against the
+    * landed digest state (bloom-prefiltered anti-join, dd12) and
+    * within the batch → near-dup drop against the PERSISTED LSH index
+    * (dd16's probe — history is never re-shingled) and within the
+    * batch → append the batch's survivors... with retention policy
+    * chosen for PREFIX-STABILITY: a doc is dropped iff it near-dups
+    * ANY smaller-id exact-survivor ("smallest-id-neighbor" retention).
+    * Component-minimum retention (curate()'s policy) is NOT online-
+    * maintainable — a later batch can bridge two components and
+    * retro-change the minimum, forcing a rewrite of landed data;
+    * dropping against smaller ids only needs history + batch pairs,
+    * both of which the index gives per batch. The contract that makes
+    * this sound is APPEND-ONLY ids (a later batch never introduces a
+    * smaller id) — exactly the monotone-key contract of real ingestion.
+    *
+    * Equality caveat (documented, spec-asserted at test scale): the
+    * LSH maxBucket degenerate-bucket cap counts per-run bucket sizes,
+    * so a bucket saturating only in the COMBINED corpus could differ
+    * between the split and from-scratch runs — at the declared scale
+    * no bucket approaches the cap, and the cap exists to bound
+    * boilerplate blowup, not semantics.
+    *
+    * The cp02 oracle replays the FROM-SCRATCH run relationally; a hash
+    * match therefore proves the incremental machinery (digest state,
+    * persisted index, per-batch probes) changes nothing.
+    */
+  def curateIncremental(docs: DataFrame, cfg: Config = Config(),
+      splitAt: Option[Long] = None): DataFrame = {
+    val s = docs.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    // arrival split at the id-space midpoint (or the caller's boundary
+    // — the output must be split-invariant) — bounded collect: 1 row
+    val k = splitAt.getOrElse(
+      docs.select((count(lit(1)) / 2).cast("bigint").as("k")).head.getLong(0))
+    def ql(b: DataFrame): DataFrame =
+      withSignals(b.select(col("doc_id"), col("text")))
+        .filter(qualityPred(cfg))
+        .filter(langPred(col("toks"), cfg.langs))
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+    def keepMin(b: DataFrame): DataFrame = b
+      .withColumn("_h", md5(col("text").cast("binary")))
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_h", "_rn")
+    // ---- batch 1 lands: filter, exact-dedup, persist the index state
+    val e1 = keepMin(ql(docs.filter(col("doc_id") < k)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val path = java.nio.file.Files.createTempDirectory("graft_cp02_index").toString
+    Dedup.saveNearDupIndex(e1.select("doc_id", "text"), path)
+    val drop1 = Dedup.minhashPairs(e1.select("doc_id", "text"), cfg.nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val r1 = e1.join(drop1, Seq("doc_id"), "left_anti")
+    // ---- batch 2 arrives: history is only ever PROBED, never rebuilt
+    val ql2 = ql(docs.filter(col("doc_id") >= k))
+    val exactSurv = Dedup.incrementalExactSurvivors(
+      e1.select("doc_id", "text"), ql2.select("doc_id", "text")).select("doc_id")
+    val e2 = keepMin(ql2.join(exactSurv, "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossDrop = Dedup.probeNearDupIndex(s, path, e2.select("doc_id", "text"),
+        cfg.nearDupThreshold)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val drop2 = Dedup.minhashPairs(e2.select("doc_id", "text"), cfg.nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val r2 = e2.join(crossDrop.unionByName(drop2).distinct(), Seq("doc_id"), "left_anti")
+    // materialize before releasing the caches and the on-disk index
+    val out = r1.unionByName(r2)
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    e1.unpersist(blocking = false); e2.unpersist(blocking = false)
+    try graft.ingest.FileUtils.delete(path, recursive = true): Unit
+    catch { case _: Throwable => () }
+    out
+  }
+
+  // -------------------------------------------------------------- cp02
+  // Incremental-equals-from-scratch CORRECTNESS row: curateIncremental
+  // runs the two-batch incremental pipeline (digest state, persisted
+  // LSH index probe, per-batch local dedup) and the oracle replays the
+  // ONE-SHOT pipeline over the whole corpus — quality gate, exact
+  // keep-min, the full dd02 signature/band/verify pair set, and
+  // smallest-id-neighbor retention (drop every doc_b of a qualifying
+  // pair). Threshold 0.5 as in cp01 so near-dup stages are non-vacuous.
+  private lazy val cp02 = QueryDef(
+    "cp02_incremental_curation",
+    (s, dir) => curateIncremental(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      Config(nearDupThreshold = 0.5)),
+    Some(s"""WITH
+      t AS (SELECT doc_id, text, ${OracleSql.Toks} AS toks FROM documents),
+      q AS (SELECT doc_id, text, toks FROM t
+        WHERE len(toks) >= 20 AND len(toks) <= 100000
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+      lg AS (SELECT doc_id, text, toks,
+          len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est', 'une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el', 'los', 'las', 'y', 'es', 'una'))) AS s_es
+        FROM q),
+      l AS (SELECT doc_id, text, toks FROM lg
+        WHERE s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0),
+      x AS (SELECT doc_id, text, toks FROM l
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM x),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN bc ON bc.band = a.band AND bc.bh = a.bh
+        WHERE bc.n <= 1000),
+      p AS (SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5),
+      drops AS (SELECT DISTINCT doc_b FROM p)
+      SELECT x.doc_id, CAST(len(x.toks) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN drops d ON d.doc_b = x.doc_id
+      WHERE d.doc_b IS NULL
+      ORDER BY x.doc_id"""),
+  )
 
   // -------------------------------------------------------------- cp01
   // End-to-end curation CORRECTNESS row: the full composed pipeline —
@@ -259,5 +402,5 @@ object CurationPipeline {
       FROM sp ORDER BY doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cp01)
+  val defs: Seq[QueryDef] = Seq(cp01, cp02)
 }

@@ -1274,8 +1274,12 @@ object Dedup {
     */
   def incrementalExactSurvivors(history: DataFrame, batch: DataFrame): DataFrame = {
     val hd = history.select(md5(col("text").cast("binary")).as("content_md5"))
-    // sized to landed-corpus digest cardinality; 100k @ 1% fpp ≈ 120 KB
-    val bloom = hd.stat.bloomFilter("content_md5", 100000L, 0.01)
+    // sized to landed-corpus digest cardinality; 100k @ 1% fpp ≈ 120 KB.
+    // An EMPTY history (cold start: the very first batch) gets an empty
+    // filter directly — Spark's bloomFilter aggregate NPEs on zero rows.
+    val bloom =
+      if (hd.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+      else hd.stat.bloomFilter("content_md5", 100000L, 0.01)
     val bd = batch.select(col("doc_id"),
       md5(col("text").cast("binary")).as("content_md5"))
     val probable = graft.functions.TextExpressions

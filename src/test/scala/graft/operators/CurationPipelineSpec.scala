@@ -141,4 +141,44 @@ class CurationPipelineSpec extends SparkSpec {
     val r2 = CurationPipeline.curate(r.corpus, CurationPipeline.Config(minTokens = 5))
     assert(r2.counts.afterNearDup == r.counts.afterNearDup)
   }
+
+  test("curateIncremental: planted cross-batch duplicates are caught by the persisted state") {
+    val alt = good.replace("lazy", "sleepy")
+    val other = "the engine plans a distributed query and the optimizer picks a broadcast join " +
+      "while the shuffle stays small and the partitions remain balanced for the readers"
+    // ids 0..3 land as batch 1 (split at count/2 = 4), 4..7 as batch 2
+    val docs = Seq(
+      (0L, good),            // batch 1, retained
+      (1L, alt),             // batch 1, near-dup of 0 -> dropped (smaller neighbor)
+      (2L, other),           // batch 1, retained
+      (3L, german),          // batch 1, language-gated
+      (4L, good),            // batch 2, EXACT dup of landed 0 -> digest state drops it
+      (5L, good.replace("lazy", "weary")),   // batch 2, near-dup of landed 0 -> index probe drops it
+      (6L, other.replace("broadcast", "shuffled")), // batch 2, near-dup of landed 2 -> dropped
+      (7L, "the careful reader follows the long and winding story of the data pipeline " +
+        "as it moves through many stages toward the final clean corpus output table"),
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.curateIncremental(docs,
+      CurationPipeline.Config(minTokens = 10, nearDupThreshold = 0.5))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 2L, 7L), s"got $out")
+  }
+
+  test("curateIncremental is split-invariant: any batch boundary lands the same corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val cfg = CurationPipeline.Config(nearDupThreshold = 0.5)
+    def run(splitAt: Long): Seq[(Long, Long)] =
+      CurationPipeline.curateIncremental(docs, cfg, splitAt = Some(splitAt))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mid = CurationPipeline.curateIncremental(docs, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mid.nonEmpty && mid == mid.sortBy(_._1))
+    // everything in batch 2, a lopsided 100-doc first batch, everything
+    // in batch 1 — the incremental machinery must be invisible (the
+    // DuckDB oracle separately proves mid == the from-scratch run)
+    assert(run(0L) == mid, "empty first batch must change nothing")
+    assert(run(100L) == mid, "lopsided split must change nothing")
+    assert(run(1000000L) == mid, "everything-in-batch-1 must change nothing")
+  }
 }

@@ -1629,6 +1629,72 @@ object Relational {
       ORDER BY c_mktsegment"""),
   )
 
+  // ---------------------------------------------------------------- q58
+  // EXACT order statistics WITHOUT a global sort — the distributed
+  // selection algorithm (Blum et al.'s selection, bucketized): q31's
+  // percentile() and any ORDER BY ... OFFSET k both materialize a
+  // total order, which at 100 TB means one giant range-exchange.
+  // Selection instead does (1) one aggregation for (min, max, n), (2)
+  // one 1024-bucket histogram pass with map-side combine (output is
+  // ≤ 1024 rows regardless of corpus), locating for each requested
+  // quantile the bucket holding its k-th element and the within-bucket
+  // offset, then (3) one filtered pass ranking ONLY the ≤ 3 target
+  // buckets (each ~ n/1024 rows; production either sizes the bucket
+  // count so a bucket fits a partition or recurses the same step).
+  // Bounded collects: the (min, max, n) row and the 3-row target
+  // table — the sim03v contract. Every arithmetic step is integer or
+  // a single IEEE op, and the k-th element is a VALUE from the data
+  // (no interpolation), so DuckDB's ORDER BY/OFFSET replay matches
+  // bit-for-bit. k_q = ceil(n·q/100), 1-based.
+  private val q58 = QueryDef(
+    "q58_selection_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024
+      val v = T(s, dir).lineitem.select(col("l_extendedprice").as("x"))
+      val Array(mn, mx, n) = v.agg(min(col("x")), max(col("x")), count(lit(1)))
+        .head.toSeq.toArray // bounded collect: 1 row
+      val (lo, hi, cnt) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double],
+        n.asInstanceOf[Long])
+      val width = if (hi > lo) hi - lo else 1.0 // all-equal corpus: one bucket
+      val ks = Seq(25, 50, 75).map(q => q.toLong -> ((cnt * q + 99L) / 100L))
+      // histogram pass: bucket = clamp(floor((x-lo)/width*B)) — the
+      // SAME expression both here and in the final pass, so bucket
+      // boundaries cannot drift between passes
+      def bucketOf(c: Column): Column =
+        least(floor((c - lit(lo)) / lit(width) * lit(B)).cast("bigint"), lit(B - 1L))
+      val hist = v.groupBy(bucketOf(col("x")).as("b"))
+        .agg(count(lit(1)).as("c"))
+        // cumulative over ≤ 1024 rows — bounded single-partition window
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+        .collect().map(r => (r.getLong(0), r.getLong(2))) // bounded: ≤ B rows
+        .sortBy(_._1)
+      val targets = ks.map { case (q, k) =>
+        val (b, cum) = hist.find(_._2 >= k).get
+        val before = hist.takeWhile(_._1 < b).lastOption.map(_._2).getOrElse(0L)
+        (q, k, b, k - before) // (quantile, global k, bucket, offset in bucket)
+      }
+      val tdf = s.createDataFrame(targets).toDF("q", "k", "b", "off")
+      val wB = Window.partitionBy(col("b")).orderBy(col("x"))
+      v.withColumn("b", bucketOf(col("x")))
+        .join(broadcast(tdf.select("b").distinct()), "b") // prune to target buckets
+        .withColumn("rn", row_number().over(wB))
+        .join(broadcast(tdf), Seq("b"))
+        .filter(col("rn") === col("off"))
+        .select(col("q"), lit(cnt).as("n"), col("k"), col("x").as("kth_value"))
+        .orderBy("q")
+    },
+    Some("""WITH v AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn
+        FROM (SELECT l_extendedprice AS x FROM lineitem)),
+      nn AS (SELECT COUNT(*) AS n FROM v),
+      ks AS (SELECT q, (SELECT n FROM nn) AS n,
+          ((SELECT n FROM nn) * q + 99) // 100 AS k
+        FROM (VALUES (25), (50), (75)) t(q))
+      SELECT ks.q, ks.n, ks.k, v.x AS kth_value
+      FROM ks JOIN v ON v.rn = ks.k ORDER BY ks.q"""),
+  )
+
   // ---------------------------------------------------------------- q51
   // Rolling distinct count: per event day, distinct active users that
   // day (DAU) and over the trailing 7 days (WAU) — the engagement
@@ -1735,5 +1801,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, sky01)
+    q55, q56, q57, q58, sky01)
 }

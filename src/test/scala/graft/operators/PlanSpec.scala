@@ -584,6 +584,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q56_important_parts").contains("CartesianProduct"))
   }
 
+  test("q58: selection quantiles equal the sort-based k-th elements") {
+    val out = Registry.byName("q58_selection_quantiles").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val xs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val n = xs.length.toLong
+    for ((q, nOut, k, v) <- out) {
+      assert(nOut == n)
+      assert(k == (n * q + 99L) / 100L)
+      assert(v == xs((k - 1).toInt), s"q$q: $v != ${xs((k - 1).toInt)}")
+    }
+    assert(out.map(_._1).toSeq == Seq(25L, 50L, 75L))
+  }
+
   test("q57: NOT EXISTS plans as a left anti join; the average is a once-computed scalar") {
     val p = Registry.byName("q57_rich_no_orders").run(spark, sf0001)
       .queryExecution.optimizedPlan.toString

@@ -1357,6 +1357,78 @@ object Corpus {
       ORDER BY c_custkey, valid_from"""),
   )
 
+  // ------------------------------------------------------------- scd02
+  /** POINT-IN-TIME join against the SCD2 dimension — the query scd01's
+    * history exists to serve: each fact joins the dimension VERSION
+    * that was valid when the fact occurred (valid_from ≤ v <
+    * valid_to), never the current row. The demo pins all three
+    * temporal semantics on one result: customers whose segment changed
+    * between versions contribute v1 facts under the OLD label and v2
+    * facts under the new starred one; customers deleted in v2
+    * (valid_to = 2) keep their v1 facts but their v2 facts drop
+    * (no row was valid); v2-inserted keys never match v1 facts.
+    *
+    * 100 TB shape: the dimension history is dimension-sized —
+    * broadcast, so the validity-window predicate rides the broadcast
+    * hash join on the key with zero extra shuffle; a history too big
+    * to broadcast uses q42's binned range join on (key, version bin).
+    * Fact versions derive from o_orderkey parity (deterministic in
+    * both engines); money sums use the exact decimal idiom.
+    */
+  private val scd02 = QueryDef(
+    "scd02_pit_join",
+    (s, dir) => {
+      val c = Tables(s, dir).customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val v2 = c.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("*")))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((-col("c_custkey")).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+      val hist = scd2History(c, v2, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+      val facts = Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_totalprice"),
+          (lit(1L) + col("o_orderkey") % 2).as("v"))
+      facts.join(broadcast(hist),
+          col("o_custkey") === col("c_custkey") &&
+            col("valid_from") <= col("v") &&
+            (col("valid_to").isNull || col("v") < col("valid_to")))
+        .groupBy("v", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+        .orderBy("v", "c_mktsegment")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      v2 AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '*' ELSE c_mktsegment END AS c_mktsegment,
+          c_acctbal
+        FROM c WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT -c_custkey, c_mktsegment, c_acctbal
+        FROM c WHERE c_custkey % 11 = 0),
+      j AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+          a.c_mktsegment AS am, a.c_acctbal AS ab,
+          b.c_mktsegment AS bm, b.c_acctbal AS bb,
+          (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+            AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal) AS same
+        FROM c a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey),
+      hist AS (
+        SELECT bk AS c_custkey, bm AS c_mktsegment,
+          CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        FROM j WHERE ak IS NULL OR (bk IS NOT NULL AND NOT same)
+        UNION ALL
+        SELECT ak, am, CAST(1 AS BIGINT),
+          CASE WHEN bk IS NULL OR NOT same THEN CAST(2 AS BIGINT) END
+        FROM j WHERE ak IS NOT NULL),
+      f AS (SELECT o_custkey, o_totalprice, 1 + o_orderkey % 2 AS v FROM orders)
+      SELECT f.v, h.c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM f JOIN hist h ON h.c_custkey = f.o_custkey
+        AND h.valid_from <= f.v AND (h.valid_to IS NULL OR f.v < h.valid_to)
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   // ------------------------------------------------------------- spl02
   /** Stratified train/val/test split with exact per-stratum quotas:
     * within every language, documents are ranked by a salted md5 (the
@@ -1403,5 +1475,5 @@ object Corpus {
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02, pii03,
       pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, spl02,
-      scd01, ord03)
+      scd01, scd02, ord03)
 }

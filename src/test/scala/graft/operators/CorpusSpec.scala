@@ -409,6 +409,22 @@ class CorpusSpec extends SparkSpec {
     assert(current.exceptAll(v2).isEmpty && v2.exceptAll(current).isEmpty)
   }
 
+  test("scd02: facts join the version valid at their time, not the current row") {
+    val rows = run("scd02_pit_join").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // v1 facts never see a starred (v2-updated) segment; v2 facts do
+    assert(!rows.keys.exists { case (v, seg) => v == 1L && seg.endsWith("*") },
+      "a v1 fact leaked a v2 segment label")
+    assert(rows.keys.exists { case (v, seg) => v == 2L && seg.endsWith("*") },
+      "v2 facts must surface the updated labels")
+    // deleted customers (key % 13 == 0) keep v1 facts, lose v2 facts:
+    // total v2 fact-rows < total v1 fact-rows is the visible effect at
+    // this data (deletions outnumber nothing on the v1 side)
+    val n1 = rows.collect { case ((1L, _), n) => n }.sum
+    val n2 = rows.collect { case ((2L, _), n) => n }.sum
+    assert(n2 < n1, s"v2 must drop deleted customers' facts: $n2 !< $n1")
+  }
+
   test("ord03: batches are full, length-sorted, and account for every doc") {
     val rows = run("ord03_length_batches").collect()
     val nDocs = graft.sources.Tables(spark, sf0001).documents.count()

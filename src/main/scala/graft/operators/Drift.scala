@@ -368,5 +368,57 @@ object Drift {
       FROM pb"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01, psi01)
+  // -------------------------------------------------------------- fe02
+  /** Leakage-safe TARGET ENCODING — the other feature-engineering
+    * staple next to fe01's binning: replace a categorical column with
+    * the mean of the target within its category, computed LEAVE-ONE-OUT
+    * (each row's own target is excluded) so the encoded feature never
+    * carries the row's own label into training — the naive in-fold mean
+    * is a classic leakage bug that inflates offline metrics. Both the
+    * LOO and the naive encodings are emitted so the leak is measurable
+    * per row.
+    *
+    * 100 TB shape: one hash aggregation to category-level (sum, count)
+    * — a handful of rows — broadcast back over the fact in a map-only
+    * join; no window, no shuffle beyond the aggregation. Exactness:
+    * sums stay DECIMAL, the means are emitted as micro-unit integers
+    * ((sum − own)·10^6 div (n − 1) — the qf03/ks01 idiom), with the
+    * integral-valued numerator CAST to DECIMAL(38,0)/HUGEINT before
+    * the floor-division: DuckDB's // on DECIMAL operands rounds the
+    * decimal quotient first (observed +1 ULP vs Spark's truncating
+    * div), while on integer operands both engines floor identically. Categories of size 1
+    * yield NULL (LOO undefined), not a division error.
+    */
+  private val fe02 = QueryDef(
+    "fe02_target_encode",
+    (s, dir) => {
+      val f = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(12,2)").as("y"))
+      val cat = f.groupBy("o_orderpriority")
+        .agg(sum(col("y")).as("cat_sum"), count(lit(1)).as("cat_n"))
+      f.join(broadcast(cat), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("cat_n") > 1,
+            expr("CAST((cat_sum - y) * 1000000 AS DECIMAL(38,0)) div (cat_n - 1)")
+              .cast("bigint"))
+            .as("loo_micro"),
+          expr("CAST(cat_sum * 1000000 AS DECIMAL(38,0)) div cat_n")
+            .cast("bigint").as("naive_micro"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH f AS (SELECT o_orderkey, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS y FROM orders),
+      cat AS (SELECT o_orderpriority, SUM(y) AS cat_sum, COUNT(*) AS cat_n
+        FROM f GROUP BY 1)
+      SELECT o_orderkey, f.o_orderpriority,
+        CASE WHEN cat_n > 1
+          THEN CAST(CAST((cat_sum - y) * 1000000 AS HUGEINT) // (cat_n - 1) AS BIGINT)
+          END AS loo_micro,
+        CAST(CAST(cat_sum * 1000000 AS HUGEINT) // cat_n AS BIGINT) AS naive_micro
+      FROM f JOIN cat USING (o_orderpriority)
+      ORDER BY o_orderkey"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01, fe02, psi01)
 }

@@ -111,4 +111,29 @@ class DriftSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("fe02: LOO encoding excludes the row's own label; naive includes it") {
+    val out = graft.Registry.byName("fe02_target_encode")
+      .run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // hand replay for one category from the raw table
+    val raw = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val cat = raw.groupBy(_._2).map { case (k, rs) =>
+      k -> (rs.map(_._3).sum, rs.length.toLong)
+    }
+    for ((key, prio, loo, naive) <- out.take(200)) {
+      val (csum, cn) = cat(prio)
+      val y = raw.find(r => r._1 == key && r._2 == prio).get._3
+      val expLoo = ((csum - y) * 1000000 / (cn - 1)).setScale(0, BigDecimal.RoundingMode.DOWN)
+      val expNaive = (csum * 1000000 / cn).setScale(0, BigDecimal.RoundingMode.DOWN)
+      assert(BigDecimal(loo) == expLoo, s"$key loo $loo != $expLoo")
+      assert(BigDecimal(naive) == expNaive, s"$key naive $naive != $expNaive")
+    }
+    // the leak is measurable: LOO differs from naive wherever y differs
+    // from the category mean (virtually every row in continuous data)
+    assert(out.count { case (_, _, l, nv) => l != nv } > out.length / 2)
+  }
 }

@@ -723,6 +723,65 @@ object Quality {
       FROM g CROSS JOIN t ORDER BY digit"""),
   )
 
+  // -------------------------------------------------------------- dq10
+  /** Cross-table FINANCIAL RECONCILIATION — the warehouse audit that a
+    * row-level expectation suite (dq03) and referential check (dq01)
+    * both miss: does the denormalized header total equal the rollup of
+    * its detail lines? Every order's o_totalprice is compared against
+    * Σ l_extendedprice·(1−l_discount) of its lineitems, each order
+    * lands in one verdict bucket (orphan_no_lines / reconciled /
+    * overstated / understated), and the report carries the exact
+    * micro-unit delta mass per bucket. On the synthetic data NOTHING
+    * reconciles and 257 orders have no lines at sf0.01 — a report that
+    * genuinely fires, like dq03's failing rules.
+    *
+    * 100 TB shape: one hash aggregation of the fact to order grain,
+    * one join on the order key (both sides key-partitioned — co-
+    * partitioned tables make it shuffle-free), one 4-row aggregate
+    * out. Exactness: money stays DECIMAL end to end; deltas are exact
+    * 4-dp decimals summed as micro-unit integers.
+    */
+  private val dq10 = QueryDef(
+    "dq10_reconciliation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val roll = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("rollup"))
+      t.orders
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(12,2)").as("tp"))
+        .join(roll, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("delta", col("tp") - col("rollup"))
+        .withColumn("verdict",
+          when(col("rollup").isNull, "orphan_no_lines")
+            .when(abs(col("delta")) < 0.01, "reconciled")
+            .when(col("delta") > 0, "overstated")
+            .otherwise("understated"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_orders"),
+          coalesce(sum(expr("CAST(delta * 1000000 AS DECIMAL(38,0))")), lit(0L))
+            .cast("bigint").as("delta_micro"))
+        .orderBy("verdict")
+    },
+    Some("""WITH roll AS (SELECT l_orderkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rollup
+        FROM lineitem GROUP BY 1),
+      j AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS tp, rollup,
+          CAST(o_totalprice AS DECIMAL(12,2)) - rollup AS delta
+        FROM orders LEFT JOIN roll ON l_orderkey = o_orderkey),
+      v AS (SELECT *,
+          CASE WHEN rollup IS NULL THEN 'orphan_no_lines'
+               WHEN ABS(delta) < 0.01 THEN 'reconciled'
+               WHEN delta > 0 THEN 'overstated'
+               ELSE 'understated' END AS verdict
+        FROM j)
+      SELECT verdict, COUNT(*) AS n_orders,
+        CAST(COALESCE(SUM(CAST(delta * 1000000 AS DECIMAL(38,0))), 0) AS BIGINT)
+          AS delta_micro
+      FROM v GROUP BY verdict ORDER BY verdict"""),
+  )
+
   // -------------------------------------------------------------- dq07
   /** T-closeness audit (Li et al. 2007) — the third leg of the
     * governance triple after dq05 (k-anonymity) and dq06 (l-diversity):
@@ -884,6 +943,6 @@ object Quality {
       ORDER BY table_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, imp01, qf04,
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, dq10, imp01, qf04,
     qf01, qf02, qf03, qf05, gov01)
 }

@@ -262,4 +262,17 @@ class QualityFilterSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("user_id") % 37 === 0).count()
     assert(ev.getAs[Long]("rows_before") - ev.getAs[Long]("rows_after") == erased)
   }
+
+  test("dq10: verdict buckets partition the orders and delta signs match verdicts") {
+    val rows = graft.Registry.byName("dq10_reconciliation").run(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nOrders = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.values.map(_._1).sum == nOrders, "buckets must partition the orders")
+    rows.get("overstated").foreach { case (_, d) => assert(d > 0) }
+    rows.get("understated").foreach { case (_, d) => assert(d < 0) }
+    rows.get("orphan_no_lines").foreach { case (_, d) => assert(d == 0) }
+    // the synthetic books don't balance: the report genuinely fires
+    assert(!rows.contains("reconciled") || rows("reconciled")._1 < nOrders)
+    assert(rows.contains("overstated") || rows.contains("understated"))
+  }
 }

@@ -688,7 +688,7 @@ object Dedup {
   // closure. The recursive closure is oracle-side only (fine at the
   // bounded test scale); the engine side is the iterative min-label
   // propagation that runs diameter-many bounded rounds at any scale.
-  private def closureOracle = s"""WITH RECURSIVE
+  private[operators] def closureOracle = s"""WITH RECURSIVE
       $edgesOracle,
       e AS (SELECT doc_a AS a, doc_b AS b FROM p
         UNION SELECT doc_b, doc_a FROM p),

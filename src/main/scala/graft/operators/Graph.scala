@@ -162,5 +162,82 @@ object Graph {
       FROM walk GROUP BY v ORDER BY hops, doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(pr01, gr02)
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al. 2014) — the MapReduce-standard CC
+    * algorithm, implemented INDEPENDENTLY of [[Dedup.clusterPairs]]'
+    * min-label propagation and held to the same oracle (dd07's
+    * recursive closure): two different algorithms, one answer.
+    * Why it exists at 100 TB: label propagation takes diameter-many
+    * rounds (a long path = a long job); star contraction converges in
+    * O(log² n) rounds regardless of diameter, each round two
+    * groupBy-min aggregations plus a join — the right choice for
+    * high-diameter graphs (chained duplicates, link graphs).
+    *
+    * Round mechanics on canonical (hi > lo) edges:
+    *  - large-star: for each node u over the SYMMETRIC neighborhood,
+    *    m(u) = min(Γ(u) ∪ {u}); every larger neighbor v > u re-points
+    *    to m(u) — long chains fold toward minima in parallel;
+    *  - small-star: within each hi's smaller-neighbor set, everything
+    *    re-points to the minimum.
+    * The loop exits when a composite round is a fixpoint (the star
+    * forest), checked by exact set equality; every round's state is
+    * localCheckpoint'd (the pageRank/clusterPairs lineage contract).
+    */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val raw = edges.select(col("doc_a").cast("bigint").as("a"),
+        col("doc_b").cast("bigint").as("b"))
+      .filter(col("a") =!= col("b"))
+    val nodes = raw.select(col("a").as("v"))
+      .union(raw.select(col("b").as("v"))).distinct().persist()
+    var e = raw.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric neighborhood
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star within each hi's smaller-neighbor set
+      val m2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(m2, "hi")
+        .select(explode(array(
+          struct(col("hi").as("x"), col("m").as("y")),
+          struct(col("lo").as("x"), col("m").as("y")))).as("p"))
+        .select(col("p.x").as("hi"), col("p.y").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
+      round += 2
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // at the fixpoint e IS a star forest: hi -> component minimum
+    val starMap = e.select(col("hi").as("v"), col("lo").as("root"))
+    val out = nodes.join(starMap, Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("root"), col("v")).as("cluster_id"))
+      .orderBy("doc_id")
+    nodes.unpersist(false)
+    out
+  }
+
+  // Shares dd07's oracle shape: the recursive closure's per-node
+  // reachable minimum — the graph-theoretic ground truth both CC
+  // implementations must match.
+  private val gr03 = QueryDef(
+    "gr03_cc_star",
+    (s, dir) => connectedComponentsStar(Dedup.ngramPairEdges(s, dir)),
+    Some(s"""${Dedup.closureOracle}
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+      GROUP BY a ORDER BY doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(pr01, gr02, gr03)
 }

@@ -77,4 +77,27 @@ class GraphSpec extends SparkSpec {
       maxHops = 3, seedBelow = 2L)
     assert(far.keySet == Set(1L, 2L, 3L, 4L) && far(4L) == 3L)
   }
+
+  test("gr03: star contraction equals min-label propagation on adversarial shapes") {
+    def star(edges: Seq[(Long, Long)]) =
+      Graph.connectedComponentsStar(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def prop(edges: Seq[(Long, Long)]) =
+      Dedup.clusterPairs(edges.toDF("doc_a", "doc_b"), maxIters = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // long path (the high-diameter case star contraction exists for),
+    // a cycle, a disconnected pair, and reversed/duplicated edges
+    val path = (1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq // reversed
+    val mixed = Seq((10L, 11L), (11L, 12L), (12L, 10L),            // cycle
+      (20L, 21L), (21L, 20L),                                      // dup edges
+      (30L, 31L))
+    for (g <- Seq(path, mixed)) {
+      val a = star(g); val b = prop(g)
+      assert(a == b, s"star $a != propagation $b")
+      // every cluster id is the component minimum (root property)
+      a.groupBy(_._2).foreach { case (root, members) =>
+        assert(members.keys.min == root)
+      }
+    }
+  }
 }

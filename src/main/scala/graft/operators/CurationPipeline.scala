@@ -234,26 +234,35 @@ object CurationPipeline {
       .withColumn("_rn", row_number().over(
         W.partitionBy(col("_h")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_h", "_rn")
+    // Per-batch drop set in ONE index probe: after the batch's rows are
+    // appended, probing the batch against the index yields every pair
+    // (batch doc, smaller indexed doc) — cross-batch pairs (history ids
+    // are all smaller under the append-only contract) AND within-batch
+    // pairs (both orders come back; batch_id > hist_id keeps each once)
+    // — so no separate minhashPairs pass re-shingles the batch, and the
+    // history side is only ever READ from the stored band/shingle
+    // tables. maxBucket counts history-side buckets over everything
+    // appended so far, matching the oracle's whole-corpus bucket cap.
+    def dropSet(path: String, batch: DataFrame): DataFrame =
+      Dedup.probeNearDupIndex(s, path, batch, cfg.nearDupThreshold)
+        .filter(col("batch_id") > col("hist_id"))
+        .select(col("batch_id").as("doc_id")).distinct()
     // ---- batch 1 lands: filter, exact-dedup, persist the index state
     val e1 = keepMin(ql(docs.filter(col("doc_id") < k)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val path = java.nio.file.Files.createTempDirectory("graft_cp02_index").toString
     Dedup.saveNearDupIndex(e1.select("doc_id", "text"), path)
-    val drop1 = Dedup.minhashPairs(e1.select("doc_id", "text"), cfg.nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val r1 = e1.join(drop1, Seq("doc_id"), "left_anti")
+    val r1 = e1.join(dropSet(path, e1.select("doc_id", "text")),
+      Seq("doc_id"), "left_anti")
     // ---- batch 2 arrives: history is only ever PROBED, never rebuilt
     val ql2 = ql(docs.filter(col("doc_id") >= k))
     val exactSurv = Dedup.incrementalExactSurvivors(
       e1.select("doc_id", "text"), ql2.select("doc_id", "text")).select("doc_id")
     val e2 = keepMin(ql2.join(exactSurv, "doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val crossDrop = Dedup.probeNearDupIndex(s, path, e2.select("doc_id", "text"),
-        cfg.nearDupThreshold)
-      .select(col("batch_id").as("doc_id")).distinct()
-    val drop2 = Dedup.minhashPairs(e2.select("doc_id", "text"), cfg.nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val r2 = e2.join(crossDrop.unionByName(drop2).distinct(), Seq("doc_id"), "left_anti")
+    Dedup.appendNearDupIndex(e2.select("doc_id", "text"), path)
+    val r2 = e2.join(dropSet(path, e2.select("doc_id", "text")),
+      Seq("doc_id"), "left_anti")
     // materialize before releasing the caches and the on-disk index
     val out = r1.unionByName(r2)
       .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))

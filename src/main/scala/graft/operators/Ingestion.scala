@@ -746,7 +746,42 @@ object Ingestion {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing19
+  // Partition RESTATEMENT via dynamic partition overwrite: the full
+  // corpus lands partitioned by lang; a corrected batch containing
+  // ONLY the 'en' partition re-lands through
+  // Sinks.overwritePartitionsDynamic — which must replace exactly
+  // that partition (static Overwrite would drop every other language;
+  // Append would duplicate 'en'). The oracle certifies the merged
+  // read: restated rows for 'en', original rows everywhere else, and
+  // per-partition counts unchanged.
+  private val ing19 = QueryDef(
+    "ing19_partition_restatement",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "source", "n_chars")
+      // ing06's per-(sf-dir, pid) target contract
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_ing19_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid()).toString
+      graft.sink.Sinks.saveParquet(docs, out, partitionBy = Seq("lang"))
+      val restated = docs.filter(col("lang") === "en")
+        .withColumn("source", lit("restated"))
+      graft.sink.Sinks.overwritePartitionsDynamic(restated, out, Seq("lang"))
+      s.read.parquet(out)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang,
+        CASE WHEN lang = 'en' THEN 'restated' ELSE source END AS source,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, source"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18)
+      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19)
 }

@@ -39,6 +39,24 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** DYNAMIC partition overwrite: replaces exactly the partitions
+    * present in `df`, leaving every other partition untouched — the
+    * restatement primitive of a partitioned warehouse (static
+    * Overwrite would drop ALL partitions first; Append would
+    * duplicate). The session flag is set for this write only and
+    * restored after, so other writers keep the session default.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    val s = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path)
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   def saveJdbc(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000, mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode)

@@ -113,4 +113,23 @@ class SinksSpec extends SparkSpec {
     val b = spark.read.parquet(comp).orderBy("doc_id").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("overwritePartitionsDynamic replaces only the touched partition") {
+    import spark.implicits._
+    val out = tmpDir("dyn-overwrite").resolve("t").toString
+    Seq((1L, "en", "v1"), (2L, "de", "v1"), (3L, "fr", "v1"))
+      .toDF("id", "lang", "tag")
+      .write.partitionBy("lang").parquet(out)
+    val deFilesBefore = new java.io.File(s"$out/lang=de").listFiles().map(_.getName).toSet
+    // restate ONLY en; de and fr must be byte-untouched
+    Sinks.overwritePartitionsDynamic(
+      Seq((9L, "en", "v2")).toDF("id", "lang", "tag"), out, Seq("lang"))
+    val read = spark.read.parquet(out).select("id", "tag", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(read == Set((9L, "v2", "en"), (2L, "v1", "de"), (3L, "v1", "fr")))
+    val deFilesAfter = new java.io.File(s"$out/lang=de").listFiles().map(_.getName).toSet
+    assert(deFilesAfter == deFilesBefore, "untouched partition files must survive")
+    // the session flag is restored (no leak into later static writes)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").contains("dynamic"))
+  }
 }

@@ -1148,6 +1148,55 @@ object Corpus {
       ORDER BY doc_id, chunk_id"""),
   )
 
+  // -------------------------------------------------------------- smp05
+  /** RENDEZVOUS (highest-random-weight) sharding — the consistent
+    * placement scheme whose property modulo sharding lacks: growing
+    * the cluster from N to N+1 shards moves ONLY the keys whose
+    * top-weight shard IS the new one (expected 1/(N+1) of keys);
+    * `pmod(key, N)` reshuffles nearly everything. The audit emits one
+    * row per new-cluster shard with its key count (balance evidence)
+    * and how many keys moved INTO it across the resize — the HRW
+    * theorem says that number must be ZERO for every pre-existing
+    * shard, which the oracle and spec both pin.
+    *
+    * 100 TB shape: pure map — N+1 md5 weights per key folded through
+    * greatest() over (weight, shard) structs (no join, no shuffle
+    * beyond the output aggregation). Weights are 60-bit md5 prefixes
+    * (winnowing's signed-safe width); ties break to the larger shard
+    * id in BOTH engines (struct max ↔ ORDER BY h DESC, j DESC).
+    */
+  private def hrwShard(key: org.apache.spark.sql.Column, n: Int) =
+    greatest((0 until n).map { j =>
+      struct(
+        conv(substring(md5(concat(lit(s"shard:$j:"), key.cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("bigint").as("h"),
+        lit(j).as("j"))
+    }: _*).getField("j")
+
+  private val smp05 = QueryDef(
+    "smp05_rendezvous_sharding",
+    (s, dir) =>
+      Tables(s, dir).part
+        .select(col("p_partkey").as("key"))
+        .withColumn("s8", hrwShard(col("key"), 8))
+        .withColumn("s9", hrwShard(col("key"), 9))
+        .groupBy(col("s9").as("shard"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved_in"))
+        .orderBy("shard"),
+    Some("""WITH c9 AS (SELECT p_partkey AS key, j,
+          ('0x' || substr(md5('shard:' || j || ':' || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM part, range(9) r(j)),
+      a9 AS (SELECT key, j AS s9 FROM c9
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY h DESC, j DESC) = 1),
+      a8 AS (SELECT key, j AS s8 FROM c9 WHERE j < 8
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY h DESC, j DESC) = 1)
+      SELECT s9 AS shard, COUNT(*) AS n_keys,
+        CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+      FROM a9 JOIN a8 USING (key)
+      GROUP BY 1 ORDER BY shard"""),
+  )
+
   // -------------------------------------------------------------- smp04
   /** Deterministic Poisson bootstrap (the distributed bootstrap: Poisson(1)
     * weights approximate multinomial resampling without coordinating a
@@ -1474,6 +1523,6 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02, pii03,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, spl02,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, smp05, spl02,
       scd01, scd02, ord03)
 }

@@ -935,10 +935,134 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val (nh, b) = indexGeometry(s, path)
     val dirs = committedBatchDirs(path)
-    probeCore(s.read.parquet(dirs.map(_ + "/bands"): _*),
-      s.read.parquet(dirs.map(_ + "/shingles"): _*),
-      batch, threshold, nh, b, maxBucket)
+    val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)
+    val sh = s.read.parquet(dirs.map(_ + "/shingles"): _*)
+    // logical erasure: tombstoned docs are invisible to every probe —
+    // including the bucket-size counts, so a forgotten boilerplate doc
+    // stops inflating its bucket immediately
+    val (fb, fs) = tombstoneIds(s, path) match {
+      case Some(t) => (bands.join(t, Seq("doc_id"), "left_anti"),
+        sh.join(t, Seq("doc_id"), "left_anti"))
+      case None => (bands, sh)
+    }
+    probeCore(fb, fs, batch, threshold, nh, b, maxBucket)
   }
+
+  // ----- right-to-erasure for the persisted index (gov02) ------------
+
+  private def tombstoneIds(s: SparkSession, path: String): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(s"$path/forgotten").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
+      .map(_.toString).toSeq.sorted
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(_ + "/ids"): _*)
+      .select(col("doc_id").cast("bigint").as("doc_id")).distinct())
+  }
+
+  /** Logical right-to-erasure: record `ids` as tombstones next to the
+    * index (append-only, marker-sealed — the data batches' commit
+    * protocol), making them invisible to every subsequent
+    * [[probeNearDupIndex]] without touching the stored tables. A
+    * governance request is answered the moment the tombstone commits;
+    * the bytes disappear at the next [[vacuumIndex]].
+    */
+  def forgetFromIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    val root = new java.io.File(s"$path/forgotten")
+    root.mkdirs()
+    val existing = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("f").toLongOption)
+    val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
+    ids.select(col("doc_id").cast("bigint").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$fdir/ids")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$fdir/_COMMITTED"))
+    ()
+  }
+
+  /** PHYSICAL erasure: rewrite the index without the tombstoned docs'
+    * band and shingle rows — the GDPR-compliance half a tombstone
+    * alone doesn't deliver (the forgotten text's shingles would still
+    * sit in parquet). The filtered tables are materialized
+    * (localCheckpoint — lineage truncated, so nothing re-reads the
+    * files being deleted) before the old tree is removed and rewritten
+    * as one compacted committed batch. The delete→rewrite window is
+    * not crash-atomic (same documented trade as the WAP retire/rename,
+    * Ingestion.scala) — a production deployment puts a manifest swap
+    * here; semantics, not the commit protocol, are what gov02 pins.
+    */
+  def vacuumIndex(s: SparkSession, path: String): Unit = {
+    val (nh, b) = indexGeometry(s, path)
+    val dirs = committedBatchDirs(path)
+    val tomb = tombstoneIds(s, path)
+    def keep(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    val bands = keep(s.read.parquet(dirs.map(_ + "/bands"): _*))
+      .localCheckpoint(true)
+    val sh = keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(path))
+    import s.implicits._
+    Seq((nh, b)).toDF("num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    bands.write.parquet(s"$path/batches/b0/bands")
+    sh.write.parquet(s"$path/batches/b0/shingles")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/batches/b0/_COMMITTED"))
+    ()
+  }
+
+  // The forgotten docs (hist ids ≡ 0 mod 5) must vanish from probe
+  // results — first logically (tombstone), then physically (vacuum);
+  // the query returns the post-VACUUM probe, and the oracle recomputes
+  // dd09's pipeline with the erased docs absent from the history side
+  // (including its bucket counts). DedupSpec separately pins
+  // tombstone-probe == vacuum-probe and that no erased doc_id survives
+  // in the rewritten parquet.
+  private lazy val gov02 = QueryDef(
+    "gov02_index_erasure",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hist = docs.filter(col("doc_id") % 7 =!= 3)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov02_index").toString
+      saveNearDupIndex(hist, path)
+      forgetFromIndex(s, path,
+        hist.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      vacuumIndex(s, path)
+      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+        .localCheckpoint(eager = true)
+      deleteRecursively(new java.io.File(path))
+      out
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0),
+      bb AS (SELECT * FROM band WHERE doc_id % 7 = 3),
+      bc AS (SELECT band, bh, COUNT(*) AS n FROM hb GROUP BY band, bh),
+      cand AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+        FROM bb b
+        JOIN hb h ON b.band = h.band AND b.bh = h.bh
+        JOIN bc ON bc.band = h.band AND bc.bh = h.bh
+        WHERE bc.n <= 1000)
+      SELECT c.batch_id, c.hist_id,
+        CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) AS jaccard
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.batch_id
+      JOIN g gb ON gb.doc_id = c.hist_id
+      WHERE CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(ga.shingles, gb.shingles))) >= 0.5
+      ORDER BY batch_id, hist_id"""),
+  )
 
   // Same split as dd09, but the history index is SAVED (two thirds)
   // then APPENDED (the rest) before the batch probes the loaded
@@ -1568,5 +1692,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, spl01, tri01, leak01)
 }

@@ -1629,6 +1629,52 @@ object Relational {
       ORDER BY c_mktsegment"""),
   )
 
+  // ---------------------------------------------------------------- q59
+  // TPC-H Q7 shape (volume shipping between nation pairs): the
+  // optimizer stress here is the DOUBLE dimension leg — nation joins
+  // in twice under different aliases (supplier's nation and customer's
+  // nation), and both must broadcast independently while the fact
+  // chain (lineitem ⋈ orders) stays the only big join. Cross-nation
+  // filter keeps the result the interesting off-diagonal. Revenue is
+  // the exact decimal product idiom (q01).
+  private val q59 = QueryDef(
+    "q59_nation_volume",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.createOrReplaceTempView("graft_q59_lineitem")
+      t.orders.createOrReplaceTempView("graft_q59_orders")
+      t.supplier.createOrReplaceTempView("graft_q59_supplier")
+      t.customer.createOrReplaceTempView("graft_q59_customer")
+      t.nation.createOrReplaceTempView("graft_q59_nation")
+      s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM graft_q59_lineitem
+        JOIN graft_q59_orders ON o_orderkey = l_orderkey
+        JOIN graft_q59_supplier ON s_suppkey = l_suppkey
+        JOIN graft_q59_customer ON c_custkey = o_custkey
+        JOIN graft_q59_nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN graft_q59_nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3""")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""),
+  )
+
   // ---------------------------------------------------------------- q58
   // EXACT order statistics WITHOUT a global sort — the distributed
   // selection algorithm (Blum et al.'s selection, bucketized): q31's
@@ -1801,5 +1847,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, sky01)
+    q55, q56, q57, q58, q59, sky01)
 }

@@ -649,6 +649,77 @@ object Sketches {
       FROM est"""),
   )
 
+  // ------------------------------------------------------------- hll06
+  /** SLIDING-WINDOW cardinality from daily register deltas — the scale
+    * path for q51's exact rolling DAU/WAU: exact rolling distinct
+    * explodes each (day, user) pair into every window it serves (cost
+    * ∝ window length × active pairs), while the sketch keeps ONE
+    * 256-register state per day and answers any trailing window by
+    * max-merging ≤ 7 register rows — O(days · 256) state total, the
+    * register-warehouse pattern (hll04) applied to time windows. The
+    * register build is one pass over the fact; the window merge and
+    * estimation never touch raw data again (re-windowing to 30 days
+    * costs nothing new). Exact WAU joins in for the per-day envelope
+    * check; only days with their own activity are reported (q51's
+    * contract).
+    */
+  private val hll06 = QueryDef(
+    "hll06_rolling_sketch",
+    (s, dir) => {
+      val du = Tables(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val regs = hllRegisterUpdatesBy(du, "day", "user_id")
+      // a day's registers serve the 7 windows ending at day .. day+6
+      val merged = regs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("reg"), col("max_rho"))
+        .groupBy("day", "reg").agg(max(col("max_rho")).as("max_rho"))
+      val est = hllEstimateFromRegisters(merged, Seq("day"))
+      // exact trailing-7-day distinct (q51's relational shape)
+      val pairs = du.distinct()
+      val exact = pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau_exact"))
+      val activeDays = pairs.select("day").distinct()
+      activeDays.join(exact, "day").join(est, "day")
+        .select(col("day"), col("wau_exact").cast("bigint").as("wau_exact"),
+          col("n_est").as("wau_est"),
+          (abs(col("n_est") - col("wau_exact")) <= lit(0.15) * col("wau_exact"))
+            .as("in_envelope"))
+        .orderBy("day")
+    },
+    Some(s"""WITH du AS (SELECT DISTINCT
+          CAST(MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS DATE) AS day, user_id
+        FROM events),
+      hh AS (SELECT DISTINCT day,
+          ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM du),
+      r AS (SELECT day, h // $HllRemBitsDiv AS reg,
+          MAX($rhoOracleSql) AS max_rho
+        FROM hh GROUP BY 1, 2),
+      m AS (SELECT r.day + CAST(j AS INTEGER) AS day, reg, MAX(max_rho) AS max_rho
+        FROM r, range(7) g(j) GROUP BY 1, 2),
+      agg AS (SELECT day,
+          ($AlphaSql) / (SUM(CAST(1::BIGINT << (${HllRemBits + 1} - max_rho) AS DECIMAL(38,0)))
+            + ($HllRegs - COUNT(*)) * CAST($Scale AS DECIMAL(38,0))) AS raw,
+          $HllRegs - COUNT(*) AS zeros
+        FROM m GROUP BY 1),
+      ex7 AS (SELECT DISTINCT du.day + CAST(j AS INTEGER) AS day, du.user_id
+        FROM du, range(7) g(j)),
+      wex AS (SELECT day, COUNT(DISTINCT user_id) AS wau_exact FROM ex7 GROUP BY day),
+      act AS (SELECT DISTINCT day FROM du)
+      SELECT act.day, CAST(wau_exact AS BIGINT) AS wau_exact,
+        CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END AS wau_est,
+        abs(CASE WHEN raw <= 2.5 * $HllRegs AND zeros > 0
+             THEN $HllRegs.0 * ln($HllRegs.0 / zeros) ELSE raw END - wau_exact)
+          <= 0.15 * wau_exact AS in_envelope
+      FROM act JOIN wex USING (day) JOIN agg USING (day)
+      ORDER BY act.day"""),
+  )
+
   // ------------------------------------------------------------- bf01
   /** Bloom filter as an ORACLE-CHECKED sketch — the third classic
     * sketch next to count-min (frequency) and HLL (cardinality):
@@ -783,5 +854,5 @@ object Sketches {
   )
 
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
-    hll05, bf01)
+    hll05, hll06, bf01)
 }

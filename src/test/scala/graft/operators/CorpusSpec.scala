@@ -409,6 +409,22 @@ class CorpusSpec extends SparkSpec {
     assert(current.exceptAll(v2).isEmpty && v2.exceptAll(current).isEmpty)
   }
 
+  test("smp05: resize moves keys only into the NEW shard, roughly 1/9 of them") {
+    val rows = run("smp05_rendezvous_sharding").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = rows.values.map(_._1).sum
+    assert(total == spark.read.parquet(s"$sf0001/part.parquet").count())
+    // the HRW theorem: no key ever moves into a pre-existing shard
+    (0 to 7).foreach { sh =>
+      rows.get(sh).foreach { case (_, moved) => assert(moved == 0L, s"shard $sh") }
+    }
+    // the new shard receives everything that moved, ~1/9 of the keys
+    val (n8, moved8) = rows(8)
+    assert(n8 == moved8, "every key in the new shard moved there")
+    assert(moved8 > total / 20 && moved8 < total / 4,
+      s"expected ~${total / 9} moved, got $moved8")
+  }
+
   test("scd02: facts join the version valid at their time, not the current row") {
     val rows = run("scd02_pit_join").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap

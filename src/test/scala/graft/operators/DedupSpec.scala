@@ -396,6 +396,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("gov02: tombstone and vacuum agree, and vacuum physically erases the bytes") {
+    val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("gov02spec").toString
+    try {
+      Dedup.saveNearDupIndex(hist, path)
+      val before = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.contains((10L, 0L)) && before.contains((10L, 5L)),
+        s"both history near-dups must match before erasure: $before")
+      // forget doc 5: logically gone from the next probe
+      Dedup.forgetFromIndex(spark, path,
+        Seq(5L).toDF("doc_id"))
+      val tombstoned = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tombstoned == before - ((10L, 5L)), s"tombstone must hide doc 5: $tombstoned")
+      // vacuum: probe identical, and the parquet no longer holds doc 5
+      Dedup.vacuumIndex(spark, path)
+      val vacuumed = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(vacuumed == tombstoned, "vacuum must not change probe semantics")
+      val survivors = spark.read.parquet(s"$path/batches/b0/shingles")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!survivors.contains(5L), "erased doc's shingles must be physically gone")
+      assert(survivors == Set(0L, 3L))
+      assert(!new java.io.File(s"$path/forgotten").exists(),
+        "vacuum clears the tombstone log")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("dd16: a failed append is invisible and its retry is idempotent") {
     val hist = Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text")
     val late = Seq((1L, nearDup)).toDF("doc_id", "text")

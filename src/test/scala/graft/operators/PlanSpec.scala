@@ -584,6 +584,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q56_important_parts").contains("CartesianProduct"))
   }
 
+  test("q59: both nation legs broadcast independently; no cartesian") {
+    val p = plan("q59_nation_volume")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension legs (supplier, customer, nation x2) must broadcast at this SF")
+  }
+
   test("q58: selection quantiles equal the sort-based k-th elements") {
     val out = Registry.byName("q58_selection_quantiles").run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -75,6 +75,19 @@ class SketchesSpec extends SparkSpec {
     assert(regs1 == regs2, "register state must be replay-invariant")
   }
 
+  test("hll06: every active day's rolling estimate lands in the envelope") {
+    val rows = graft.Registry.byName("hll06_rolling_sketch").run(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getDate(0).toString)
+    assert(days.sorted.sameElements(days), "days must be ordered")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) > 0.0)
+      assert(r.getBoolean(3),
+        s"day ${r.getDate(0)}: est ${r.getDouble(2)} vs exact ${r.getLong(1)} out of envelope")
+    }
+  }
+
   test("bf01: no false negatives, measured FPR near theory, merge exact") {
     val row = graft.Registry.byName("bf01_bloom_filter").run(spark, sf0001)
       .collect().head

@@ -1629,6 +1629,46 @@ object Relational {
       ORDER BY c_mktsegment"""),
   )
 
+  // ---------------------------------------------------------------- q60
+  // TPC-H Q15 shape (top supplier(s) by revenue, ties surfacing). The
+  // textbook form — `WHERE total_rev = (SELECT MAX(total_rev) FROM
+  // rev)` — looks like it shares the rev CTE, but Spark INLINES CTEs
+  // into subqueries and plans TWO full fact scans (verified on the
+  // final adaptive plan; there is no cross-subquery exchange reuse
+  // for this shape). The scale-correct form computes rev ONCE and
+  // takes the threshold as MAX() OVER () on the already-aggregated,
+  // supplier-count-sized table — the global window is bounded by the
+  // dimension cardinality, and the fact is scanned exactly once
+  // (PlanSpec pins the single scan).
+  private val q60 = QueryDef(
+    "q60_top_supplier",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.createOrReplaceTempView("graft_q60_lineitem")
+      t.supplier.createOrReplaceTempView("graft_q60_supplier")
+      s.sql("""WITH rev AS (SELECT l_suppkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM graft_q60_lineitem GROUP BY l_suppkey),
+        m AS (SELECT l_suppkey, total_rev,
+          MAX(total_rev) OVER () AS mx FROM rev)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM graft_q60_supplier JOIN m ON l_suppkey = s_suppkey
+        WHERE total_rev = mx
+        ORDER BY s_suppkey""")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem GROUP BY l_suppkey),
+      m AS (SELECT l_suppkey, total_rev,
+        MAX(total_rev) OVER () AS mx FROM rev)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM supplier JOIN m ON l_suppkey = s_suppkey
+      WHERE total_rev = mx
+      ORDER BY s_suppkey"""),
+  )
+
   // ---------------------------------------------------------------- q59
   // TPC-H Q7 shape (volume shipping between nation pairs): the
   // optimizer stress here is the DOUBLE dimension leg — nation joins
@@ -1847,5 +1887,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, sky01)
+    q55, q56, q57, q58, q59, q60, sky01)
 }

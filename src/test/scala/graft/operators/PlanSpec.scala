@@ -584,6 +584,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q56_important_parts").contains("CartesianProduct"))
   }
 
+  test("q60: the fact is scanned exactly once (window form, not the double-scan subquery)") {
+    // the naive Q15 scalar-subquery form re-scans lineitem inside the
+    // inlined subquery (verified on the final adaptive plan); the
+    // window form must show ONE lineitem FileScan. Execute first: the
+    // pre-execution AdaptiveSparkPlanExec string hides children.
+    val df = Registry.byName("q60_top_supplier").run(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // count SCAN NODES over the fact in the FINAL plan only — the
+    // adaptive plan string appends an "== Initial Plan ==" section that
+    // repeats every node
+    val pFinal = p.split("== Initial Plan ==").head
+    val factScans = "FileScan parquet \\[l_".r.findAllIn(pFinal).size
+    assert(factScans == 1, s"expected one fact scan, saw $factScans:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q59: both nation legs broadcast independently; no cartesian") {
     val p = plan("q59_nation_volume")
     assert(!p.contains("CartesianProduct"))

@@ -420,5 +420,61 @@ object Drift {
       ORDER BY o_orderkey"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01, fe02, psi01)
+  // -------------------------------------------------------------- dq11
+  /** Rolling TIME-SERIES anomaly audit — the volume monitor a pipeline
+    * runs on every ingestion day: each day's event count is scored
+    * against the trailing-7-day window's sample mean/std (the current
+    * day EXCLUDED, so a spike can't mask itself), z = (n − μ)/σ,
+    * |z| > 3 flags. Exactness: window sums (Σn, Σn², k) are exact
+    * integers assembled by the q51 explode idiom (each day's count
+    * serves the 7 FOLLOWING days — one small aggregation, no
+    * data-sized window); μ, σ², z are then a fixed chain of
+    * correctly-rounded IEEE ops over exact integers (the chi01
+    * contract), identical in both engines. Days with fewer than 2
+    * prior days in window emit NULL z (score undefined), not a guess.
+    */
+  private val dq11 = QueryDef(
+    "dq11_rolling_anomaly",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val prior = daily
+        .select(explode(sequence(date_add(col("day"), 1), date_add(col("day"), 7)))
+          .as("day"), col("n"))
+        .groupBy("day").agg(count(lit(1)).as("k"),
+          sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+      daily.join(prior, Seq("day"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .withColumn("z",
+          when(col("k") >= 2,
+            (col("n").cast("double") - col("s1").cast("double") / col("k")) /
+              sqrt((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+                (col("k") * (col("k") - 1)).cast("double"))))
+        .select(col("day"), col("n").cast("bigint").as("n"),
+          col("k").cast("bigint").as("k_prior"), col("z"),
+          (abs(col("z")) > 3.0).as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT
+          CAST(MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS DATE) AS day,
+          COUNT(*) AS n
+        FROM events GROUP BY 1),
+      prior AS (SELECT d.day + CAST(j AS INTEGER) AS day,
+          COUNT(*) AS k, SUM(n) AS s1, SUM(n * n) AS s2
+        FROM daily d, range(1, 8) r(j) GROUP BY 1)
+      SELECT d.day, CAST(d.n AS BIGINT) AS n,
+        CAST(COALESCE(p.k, 0) AS BIGINT) AS k_prior,
+        CASE WHEN COALESCE(p.k, 0) >= 2 THEN
+          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / p.k) /
+            sqrt(CAST(p.k * p.s2 - p.s1 * p.s1 AS DOUBLE) /
+              CAST(p.k * (p.k - 1) AS DOUBLE)) END AS z,
+        CASE WHEN COALESCE(p.k, 0) >= 2 THEN abs(
+          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / p.k) /
+            sqrt(CAST(p.k * p.s2 - p.s1 * p.s1 AS DOUBLE) /
+              CAST(p.k * (p.k - 1) AS DOUBLE))) > 3.0 END AS is_anomaly
+      FROM daily d LEFT JOIN prior p ON p.day = d.day
+      ORDER BY d.day"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ks01, chi01, dp01, cal01, fe01, fe02, psi01, dq11)
 }

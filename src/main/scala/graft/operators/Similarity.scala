@@ -727,6 +727,50 @@ object Similarity {
       SELECT qid, cid, adist, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
+  /** FILTERED similarity search — the vector-database staple the plain
+    * top-k queries above don't exercise: restrict candidates by a
+    * metadata predicate (here: the query's own `label`) BEFORE
+    * scoring. Pre-filtering matters twice at scale: (1) post-filtering
+    * an unfiltered top-k under-fills k whenever matches are scarce in
+    * the global neighborhood (the classic vector-DB bug); (2) the
+    * predicate rides the scan as a pushed filter / partition prune, so
+    * a label-partitioned corpus scores only its own shard. Exact
+    * within the filter (brute baseline); the LSH/IVF index paths
+    * compose the same way — bucket within (label, bucket) keys.
+    */
+  def filteredTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("label"),
+      asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q),
+        col("label") === col("qlabel") && col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "label", "cid", "sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  private val sim08 = QueryDef(
+    "sim08_filtered_knn",
+    (s, dir) => filteredTopK(Tables(s, dir).embeddings),
+    Some("""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+        embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM embeddings),
+      s AS (SELECT qid, label, cid,
+        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        FROM c JOIN q ON c.label = q.qlabel AND qid <> cid),
+      r AS (SELECT qid, label, cid, sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        FROM s)
+      SELECT qid, label, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
   /** Recall@k of the LSH index against the brute-force ground truth —
     * the evaluation operator every ANN deployment runs before trusting
     * an index (recall is THE quality/cost dial being tuned; sim02's
@@ -996,5 +1040,5 @@ object Similarity {
       ORDER BY anchor_id, neg_rank"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, rp01, neg01)
 }

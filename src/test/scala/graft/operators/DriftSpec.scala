@@ -136,4 +136,25 @@ class DriftSpec extends SparkSpec {
     // from the category mean (virtually every row in continuous data)
     assert(out.count { case (_, _, l, nv) => l != nv } > out.length / 2)
   }
+
+  test("dq11: z-scores match a hand replay; early days score NULL") {
+    val rows = graft.Registry.byName("dq11_rolling_anomaly").run(spark, sf0001)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // first day has no priors -> NULL z
+    assert(rows.head._3 == 0L && rows.head._4.isEmpty)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    import java.time.LocalDate
+    for ((day, n, k, z) <- rows if k >= 2) {
+      val d = LocalDate.parse(day)
+      val prior = (1 to 7).flatMap(j => byDay.get(d.minusDays(j.toLong).toString))
+      assert(prior.size.toLong == k, s"$day window size")
+      val mu = prior.sum.toDouble / prior.size
+      val varS = prior.map(x => (x - mu) * (x - mu)).sum / (prior.size - 1)
+      val expect = (n - mu) / math.sqrt(varS)
+      assert(math.abs(z.get - expect) < 1e-9, s"$day: ${z.get} vs $expect")
+    }
+  }
 }

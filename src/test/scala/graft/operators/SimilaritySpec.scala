@@ -118,6 +118,22 @@ class SimilaritySpec extends SparkSpec {
       s"ADC distance diverged from the hand replay: ${hit.getDouble(2)} vs $expected")
   }
 
+  test("sim08: filtered kNN returns only same-label neighbors; post-filter would under-fill") {
+    val out = Similarity.filteredTopK(emb, nQueries = 3, k = 5).collect()
+    assert(out.length == 15)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getInt(1) == labels(r.getLong(0)), "result label must be the query's")
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)), "neighbor label must match")
+    }
+    // pre-filter vs post-filter: filtering the UNfiltered top-5 by label
+    // keeps fewer than 5 for at least one query (the under-fill bug)
+    val unfiltered = Similarity.bruteTopK(emb, nQueries = 3, k = 5).collect()
+    val postFilter = unfiltered.count(r => labels(r.getLong(1)) == labels(r.getLong(0)))
+    assert(postFilter < 15, s"post-filtering kept $postFilter of 15 - the demo needs scarcity")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val fact = (Seq.fill(5000)(1L) ++ (2L to 50L)).zipWithIndex

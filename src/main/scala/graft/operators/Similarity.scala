@@ -771,6 +771,63 @@ object Similarity {
       SELECT qid, label, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
+  /** KNN LABEL IMPUTATION (weak supervision): the 10% of vectors with
+    * a masked label receive the MAJORITY label of their 5 nearest
+    * labeled neighbors — the embedding-space label-propagation step a
+    * training pipeline uses to extend sparse annotations, with the
+    * per-vector verdict against the held-out truth making it an
+    * accuracy eval at the same time. Ties break deterministically
+    * (vote count desc, then smaller label), scoring is the sim01
+    * cosine contract, and the labeled pool joins the broadcast masked
+    * set — one corpus scan, one rank exchange.
+    */
+  def knnImpute(emb: DataFrame, k: Int = 5): DataFrame = {
+    val masked = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("label_true"),
+        asDouble(col("embedding")).as("qv"))
+    val pool = emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("cid"), col("label").as("clabel"),
+        asDouble(col("embedding")).as("cv"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("clabel"))
+    pool.join(broadcast(masked), col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k)
+      .groupBy("qid", "label_true", "clabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") === 1)
+      .select(col("qid").as("vec_id"), col("label_true"),
+        col("clabel").as("label_imputed"),
+        (col("clabel") === col("label_true")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  private val sim09 = QueryDef(
+    "sim09_knn_impute",
+    (s, dir) => knnImpute(Tables(s, dir).embeddings),
+    Some("""WITH m AS (SELECT vec_id AS qid, label AS label_true,
+          embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 10 = 0),
+      p AS (SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 10 <> 0),
+      s AS (SELECT qid, label_true, cid, clabel,
+        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        FROM p, m WHERE qid <> cid),
+      top AS (SELECT qid, label_true, clabel FROM s
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5),
+      v AS (SELECT qid, label_true, clabel, COUNT(*) AS votes
+        FROM top GROUP BY 1, 2, 3)
+      SELECT qid AS vec_id, label_true, clabel AS label_imputed,
+        clabel = label_true AS correct
+      FROM v
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, clabel) = 1
+      ORDER BY vec_id"""),
+  )
+
   /** Recall@k of the LSH index against the brute-force ground truth —
     * the evaluation operator every ANN deployment runs before trusting
     * an index (recall is THE quality/cost dial being tuned; sim02's
@@ -1040,5 +1097,5 @@ object Similarity {
       ORDER BY anchor_id, neg_rank"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, rp01, neg01)
 }

@@ -134,6 +134,23 @@ class SimilaritySpec extends SparkSpec {
     assert(postFilter < 15, s"post-filtering kept $postFilter of 15 - the demo needs scarcity")
   }
 
+  test("sim09: imputation is 1 row per masked vector; a planted twin wins its vote") {
+    import spark.implicits._
+    val out = Similarity.knnImpute(emb).collect()
+    val nMasked = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(out.length.toLong == nMasked, "one verdict per masked vector")
+    assert(out.forall(r => r.getLong(0) % 10 == 0))
+    // planted check: give masked vector 0 five exact copies with label 77
+    // in the pool - the vote must be unanimous for 77
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val twins = (1 to 5).map(i => (1000L + i, v0, 77)).toDF("vec_id", "embedding", "label")
+    val out2 = Similarity.knnImpute(
+      emb.select("vec_id", "embedding", "label").unionByName(twins)).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(out2.head.getInt(2) == 77, s"planted twins must win: ${out2.head}")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val fact = (Seq.fill(5000)(1L) ++ (2L to 50L)).zipWithIndex

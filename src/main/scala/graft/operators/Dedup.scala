@@ -1085,6 +1085,46 @@ object Dedup {
     dd09.oracle, // the persisted path must agree with dd09's recompute
   )
 
+  // -------------------------------------------------------------- dm04
+  // Duplicate-cluster SIZE DISTRIBUTION — the one-line health metric a
+  // dedup report leads with ("how big do duplicate families get"): one
+  // row per cluster size with the number of clusters of that size,
+  // singletons (docs in no near-dup pair) included as the size-1
+  // bucket. Cluster map from the shared clusterPairs; sizes and the
+  // histogram are two tiny aggregations on top. Oracle derives the
+  // same histogram from the recursive closure plus the corpus count.
+  private lazy val dm04 = QueryDef(
+    "dm04_cluster_sizes",
+    (s, dir) => {
+      val corpus = Tables(s, dir).documents.filter(col("doc_id") < 120)
+      val clusters = clusterPairs(ngramPairEdges(s, dir), maxIters = 50)
+      val multi = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val singles = corpus
+        .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      // every edge-set node sits in a >= 2 cluster, so the buckets are
+      // disjoint by construction
+      multi.select(col("cluster_size").cast("bigint").as("cluster_size"),
+          col("n_clusters").cast("bigint").as("n_clusters"))
+        .unionByName(singles)
+        .orderBy("cluster_size")
+    },
+    Some(s"""$closureOracle,
+      cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1),
+      multi AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY 1)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters FROM multi
+      UNION ALL
+      SELECT 1,
+        (SELECT COUNT(*) FROM documents WHERE doc_id < 120)
+          - (SELECT COUNT(*) FROM cl)
+      ORDER BY cluster_size"""),
+  )
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -1692,5 +1732,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, dm04, spl01, tri01, leak01)
 }

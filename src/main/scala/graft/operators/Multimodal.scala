@@ -484,5 +484,90 @@ object Multimodal {
     WHERE hamming <= 6 ORDER BY doc_a, doc_b"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06)
+  // -------------------------------------------------------------- mm07
+  /** Recall eval for the banded pHash join (the dd14/fz03 pattern in
+    * the image domain): mm05's production path bands the 64-bit aHash
+    * into 4×16-bit keys, which is LOSSY twice — a pair with hamming
+    * 4–6 can spread its differing bits across all four bands
+    * (pigeonhole only guarantees a clean band at hamming ≤ 3), and
+    * degenerate buckets are capped at 100. This row measures what
+    * those trades cost against the exact quadratic hamming scan
+    * (bounded reference, the dd10 contract — fine at the declared
+    * scale, sampled in production), and certifies precision is 1 by
+    * construction (every banded pair is hamming-verified, so banded ⊆
+    * exact).
+    */
+  def phashRecall(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hs = aHashBands(media).select(col("doc_id"),
+      col("b0").bitwiseOR(shiftleft(col("b1"), 16)).as("h0"),
+      col("b2").bitwiseOR(shiftleft(col("b3"), 16)).as("h1"))
+    val exact = hs.select(col("doc_id").as("doc_a"), col("h0").as("a0"), col("h1").as("a1"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("h0").as("c0"), col("h1").as("c1")),
+        col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1)") <= maxHamming)
+      .select("doc_a", "doc_b")
+    val banded = phashPairs(media, maxHamming).select("doc_a", "doc_b")
+    exact.withColumn("e", lit(1L))
+      .join(banded.withColumn("bd", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("bd"), lit(0L))).as("n_banded"),
+        sum(when(col("e").isNotNull && col("bd").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_exact"), col("n_banded"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact")).as("recall"),
+        (col("n_banded") === col("n_hits")).as("banded_subset"))
+  }
+
+  private val mm07 = QueryDef(
+    "mm07_phash_recall",
+    (s, dir) => phashRecall(syntheticMedia(Tables(s, dir).documents)),
+    Some("""WITH h AS (SELECT doc_id,
+        list_transform(range(64),
+          i -> ('0x' || substr(hex(encode(text)), 2 * i + 1, 2))::BIGINT) AS bytes
+      FROM documents WHERE octet_length(encode(text)) >= 64),
+    s AS (SELECT doc_id, bytes, CAST(list_sum(bytes) AS BIGINT) AS bsum FROM h),
+    bits AS (SELECT doc_id,
+        list_transform(range(64), i -> CASE WHEN 64 * bytes[i+1] > bsum THEN 1 ELSE 0 END) AS bit
+      FROM s),
+    bands AS (SELECT doc_id,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+1] << i)) AS BIGINT) AS b0,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+17] << i)) AS BIGINT) AS b1,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+33] << i)) AS BIGINT) AS b2,
+        CAST(list_sum(list_transform(range(16), i -> bit[i+49] << i)) AS BIGINT) AS b3
+      FROM bits),
+    ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0 | (a.b1 << 16), b.b0 | (b.b1 << 16))) +
+            bit_count(xor(a.b2 | (a.b3 << 16), b.b2 | (b.b3 << 16))) <= 6),
+    k AS (SELECT doc_id, 0 AS band, b0 AS v FROM bands
+      UNION ALL SELECT doc_id, 1, b1 FROM bands
+      UNION ALL SELECT doc_id, 2, b2 FROM bands
+      UNION ALL SELECT doc_id, 3, b3 FROM bands),
+    sz AS (SELECT band, v, COUNT(*) AS n FROM k GROUP BY 1, 2),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id
+      LEFT JOIN sz s0 ON s0.band = 0 AND s0.v = a.b0
+      LEFT JOIN sz s1 ON s1.band = 1 AND s1.v = a.b1
+      LEFT JOIN sz s2 ON s2.band = 2 AND s2.v = a.b2
+      LEFT JOIN sz s3 ON s3.band = 3 AND s3.v = a.b3
+      WHERE (a.b0 = b.b0 AND s0.n <= 100) OR (a.b1 = b.b1 AND s1.n <= 100)
+         OR (a.b2 = b.b2 AND s2.n <= 100) OR (a.b3 = b.b3 AND s3.n <= 100)),
+    bd AS (SELECT doc_a, doc_b FROM cand JOIN bands ba ON ba.doc_id = doc_a
+      JOIN bands bb ON bb.doc_id = doc_b
+      WHERE bit_count(xor(ba.b0 | (ba.b1 << 16), bb.b0 | (bb.b1 << 16))) +
+            bit_count(xor(ba.b2 | (ba.b3 << 16), bb.b2 | (bb.b3 << 16))) <= 6),
+    f AS (SELECT COALESCE(e.doc_a, b.doc_a) AS doc_a,
+        CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e,
+        CASE WHEN b.doc_a IS NOT NULL THEN 1 ELSE 0 END AS bdd
+      FROM ex e FULL OUTER JOIN bd b
+        ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b)
+    SELECT CAST(SUM(e) AS BIGINT) AS n_exact,
+      CAST(SUM(bdd) AS BIGINT) AS n_banded,
+      CAST(SUM(e * bdd) AS BIGINT) AS n_hits,
+      CAST(SUM(e * bdd) AS DOUBLE) / SUM(e) AS recall,
+      SUM(bdd) = SUM(e * bdd) AS banded_subset
+    FROM f"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06, mm07)
 }

@@ -33,4 +33,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 152 * 151 / 2, out.length.toString)
     assert(out.forall(_.getLong(2) <= 1L))
   }
+
+  test("mm07: banded pHash recall is high, precision exactly 1, hamming<=3 pairs never missed") {
+    val r = graft.Registry.byName("mm07_phash_recall").run(spark, sf0001)
+      .collect().head
+    val (nExact, nBanded, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(4), "every banded pair must be a true pair (precision 1)")
+    assert(nHits == nBanded && nHits <= nExact)
+    assert(r.getDouble(3) >= 0.8, s"recall ${r.getDouble(3)} collapsed")
+    // pigeonhole: a pair with hamming <= 3 must share a clean band, so
+    // missed pairs (if any) all sit in the 4..6 range — checked by
+    // recomputing the exact <=3 subset and requiring full coverage
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.syntheticMedia(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    val tight = Multimodal.phashRecall(media, maxHamming = 3).collect().head
+    assert(tight.getLong(0) == tight.getLong(2) || tight.getLong(0) == 0,
+      s"hamming<=3 pairs are pigeonhole-guaranteed unless a bucket cap bites: $tight")
+  }
 }

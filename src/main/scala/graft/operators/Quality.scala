@@ -782,6 +782,55 @@ object Quality {
       FROM v GROUP BY verdict ORDER BY verdict"""),
   )
 
+  // -------------------------------------------------------------- dq12
+  /** Calendar COVERAGE GAPS — the continuity audit dq08's freshness
+    * check doesn't make: between the first and last order date, which
+    * whole days have NO data at all, reported as contiguous gap
+    * islands (the gaps-and-islands pattern: island key = day − rank).
+    * A silent upstream outage shows up here as a multi-day island
+    * long before a freshness alarm would fire on the current day.
+    *
+    * 100 TB shape: the fact collapses to DISTINCT active days first
+    * (one map-side-combined aggregation), the calendar spine comes
+    * from one 1-row min/max aggregate exploded driver-free, and the
+    * gap set is calendar-bounded (≤ span days, ~2.4k here) — so the
+    * global rank window runs over the tiny MISSING-day set, never
+    * anything data-sized. Six genuine gap days exist in the synthetic
+    * order history.
+    */
+  private val dq12 = QueryDef(
+    "dq12_coverage_gaps",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val active = o.select(to_date(col("o_orderdate")).as("day")).distinct()
+      val spine = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val missing = spine.join(active, Seq("day"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      missing.withColumn("rk", row_number().over(w))
+        .withColumn("grp", expr("date_sub(day, rk)"))
+        .groupBy("grp")
+        .agg(min(col("day")).as("gap_start"), max(col("day")).as("gap_end"),
+          count(lit(1)).cast("bigint").as("n_days"))
+        .select("gap_start", "gap_end", "n_days")
+        .orderBy("gap_start")
+    },
+    Some("""WITH span AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+          MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      all_days AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP,
+          hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      active AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+      missing AS (SELECT day FROM all_days
+        WHERE day NOT IN (SELECT day FROM active)),
+      g AS (SELECT day,
+          day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS grp
+        FROM missing)
+      SELECT MIN(day) AS gap_start, MAX(day) AS gap_end,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM g GROUP BY grp ORDER BY gap_start"""),
+  )
+
   // -------------------------------------------------------------- dq07
   /** T-closeness audit (Li et al. 2007) — the third leg of the
     * governance triple after dq05 (k-anonymity) and dq06 (l-diversity):
@@ -943,6 +992,6 @@ object Quality {
       ORDER BY table_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, dq10, imp01, qf04,
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, dq10, dq12, imp01, qf04,
     qf01, qf02, qf03, qf05, gov01)
 }

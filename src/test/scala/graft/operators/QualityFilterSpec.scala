@@ -263,6 +263,30 @@ class QualityFilterSpec extends SparkSpec {
     assert(ev.getAs[Long]("rows_before") - ev.getAs[Long]("rows_after") == erased)
   }
 
+  test("dq12: gap islands cover exactly the inactive days, none active") {
+    val rows = graft.Registry.byName("dq12_coverage_gaps").run(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate, r.getLong(2)))
+    val active = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).toSet
+    val span = (active.min.toEpochDay to active.max.toEpochDay)
+      .map(java.time.LocalDate.ofEpochDay).toSet
+    val expectedMissing = span -- active
+    val reported = rows.flatMap { case (s0, e0, n) =>
+      val days = (s0.toEpochDay to e0.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+      assert(days.size.toLong == n, s"island length mismatch at $s0")
+      days
+    }.toSet
+    assert(reported == expectedMissing,
+      s"islands must cover exactly the inactive days (${expectedMissing.size})")
+    // islands are maximal: no two adjacent islands touch
+    val sorted = rows.sortBy(_._1.toEpochDay)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(b._1.toEpochDay > a._2.toEpochDay + 1)
+      case _ => ()
+    }
+  }
+
   test("dq10: verdict buckets partition the orders and delta signs match verdicts") {
     val rows = graft.Registry.byName("dq10_reconciliation").run(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -1883,9 +1883,73 @@ object Relational {
       ORDER BY p_retailprice, p_partkey"""),
   )
 
+  // ---------------------------------------------------------------- q61
+  // TPC-H Q19 shape: revenue under a DISJUNCTION of cross-table branch
+  // predicates (brand × type × size range × quantity range). The
+  // optimizer stress is that the join condition is an equi-key AND an
+  // OR-of-ANDs mixing both sides: Catalyst must (a) still extract the
+  // p_partkey equi-join (no nested-loop / cartesian fallback), and
+  // (b) CNF-convert the disjunction so the part-only conjuncts
+  // (brand/type/size per branch) push below the join into the part
+  // scan as an Or PushedFilter — at 100 TB the part side arrives
+  // pre-reduced to the three branch slices and broadcasts, and the
+  // residual mixed predicate evaluates inside the join. Branch
+  // attribution uses first-match-wins CASE ordering, identical in the
+  // oracle; revenue is the exact decimal product idiom (q01).
+  private val q61 = QueryDef(
+    "q61_disjunctive_promo",
+    (s, dir) => {
+      val t = T(s, dir)
+      val li = t.lineitem.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      val p = t.part.select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+      val b1 = col("p_brand") === "Brand#19" && col("p_type") === "PROMO" &&
+        col("p_size").between(1, 30) && col("l_quantity").between(1, 25)
+      val b2 = col("p_brand") === "Brand#9" && col("p_type") === "PROMO" &&
+        col("p_size").between(1, 40) && col("l_quantity").between(10, 40)
+      val b3 = col("p_brand") === "Brand#5" && col("p_type") === "ECONOMY" &&
+        col("p_size").between(1, 50) && col("l_quantity").between(20, 50)
+      li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") && (b1 || b2 || b3))
+        .withColumn("branch",
+          when(b1, "promo_small").when(b2, "promo_mid").otherwise("economy_bulk"))
+        .groupBy("branch")
+        .agg(count(lit(1)).cast("bigint").as("n_lines"),
+          dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
+            .as("revenue"))
+        .select("branch", "n_lines", "revenue")
+        .orderBy("branch")
+    },
+    Some("""SELECT branch,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM (
+        SELECT CASE
+            WHEN p_brand = 'Brand#19' AND p_type = 'PROMO'
+              AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 1 AND 25
+              THEN 'promo_small'
+            WHEN p_brand = 'Brand#9' AND p_type = 'PROMO'
+              AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 10 AND 40
+              THEN 'promo_mid'
+            WHEN p_brand = 'Brand#5' AND p_type = 'ECONOMY'
+              AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50
+              THEN 'economy_bulk'
+          END AS branch, l_extendedprice, l_discount
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#19' AND p_type = 'PROMO'
+              AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 1 AND 25)
+           OR (p_brand = 'Brand#9' AND p_type = 'PROMO'
+              AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#5' AND p_type = 'ECONOMY'
+              AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)
+      ) GROUP BY branch ORDER BY branch"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, sky01)
+    q55, q56, q57, q58, q59, q60, q61, sky01)
 }

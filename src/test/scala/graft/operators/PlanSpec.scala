@@ -642,6 +642,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), "fold stays in built-in expressions")
   }
 
+  test("q61: disjunctive join keeps the equi-key and pushes the branch Or into the part scan") {
+    val p = plan("q61_disjunctive_promo")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the p_partkey equi-key must survive the OR-of-ANDs:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    // CNF conversion must push the part-only disjunction below the join:
+    // the part scan's PushedFilters carries an Or over p_brand/p_type
+    val partScan = p.split("FileScan").find(_.contains("part.parquet")).getOrElse("")
+    assert(partScan.contains("Or(") && partScan.contains("p_brand"),
+      s"expected the branch disjunction pushed to the part scan:\n${partScan.take(800)}")
+  }
+
   test("cms03: per-group top-k ranks within (group, salt) before the bounded re-rank") {
     // probed on the optimized plan: AQE's executedPlan string elides
     // the collapsed salt projection (see verify SKILL gotcha)

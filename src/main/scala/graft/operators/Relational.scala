@@ -1947,9 +1947,80 @@ object Relational {
       ) GROUP BY branch ORDER BY branch"""),
   )
 
+  // ---------------------------------------------------------------- mb01
+  // Market-basket co-occurrence (association rules): part pairs ordered
+  // together more often than chance, scored by support and lift.
+  //
+  // 100 TB shape: baskets = DISTINCT (orderkey, partkey) — one shuffle;
+  // the pair generator is a SELF equi-join on orderkey (the two legs
+  // are the identical subplan, so the physical plan reuses one
+  // exchange), with per-order fan-out bounded by basket size (≤ 13 in
+  // the synthetic data, O(10) in TPC-H generally) — so pair expansion
+  // is Σk² per order, linear in orders for bounded baskets, never an
+  // all-pairs join over parts. A corpus with pathological mega-baskets
+  // (k in the thousands) would need a per-basket size cap or dd15's
+  // prefix-filter — out of scope for order data. Pair counts hash-
+  // aggregate with map-side combine on (p1,p2); the min-support filter
+  // (pair_cnt ≥ 3) runs before any ratio math so only frequent pairs
+  // reach the join with the part-sized item-count table (broadcast)
+  // and the 1-row basket total (broadcast crossJoin).
+  //
+  // Exactness: support and lift are ratios of exact integers, emitted
+  // as micro-unit BIGINTs (the qf03/fe02 idiom). Numerators are cast
+  // to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) BEFORE the multiply so
+  // pair_cnt·n_orders·10^6 cannot overflow BIGINT at scale, and `div`
+  // on positive integers truncates = floors identically to DuckDB's
+  // integer `//`. (p1, p2) is unique, so the lift-desc ORDER BY with
+  // the pair tie-break is total.
+  private val mb01 = QueryDef(
+    "mb01_market_basket",
+    (s, dir) => {
+      val baskets = T(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      val itemCnt = baskets.groupBy("l_partkey")
+        .agg(count(lit(1)).as("item_cnt"))
+      val nOrders = baskets.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = baskets.select(col("ok"), col("l_partkey").as("p1"))
+        .join(baskets.select(col("ok").as("ok2"), col("l_partkey").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 3)
+      pairs
+        .join(broadcast(itemCnt.select(col("l_partkey").as("p1"),
+          col("item_cnt").as("cnt1"))), "p1")
+        .join(broadcast(itemCnt.select(col("l_partkey").as("p2"),
+          col("item_cnt").as("cnt2"))), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("pair_cnt"),
+          expr("(CAST(pair_cnt AS DECIMAL(38,0)) * 1000000) div n_orders")
+            .cast("bigint").as("support_micro"),
+          expr("(CAST(pair_cnt AS DECIMAL(38,0)) * n_orders * 1000000) div (cnt1 * cnt2)")
+            .cast("bigint").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("p1"), col("p2"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
+      ic AS (SELECT l_partkey, COUNT(*) AS item_cnt FROM b GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+      pairs AS (
+        SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+          CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM b a JOIN b c ON a.ok = c.ok AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT p1, p2, pair_cnt,
+        CAST(CAST(pair_cnt AS HUGEINT) * 1000000 // n_orders AS BIGINT)
+          AS support_micro,
+        CAST(CAST(pair_cnt AS HUGEINT) * n_orders * 1000000
+          // (i1.item_cnt * i2.item_cnt) AS BIGINT) AS lift_micro
+      FROM pairs
+      JOIN ic i1 ON i1.l_partkey = p1
+      JOIN ic i2 ON i2.l_partkey = p2
+      CROSS JOIN n
+      ORDER BY lift_micro DESC, p1, p2"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, sky01)
+    q55, q56, q57, q58, q59, q60, q61, mb01, sky01)
 }

@@ -654,6 +654,20 @@ class PlanSpec extends SparkSpec {
       s"expected the branch disjunction pushed to the part scan:\n${partScan.take(800)}")
   }
 
+  test("mb01: the basket self-join stays an equi-join and pair counts pre-aggregate") {
+    val p = plan("mb01_market_basket")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must ride the orderkey equi-join, never all-pairs:\n${p.take(1200)}")
+    // the only nested-loop allowed is the 1-row n_orders scalar
+    // broadcast (a Cross build); an Inner BNLJ would mean the orderkey
+    // equi-key was lost
+    val bnlj = "BroadcastNestedLoopJoin [^,]*, (\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross"), s"non-scalar nested loop: $bnlj\n${p.take(1200)}")
+    // pair counting is a partial+final hash aggregate on (p1, p2)
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("cms03: per-group top-k ranks within (group, salt) before the bounded re-rank") {
     // probed on the optimized plan: AQE's executedPlan string elides
     // the collapsed salt projection (see verify SKILL gotcha)

@@ -166,5 +166,94 @@ object AsOf {
       ORDER BY v_event_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ao01, ao02, ao03)
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * each left row picks up the right row minimizing |right.ts −
+    * left.ts| per key, preferring the BACKWARD match on an exact
+    * distance tie (and an equal-timestamp match is distance 0, so it
+    * always wins). Still ONE shuffle: both directional candidates come
+    * from the same key-partitioned, (ts, side)-ordered sort — the
+    * backward `last` and forward `first` windows share the exchange
+    * and the sort, and the per-row distance comparison is a pure
+    * projection. The right row's (ts, values) travel as ONE struct so
+    * the chosen timestamp and the chosen values can never come from
+    * different right rows (a hazard the per-column ignoreNulls fill
+    * would have under null right values).
+    *
+    * Right side must be unique per (keys, ts) — pre-aggregate as ao01
+    * does — or the equal-key ordering is undefined.
+    *
+    * Output: left columns ++ `asof_<valueCol>`* ++ `asof_ts` (the
+    * matched right timestamp; null when the key has no right rows).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val tag = "_graft_side"
+    val leftCols = left.columns.toSeq
+    // right tags 0: at equal ts it sorts BEFORE the left row, so the
+    // backward frame includes it (<= semantics) and the forward frame
+    // sees only strictly-later right rows — which is exactly right for
+    // nearest: the distance-0 match is already the backward candidate.
+    val l = left.withColumn(tag, lit(1))
+    val pack = struct(col(ts).as("_ts") +: valueCols.map(col): _*)
+    val r = right.select(keys.map(col) :+ col(ts) :+ pack.as("_r_pack"): _*)
+      .withColumn(tag, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tag).asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backWins = col("_b").isNotNull && (col("_f").isNull ||
+      (col(ts) - col("_b._ts")) <= (col("_f._ts") - col(ts)))
+    unioned
+      .withColumn("_b", last(col("_r_pack"), ignoreNulls = true).over(wb))
+      .withColumn("_f", first(col("_r_pack"), ignoreNulls = true).over(wf))
+      .filter(col(tag) === 1)
+      .withColumn("_near", when(backWins, col("_b")).otherwise(col("_f")))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"_near.$c").as(s"asof_$c")) :+
+        col("_near._ts").as("asof_ts"): _*)
+  }
+
+  // ---------------------------------------------------------------- ao04
+  // Nearest twin of ao01/ao03: each purchase picks the temporally
+  // CLOSEST click (before or after) — proximity attribution. The
+  // signed gap (positive = click preceded the purchase) rides along as
+  // gap_us so the hash also pins WHICH side won every tie. DuckDB has
+  // no nearest ASOF; the oracle composes its backward (<=) and strict
+  // forward (>) ASOF joins and replays the same tie-break.
+  private val ao04 = QueryDef(
+    "ao04_asof_nearest",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      asofJoinNearest(purchases, clicks, Seq("user_id"), "ts", Seq("click_value"))
+        .select(col("p_event_id"), col("user_id"),
+          col("asof_click_value").as("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("p_event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, event_type,
+        MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      p AS (SELECT event_id AS p_event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, MAX(value) AS click_value FROM e
+        WHERE event_type = 'click' GROUP BY 1, 2),
+      b AS (SELECT p_event_id, p.user_id, p.ts, c.ts AS b_ts, c.click_value AS b_v
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts),
+      f AS (SELECT p_event_id, c.ts AS f_ts, c.click_value AS f_v
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts > p.ts)
+      SELECT b.p_event_id, b.user_id,
+        CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts - b_ts <= f_ts - b.ts)
+          THEN b_v ELSE f_v END AS click_value,
+        CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts - b_ts <= f_ts - b.ts)
+          THEN EPOCH_US(b.ts) - EPOCH_US(b_ts)
+          ELSE EPOCH_US(b.ts) - EPOCH_US(f_ts) END AS gap_us
+      FROM b JOIN f USING (p_event_id)
+      ORDER BY p_event_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ao01, ao02, ao03, ao04)
 }

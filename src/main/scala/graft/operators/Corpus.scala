@@ -791,6 +791,87 @@ object Corpus {
       FROM t"""),
   )
 
+  // -------------------------------------------------------------- dm05
+  /** Equi-join cardinality estimation from per-side degree tables — the
+    * optimizer-statistics primitive run BEFORE shuffling 100 TB through
+    * a join. For keys shared by both sides, |A ⋈ B| = Σ_k d_A(k)·d_B(k)
+    * EXACTLY; the degree tables are one map-side-combined groupBy per
+    * side and their join is key-cardinality-sized — so the estimate
+    * costs two scans and a tiny shuffle where materializing the join
+    * (self-join on l_partkey here is ~30× fan-out) costs the real
+    * thing. The `actual` column — the materialized join's COUNT — is
+    * the test certificate, not part of the operator's scale story;
+    * predicted == actual on every row is what the oracle pins.
+    * Self-join cardinality includes the diagonal (each row pairs with
+    * itself), i.e. it is the raw equi-join count.
+    */
+  private def joinCardRow(label: String, a: DataFrame, ka: String,
+      b: DataFrame, kb: String): DataFrame = {
+    val da = a.filter(col(ka).isNotNull).groupBy(col(ka).as("k"))
+      .agg(count(lit(1)).as("da"))
+    val db = b.filter(col(kb).isNotNull).groupBy(col(kb).as("k"))
+      .agg(count(lit(1)).as("db"))
+    val sides = da.agg(sum(col("da")).as("n_left"))
+      .crossJoin(db.agg(sum(col("db")).as("n_right")))
+    val est = da.join(db, "k")
+      .agg(count(lit(1)).as("n_keys_both"),
+        sum(col("da") * col("db")).as("predicted"))
+    val actual = a.select(col(ka).as("k")).filter(col("k").isNotNull)
+      .join(b.select(col(kb).as("k")), "k")
+      .agg(count(lit(1)).as("actual"))
+    sides.crossJoin(broadcast(est)).crossJoin(broadcast(actual))
+      .select(lit(label).as("join_label"),
+        col("n_left").cast("bigint").as("n_left"),
+        col("n_right").cast("bigint").as("n_right"),
+        col("n_keys_both"),
+        col("predicted").cast("bigint").as("predicted"),
+        col("actual"))
+  }
+
+  private val dm05 = QueryDef(
+    "dm05_join_cardinality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      joinCardRow("customer-orders", t.customer, "c_custkey", t.orders, "o_custkey")
+        .unionByName(joinCardRow("orders-lineitem", t.orders, "o_orderkey",
+          t.lineitem, "l_orderkey"))
+        .unionByName(joinCardRow("lineitem-self-partkey", t.lineitem, "l_partkey",
+          t.lineitem, "l_partkey"))
+        .orderBy("join_label")
+    },
+    Some("""WITH
+      ca AS (SELECT c_custkey AS k, COUNT(*) AS d FROM customer GROUP BY 1),
+      cb AS (SELECT o_custkey AS k, COUNT(*) AS d FROM orders GROUP BY 1),
+      oa AS (SELECT o_orderkey AS k, COUNT(*) AS d FROM orders GROUP BY 1),
+      ob AS (SELECT l_orderkey AS k, COUNT(*) AS d FROM lineitem GROUP BY 1),
+      pa AS (SELECT l_partkey AS k, COUNT(*) AS d FROM lineitem GROUP BY 1)
+      SELECT 'customer-orders' AS join_label,
+        (SELECT CAST(SUM(d) AS BIGINT) FROM ca) AS n_left,
+        (SELECT CAST(SUM(d) AS BIGINT) FROM cb) AS n_right,
+        (SELECT COUNT(*) FROM ca JOIN cb USING (k)) AS n_keys_both,
+        (SELECT CAST(SUM(ca.d * cb.d) AS BIGINT)
+          FROM ca JOIN cb USING (k)) AS predicted,
+        (SELECT COUNT(*) FROM customer JOIN orders
+          ON c_custkey = o_custkey) AS actual
+      UNION ALL
+      SELECT 'orders-lineitem',
+        (SELECT CAST(SUM(d) AS BIGINT) FROM oa),
+        (SELECT CAST(SUM(d) AS BIGINT) FROM ob),
+        (SELECT COUNT(*) FROM oa JOIN ob USING (k)),
+        (SELECT CAST(SUM(oa.d * ob.d) AS BIGINT) FROM oa JOIN ob USING (k)),
+        (SELECT COUNT(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'lineitem-self-partkey',
+        (SELECT CAST(SUM(d) AS BIGINT) FROM pa),
+        (SELECT CAST(SUM(d) AS BIGINT) FROM pa),
+        (SELECT COUNT(*) FROM pa),
+        (SELECT CAST(SUM(a.d * b.d) AS BIGINT)
+          FROM pa a JOIN pa b USING (k)),
+        (SELECT COUNT(*) FROM lineitem a JOIN lineitem b
+          ON a.l_partkey = b.l_partkey)
+      ORDER BY join_label"""),
+  )
+
   // -------------------------------------------------------------- dm01
   /** Per-source (domain) curation report: document/token volume, exact
     * duplicate rate, and language spread per provenance bucket — the
@@ -1523,6 +1604,6 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02, pii03,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, ord01, ord02, dc03, smp04, smp05, spl02,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, dm05, ord01, ord02, dc03, smp04, smp05, spl02,
       scd01, scd02, ord03)
 }

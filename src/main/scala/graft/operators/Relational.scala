@@ -1947,6 +1947,41 @@ object Relational {
       ) GROUP BY branch ORDER BY branch"""),
   )
 
+  // ---------------------------------------------------------------- q62
+  // TPC-H Q13 shape (custdist): the DOUBLE aggregation — orders per
+  // customer through a LEFT OUTER join (customers with zero qualifying
+  // orders MUST appear as c_count = 0, which an inner join would
+  // lose), then the distribution of those counts. The optimizer
+  // stress: the o_orderpriority filter must stay on the orders side
+  // (pushed into its scan — filtering ON the outer join's right side
+  // pre-join, never WHERE-converted, which would turn the outer join
+  // inner), and the two aggregations chain without an intermediate
+  // sort. Second agg keys on c_count (tiny domain ≈ max basket), so
+  // the big shuffle is only the first one — on c_custkey, the same
+  // key the join already hashed, where a co-partitioned layout (xb
+  // bench) removes it entirely at 100 TB.
+  private val q62 = QueryDef(
+    "q62_custdist",
+    (s, dir) => {
+      val t = T(s, dir)
+      val o = t.orders.filter(!col("o_orderpriority").startsWith("1"))
+        .select("o_custkey", "o_orderkey")
+      t.customer.select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+  )
+
   // ---------------------------------------------------------------- mb01
   // Market-basket co-occurrence (association rules): part pairs ordered
   // together more often than chance, scored by support and lift.
@@ -2022,5 +2057,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, mb01, sky01)
+    q55, q56, q57, q58, q59, q60, q61, q62, mb01, sky01)
 }

@@ -681,7 +681,40 @@ object StreamingParity {
       ORDER BY p.user_id"""),
   )
 
+  // -------------------------------------------------------------- str14
+  // Streaming as-of enrichment parity: ao01's batch as-of join kept
+  // continuously — each purchase picks up the user's most recent
+  // at-or-before click from TWO fixed state fields per user
+  // (flatMapGroupsWithState; see EventStreams.asofClickEnrich), never
+  // a history re-sort. Drained in one micro-batch, where the machine's
+  // event-time-ordered advance makes the emitted set equal the batch
+  // as-of join — whose oracle (ao01's SQL, DuckDB native ASOF) replays
+  // it independently.
+  private val str14 = QueryDef(
+    "str14_stream_asof_parity",
+    (s, dir) => withStatePartitions(s) {
+      val (stream, tmp) = stagedEventStream(s, dir)
+      val hits = EventStreams.asofClickEnrich(stream)
+      val name = fresh(s, "str14_asof")
+      EventStreams.runToMemoryAppend(hits, name)
+      val out = s.table(name)
+        .select(col("p_event_id"), col("user_id"), col("click_value"))
+        .orderBy("p_event_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, event_type,
+        MAKE_TIMESTAMP(EPOCH_NS(ts) // 1000) AS ts FROM events),
+      p AS (SELECT event_id AS p_event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, MAX(value) AS click_value FROM e
+        WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p_event_id, p.user_id, c.click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p_event_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13)
+      str11, str12, str13, str14)
 }

@@ -267,6 +267,67 @@ object EventStreams {
         GroupStateTimeout.NoTimeout())(advanceFunnel)
   }
 
+  // ----- streaming as-of enrichment via flatMapGroupsWithState
+
+  final case class AsofEvent(ts_us: Long, user_id: Long, event_type: String,
+      event_id: Long, value: Double)
+  final case class AsofClickState(click_us: Long, click_value: Double)
+  final case class AsofHit(p_event_id: Long, user_id: Long,
+      click_value: Option[Double])
+
+  private def advanceAsof(userId: Long, rows: Iterator[AsofEvent],
+      state: GroupState[AsofClickState]): Iterator[AsofHit] = {
+    var st = state.getOption.getOrElse(AsofClickState(-1L, 0.0))
+    // event-time order; CLICKS BEFORE PURCHASES at equal ts so a
+    // simultaneous click matches (`<=` — ao01's contract)
+    val ordered = rows.toArray
+      .sortBy(e => (e.ts_us, if (e.event_type == "click") 0 else 1, e.event_id))
+    val hits = Seq.newBuilder[AsofHit]
+    for (e <- ordered) e.event_type match {
+      case "click" =>
+        // multiple clicks at one ts reduce by MAX value regardless of
+        // their arrival order (ao01 pre-aggregates the right side the
+        // same way, so the tie is deterministic in both engines)
+        st =
+          if (e.ts_us > st.click_us) AsofClickState(e.ts_us, e.value)
+          else if (e.ts_us == st.click_us)
+            AsofClickState(st.click_us, math.max(st.click_value, e.value))
+          else st
+      case "purchase" =>
+        hits += AsofHit(e.event_id, userId,
+          if (st.click_us >= 0) Some(st.click_value) else None)
+      case _ => ()
+    }
+    state.update(st)
+    hits.result().iterator
+  }
+
+  /** Streaming as-of enrichment: each purchase picks up the same user's
+    * most recent at-or-before click value — the batch as-of join
+    * (AsOf.asofJoin / ao01) kept CONTINUOUSLY with TWO FIXED state
+    * fields per user (last click's timestamp and value), instead of
+    * re-sorting history every batch. flatMapGroupsWithState because
+    * emission is per-PURCHASE (zero to many rows per group per batch).
+    *
+    * Exact under event-time-ordered arrival or a single-micro-batch
+    * replay (the str14 parity harness); under arbitrary batch splits
+    * it is the standard greedy online as-of — a purchase enriches from
+    * the clicks SEEN so far, which is the only causal option a
+    * real-time enricher has.
+    */
+  def asofClickEnrich(events: DataFrame): Dataset[AsofHit] = {
+    implicit val aeEnc = Encoders.product[AsofEvent]
+    implicit val ahEnc = Encoders.product[AsofHit]
+    implicit val asEnc = Encoders.product[AsofClickState]
+    events
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("event_id"), col("value"))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advanceAsof)
+  }
+
   /** Stream into any registered [[graft.sink.Connectors]] connector via
     * `foreachBatch` — the streaming half of the pluggable-sink story:
     * each micro-batch lands through the same connector code path batch

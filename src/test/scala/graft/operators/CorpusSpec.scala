@@ -22,6 +22,21 @@ class CorpusSpec extends SparkSpec {
       run("dc01_decontaminate").collect().toSeq)
   }
 
+  test("dm05: degree-product estimate equals the materialized join count on every row") {
+    val rows = run("dm05_join_cardinality").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(5),
+        s"${r.getString(0)}: predicted ${r.getLong(4)} != actual ${r.getLong(5)}")
+    }
+    // FK sanity: orders⋈lineitem on orderkey = every lineitem matches
+    val ol = rows.find(_.getString(0) == "orders-lineitem").get
+    assert(ol.getLong(4) == ol.getLong(2), "FK join size must equal |lineitem|")
+    // the self-join includes the diagonal, so it is at least |lineitem|
+    val self = rows.find(_.getString(0) == "lineitem-self-partkey").get
+    assert(self.getLong(4) >= self.getLong(1))
+  }
+
   test("rep01: counts are consistent and rep_ratio is in [0,1)") {
     val rows = run("rep01_repetition").collect()
     assert(rows.nonEmpty)

@@ -111,6 +111,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("nearest as-of join: closest right row wins, backward wins ties, single shuffle") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 15L, 104L),
+      (2L, 5L, 102L), (3L, 9L, 103L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 7L, 3.0))
+      .toDF("k", "t", "v")
+    val df = AsOf.asofJoinNearest(left, right, Seq("k"), "t", Seq("v"))
+    val out = df.orderBy("lid").collect()
+    // lid=100: equal ts is distance 0 -> backward 1.0 at t=10
+    assert(out(0).getDouble(3) == 1.0 && out(0).getLong(4) == 10L)
+    // lid=101: only earlier rows; nearest is t=20 -> 2.0
+    assert(out(1).getDouble(3) == 2.0)
+    // lid=104: t=15 equidistant to 10 and 20 -> BACKWARD tie-break, 1.0
+    assert(out(4).getDouble(3) == 1.0 && out(4).getLong(4) == 10L)
+    // lid=102: only later row t=7 -> forward 3.0
+    assert(out(2).getDouble(3) == 3.0 && out(2).getLong(4) == 7L)
+    // lid=103: no right rows for k=3 -> null value AND null asof_ts
+    assert(out(3).isNullAt(3) && out(3).isNullAt(4))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"nearest as-of must stay join-free:\n$p")
+    // both directional windows must reuse ONE key-partitioned exchange
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("ao04: declared nearest query plans join-free") {
+    val p = plan("ao04_asof_nearest")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("bp01: the heavy-hitter set joins back by broadcast") {
     val p = plan("bp01_boilerplate")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
@@ -563,6 +593,54 @@ class PlanSpec extends SparkSpec {
     assert(out(2).isNullAt(3))
     // lid=103: no right rows for k=3 -> null
     assert(out(3).isNullAt(3))
+  }
+
+  test("q62: outer join survives, priority filter pushes to the orders scan, aggs chain") {
+    val p = plan("q62_custdist")
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers need the outer join preserved:\n${p.take(1200)}")
+    assert(p.contains("StartsWith(o_orderpriority") || p.contains("o_orderpriority"),
+      "the right-side filter must evaluate pre-join (pushed at the scan)")
+    // double aggregation: 2 aggs x (partial+final) = 4 HashAggregates
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(1500))
+  }
+
+  test("AQE skew join: the straggler partition re-plans as skew=true splits") {
+    // The runtime half of the skew story: skw01 pins that SALTING is
+    // output-invariant; this pins that with salting OFF, AQE itself
+    // detects the hot key's oversized shuffle partition and splits it
+    // (OptimizeSkewedJoin). Thresholds are lowered so the 200k-row hot
+    // partition qualifies at test scale — at 100 TB the defaults
+    // (256 MB / factor 5) fire on exactly the same shape.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+      val right = spark.range(100).toDF("k")
+      val joined = left.join(right, "k")
+      // execute THIS dataframe so its adaptive plan finalizes
+      assert(joined.collect().length == 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must re-plan the hot partition as a skew join:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("q54/q55: correlated scalar aggregates decorrelate; q56 computes its global scalar once") {

@@ -136,6 +136,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(written.columns.contains("event_type"))
   }
 
+  test("asofClickEnrich: <= match, same-ts click max, no-click null, state carries across batches") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: click(10)=2.0 then purchase(20) -> 2.0; purchase(5) has no
+    //   prior click -> null (the later click must not retro-enrich it)
+    // user 2: two clicks at the SAME ts as the purchase -> <= matches, MAX value wins
+    // user 3: purchase only -> null
+    val batch1 = Seq(
+      (1L, ts(20), 1L, "purchase", 9.0), (2L, ts(10), 1L, "click", 2.0),
+      (3L, ts(5), 1L, "purchase", 9.0),
+      (4L, ts(7), 2L, "click", 1.5), (5L, ts(7), 2L, "purchase", 9.0),
+      (6L, ts(7), 2L, "click", 3.5),
+      (7L, ts(1), 3L, "purchase", 9.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val landing = tmpDir("asof-src")
+    batch1.write.mode("append").parquet(landing.toString)
+    val stream = spark.readStream.schema(batch1.schema).parquet(landing.toString)
+    val q = EventStreams.asofClickEnrich(stream)
+      .writeStream.outputMode("append").format("memory").queryName("asof_hits").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 purchases again — the click state from batch 1
+      // must still be there (two fixed fields, never re-read history)
+      Seq((8L, ts(60), 1L, "purchase", 9.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(landing.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("asof_hits").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(hits == Map(
+      1L -> Some(2.0), 3L -> None, 5L -> Some(3.5), 7L -> None, 8L -> Some(2.0)),
+      s"got $hits")
+  }
+
   test("flatMapGroupsWithState funnel: one hit per completing user, stage order enforced") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)

@@ -1982,6 +1982,57 @@ object Relational {
       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
   )
 
+  // ---------------------------------------------------------------- q63
+  // Rolling EXACT median of daily revenue over the trailing 7 CALENDAR
+  // days — the robust twin of dq11's rolling mean/std monitor (a
+  // median ignores the single-day spike that drags a mean). Completes
+  // the order-statistics arc: q31 global exact percentiles, q58
+  // selection without a sort, q63 the ROLLING form.
+  //
+  // Scale shape: the fact collapses to one row per day FIRST (the
+  // only fact-sized aggregation), then each daily value explodes to
+  // the <= 7 windows it serves (q51's bounded-expansion idiom — the
+  // multiplier applies to the day table, never the raw orders), and
+  // each window's median is picked from a <= 7-element sorted array
+  // inside one hash aggregation — no window function, no sort wider
+  // than 7. Median is the LOWER median (k = ceil(n/2)-th order
+  // statistic), well-defined for any n and exact in integer cents;
+  // the oracle picks the same element via a rank filter. Only windows
+  // ending on a day with its own data are reported (q51's contract —
+  // the synthetic calendar has single-day gaps, see dq12).
+  private val q63 = QueryDef(
+    "q63_rolling_median",
+    (s, dir) => {
+      val daily = T(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(m(col("o_totalprice")) * 100).cast("bigint").as("cents"))
+      val med = daily
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+          col("cents"))
+        .groupBy("wday")
+        .agg(count(lit(1)).as("n_days"),
+          expr("element_at(array_sort(collect_list(cents))," +
+            " cast((count(1) + 1) div 2 as int))").as("med_cents"))
+      daily.select(col("day").as("wday"))
+        .join(med, "wday")
+        .select(col("wday"), col("n_days"), col("med_cents"))
+        .orderBy("wday")
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      ex AS (SELECT day + CAST(j AS INTEGER) AS wday, cents
+        FROM daily, range(7) r(j)),
+      r AS (SELECT wday, cents,
+          ROW_NUMBER() OVER (PARTITION BY wday ORDER BY cents) AS rn,
+          COUNT(*) OVER (PARTITION BY wday) AS n
+        FROM ex)
+      SELECT r.wday, CAST(n AS BIGINT) AS n_days, r.cents AS med_cents
+      FROM r JOIN daily ON r.wday = daily.day
+      WHERE rn = (n + 1) // 2
+      ORDER BY wday"""),
+  )
+
   // ---------------------------------------------------------------- mb01
   // Market-basket co-occurrence (association rules): part pairs ordered
   // together more often than chance, scored by support and lift.
@@ -2057,5 +2108,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, mb01, sky01)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, mb01, sky01)
 }

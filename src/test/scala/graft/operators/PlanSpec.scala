@@ -136,6 +136,34 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("nearest as-of property: equals the per-row reference on random inputs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // duplicate (k, t) right rows are pre-reduced (the documented
+      // uniqueness contract), left rows may repeat freely
+      val left = Seq.tabulate(40)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val right = Seq.fill(30)((rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+        .distinct.map { case (k, t) => (k, t, rnd.nextInt(100).toDouble) }
+      val got = AsOf.asofJoinNearest(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "v"), Seq("k"), "t", Seq("v"))
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getLong(4))))).toMap
+      val byKey = right.groupBy(_._1)
+      val want = left.map { case (k, t, lid) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+        if (cands.isEmpty) lid -> None
+        else {
+          // nearest by |dt|; exact tie -> backward (smaller right t)
+          val best = cands.minBy(c => (math.abs(c._2 - t), c._2))
+          lid -> Some((best._3, best._2))
+        }
+      }.toMap
+      assert(got == want, s"seed=$seed: $got vs $want")
+    }
+  }
+
   test("ao04: declared nearest query plans join-free") {
     val p = plan("ao04_asof_nearest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1200))

@@ -1000,6 +1000,94 @@ object Corpus {
       FROM sh ORDER BY shard, pos"""),
   )
 
+  // -------------------------------------------------------------- ord04
+  /** Multi-epoch reshuffle audit: ord01 gives ONE epoch's deterministic
+    * permutation; multi-epoch training needs a DIFFERENT deterministic
+    * permutation per epoch (same corpus, fresh order, replayable after
+    * a crash mid-epoch-3). Each epoch salts the shuffle key with its
+    * epoch number; this row set proves, per epoch: the full corpus is
+    * present (n_docs), the order is the pinned one (sum over docs of
+    * pos·doc_id — a position-sensitive checksum the oracle replays
+    * exactly), and the epoch genuinely reshuffled (moved_vs_prev =
+    * docs whose (shard, pos) changed from the previous epoch; null for
+    * epoch 1).
+    *
+    * 100 TB shape: per epoch, ord01's one hash-exchange + within-shard
+    * sort; the cross-epoch comparison joins doc-count-sized position
+    * tables on doc_id. Nothing global, nothing driver-side.
+    */
+  private def epochPositions(docs: org.apache.spark.sql.DataFrame, epoch: Int) = {
+    val keyed = docs
+      .withColumn("sk", md5(concat(lit(s"shuf:$epoch:"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("shard",
+        expr("cast(conv(substr(sk, 1, 8), 16, 10) as bigint) % 8"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  private val ord04 = QueryDef(
+    "ord04_epoch_reshuffle",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id")
+      val eps = (1 to 3).map(e => epochPositions(docs, e))
+      val rows = (1 to 3).map { e =>
+        val cur = eps(e - 1)
+        val stats = cur.agg(count(lit(1)).as("n_docs"),
+          sum(col("pos") * col("doc_id")).cast("bigint").as("order_checksum"))
+        val moved =
+          if (e == 1) stats.select(lit(null).cast("bigint").as("moved_vs_prev"))
+          else {
+            val prev = eps(e - 2)
+              .select(col("doc_id"), col("shard").as("p_shard"), col("pos").as("p_pos"))
+            cur.join(prev, "doc_id")
+              .agg(sum(when(col("shard") =!= col("p_shard") ||
+                col("pos") =!= col("p_pos"), 1L).otherwise(0L))
+                .cast("bigint").as("moved_vs_prev"))
+          }
+        stats.crossJoin(broadcast(moved))
+          .select(lit(e.toLong).as("epoch"), col("n_docs"),
+            col("order_checksum"), col("moved_vs_prev"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("epoch")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      e1 AS (SELECT doc_id,
+          ('0x' || substr(md5('shuf:1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+          ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(md5('shuf:1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+            ORDER BY md5('shuf:1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM d),
+      e2 AS (SELECT doc_id,
+          ('0x' || substr(md5('shuf:2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+          ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(md5('shuf:2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+            ORDER BY md5('shuf:2:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM d),
+      e3 AS (SELECT doc_id,
+          ('0x' || substr(md5('shuf:3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+          ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(md5('shuf:3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+            ORDER BY md5('shuf:3:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM d)
+      SELECT 1::BIGINT AS epoch, (SELECT COUNT(*) FROM e1) AS n_docs,
+        (SELECT CAST(SUM(pos * doc_id) AS BIGINT) FROM e1) AS order_checksum,
+        CAST(NULL AS BIGINT) AS moved_vs_prev
+      UNION ALL
+      SELECT 2, (SELECT COUNT(*) FROM e2),
+        (SELECT CAST(SUM(pos * doc_id) AS BIGINT) FROM e2),
+        (SELECT CAST(SUM(CASE WHEN a.shard <> b.shard OR a.pos <> b.pos
+            THEN 1 ELSE 0 END) AS BIGINT)
+          FROM e2 a JOIN e1 b USING (doc_id))
+      UNION ALL
+      SELECT 3, (SELECT COUNT(*) FROM e3),
+        (SELECT CAST(SUM(pos * doc_id) AS BIGINT) FROM e3),
+        (SELECT CAST(SUM(CASE WHEN a.shard <> b.shard OR a.pos <> b.pos
+            THEN 1 ELSE 0 END) AS BIGINT)
+          FROM e3 a JOIN e2 b USING (doc_id))
+      ORDER BY epoch"""),
+  )
+
   // -------------------------------------------------------------- ord02
   /** Curriculum training order: documents staged easy→hard by length
     * decile (the classic curriculum-learning schedule), with a
@@ -1604,6 +1692,6 @@ object Corpus {
 
   def defs: Seq[QueryDef] =
     Seq(dc01, dc02, rep01, smp01, smp02, smp03, chk01, chk02, mix01, mix02, mix03, pii01, pii02, pii03,
-      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, dm05, ord01, ord02, dc03, smp04, smp05, spl02,
+      pack01, vcb01, dif01, dif02, card01, bp01, dm01, dm02, dm03, dm05, ord01, ord02, ord04, dc03, smp04, smp05, spl02,
       scd01, scd02, ord03)
 }

@@ -37,6 +37,20 @@ class CorpusSpec extends SparkSpec {
     assert(self.getLong(4) >= self.getLong(1))
   }
 
+  test("ord04: every epoch is a full-corpus permutation and genuinely reshuffles") {
+    val rows = run("ord04_epoch_reshuffle").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val n = rows.head.getLong(1)
+    assert(n > 0 && rows.forall(_.getLong(1) == n), "same corpus every epoch")
+    assert(rows.head.isNullAt(3), "epoch 1 has no predecessor")
+    // nearly all docs should move between epochs (independent md5 keys)
+    rows.tail.foreach { r =>
+      assert(r.getLong(3) > n / 2, s"epoch ${r.getLong(0)} barely reshuffled: $r")
+    }
+    // and the orders are genuinely different permutations
+    assert(rows.map(_.getLong(2)).distinct.length == 3, "order checksums must differ")
+  }
+
   test("rep01: counts are consistent and rep_ratio is in [0,1)") {
     val rows = run("rep01_repetition").collect()
     assert(rows.nonEmpty)

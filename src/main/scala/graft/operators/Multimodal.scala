@@ -65,6 +65,93 @@ object Multimodal {
     }
   }
 
+  /** Minimal real AUDIO codec: canonical RIFF/WAVE, PCM unsigned 8-bit.
+    * Parses the RIFF container (magics, little-endian sizes), the
+    * `fmt ` chunk (PCM format tag, channel count, sample rate, block
+    * align, bits per sample) and the `data` chunk, then accumulates
+    * per-channel sample sums and peaks over the interleaved frames —
+    * exact integers, so the decode is cross-engine hashable (the mm02
+    * contract, audio edition).
+    */
+  object WavCodec {
+    final case class DecodedWav(channels: Int, sampleRate: Int, bits: Int,
+        nFrames: Int, sumCh0: Long, sumCh1: Long, peakCh0: Int, peakCh1: Int)
+
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(b: Array[Byte]): DecodedWav = {
+      require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      require(u32(b, 4) == b.length - 8, "RIFF size mismatch")
+      require(tag(b, 12) == "fmt " && u32(b, 16) == 16L, "expected 16-byte fmt chunk")
+      val fmt = u16(b, 20); val ch = u16(b, 22)
+      val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32); val bits = u16(b, 34)
+      require(fmt == 1 && bits == 8, s"only PCM u8 supported, got fmt=$fmt bits=$bits")
+      require(ch >= 1 && ch <= 2 && blockAlign == ch, "mono/stereo u8 frames")
+      require(tag(b, 36) == "data", "expected canonical data chunk at offset 36")
+      val dataLen = u32(b, 40).toInt
+      require(b.length - 44 >= dataLen && dataLen % ch == 0, "truncated data chunk")
+      val nFrames = dataLen / ch
+      var (s0, s1) = (0L, 0L); var (p0, p1) = (0, 0)
+      var i = 0
+      while (i < nFrames) {
+        val v0 = b(44 + ch * i) & 0xFF
+        s0 += v0; if (v0 > p0) p0 = v0
+        if (ch == 2) {
+          val v1 = b(44 + ch * i + 1) & 0xFF
+          s1 += v1; if (v1 > p1) p1 = v1
+        }
+        i += 1
+      }
+      DecodedWav(ch, rate, bits, nFrames, s0, s1, p0, p1)
+    }
+  }
+
+  final case class WavFeatureRow(doc_id: Long, n_bytes: Long, channels: Int,
+      sample_rate: Int, bits: Int, n_frames: Int, sum_ch0: Long, sum_ch1: Long,
+      peak_ch0: Int, peak_ch1: Int)
+
+  /** Batched WAV decode (the mapPartitions shape extractFeatures uses). */
+  def extractWavFeatures(media: DataFrame): DataFrame = {
+    val ds = media.select(col("doc_id"), col("payload"))
+      .as[MediaRow](Encoders.product[MediaRow])
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val d = WavCodec.decode(r.payload)
+        WavFeatureRow(r.doc_id, r.payload.length.toLong, d.channels,
+          d.sampleRate, d.bits, d.nFrames, d.sumCh0, d.sumCh1, d.peakCh0, d.peakCh1)
+      }
+    }(Encoders.product[WavFeatureRow]).toDF()
+  }
+
+  /** documents.text → a REAL canonical WAV payload: a constant 44-byte
+    * RIFF/fmt/data header (stereo PCM u8 @ 8 kHz, 16 frames) built once
+    * in Scala, plus 32 sample bytes = the ASCII hex of md5(text) —
+    * DuckDB rebuilds the identical interleaved sample stream from the
+    * same digest.
+    */
+  def syntheticWav(docs: DataFrame): DataFrame = {
+    val dataLen = 32
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(2.toShort) // PCM, stereo
+      .putInt(8000).putInt(16000)              // rate, byte rate
+      .putShort(2.toShort).putShort(8.toShort) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    docs.select(col("doc_id"),
+      concat(lit(hdr.array()), md5(col("text").cast("binary")).cast("binary"))
+        .as("payload"))
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, maxval: Int, sum_r: Long, sum_g: Long, sum_b: Long,
@@ -193,6 +280,35 @@ object Multimodal {
           s"""CAST(CAST(list_sum(list_transform(range(16),
             i -> ord(substr(px, 3 * i + ${c + 1}, 1)))) AS FLOAT)
             / CAST(4080 AS FLOAT) AS DOUBLE) AS f$c""").mkString(",\n        ")}
+      FROM d ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------------- mm08
+  // The audio twin of mm02: REAL RIFF/WAVE parsing (magics, LE sizes,
+  // fmt chunk, interleaved PCM u8 frames) over payloads whose 32
+  // sample bytes are md5(text) hex — channel 0 takes even frame
+  // positions, channel 1 odd, and DuckDB recomputes every sum/peak
+  // from the same digest. Constants (76 bytes, stereo, 8 kHz, 8-bit,
+  // 16 frames) are emitted by the PARSER on the Spark side and as
+  // literals in the oracle: a header-parse bug flips the row red.
+  private val mm08 = QueryDef(
+    "mm08_wav_features",
+    (s, dir) =>
+      extractWavFeatures(syntheticWav(Tables(s, dir).documents))
+        .select("doc_id", "n_bytes", "channels", "sample_rate", "bits",
+          "n_frames", "sum_ch0", "sum_ch1", "peak_ch0", "peak_ch1")
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, md5(text) AS px FROM documents)
+      SELECT doc_id, CAST(76 AS BIGINT) AS n_bytes,
+        2 AS channels, 8000 AS sample_rate, 8 AS bits, 16 AS n_frames,
+        CAST(list_sum(list_transform(range(16),
+          i -> ord(substr(px, 2 * i + 1, 1)))) AS BIGINT) AS sum_ch0,
+        CAST(list_sum(list_transform(range(16),
+          i -> ord(substr(px, 2 * i + 2, 1)))) AS BIGINT) AS sum_ch1,
+        CAST(list_max(list_transform(range(16),
+          i -> ord(substr(px, 2 * i + 1, 1)))) AS INT) AS peak_ch0,
+        CAST(list_max(list_transform(range(16),
+          i -> ord(substr(px, 2 * i + 2, 1)))) AS INT) AS peak_ch1
       FROM d ORDER BY doc_id"""),
   )
 
@@ -569,5 +685,5 @@ object Multimodal {
     FROM f"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06, mm07)
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06, mm07, mm08)
 }

@@ -51,4 +51,32 @@ class MultimodalSpec extends SparkSpec {
     assert(tight.getLong(0) == tight.getLong(2) || tight.getLong(0) == 0,
       s"hamming<=3 pairs are pigeonhole-guaranteed unless a bucket cap bites: $tight")
   }
+
+  test("mm08: WavCodec parses a hand-built stereo WAV exactly and rejects corruption") {
+    def wav(data: Array[Byte], ch: Short): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(ch)
+        .putInt(8000).putInt(8000 * ch).putShort(ch).putShort(8.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      b.array()
+    }
+    // stereo: frames (10, 200), (30, 40) -> ch0 sum 40 peak 30; ch1 sum 240 peak 200
+    val st = Multimodal.WavCodec.decode(
+      wav(Array(10, 200.toByte, 30, 40).map(_.toByte), 2))
+    assert(st == Multimodal.WavCodec.DecodedWav(2, 8000, 8, 2, 40L, 240L, 30, 200))
+    // mono: all samples land in channel 0
+    val mo = Multimodal.WavCodec.decode(wav(Array[Byte](1, 2, 3), 1))
+    assert(mo.channels == 1 && mo.nFrames == 3 && mo.sumCh0 == 6L && mo.sumCh1 == 0L)
+    // corrupted magic and truncated data both refuse
+    val good = wav(Array[Byte](1, 2), 2)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(badMagic))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode(good.dropRight(1)))
+  }
 }

@@ -805,7 +805,13 @@ object Corpus {
     * Self-join cardinality includes the diagonal (each row pairs with
     * itself), i.e. it is the raw equi-join count.
     */
-  private def joinCardRow(label: String, a: DataFrame, ka: String,
+  /** The production estimator: one row — side row counts, shared-key
+    * count, and the exact predicted equi-join cardinality Σ d_A·d_B —
+    * at two-scan cost, no join materialization. dm05 wraps this with
+    * the materialized-count certificate; at 100 TB a pipeline calls
+    * THIS before deciding whether the join is affordable.
+    */
+  def estimateJoinCardinality(a: DataFrame, ka: String,
       b: DataFrame, kb: String): DataFrame = {
     val da = a.filter(col(ka).isNotNull).groupBy(col(ka).as("k"))
       .agg(count(lit(1)).as("da"))
@@ -816,16 +822,22 @@ object Corpus {
     val est = da.join(db, "k")
       .agg(count(lit(1)).as("n_keys_both"),
         sum(col("da") * col("db")).as("predicted"))
+    sides.crossJoin(broadcast(est))
+      .select(col("n_left").cast("bigint").as("n_left"),
+        col("n_right").cast("bigint").as("n_right"),
+        col("n_keys_both"),
+        col("predicted").cast("bigint").as("predicted"))
+  }
+
+  private def joinCardRow(label: String, a: DataFrame, ka: String,
+      b: DataFrame, kb: String): DataFrame = {
     val actual = a.select(col(ka).as("k")).filter(col("k").isNotNull)
       .join(b.select(col(kb).as("k")), "k")
       .agg(count(lit(1)).as("actual"))
-    sides.crossJoin(broadcast(est)).crossJoin(broadcast(actual))
-      .select(lit(label).as("join_label"),
-        col("n_left").cast("bigint").as("n_left"),
-        col("n_right").cast("bigint").as("n_right"),
-        col("n_keys_both"),
-        col("predicted").cast("bigint").as("predicted"),
-        col("actual"))
+    estimateJoinCardinality(a, ka, b, kb)
+      .crossJoin(broadcast(actual))
+      .select(lit(label).as("join_label"), col("n_left"), col("n_right"),
+        col("n_keys_both"), col("predicted"), col("actual"))
   }
 
   private val dm05 = QueryDef(

@@ -859,9 +859,12 @@ object Dedup {
     */
   def saveNearDupIndex(corpus: DataFrame, path: String,
       numHashes: Int = 32, bands: Int = 16): Unit = {
-    // a save REPLACES any index at path: clear stale batches first so
-    // an old committed batch cannot leak into the new index
+    // a save REPLACES any index at path: clear stale batches AND stale
+    // tombstones first — a leftover forgotten/ set from the previous
+    // index would silently hide any NEW doc that reuses an erased id
+    // from every probe (and the next vacuum would delete its rows)
     deleteRecursively(new java.io.File(s"$path/batches"))
+    deleteRecursively(new java.io.File(s"$path/forgotten"))
     // geometry metadata FIRST: a probe against bands built with a
     // different (numHashes, bands) would collide essentially at
     // random and silently miss true near-dups — append/probe read the
@@ -880,9 +883,20 @@ object Dedup {
     * leaves only an uncommitted dir readers never see.
     */
   def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
+    rejectLegacyLayout(path)
     val (nh, b) = indexGeometry(batch.sparkSession, path)
     commitIndexBatch(batch, path, nh, b)
   }
+
+  // An index persisted by the pre-batch-dir layout has bands/shingles
+  // at the ROOT; the batch-dir readers would never look there, so an
+  // append/probe against it would silently drop the entire
+  // pre-upgrade history. Fail loudly instead and name the remedy.
+  private def rejectLegacyLayout(path: String): Unit =
+    require(!new java.io.File(s"$path/bands").exists() ||
+      new java.io.File(s"$path/batches").exists(),
+      s"$path holds a legacy flat-layout index (root bands/ table); " +
+        "re-save it with saveNearDupIndex before appending or probing")
 
   // one shingle pass feeds BOTH writes: the band table and the
   // shingle table share lineage from a persisted shingle set —
@@ -910,6 +924,7 @@ object Dedup {
   }
 
   private def committedBatchDirs(path: String): Seq[String] = {
+    rejectLegacyLayout(path)
     val dirs = Option(new java.io.File(s"$path/batches").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
@@ -933,6 +948,7 @@ object Dedup {
     */
   def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    rejectLegacyLayout(path)
     val (nh, b) = indexGeometry(s, path)
     val dirs = committedBatchDirs(path)
     val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)

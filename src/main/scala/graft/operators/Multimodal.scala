@@ -50,9 +50,13 @@ object Multimodal {
         v
       }
       val w = int(); val h = int(); val mv = int()
+      require(w > 0 && h > 0 && mv >= 1 && mv <= 255,
+        s"unsupported PPM geometry: ${w}x$h maxval=$mv (1-byte channels only)")
       pos += 1 // exactly one whitespace byte separates header from raster
-      require(payload.length - pos >= 3 * w * h,
-        s"truncated raster: need ${3 * w * h} bytes, have ${payload.length - pos}")
+      // Long arithmetic: 3*w*h overflows Int for adversarial headers,
+      // which would turn this guard into a silent-garbage path
+      require(payload.length.toLong - pos >= 3L * w * h,
+        s"truncated raster: need ${3L * w * h} bytes, have ${payload.length - pos}")
       var (sr, sg, sb) = (0L, 0L, 0L)
       var i = 0
       while (i < w * h) {
@@ -95,8 +99,12 @@ object Multimodal {
       require(fmt == 1 && bits == 8, s"only PCM u8 supported, got fmt=$fmt bits=$bits")
       require(ch >= 1 && ch <= 2 && blockAlign == ch, "mono/stereo u8 frames")
       require(tag(b, 36) == "data", "expected canonical data chunk at offset 36")
-      val dataLen = u32(b, 40).toInt
-      require(b.length - 44 >= dataLen && dataLen % ch == 0, "truncated data chunk")
+      // compare as Long BEFORE narrowing: a declared u32 length >= 2^31
+      // would wrap negative as Int and sail through both checks
+      val dataLenL = u32(b, 40)
+      require(b.length.toLong - 44 >= dataLenL && dataLenL % ch == 0,
+        "truncated data chunk")
+      val dataLen = dataLenL.toInt
       val nFrames = dataLen / ch
       var (s0, s1) = (0L, 0L); var (p0, p1) = (0, 0)
       var i = 0

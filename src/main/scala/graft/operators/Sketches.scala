@@ -66,10 +66,7 @@ object Sketches {
     * CmsDepth×CmsWidth rows upper-bound, map-side combined.
     */
   def countMinCells(fact: DataFrame, keyCol: String): DataFrame =
-    fact.select(cmsDigest(col(keyCol)).as("_h"))
-      .select(posexplode(array((0 until CmsDepth)
-        .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    countMinCellsKernel(fact, Nil, keyCol)
 
   /** GROUPED count-min cells — the sketch as a per-group aggregate
     * (hll03's grouped form for heavy hitters: "top URLs per domain"):
@@ -78,10 +75,19 @@ object Sketches {
     * most CmsDepth×CmsWidth cells regardless of its row count.
     */
   def countMinCellsBy(fact: DataFrame, grp: String, keyCol: String): DataFrame =
-    fact.select(col(grp), cmsDigest(col(keyCol)).as("_h"))
-      .select(col(grp), posexplode(array((0 until CmsDepth)
-        .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
-      .groupBy(grp, "j", "bucket").agg(count(lit(1)).as("cnt"))
+    countMinCellsKernel(fact, Seq(grp), keyCol)
+
+  // one copy of the digest/bucket projection for both arities (the
+  // hllRegisterUpdatesKernel rationale)
+  private def countMinCellsKernel(fact: DataFrame, grp: Seq[String],
+      keyCol: String): DataFrame = {
+    val g = grp.map(col)
+    fact.select(g :+ cmsDigest(col(keyCol)).as("_h"): _*)
+      .select(g :+ posexplode(array((0 until CmsDepth)
+        .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")): _*)
+      .groupBy((grp ++ Seq("j", "bucket")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   private val cms01 = QueryDef(
     "cms01_countmin_heavy",
@@ -214,27 +220,28 @@ object Sketches {
     * estimation is a batch read of the landed 256 rows
     * ([[hllEstimateFromRegisters]], proven by str11's parity oracle).
     */
-  def hllRegisterUpdates(fact: DataFrame, key: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
-      .cast("binary")), 1, 8), 16, 10).cast("bigint")
-    fact.filter(col(key).isNotNull)
-      .select(h.as("h"))
-      .select((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
-        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
-      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
-  }
+  def hllRegisterUpdates(fact: DataFrame, key: String): DataFrame =
+    hllRegisterUpdatesKernel(fact, Nil, key)
 
   /** [[hllRegisterUpdates]] keyed per group — (grp, reg) state, still
     * ONE streaming-legal aggregation, 256 rows per group.
     */
-  def hllRegisterUpdatesBy(fact: DataFrame, grp: String, key: String): DataFrame = {
+  def hllRegisterUpdatesBy(fact: DataFrame, grp: String, key: String): DataFrame =
+    hllRegisterUpdatesKernel(fact, Seq(grp), key)
+
+  // ONE copy of the hash/register projection for both arities: a
+  // retune of the hash family that edited the global build but not
+  // the grouped one would silently desynchronize str11 from str12
+  private def hllRegisterUpdatesKernel(fact: DataFrame, grp: Seq[String],
+      key: String): DataFrame = {
     val h = conv(substring(md5(concat(lit("hll:"), col(key).cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    val g = grp.map(col)
     fact.filter(col(key).isNotNull)
-      .select(col(grp), h.as("h"))
-      .select(col(grp), (col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
-        rhoCol(col("h") % (1L << HllRemBits)).as("rho"))
-      .groupBy(grp, "reg").agg(max(col("rho")).as("max_rho"))
+      .select(g :+ h.as("h"): _*)
+      .select(g ++ Seq((col("h") / lit(1L << HllRemBits)).cast("bigint").as("reg"),
+        rhoCol(col("h") % (1L << HllRemBits)).as("rho")): _*)
+      .groupBy((grp :+ "reg").map(col): _*).agg(max(col("rho")).as("max_rho"))
   }
 
   /** Estimator over a landed (reg, max_rho) table — the batch tail of
@@ -557,7 +564,11 @@ object Sketches {
     "hll04_sketch_warehouse",
     (s, dir) => {
       val li = Tables(s, dir).lineitem
-      val table = "hll04_registers"
+      // run-unique name: a fixed table under a shared warehouse would
+      // let concurrent runs (bench passes, parallel sessions) drop each
+      // other's registers mid-query
+      val table = s"hll04_registers_${ProcessHandle.current().pid()}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       s.sql(s"DROP TABLE IF EXISTS $table")
       graft.sink.Sinks.saveTable(
         hllRegisterUpdates(li.filter(col("l_orderkey") % 3 =!= 0), "l_partkey"), table)

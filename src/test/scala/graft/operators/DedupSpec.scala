@@ -396,6 +396,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("re-save wipes stale tombstones; legacy flat-layout indexes are refused loudly") {
+    val path = java.nio.file.Files.createTempDirectory("dd16resave").toString
+    try {
+      // index A erases doc 5; index B (a FRESH corpus reusing id 5)
+      // must not inherit the tombstone
+      Dedup.saveNearDupIndex(
+        Seq((0L, base), (5L, nearDup)).toDF("doc_id", "text"), path)
+      Dedup.forgetFromIndex(spark, path, Seq(5L).toDF("doc_id"))
+      Dedup.saveNearDupIndex(
+        Seq((5L, base), (9L, nearDup)).toDF("doc_id", "text"), path)
+      val probe = Dedup.probeNearDupIndex(spark, path,
+          Seq((20L, base)).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe.contains((20L, 5L)),
+        s"doc 5 of the NEW index must be visible after re-save: $probe")
+      // a legacy flat-layout index (root bands/ table, no batches/)
+      // must refuse append and probe instead of silently dropping it
+      val legacy = java.nio.file.Files.createTempDirectory("dd16legacy").toString
+      Seq((0L, base)).toDF("doc_id", "text").write.parquet(s"$legacy/bands")
+      intercept[IllegalArgumentException](
+        Dedup.appendNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"), legacy))
+      intercept[IllegalArgumentException](
+        Dedup.probeNearDupIndex(spark, legacy,
+          Seq((1L, base)).toDF("doc_id", "text")).collect())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(legacy))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("gov02: tombstone and vacuum agree, and vacuum physically erases the bytes") {
     val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
     val batch = Seq((10L, base)).toDF("doc_id", "text")

@@ -78,5 +78,18 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.WavCodec.decode(badMagic))
     intercept[IllegalArgumentException](
       Multimodal.WavCodec.decode(good.dropRight(1)))
+    // a declared u32 data length >= 2^31 must reject, not wrap negative
+    val wrap = wav(Array[Byte](1, 2), 2)
+    wrap(40) = 0; wrap(41) = 0; wrap(42) = 0; wrap(43) = 0x80.toByte
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(wrap))
+  }
+
+  test("mm02 codec: adversarial PPM headers reject instead of overflowing Int") {
+    // 3*w*h overflows Int for 50000x50000 — must still report truncation
+    val huge = "P6\n50000 50000\n255\nxx".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](Multimodal.PpmCodec.decode(huge))
+    // 2-byte maxval (maxval > 255) is unsupported and must refuse
+    val wide = "P6\n1 1\n65535\nxxxxxx".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](Multimodal.PpmCodec.decode(wide))
   }
 }

@@ -138,5 +138,97 @@ object Layout {
       GROUP BY 1 ORDER BY o_year"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(zo01, dpp01)
+  // -------------------------------------------------------------- zo02
+  /** The data-skipping benefit MEASURED, not asserted: the same corpus
+    * bucketed two ways — z-ordered on (x, y) vs linearly sorted on x —
+    * probed by a selective range predicate on EACH dimension. A bucket
+    * must be scanned iff its min-max interval on the predicate column
+    * intersects the range; the row set reports, per (layout,
+    * predicate), how many of the 64 buckets survive pruning and how
+    * many rows they hold. The headline is the y-predicate row pair:
+    * the linear layout's buckets each span ~the full y domain (scan
+    * everything), the z-layout's rectangles bound y too (scan a
+    * fraction) — while the x-predicate rows show z-order gives up
+    * little on the sort dimension. All integers, both layouts derived
+    * in one pass each; rows_matched (the true selectivity) is layout-
+    * invariant and rides along as the floor.
+    */
+  private val zo02 = QueryDef(
+    "zo02_pruning_benefit",
+    (s, dir) => {
+      val base = Tables(s, dir).lineitem
+        .select(col("l_partkey").cast("bigint").as("x"),
+          col("l_suppkey").cast("bigint").as("y"))
+        .withColumn("zval", zValue(col("x"), col("y")))
+      val mx = base.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax"),
+        max(col("zval")).as("zmax"))
+      val b = base.crossJoin(broadcast(mx))
+      def stats(bucket: Column) = b.groupBy(bucket.as("bkt"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      val zb = stats(expr("(zval * 64) div (zmax + 1)"))
+      val lb = stats(expr("(x * 64) div (xmax + 1)"))
+      // predicates: the low eighth of each dimension
+      val matched = b.agg(
+        sum(when(col("x") <= expr("xmax div 8"), 1L).otherwise(0L)).as("m_x"),
+        sum(when(col("y") <= expr("ymax div 8"), 1L).otherwise(0L)).as("m_y"))
+      def row(label: String, st: DataFrame, predCol: String, m: String) =
+        st.crossJoin(broadcast(mx)).crossJoin(broadcast(matched))
+          .agg(first(lit(label)).as("layout_pred"),
+            count(lit(1)).cast("bigint").as("n_buckets"),
+            sum(when(col(s"${predCol}_min") <= expr(s"${predCol}max div 8"), 1L)
+              .otherwise(0L)).as("hit_buckets"),
+            sum(when(col(s"${predCol}_min") <= expr(s"${predCol}max div 8"),
+              col("n")).otherwise(0L)).as("rows_scanned"),
+            first(col(m)).cast("bigint").as("rows_matched"))
+          .select(col("layout_pred"), col("n_buckets"),
+            col("hit_buckets").cast("bigint").as("hit_buckets"),
+            col("rows_scanned").cast("bigint").as("rows_scanned"),
+            col("rows_matched"))
+      row("linear_x", lb, "x", "m_x")
+        .unionByName(row("linear_y", lb, "y", "m_y"))
+        .unionByName(row("zorder_x", zb, "x", "m_x"))
+        .unionByName(row("zorder_y", zb, "y", "m_y"))
+        .orderBy("layout_pred")
+    },
+    Some("""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+          CAST(list_sum(list_transform(range(16), i ->
+            (((l_partkey >> i) & 1) << (2 * i)) +
+            (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        FROM lineitem),
+      mx AS (SELECT MAX(x) AS xmax, MAX(y) AS ymax, MAX(zval) AS zmax FROM z),
+      zb AS (SELECT (zval * 64) // (SELECT zmax + 1 FROM mx) AS bkt,
+          COUNT(*) AS n, MIN(x) AS x_min, MIN(y) AS y_min
+        FROM z GROUP BY 1),
+      lb AS (SELECT (x * 64) // (SELECT xmax + 1 FROM mx) AS bkt,
+          COUNT(*) AS n, MIN(x) AS x_min, MIN(y) AS y_min
+        FROM z GROUP BY 1),
+      m AS (SELECT
+          CAST(SUM(CASE WHEN x <= (SELECT xmax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) AS m_x,
+          CAST(SUM(CASE WHEN y <= (SELECT ymax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) AS m_y
+        FROM z)
+      SELECT 'linear_x' AS layout_pred, (SELECT COUNT(*) FROM lb) AS n_buckets,
+        (SELECT CAST(SUM(CASE WHEN x_min <= (SELECT xmax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM lb) AS hit_buckets,
+        (SELECT CAST(SUM(CASE WHEN x_min <= (SELECT xmax // 8 FROM mx) THEN n ELSE 0 END) AS BIGINT) FROM lb) AS rows_scanned,
+        (SELECT m_x FROM m) AS rows_matched
+      UNION ALL
+      SELECT 'linear_y', (SELECT COUNT(*) FROM lb),
+        (SELECT CAST(SUM(CASE WHEN y_min <= (SELECT ymax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM lb),
+        (SELECT CAST(SUM(CASE WHEN y_min <= (SELECT ymax // 8 FROM mx) THEN n ELSE 0 END) AS BIGINT) FROM lb),
+        (SELECT m_y FROM m)
+      UNION ALL
+      SELECT 'zorder_x', (SELECT COUNT(*) FROM zb),
+        (SELECT CAST(SUM(CASE WHEN x_min <= (SELECT xmax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM zb),
+        (SELECT CAST(SUM(CASE WHEN x_min <= (SELECT xmax // 8 FROM mx) THEN n ELSE 0 END) AS BIGINT) FROM zb),
+        (SELECT m_x FROM m)
+      UNION ALL
+      SELECT 'zorder_y', (SELECT COUNT(*) FROM zb),
+        (SELECT CAST(SUM(CASE WHEN y_min <= (SELECT ymax // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM zb),
+        (SELECT CAST(SUM(CASE WHEN y_min <= (SELECT ymax // 8 FROM mx) THEN n ELSE 0 END) AS BIGINT) FROM zb),
+        (SELECT m_y FROM m)
+      ORDER BY layout_pred"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01)
 }

@@ -64,4 +64,22 @@ class LayoutSpec extends SparkSpec {
     val avgXSpan = stats.map(r => (r.getLong(3) - r.getLong(2)).toDouble).sum / stats.length
     assert(avgXSpan < globalXSpan, "z-buckets should bound the x dimension")
   }
+
+  test("zo02: z-order prunes the non-sort dimension where linear cannot") {
+    val rows = graft.Registry.byName("zo02_pruning_benefit")
+      .run(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet ==
+      Set("linear_x", "linear_y", "zorder_x", "zorder_y"))
+    // every layout must scan at least what the predicate matches
+    rows.values.foreach { case (_, _, scanned, matched) =>
+      assert(scanned >= matched, s"pruning can never drop matches: $rows")
+    }
+    // the headline: on the NON-sort dimension, linear buckets span the
+    // whole y domain (no pruning) while z-rectangles bound y
+    val (_, _, linY, _) = rows("linear_y")
+    val (_, _, zY, _) = rows("zorder_y")
+    assert(zY < linY, s"z-order must out-prune linear on y: z=$zY linear=$linY")
+  }
 }

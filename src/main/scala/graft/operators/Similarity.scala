@@ -1097,5 +1097,84 @@ object Similarity {
       ORDER BY anchor_id, neg_rank"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, rp01, neg01)
+  // -------------------------------------------------------------- sim10
+  /** The IVF recall/cost TUNING CURVE: recall@k of the fixed-quantizer
+    * IVF as nProbe sweeps 1 → nCells — the measurement an ANN
+    * deployment runs to pick its operating point (sim04 measures one
+    * LSH config; this sweeps the IVF dial). The endpoint is a built-in
+    * proof: probing ALL nCells cells makes the candidate set every
+    * non-self vector, so recall at nProbe = 16 must be EXACTLY 1.0 —
+    * pinned by the spec and the oracle alike. Truth is the brute-force
+    * top-k (computed once, joined per config); recall is one division
+    * of exact integers, bit-identical cross-engine.
+    */
+  def ivfProbeSweep(emb: DataFrame, probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      nQueries: Int = 3, k: Int = 5, nCells: Int = 16): DataFrame = {
+    val truth = bruteTopK(emb, nQueries, k).select(col("qid"), col("cid"))
+      .localCheckpoint(true) // computed once, reused by every config
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    probes.map { p =>
+      val det = ivfFixedTopK(emb, nQueries, k, nCells, nProbe = p)
+        .select("qid", "cid")
+      det.join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nt))
+        .select(lit(p.toLong).as("n_probe"),
+          col("hits").cast("bigint").as("hits"), col("n_true"),
+          (col("hits").cast("double") / col("n_true")).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("n_probe")
+  }
+
+  // one oracle block per probe count: probe list, cell-join candidates,
+  // cosine top-5 (sim03v's pipeline with r <= P)
+  private def sweepBlock(p: Int): String = s"""
+      probes$p AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= $p AND cid < 3),
+      cand$p AS (SELECT DISTINCT pr.qid, a.cid
+        FROM probes$p pr JOIN assign a ON a.cell = pr.cell WHERE a.cid <> pr.qid),
+      s$p AS (SELECT cand$p.qid, cand$p.cid,
+          list_sum(list_transform(list_zip(cq.cv, cc.cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(cq.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(cc.cv, x -> x * x)))) AS sim
+        FROM cand$p
+        JOIN c cq ON cq.cid = cand$p.qid
+        JOIN c cc ON cc.cid = cand$p.cid),
+      r$p AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM s$p) WHERE rn <= 5)"""
+
+  private def sweepRow(p: Int): String = s"""
+      SELECT ${p}::BIGINT AS n_probe,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM r$p JOIN truth USING (qid, cid)) AS hits,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        CAST((SELECT COUNT(*) FROM r$p JOIN truth USING (qid, cid)) AS DOUBLE)
+          / (SELECT COUNT(*) FROM truth) AS recall_at_k"""
+
+  private val SweepProbes = Seq(1, 2, 4, 8, 16)
+
+  private val sim10 = QueryDef(
+    "sim10_probe_sweep",
+    (s, dir) => ivfProbeSweep(Tables(s, dir).embeddings),
+    Some(s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      cen AS (SELECT cid AS k, cv AS kv FROM c WHERE cid < 16),
+      d AS (SELECT cid, k,
+          list_sum(list_transform(range(64), i ->
+            (cv[i + 1] - kv[i + 1]) * (cv[i + 1] - kv[i + 1]))) AS dist
+        FROM c, cen),
+      rk AS (SELECT cid, k,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, k) AS r FROM d),
+      assign AS (SELECT cid, k AS cell FROM rk WHERE r = 1),
+      bs AS (SELECT q.cid AS qid, x.cid,
+          list_sum(list_transform(list_zip(q.cv, x.cv), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(q.cv, v -> v * v))) *
+             sqrt(list_sum(list_transform(x.cv, v -> v * v)))) AS sim
+        FROM c q JOIN c x ON q.cid <> x.cid WHERE q.cid < 3),
+      truth AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM bs) WHERE rn <= 5),
+      ${SweepProbes.map(sweepBlock).mkString(",")}
+      ${SweepProbes.map(sweepRow).mkString("\n      UNION ALL\n")}
+      ORDER BY n_probe"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, rp01, neg01)
 }

@@ -402,4 +402,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => !dup.contains((r.getLong(0), r.getLong(2)))),
       "no negative may be a near-duplicate of its anchor")
   }
+
+  test("sim10: recall is non-decreasing in nProbe and exactly 1.0 at full probing") {
+    val rows = Similarity.ivfProbeSweep(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4, s"recall must not drop as nProbe grows: $a -> $b")
+    }
+    // probing every cell makes the candidate set all non-self vectors:
+    // the IVF answer IS the brute answer, recall exactly 1
+    val full = rows.last
+    assert(full._2 == full._3 && full._4 == 1.0,
+      s"nProbe = nCells must recover brute-force exactly: $full")
+  }
 }

@@ -712,6 +712,46 @@ object Dedup {
       GROUP BY a ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------------------- dm06
+  // The dedup ROI report — what running dd08's retention actually BUYS,
+  // as the table a curation review reads: near-dup clusters ranked by
+  // WASTED tokens (members beyond the canonical smallest-id doc), the
+  // number every "should we pay for dedup at this threshold" decision
+  // turns on. cluster_id is the component minimum (dd07), so the
+  // canonical member's tokens are exactly the row where doc_id ==
+  // cluster_id — no argmin needed. One join of the cluster map against
+  // per-doc token counts + one aggregation; top-10 by waste.
+  private val dm06 = QueryDef(
+    "dm06_dedup_roi",
+    (s, dir) => {
+      val toksOf = Tables(s, dir).documents.filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          size(graft.functions.TextExpressions.tokens(col("text")))
+            .cast("bigint").as("n_toks"))
+      clusterPairs(ngramPairEdges(s, dir), maxIters = 50)
+        .join(toksOf, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("bigint").as("total_tokens"),
+          (sum(col("n_toks")) - sum(when(col("doc_id") === col("cluster_id"),
+            col("n_toks")).otherwise(0L))).cast("bigint").as("wasted_tokens"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("wasted_tokens").desc, col("cluster_id"))
+        .limit(10)
+    },
+    Some(s"""$closureOracle,
+      cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      tk AS (SELECT doc_id, CAST(len(${OracleSql.Toks}) AS BIGINT) AS n_toks
+        FROM documents WHERE doc_id < 120)
+      SELECT cluster_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_toks) - SUM(CASE WHEN cl.doc_id = cluster_id
+          THEN n_toks ELSE 0 END) AS BIGINT) AS wasted_tokens
+      FROM cl JOIN tk ON tk.doc_id = cl.doc_id
+      GROUP BY cluster_id HAVING COUNT(*) >= 2
+      ORDER BY wasted_tokens DESC, cluster_id LIMIT 10"""),
+  )
+
   // ------------------------------------------------------------- dd08
   // End-to-end "dedup the corpus": cluster the pair graph, drop every
   // non-canonical member (keep the smallest doc_id per component plus
@@ -1748,5 +1788,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, dm04, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, dm04, dm06, spl01, tri01, leak01)
 }

@@ -396,6 +396,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dm06: every cluster wastes less than it holds, and the canonical share is positive") {
+    val rows = graft.Registry.byName("dm06_dedup_roi").run(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the sf0.001 corpus has planted near-dup clusters")
+    rows.foreach { r =>
+      val (n, total, wasted) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 2, s"singletons must not appear: $r")
+      assert(wasted < total && total - wasted > 0,
+        s"canonical tokens = total - wasted must stay positive: $r")
+    }
+    // ranked by waste
+    val w = rows.map(_.getLong(3)).toSeq
+    assert(w == w.sortBy(-_), s"rows must rank by wasted tokens: $w")
+  }
+
   test("re-save wipes stale tombstones; legacy flat-layout indexes are refused loudly") {
     val path = java.nio.file.Files.createTempDirectory("dd16resave").toString
     try {

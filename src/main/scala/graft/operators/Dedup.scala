@@ -905,6 +905,11 @@ object Dedup {
     // from every probe (and the next vacuum would delete its rows)
     deleteRecursively(new java.io.File(s"$path/batches"))
     deleteRecursively(new java.io.File(s"$path/forgotten"))
+    // and any legacy flat-layout root tables: a save is the documented
+    // migration remedy, and for an index with right-to-erasure support
+    // the stale corpus bytes must not outlive it
+    deleteRecursively(new java.io.File(s"$path/bands"))
+    deleteRecursively(new java.io.File(s"$path/shingles"))
     // geometry metadata FIRST: a probe against bands built with a
     // different (numHashes, bands) would collide essentially at
     // random and silently miss true near-dups — append/probe read the
@@ -931,10 +936,11 @@ object Dedup {
   // An index persisted by the pre-batch-dir layout has bands/shingles
   // at the ROOT; the batch-dir readers would never look there, so an
   // append/probe against it would silently drop the entire
-  // pre-upgrade history. Fail loudly instead and name the remedy.
+  // pre-upgrade history. The new layout NEVER writes root tables, so
+  // their presence — even beside a batches/ dir a newer build already
+  // added — means un-migrated history: fail loudly and name the remedy.
   private def rejectLegacyLayout(path: String): Unit =
-    require(!new java.io.File(s"$path/bands").exists() ||
-      new java.io.File(s"$path/batches").exists(),
+    require(!new java.io.File(s"$path/bands").exists(),
       s"$path holds a legacy flat-layout index (root bands/ table); " +
         "re-save it with saveNearDupIndex before appending or probing")
 
@@ -988,7 +994,7 @@ object Dedup {
     */
   def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    rejectLegacyLayout(path)
+    rejectLegacyLayout(path) // before indexGeometry's meta read errors first
     val (nh, b) = indexGeometry(s, path)
     val dirs = committedBatchDirs(path)
     val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)

@@ -160,19 +160,25 @@ object Layout {
         .select(col("l_partkey").cast("bigint").as("x"),
           col("l_suppkey").cast("bigint").as("y"))
         .withColumn("zval", zValue(col("x"), col("y")))
+      // each tiny intermediate feeds several of the four output rows:
+      // localCheckpoint so the fact is scanned once per aggregate, not
+      // once per consumer (the sim10 `truth` pattern)
       val mx = base.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax"),
-        max(col("zval")).as("zmax"))
+        max(col("zval")).as("zmax")).localCheckpoint(true)
       val b = base.crossJoin(broadcast(mx))
+      // only the MINs matter: the predicates are low ranges, so a
+      // bucket is scanned iff its min clears the cut
       def stats(bucket: Column) = b.groupBy(bucket.as("bkt"))
         .agg(count(lit(1)).as("n"),
-          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
-          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          min(col("x")).as("x_min"), min(col("y")).as("y_min"))
+        .localCheckpoint(true)
       val zb = stats(expr("(zval * 64) div (zmax + 1)"))
       val lb = stats(expr("(x * 64) div (xmax + 1)"))
       // predicates: the low eighth of each dimension
       val matched = b.agg(
         sum(when(col("x") <= expr("xmax div 8"), 1L).otherwise(0L)).as("m_x"),
         sum(when(col("y") <= expr("ymax div 8"), 1L).otherwise(0L)).as("m_y"))
+        .localCheckpoint(true)
       def row(label: String, st: DataFrame, predCol: String, m: String) =
         st.crossJoin(broadcast(mx)).crossJoin(broadcast(matched))
           .agg(first(lit(label)).as("layout_pred"),

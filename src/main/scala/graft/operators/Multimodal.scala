@@ -43,11 +43,15 @@ object Multimodal {
         skipWs()
         require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
           s"malformed PPM header at byte $pos")
-        var v = 0
+        // accumulate in Long: an adversarial digit string that wraps
+        // Int back into a small positive value (e.g. 4294967297 -> 1)
+        // must reject, not silently re-parse as a tiny dimension
+        var v = 0L
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
           v = v * 10 + (payload(pos) - '0'); pos += 1
+          require(v <= Int.MaxValue, s"PPM header value overflows at byte $pos")
         }
-        v
+        v.toInt
       }
       val w = int(); val h = int(); val mv = int()
       require(w > 0 && h > 0 && mv >= 1 && mv <= 255,

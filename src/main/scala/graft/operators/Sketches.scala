@@ -569,23 +569,24 @@ object Sketches {
       // other's registers mid-query
       val table = s"hll04_registers_${ProcessHandle.current().pid()}_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      graft.sink.Sinks.saveTable(
-        hllRegisterUpdates(li.filter(col("l_orderkey") % 3 =!= 0), "l_partkey"), table)
-      graft.sink.Sinks.saveTable(
-        hllRegisterUpdates(li.filter(col("l_orderkey") % 3 === 0), "l_partkey"), table)
-      val merged = s.table(table).groupBy("reg")
-        .agg(max(col("max_rho")).as("max_rho"))
-      val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
-      val out = hllEstimateFromRegisters(merged)
-        .crossJoin(broadcast(exact))
-        .select(lit("warehouse_partkey_hll").as("col_name"), col("n_exact"),
-          col("n_est"),
-          (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
-            .as("in_envelope"))
-        .localCheckpoint(eager = true)
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      out
+      // run-unique name ⇒ no pre-clean needed; the finally is what
+      // keeps a mid-query failure from orphaning the table forever
+      try {
+        graft.sink.Sinks.saveTable(
+          hllRegisterUpdates(li.filter(col("l_orderkey") % 3 =!= 0), "l_partkey"), table)
+        graft.sink.Sinks.saveTable(
+          hllRegisterUpdates(li.filter(col("l_orderkey") % 3 === 0), "l_partkey"), table)
+        val merged = s.table(table).groupBy("reg")
+          .agg(max(col("max_rho")).as("max_rho"))
+        val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
+        hllEstimateFromRegisters(merged)
+          .crossJoin(broadcast(exact))
+          .select(lit("warehouse_partkey_hll").as("col_name"), col("n_exact"),
+            col("n_est"),
+            (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+              .as("in_envelope"))
+          .localCheckpoint(eager = true)
+      } finally { s.sql(s"DROP TABLE IF EXISTS $table"); () }
     },
     Some(hllSql("lineitem", "l_partkey", "warehouse_partkey_hll")),
   )

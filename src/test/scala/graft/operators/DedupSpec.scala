@@ -411,7 +411,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("re-save wipes stale tombstones; legacy flat-layout indexes are refused loudly") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
     val path = java.nio.file.Files.createTempDirectory("dd16resave").toString
+    val legacy = java.nio.file.Files.createTempDirectory("dd16legacy").toString
     try {
       // index A erases doc 5; index B (a FRESH corpus reusing id 5)
       // must not inherit the tombstone
@@ -425,26 +430,21 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(probe.contains((20L, 5L)),
         s"doc 5 of the NEW index must be visible after re-save: $probe")
-      // a legacy flat-layout index (root bands/ table, no batches/)
-      // must refuse append and probe instead of silently dropping it
-      val legacy = java.nio.file.Files.createTempDirectory("dd16legacy").toString
+      // a legacy flat-layout index (root bands/ table) must refuse
+      // append and probe instead of silently dropping its history —
+      // even when a newer build already added a batches/ dir beside it
       Seq((0L, base)).toDF("doc_id", "text").write.parquet(s"$legacy/bands")
       intercept[IllegalArgumentException](
         Dedup.appendNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"), legacy))
       intercept[IllegalArgumentException](
         Dedup.probeNearDupIndex(spark, legacy,
           Seq((1L, base)).toDF("doc_id", "text")).collect())
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(legacy))
+      // and the documented remedy clears the legacy root tables too
+      Dedup.saveNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"), legacy)
+      assert(!new java.io.File(s"$legacy/bands").exists(),
+        "re-save must remove the legacy root table")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rm(new java.io.File(path)); rm(new java.io.File(legacy))
     }
   }
 

@@ -1318,8 +1318,9 @@ object Corpus {
           CAST(len(${OracleSql.Toks.replace("text", "ss[sidx + 1]")}) AS BIGINT) AS n_tok
         FROM s1),
       c AS (SELECT doc_id, sidx, sentence, n_tok,
-          COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before
         FROM t)
       SELECT doc_id, CAST(cum_before // 64 AS BIGINT) AS chunk_id,
         COUNT(*) AS n_sentences,

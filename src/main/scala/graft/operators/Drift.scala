@@ -86,12 +86,14 @@ object Drift {
           SUM(CASE WHEN early THEN 1 ELSE 0 END) AS c1,
           SUM(CASE WHEN early THEN 0 ELSE 1 END) AS c2
         FROM s GROUP BY x),
-      cc AS (SELECT SUM(c1) OVER (ORDER BY x) AS cum1,
-          SUM(c2) OVER (ORDER BY x) AS cum2 FROM c),
-      t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c)
+      cc AS (SELECT CAST(SUM(c1) OVER (ORDER BY x) AS HUGEINT) AS cum1,
+          CAST(SUM(c2) OVER (ORDER BY x) AS HUGEINT) AS cum2 FROM c),
+      t AS (SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+          CAST(SUM(c2) AS HUGEINT) AS n2 FROM c)
       SELECT CAST(t.n1 AS BIGINT) AS n_early, CAST(t.n2 AS BIGINT) AS n_late,
         CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS ks_num,
-        CAST((MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) * 1000000) // (t.n1 * t.n2)
+        CAST((MAX(ABS(cum1 * t.n2 - cum2 * t.n1))
+            * CAST(1000000 AS HUGEINT)) // (t.n1 * t.n2)
           AS BIGINT) AS ks_scaled
       FROM cc, t GROUP BY t.n1, t.n2"""),
   )
@@ -292,8 +294,9 @@ object Drift {
     },
     Some("""WITH c AS (SELECT o_totalprice AS x, COUNT(*) AS cnt
           FROM orders GROUP BY 1),
-      cc AS (SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum FROM c),
-      t AS (SELECT SUM(cnt) AS n FROM c),
+      cc AS (SELECT x, cnt,
+          CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM c),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
       b AS (SELECT x, cnt, ((cum - cnt) * 10) // t.n AS bin FROM cc, t)
       SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
         MIN(x) AS x_min, MAX(x) AS x_max
@@ -408,14 +411,17 @@ object Drift {
         .orderBy("o_orderkey")
     },
     Some("""WITH f AS (SELECT o_orderkey, o_orderpriority,
-          CAST(o_totalprice AS DECIMAL(12,2)) AS y FROM orders),
-      cat AS (SELECT o_orderpriority, SUM(y) AS cat_sum, COUNT(*) AS cat_n
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y_c
+        FROM orders),
+      cat AS (SELECT o_orderpriority, CAST(SUM(y_c) AS HUGEINT) AS sum_c,
+          COUNT(*) AS cat_n
         FROM f GROUP BY 1)
       SELECT o_orderkey, f.o_orderpriority,
         CASE WHEN cat_n > 1
-          THEN CAST(CAST((cat_sum - y) * 1000000 AS HUGEINT) // (cat_n - 1) AS BIGINT)
+          THEN CAST((sum_c - y_c) * CAST(10000 AS HUGEINT)
+            // (cat_n - 1) AS BIGINT)
           END AS loo_micro,
-        CAST(CAST(cat_sum * 1000000 AS HUGEINT) // cat_n AS BIGINT) AS naive_micro
+        CAST(sum_c * CAST(10000 AS HUGEINT) // cat_n AS BIGINT) AS naive_micro
       FROM f JOIN cat USING (o_orderpriority)
       ORDER BY o_orderkey"""),
   )
@@ -460,16 +466,17 @@ object Drift {
           COUNT(*) AS n
         FROM events GROUP BY 1),
       prior AS (SELECT d.day + CAST(j AS INTEGER) AS day,
-          COUNT(*) AS k, SUM(n) AS s1, SUM(n * n) AS s2
+          CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(n) AS HUGEINT) AS s1,
+          CAST(SUM(n * n) AS HUGEINT) AS s2
         FROM daily d, range(1, 8) r(j) GROUP BY 1)
       SELECT d.day, CAST(d.n AS BIGINT) AS n,
         CAST(COALESCE(p.k, 0) AS BIGINT) AS k_prior,
         CASE WHEN COALESCE(p.k, 0) >= 2 THEN
-          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / p.k) /
+          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / CAST(p.k AS DOUBLE)) /
             sqrt(CAST(p.k * p.s2 - p.s1 * p.s1 AS DOUBLE) /
               CAST(p.k * (p.k - 1) AS DOUBLE)) END AS z,
         CASE WHEN COALESCE(p.k, 0) >= 2 THEN abs(
-          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / p.k) /
+          (CAST(d.n AS DOUBLE) - CAST(p.s1 AS DOUBLE) / CAST(p.k AS DOUBLE)) /
             sqrt(CAST(p.k * p.s2 - p.s1 * p.s1 AS DOUBLE) /
               CAST(p.k * (p.k - 1) AS DOUBLE))) > 3.0 END AS is_anomaly
       FROM daily d LEFT JOIN prior p ON p.day = d.day

@@ -84,7 +84,7 @@ object Graph {
         (15 * 1000000000000) // (100 * (SELECT nn FROM nc))
           + (85 * COALESCE(s.csum, 0)) // 100 AS r
       FROM nodes n LEFT JOIN (
-        SELECT e.b AS v, SUM(r.r // d.outdeg) AS csum
+        SELECT e.b AS v, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS csum
         FROM $prev r JOIN e ON e.a = r.v JOIN deg d ON d.a = r.v
         GROUP BY e.b) s ON s.v = n.v)"""
   }

@@ -924,10 +924,13 @@ object Quality {
         FROM groups_ g CROSS JOIN bands b
         LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
           AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band),
-      emd AS (SELECT grid.c_nationkey, grid.c_mktsegment, MAX(n_g) AS n,
-          CAST((SUM(abs(CAST(cum_gb AS HUGEINT) * totals.n
-              - CAST(cum_b AS HUGEINT) * n_g)) * 1000000)
-            // (CAST(MAX(n_g) AS HUGEINT) * MAX(totals.n) * (MAX(totals.n_bins) - 1))
+      emd AS (SELECT grid.c_nationkey, grid.c_mktsegment,
+          CAST(MAX(n_g) AS BIGINT) AS n,
+          CAST((SUM(abs(CAST(cum_gb AS HUGEINT) * CAST(totals.n AS HUGEINT)
+              - CAST(cum_b AS HUGEINT) * CAST(n_g AS HUGEINT)))
+              * CAST(1000000 AS HUGEINT))
+            // (CAST(MAX(n_g) AS HUGEINT) * CAST(MAX(totals.n) AS HUGEINT)
+               * CAST(MAX(totals.n_bins) - 1 AS HUGEINT))
             AS BIGINT) AS t_emd_micro
         FROM grid CROSS JOIN totals
         GROUP BY grid.c_nationkey, grid.c_mktsegment)

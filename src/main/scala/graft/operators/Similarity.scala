@@ -589,18 +589,19 @@ object Similarity {
     * the inverted-list probe: a row is scored only under the ≤ nProbe
     * (query, cell) structs matching its own cell.
     */
-  def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, subDim: Int = 8,
-      nCodes: Int = 16): DataFrame = {
-    import graft.functions.TextExpressions.nearest_centroids
-    val dim = nSub * subDim
-    // bounded collect: nCells + nCodes + nQueries pinned rows
-    val pinned = emb.filter(col("vec_id") < nCells + nCodes).orderBy(col("vec_id"))
-      .select(asDouble(col("embedding")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val cen = pinned.take(nCells)
-    // nearest cell, matching NearestCentroids exactly: full-dim
-    // ascending squared-L2 fold, strict < so the lowest index wins ties
+  /** The pinned IVF-PQ quantizer pair + geometry — the trainable state
+    * a persisted index stores ([[VectorIndex]]) and a from-scratch
+    * search derives per run ([[ivfPqTopK]]). All scalar math lives
+    * here so the two paths are the SAME doubles by construction:
+    * cell assignment is a full-dim ascending squared-L2 fold with
+    * strict < (lowest index wins ties, matching NearestCentroids), and
+    * the ADC LUT folds dim-ascending — the exact double sequence the
+    * oracle's list_sum(range(subDim)) runs.
+    */
+  private[operators] final case class IvfPqModel(
+      nCells: Int, nSub: Int, subDim: Int,
+      cen: Array[Array[Double]], rcb: Array[Array[Double]]) {
+    val dim: Int = nSub * subDim
     def cellOf(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < nCells) {
@@ -611,17 +612,7 @@ object Similarity {
       }
       best
     }
-    // shared residual codebook: residual of each base vector vs ITS cell
-    val rcb = pinned.drop(nCells).map { b =>
-      val cc = cen(cellOf(b))
-      Array.tabulate(dim)(i => b(i) - cc(i))
-    }
-    val rcbSub = (0 until nSub).map(m =>
-      rcb.map(_.slice(m * subDim, (m + 1) * subDim)))
-    val queries = emb.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
-      .select(col("vec_id").cast("long").as("qid"), asDouble(col("embedding")).as("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def probesOf(qv: Array[Double]): Seq[Int] = {
+    def probesOf(qv: Array[Double], nProbe: Int): Seq[Int] = {
       val d = Array.tabulate(nCells) { c =>
         var s = 0.0; var i = 0
         while (i < dim) { val x = qv(i) - cen(c)(i); s += x * x; i += 1 }
@@ -629,8 +620,7 @@ object Similarity {
       }
       d.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(nProbe).map(_._2).toSeq
     }
-    // LUT[m][c] = ||(q - cen_cell)_m - rcb[c]_m||², dim-ascending fold —
-    // the exact double sequence the oracle's list_sum(range(subDim)) runs
+    // LUT[m][c] = ||(q - cen_cell)_m - rcb[c]_m||²
     def lutFor(qv: Array[Double], cell: Int, m: Int): Seq[Double] =
       rcb.map { r =>
         var d = 0.0; var i = 0
@@ -640,36 +630,91 @@ object Similarity {
         }
         d
       }.toSeq
+    def rcbSub(m: Int): Array[Array[Double]] =
+      rcb.map(_.slice(m * subDim, (m + 1) * subDim))
+  }
+
+  /** Pin the quantizers from the corpus's first nCells + nCodes
+    * vectors (the sim03v/pq01 replayable-training contract) — one
+    * bounded collect; trained quantizers drop in without changing
+    * anything downstream.
+    */
+  private[operators] def trainIvfPq(emb: DataFrame, nCells: Int,
+      nSub: Int, subDim: Int, nCodes: Int): IvfPqModel = {
+    val dim = nSub * subDim
+    // bounded collect: nCells + nCodes pinned rows
+    val pinned = emb.filter(col("vec_id") < nCells + nCodes).orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cen = pinned.take(nCells)
+    val m0 = IvfPqModel(nCells, nSub, subDim, cen, Array.empty)
+    // shared residual codebook: residual of each base vector vs ITS cell
+    val rcb = pinned.drop(nCells).map { b =>
+      val cc = cen(m0.cellOf(b))
+      Array.tabulate(dim)(i => b(i) - cc(i))
+    }
+    IvfPqModel(nCells, nSub, subDim, cen, rcb)
+  }
+
+  /** The stored index image: (cid, cell, code_0..code_{nSub-1}) — each
+    * code from the SUB-residual against the shared sub-codebook, all
+    * in a single codegen'd map over the corpus (no shuffle).
+    */
+  private[operators] def encodeIvfPq(emb: DataFrame, model: IvfPqModel): DataFrame = {
+    import graft.functions.TextExpressions.nearest_centroids
     val c = emb.select(col("vec_id").cast("long").as("cid"),
       asDouble(col("embedding")).as("v"))
-      .withColumn("cell", element_at(nearest_centroids(col("v"), cen, 1), 1))
-    // stored index image: (cell, code_0..code_7) — each code from the
-    // SUB-residual against the shared sub-codebook, all in one map
-    val coded = (0 until nSub).foldLeft(c) { (df, m) =>
-      val cenSub = cen.map(_.slice(m * subDim, (m + 1) * subDim)).map(_.toSeq).toSeq
+      .withColumn("cell", element_at(nearest_centroids(col("v"), model.cen, 1), 1))
+    (0 until model.nSub).foldLeft(c) { (df, m) =>
+      val cenSub = model.cen.map(_.slice(m * model.subDim, (m + 1) * model.subDim))
+        .map(_.toSeq).toSeq
       val subRes = zip_with(
-        slice(col("v"), m * subDim + 1, subDim),
+        slice(col("v"), m * model.subDim + 1, model.subDim),
         element_at(typedLit(cenSub), col("cell") + 1),
         (x, cc) => x - cc)
       df.withColumn(s"code_$m",
-        element_at(nearest_centroids(subRes, rcbSub(m), 1), 1))
-    }
+        element_at(nearest_centroids(subRes, model.rcbSub(m), 1), 1))
+    }.drop("v")
+  }
+
+  /** ADC scoring over an encoded corpus: per-(query, probed-cell) LUTs
+    * ship as literals, candidates are scored with nSub element_at adds
+    * (subspace-ascending, same as the oracle), and the only exchange
+    * is the per-query top-k rank. The cell-match filter after the
+    * explode IS the inverted-list probe.
+    */
+  private[operators] def adcRank(coded: DataFrame,
+      queries: Array[(Long, Array[Double])], model: IvfPqModel,
+      k: Int, nProbe: Int): DataFrame = {
     val perQC = queries.flatMap { case (qid, qv) =>
-      probesOf(qv).map { cell =>
-        val adist = (0 until nSub).map(m =>
-            element_at(typedLit(lutFor(qv, cell, m)), col(s"code_$m") + 1))
+      model.probesOf(qv, nProbe).map { cell =>
+        val adist = (0 until model.nSub).map(m =>
+            element_at(typedLit(model.lutFor(qv, cell, m)), col(s"code_$m") + 1))
           .reduce(_ + _) // subspace-ascending add order, same as the oracle
         struct(lit(qid).as("qid"), lit(cell).as("pcell"), adist.as("adist"))
       }
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    coded.select(col("cid"), col("cell"), explode(array(perQC: _*)).as("qa"))
+    coded.select(col("cid"), col("cell"), explode(array(perQC.toIndexedSeq: _*)).as("qa"))
       .filter(col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid"))
       .select(col("qa.qid").as("qid"), col("cid"), col("qa.adist").as("adist"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
       .select("qid", "cid", "adist", "rn")
       .orderBy("qid", "rn")
+  }
+
+  /** Bounded collect of the query vectors (nQueries rows). */
+  private[operators] def queryVectors(emb: DataFrame, nQueries: Int): Array[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long").as("qid"), asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, subDim: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    val model = trainIvfPq(emb, nCells, nSub, subDim, nCodes)
+    adcRank(encodeIvfPq(emb, model), queryVectors(emb, nQueries), model, k, nProbe)
   }
 
   // The oracle rebuilds the ENTIRE index: coarse assignment (sim03v's
@@ -1175,6 +1220,11 @@ object Similarity {
       ${SweepProbes.map(sweepRow).mkString("\n      UNION ALL\n")}
       ORDER BY n_probe"""),
   )
+
+  // Shared by VectorIndex's sim11/sim12: a loaded-index probe must emit
+  // the exact ranking the from-scratch search derives, so they are
+  // checked against the SAME oracle rebuild.
+  private[operators] def sim07Oracle: Option[String] = sim07.oracle
 
   val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, rp01, neg01)
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Persisted IVF-PQ vector index — the dedup side's marker-sealed
+  * index lifecycle (Dedup.saveNearDupIndex, dd16) applied to the ANN
+  * family: a 100-TB retrieval deployment builds the index ONCE and
+  * probes it incrementally, rather than re-deriving quantizers and
+  * re-encoding the corpus per query run the way the from-scratch
+  * searches (Similarity.ivfPqTopK) do by design.
+  *
+  * Layout under `path`:
+  *  - `meta`      — (n_cells, n_sub, sub_dim) geometry. Append and
+  *    probe read the STORED geometry and quantizers, so a probe
+  *    against an index built with different parameters is
+  *    structurally impossible (the saveNearDupIndex contract).
+  *  - `centroids` — (cell, v) coarse quantizer, nCells rows.
+  *  - `codebook`  — (code, rv) shared residual codebook, nCodes rows.
+  *  - `batches/b<N>/codes` — (cid, cell, code_0..code_{nSub-1}), one
+  *    dir per save/append, sealed by a `_COMMITTED` marker: readers
+  *    ignore markerless dirs and a retried append always writes a
+  *    FRESH dir, so a crash mid-append can neither leave the index
+  *    half-updated nor a retry duplicate vectors.
+  *
+  * Scale shape: the stored image is the PQ-compressed corpus (one
+  * int cell + nSub byte-range codes per vector — ~the FAISS IVFADC
+  * layout, Jégou et al. 2011 §V), so probe cost is a map-only scan of
+  * the code table plus one per-query top-k rank exchange; quantizer
+  * state is nCells + nCodes rows (bounded collect). Appending a batch
+  * encodes ONLY the batch — history is never re-read, so per-batch
+  * cost is independent of index size.
+  */
+object VectorIndex {
+
+  /** Persist a corpus's vector index at `path`, REPLACING any index
+    * there (stale batches from a previous geometry must not survive a
+    * re-save — a probe would union incompatible code tables).
+    */
+  def saveVectorIndex(emb: DataFrame, path: String, nCells: Int = 16,
+      nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16): Unit = {
+    deleteRecursively(new java.io.File(s"$path/batches"))
+    val s = emb.sparkSession
+    import s.implicits._
+    val model = Similarity.trainIvfPq(emb, nCells, nSub, subDim, nCodes)
+    // geometry + quantizers FIRST: a code table without its quantizers
+    // is unreadable, and append/probe trust the stored state only
+    Seq((nCells, nSub, subDim)).toDF("n_cells", "n_sub", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    model.cen.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.rcb.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("code", "rv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    commitCodesBatch(emb, path, model)
+  }
+
+  /** Extend a persisted index with a new batch, encoded under the
+    * quantizers the index was SAVED with (append-only commits; the
+    * index never rewrites history). Safe to retry: a failed attempt
+    * leaves only an uncommitted dir readers never see.
+    */
+  def appendVectorIndex(batch: DataFrame, path: String): Unit =
+    commitCodesBatch(batch, path, loadModel(batch.sparkSession, path))
+
+  /** Probe a persisted index: score `queries` (a bounded vector set
+    * carrying vec_id + embedding) against the STORED code table via
+    * per-(query, probed-cell) ADC lookup tables — identical arithmetic
+    * to the from-scratch Similarity.ivfPqTopK (shared kernel), with
+    * the corpus side read from parquet instead of re-encoded.
+    */
+  def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val model = loadModel(s, path)
+    val coded = s.read.parquet(committedBatchDirs(path).map(_ + "/codes"): _*)
+    val q = queries.orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    Similarity.adcRank(coded, q, model, k, nProbe)
+  }
+
+  /** Rehydrate the quantizer state — nCells + nCodes bounded rows. */
+  private[operators] def loadModel(s: SparkSession, path: String): Similarity.IvfPqModel = {
+    val m = s.read.parquet(s"$path/meta").select("n_cells", "n_sub", "sub_dim").head
+    val (nCells, nSub, subDim) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val cen = s.read.parquet(s"$path/centroids").orderBy("cell")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val rcb = s.read.parquet(s"$path/codebook").orderBy("code")
+      .select("rv").collect().map(_.getSeq[Double](0).toArray)
+    require(cen.length == nCells,
+      s"$path/centroids holds ${cen.length} rows, geometry says $nCells")
+    Similarity.IvfPqModel(nCells, nSub, subDim, cen, rcb)
+  }
+
+  private def commitCodesBatch(batch: DataFrame, path: String,
+      model: Similarity.IvfPqModel): Unit = {
+    val root = new java.io.File(s"$path/batches")
+    root.mkdirs()
+    // next id is one past the highest EXISTING dir, committed or not:
+    // an abandoned attempt's id is never reused
+    val ids = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("b").toLongOption)
+    val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
+    Similarity.encodeIvfPq(batch, model)
+      .write.mode("overwrite").parquet(s"$bdir/codes")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$bdir/_COMMITTED"))
+    ()
+  }
+
+  private def committedBatchDirs(path: String): Seq[String] = {
+    val dirs = Option(new java.io.File(s"$path/batches").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
+      .map(_.toString).toSeq.sorted
+    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+    dirs
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  // Save the WHOLE corpus, then probe the loaded index: the output
+  // must be byte-identical to sim07's from-scratch search (they share
+  // the oracle, which rebuilds the entire pipeline in DuckDB).
+  private val sim11 = QueryDef(
+    "sim11_index_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim11_vindex").toString
+      saveVectorIndex(emb, path)
+      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+        .localCheckpoint(eager = true)
+      deleteRecursively(new java.io.File(path))
+      out
+    },
+    Similarity.sim07Oracle,
+  )
+
+  // Save on a subset (which must contain the pinned training vectors,
+  // vec_id < 32 — the quantizers ARE the index identity), append the
+  // rest, probe: identical to from-scratch over the full corpus,
+  // proving appended batches are encoded under the STORED quantizers.
+  private val sim12 = QueryDef(
+    "sim12_index_append",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim12_vindex").toString
+      saveVectorIndex(emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
+      appendVectorIndex(emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
+      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+        .localCheckpoint(eager = true)
+      deleteRecursively(new java.io.File(path))
+      out
+    },
+    Similarity.sim07Oracle,
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12)
+}

@@ -1,0 +1,203 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter, DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Avro container-file ingestion — the remaining common lake format
+  * after json/csv/parquet (reference file_scanner.py:15-30's
+  * classifier model) and ORC (ing16). This distribution ships the
+  * Avro LIBRARY but not the `spark-avro` datasource module, so the
+  * leg is built the way the multimodal codecs are (Multimodal.scala):
+  * a `binaryFile` scan feeding a batched `mapPartitions` decode —
+  * whole-file semantics, matching Avro's container framing.
+  *
+  * Scale shape, stated honestly: Avro is a row-major format — there
+  * is no predicate pushdown into blocks (nothing like parquet's
+  * row-group stats exists to prune on), so filters run post-decode in
+  * the same stage. What Avro DOES support natively is COLUMN
+  * projection via reader-schema resolution: a reader schema holding a
+  * subset of the writer's fields makes the decoder SKIP unrequested
+  * fields (schema-resolution skip, not read-then-drop) — [[readAvro]]
+  * accepts the projected column list and builds that reader schema,
+  * the avro-native analog of parquet's ReadSchema pruning. File-level
+  * pruning (pathGlobFilter, partition dirs) rides the binaryFile scan
+  * unchanged. One decoded file never amplifies: each mapPartitions
+  * task decodes only the files in its own partition, streaming blocks
+  * through one reusable GenericRecord.
+  */
+object AvroIngestor {
+
+  /** Spark → Avro schema for the primitive column types the lake
+    * tables use; every field is a nullable union, Avro's idiom for
+    * SQL nullability.
+    */
+  def toAvroSchema(schema: StructType, name: String = "row"): Schema = {
+    def prim(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro ingest column type: $other")
+    }
+    val fields = schema.fields.map { f =>
+      new Schema.Field(f.name,
+        Schema.createUnion(Schema.create(Schema.Type.NULL), prim(f.dataType)),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Avro → Spark schema (primitives + [null, T] unions). */
+  def toSparkSchema(avro: Schema): StructType = {
+    def unwrap(s: Schema): Schema =
+      if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .getOrElse(throw new IllegalArgumentException(s"all-null union: $s"))
+      else s
+    def dt(s: Schema): DataType = unwrap(s).getType match {
+      case Schema.Type.LONG => LongType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro ingest field type: $other")
+    }
+    StructType(avro.getFields.asScala.toSeq.map(f =>
+      StructField(f.name, dt(f.schema), nullable = true)))
+  }
+
+  /** Writer schema from one container file's HEADER — a bounded
+    * stream open (DataFileStream parses the header before any block),
+    * never a whole-file read: schema discovery on a million-file
+    * prefix touches one file's first kilobytes.
+    */
+  def writerSchema(s: SparkSession, file: String): Schema = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val dfs = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try dfs.getSchema finally dfs.close()
+    } finally in.close()
+  }
+
+  /** Write `df` as Avro container files under `dir`, one file per
+    * partition (part-<n>.avro), each task streaming its own partition
+    * through a DataFileWriter straight to the filesystem — the
+    * distributed write shape of Spark's own committers, minus the
+    * temp-rename protocol the lake sinks (Sinks.scala) own.
+    */
+  def writeAvro(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    val avroJson = toAvroSchema(schema).toString
+    val confS = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val avro = new Schema.Parser().parse(avroJson)
+      val p = new Path(f"$dir/part-$pid%05d.avro")
+      val fs = p.getFileSystem(confS.value)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avro))
+      w.create(avro, out) // DataFileWriter closes `out` on close()
+      try {
+        it.foreach { row =>
+          val rec = new GenericData.Record(avro)
+          var i = 0
+          while (i < schema.length) {
+            rec.put(i, if (row.isNullAt(i)) null else row.get(i) match {
+              case s: String => s
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case v => v
+            })
+            i += 1
+          }
+          w.append(rec)
+        }
+      } finally w.close()
+    }
+  }
+
+  /** Read Avro container files under `pathGlob` into a DataFrame,
+    * with optional column projection (`columns`) applied as an Avro
+    * READER schema so the decoder skips unrequested fields, plus
+    * `_source_file` lineage (the A11 contract every ingest leg
+    * carries).
+    */
+  def readAvro(s: SparkSession, pathGlob: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    val files = FileScanner.discover(pathGlob, fileTypes = Seq("avro"),
+      hadoopConf = s.sessionState.newHadoopConf())
+    val paths = files("avro")
+    require(paths.nonEmpty, s"no .avro files under $pathGlob")
+    val writer = writerSchema(s, paths.head)
+    val reader =
+      if (columns.isEmpty) writer
+      else {
+        val byName = writer.getFields.asScala.map(f => f.name -> f).toMap
+        val picked = columns.map(c => byName.getOrElse(c,
+          throw new IllegalArgumentException(s"column $c not in Avro schema")))
+        Schema.createRecord(writer.getName, null, writer.getNamespace, false,
+          picked.map(f => new Schema.Field(f.name, f.schema, null,
+            Schema.Field.NULL_DEFAULT_VALUE)).asJava)
+      }
+    val outSchema = toSparkSchema(reader)
+      .add(StructField("_source_file", StringType, nullable = false))
+    val readerJson = reader.toString
+    val writerJson = writer.toString
+    val bin = s.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+    val n = outSchema.length - 1
+    bin.mapPartitions { it =>
+      val rs = new Schema.Parser().parse(readerJson)
+      val ws = new Schema.Parser().parse(writerJson)
+      it.flatMap { fileRow =>
+        val name = fileRow.getString(0).split('/').last
+        val bytes = fileRow.getAs[Array[Byte]](1)
+        val dr = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(bytes),
+          new GenericDatumReader[GenericRecord](ws, rs))
+        // drain eagerly: the iterator must not outlive the reader
+        val rows = Vector.newBuilder[Row]
+        try {
+          var rec: GenericRecord = null
+          while (dr.hasNext) {
+            rec = dr.next(rec) // one reusable record per file
+            val vals = new Array[Any](n + 1)
+            var i = 0
+            while (i < n) {
+              vals(i) = rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case bb: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](bb.remaining()); bb.get(a); a
+                case v => v
+              }
+              i += 1
+            }
+            vals(n) = name
+            rows += Row.fromSeq(vals.toIndexedSeq)
+          }
+        } finally dr.close()
+        rows.result()
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+}

@@ -24,11 +24,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object FileScanner {
 
-  /** Extension → format, per reference file_scanner.py:15-30. */
+  /** Extension → format, per reference file_scanner.py:15-30, extended
+    * with the columnar/row lake formats the Spark-native engine also
+    * ingests (orc → ing16, avro → ing20).
+    */
   val ExtensionMap: Map[String, String] = Map(
     ".json" -> "json", ".jsonl" -> "json", ".ndjson" -> "json",
     ".csv" -> "csv", ".tsv" -> "csv", ".psv" -> "csv",
     ".parquet" -> "parquet", ".pq" -> "parquet", ".pqt" -> "parquet",
+    ".orc" -> "orc", ".avro" -> "avro",
   )
 
   /** Default ignore patterns, per reference file_scanner.py:33-44. */

@@ -626,6 +626,46 @@ object Ingestion {
       ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing20
+  // Avro format interop, ing16's shape for the remaining common lake
+  // format: documents written as Avro container files (one per
+  // partition, a distributed write) and read back through the
+  // binaryFile + batched-decode leg must match the oracle computing
+  // the same filter straight from parquet. The read projects a COLUMN
+  // SUBSET via Avro reader-schema resolution — the decoder skips
+  // `source` and `text` inside each block rather than materializing
+  // then dropping them (the row-format analog of parquet ReadSchema
+  // pruning; predicate pushdown does not exist for row-major Avro, so
+  // the filter runs post-decode in the same stage — stated in
+  // AvroIngestor's scale contract).
+  private val ing20 = QueryDef(
+    "ing20_avro_roundtrip",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ing20")
+      val avroDir = base.resolve("docs_avro").toString
+      try {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        graft.ingest.AvroIngestor.writeAvro(
+          docs.repartition(3, col("doc_id")), avroDir)
+        graft.ingest.AvroIngestor
+          .readAvro(s, avroDir, columns = Seq("doc_id", "lang", "n_chars"))
+          .filter(col("lang") === "en" && col("n_chars") > 200)
+          // which part file a doc hashes into is partitioner-internal;
+          // the lineage column is pinned value-stable in IngestorSpec
+          .drop("_source_file")
+          .orderBy("doc_id")
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT doc_id, lang, n_chars
+      FROM documents WHERE lang = 'en' AND n_chars > 200
+      ORDER BY doc_id"""),
+  )
+
   // -------------------------------------------------------------- ing17
   // Row-level quarantine twin of ing10: same landing dir, OPPOSITE
   // isolation granularity. ing10 proves the reference's A8 contract
@@ -783,5 +823,5 @@ object Ingestion {
 
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19)
+      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19, ing20)
 }

@@ -865,6 +865,159 @@ object Sketches {
         (SELECT merge_exact FROM mok) AS merge_exact"""),
   )
 
+  // ------------------------------------------------------------- qs01
+  /** Mergeable QUANTILE sketch — the missing member of the classic
+    * sketch quartet (frequency = cms, cardinality = hll, membership =
+    * bf, quantiles = this). Form: bottom-k by a uniform md5-derived
+    * hash of the row's unique key (the KMV / ordered-sampling family,
+    * Bar-Yossef et al. 2002's bottom-k sampling applied to rank
+    * queries) rather than KLL's level compactors: KLL's compaction
+    * flips random coins level by level — inherently irreproducible in
+    * one declarative pass — while bottom-k-by-hash delivers the SAME
+    * contract (fixed k-row state, lossless mergeability, ±O(1/√k)
+    * RANK error — the guarantee quantile sketches are specified by)
+    * through a pure ORDER BY/LIMIT algebra both engines replay
+    * bit-for-bit. Estimate for quantile q: the sampled value at rank
+    * floor(q·(k−1))+1 of the value-sorted sample; the envelope check
+    * then computes each estimate's TRUE rank over the full fact and
+    * asserts |rank/n − q| ≤ 5% (3.2σ at k=1024) in exact integer
+    * micro-units — a stronger cross-check than comparing against a
+    * second quantile implementation, because it certifies the rank
+    * error itself.
+    *
+    * 100 TB shape: orderBy(h).limit(k) compiles to
+    * TakeOrderedAndProject — each task keeps a k-row heap and the
+    * driver merges k-sized results (pinned in SketchesSpec); there is
+    * NO global sort exchange and no O(n) state anywhere. The envelope
+    * scan is one map-side-combined 9-key aggregation over the fact
+    * with the 9 estimates broadcast.
+    */
+  private val QsK = 1024
+
+  /** 60-bit uniform hash (15 md5 hex chars — 16 would overflow signed
+    * BIGINT) of the row's unique key; (h, key) is a strict total
+    * order, so the bottom-k cut is deterministic under any
+    * partitioning, task retry, or merge order.
+    */
+  private def qsHash(key: Column): Column =
+    conv(substring(md5(concat(lit("qs:"), key.cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("bigint")
+
+  private def qsHashSql(key: String): String =
+    s"('0x' || substr(md5('qs:' || CAST($key AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** The k-row sketch state: (h, kk, v) — hash, unique row key, value.
+    * Sampling on the ROW key (not the value) keeps duplicate values at
+    * their true multiplicity, so the sketch answers quantiles of the
+    * weighted distribution, not the distinct-value one.
+    */
+  def quantileSketch(fact: DataFrame, keyCol: String, valCol: String,
+      k: Int = QsK): DataFrame =
+    fact.select(qsHash(col(keyCol)).as("h"),
+        col(keyCol).cast("long").as("kk"),
+        col(valCol).cast("double").as("v"))
+      .orderBy(col("h"), col("kk")).limit(k)
+
+  /** Merge sketches: union then re-cut at k — the bottom-k of a union
+    * IS the bottom-k of the united bottom-k's (every global survivor
+    * survives its own half's cut), which qs02 certifies cell-for-cell.
+    */
+  def mergeQuantileSketches(a: DataFrame, b: DataFrame, k: Int = QsK): DataFrame =
+    a.unionByName(b).orderBy(col("h"), col("kk")).limit(k)
+
+  /** Decile estimates from a sketch: value-rank the ≤ k sample rows
+    * (bounded window — the dq07 band-grid precedent) and pick the 9
+    * decile order statistics.
+    */
+  def quantileEstimates(sketch: DataFrame): DataFrame = {
+    val s = sketch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("h"), col("kk"))
+    val ranked = sketch.withColumn("rn", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(sketch.agg(count(lit(1)).as("s_n"))))
+    ranked.join(broadcast(s.range(1, 10).toDF("decile")),
+        col("rn") === expr("decile * (s_n - 1) div 10 + 1"))
+      .select(col("decile"), col("v").as("est"))
+  }
+
+  private val qs01 = QueryDef(
+    "qs01_quantile_sketch",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val est = quantileEstimates(
+        quantileSketch(o, "o_orderkey", "o_totalprice"))
+      o.select(col("o_totalprice").cast("double").as("v"))
+        .crossJoin(broadcast(est))
+        .groupBy("decile", "est")
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+          count(lit(1)).as("n"))
+        .withColumn("in_envelope",
+          abs(col("rank_lt") * lit(1000000L) -
+            col("decile") * lit(100000L) * col("n")) <= lit(50000L) * col("n"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH f AS (SELECT o_orderkey AS kk, CAST(o_totalprice AS DOUBLE) AS v,
+          ${qsHashSql("o_orderkey")} AS h
+        FROM orders),
+      sk AS (SELECT h, kk, v FROM f ORDER BY h, kk LIMIT $QsK),
+      sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_n FROM sk),
+      rk AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, h, kk) AS BIGINT) AS rn
+        FROM sk),
+      est AS (SELECT d.decile, rk.v AS est
+        FROM range(1, 10) d(decile) JOIN rk
+          ON rk.rn = (d.decile * ((SELECT s_n FROM sn) - 1)) // 10 + 1)
+      SELECT e.decile, e.est,
+        CAST(SUM(CASE WHEN f.v < e.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_lt,
+        COUNT(*) AS n,
+        abs(CAST(SUM(CASE WHEN f.v < e.est THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+          - e.decile * 100000 * COUNT(*)) <= 50000 * COUNT(*) AS in_envelope
+      FROM f, est e
+      GROUP BY e.decile, e.est
+      ORDER BY e.decile"""),
+  )
+
+  // ------------------------------------------------------------- qs02
+  /** Quantile-sketch mergeability, oracle-proved (the cms02/hll02
+    * pattern): parity halves' sketches merged by union-and-recut must
+    * equal the direct whole-corpus sketch CELL FOR CELL — the property
+    * that lets executor-local k-row states combine into the global
+    * sketch, and per-day sketches roll up into a month, without
+    * re-reading anything.
+    */
+  private val qs02 = QueryDef(
+    "qs02_quantile_merge",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val even = quantileSketch(
+        o.filter(col("o_orderkey") % 2 === 0), "o_orderkey", "o_totalprice")
+      val odd = quantileSketch(
+        o.filter(col("o_orderkey") % 2 =!= 0), "o_orderkey", "o_totalprice")
+      val merged = mergeQuantileSketches(even, odd)
+      val direct = quantileSketch(o, "o_orderkey", "o_totalprice")
+      merged.join(direct.withColumnRenamed("v", "v_direct"),
+          Seq("h", "kk"), "full_outer")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("v") === col("v_direct"), 1L).otherwise(0L))
+            .as("n_equal"))
+        .withColumn("merge_exact", col("n_cells") === col("n_equal"))
+    },
+    Some(s"""WITH f AS (SELECT o_orderkey AS kk, CAST(o_totalprice AS DOUBLE) AS v,
+          ${qsHashSql("o_orderkey")} AS h
+        FROM orders),
+      halves AS (
+        SELECT * FROM (SELECT h, kk, v FROM f WHERE kk % 2 = 0
+          ORDER BY h, kk LIMIT $QsK)
+        UNION ALL
+        SELECT * FROM (SELECT h, kk, v FROM f WHERE kk % 2 <> 0
+          ORDER BY h, kk LIMIT $QsK)),
+      merged AS (SELECT h, kk, v FROM halves ORDER BY h, kk LIMIT $QsK),
+      direct AS (SELECT h, kk, v FROM f ORDER BY h, kk LIMIT $QsK)
+      SELECT COUNT(*) AS n_cells,
+        CAST(SUM(CASE WHEN m.v = d.v THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        COUNT(*) = SUM(CASE WHEN m.v = d.v THEN 1 ELSE 0 END) AS merge_exact
+      FROM merged m FULL OUTER JOIN direct d USING (h, kk)"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
-    hll05, hll06, bf01)
+    hll05, hll06, bf01, qs01, qs02)
 }

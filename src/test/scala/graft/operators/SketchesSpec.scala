@@ -99,4 +99,33 @@ class SketchesSpec extends SparkSpec {
     val fpr = row.getDouble(5)
     assert(fpr <= theory * 4 + 0.01, s"fpr $fpr way above theory $theory")
   }
+
+  test("qs01: every decile estimate's true rank lands inside the 5% envelope") {
+    val rows = graft.Registry.byName("qs01_quantile_sketch").run(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L),
+      "all nine deciles must be estimated")
+    rows.foreach { r =>
+      assert(r.getBoolean(4),
+        s"decile ${r.getLong(0)}: rank ${r.getLong(2)}/${r.getLong(3)} out of envelope")
+    }
+    // estimates are order statistics of the data, so they must ascend
+    val ests = rows.map(_.getDouble(1))
+    assert(ests.sorted.sameElements(ests), "decile estimates must be monotone")
+  }
+
+  test("qs02: union-and-recut merge equals the direct sketch cell for cell") {
+    val row = graft.Registry.byName("qs02_quantile_merge").run(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) == 1024 && row.getBoolean(2),
+      s"merge must be exact over the full register table: $row")
+  }
+
+  test("quantile sketch compiles to a per-partition top-k, not a global sort") {
+    val o = graft.sources.Tables(spark, sf0001).orders
+    val plan = Sketches.quantileSketch(o, "o_orderkey", "o_totalprice")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k cut must be TakeOrderedAndProject (k-row heaps per task):\n$plan")
+  }
 }

@@ -60,14 +60,18 @@ object JsonIngestor {
 
   final case class FileError(file: String, error: String)
 
-  /** Distributed whole-file probe result: `json.load` outcome plus the
-    * top-level key union, whether non-object elements appear, and the
-    * detected encoding (the reference's full fallback chain —
-    * [[Encodings]], file_handler.py:133-179).
+  /** Distributed whole-file probe result: `json.load` outcome, whether
+    * any object element carries a field, whether non-object elements
+    * appear, the detected encoding (the reference's full fallback
+    * chain — [[Encodings]], file_handler.py:133-179), and the file's
+    * UNWITNESSED keys (see [[probeFiles]]) — NOT the full key union:
+    * the per-file driver manifest is fixed-width flags plus a key list
+    * that is empty for every well-typed file, so driver memory scales
+    * with file count alone, not schema width × file count.
     */
   final case class FileProbe(
-      file: String, error: Option[String], keys: Seq[String], hasNonObject: Boolean,
-      encoding: String = "UTF-8")
+      file: String, error: Option[String], emptyKeys: Seq[String],
+      hasRecords: Boolean, hasNonObject: Boolean, encoding: String = "UTF-8")
 
   /** Run metrics, mirroring the reference's result dict
     * (application.py:125-142).
@@ -92,19 +96,49 @@ object JsonIngestor {
     p.substring(p.lastIndexOf('/') + 1)
   }
 
-  private def probeNode(root: JsonNode): (Seq[String], Boolean) =
-    if (root.isObject) (root.fieldNames.asScala.toSeq, false)
-    else if (root.isArray) {
-      val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+  /** A value subtree carries a TYPE WITNESS if it contains any
+    * non-null scalar. Spark's full-ratio JSON inference keeps exactly
+    * the witnessed keys — an all-null / all-empty-collection subtree
+    * canonicalizes to NullType and is dropped from the schema — so the
+    * UNWITNESSED keys are the complete restore-as-"" candidate set
+    * (the §1.2 empty-collection → "" mapping), and the witnessed ones
+    * never need restoring. (Jackson's `elements` iterates an object
+    * node's VALUES, which is what emptiness is about.)
+    */
+  private def hasWitness(v: JsonNode): Boolean =
+    if (v == null || v.isNull) false
+    else if (v.isArray || v.isObject) v.elements.asScala.exists(hasWitness)
+    else true
+
+  /** (unwitnessed keys, any object element has a field, non-object
+    * elements appear). A key is unwitnessed only if NO element
+    * witnesses it — the same union Spark's inference runs.
+    */
+  private def probeNode(root: JsonNode): (Seq[String], Boolean, Boolean) =
+    if (root.isObject) {
+      val fields = root.fields.asScala.toSeq
+      (fields.collect { case e if !hasWitness(e.getValue) => e.getKey },
+        fields.nonEmpty, false)
+    } else if (root.isArray) {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val witnessed = scala.collection.mutable.HashSet.empty[String]
       var nonObject = false
       root.elements.asScala.foreach { el =>
-        if (el.isObject) keys ++= el.fieldNames.asScala else nonObject = true
+        if (el.isObject) el.fields.asScala.foreach { e =>
+          seen += e.getKey
+          if (hasWitness(e.getValue)) witnessed += e.getKey: Unit
+        } else nonObject = true
       }
-      (keys.toSeq, nonObject)
-    } else (Nil, true) // scalar root: valid JSON, zero records
+      (seen.toSeq.filterNot(witnessed), seen.nonEmpty, nonObject)
+    } else (Nil, false, true) // scalar root: valid JSON, zero records
 
   /** One Spark job over the file list: parse each file whole (the exact
-    * `json.load` all-or-nothing semantic) and report error/keys/shape.
+    * `json.load` all-or-nothing semantic) and report error/shape/
+    * encoding plus the unwitnessed-key restore candidates. What comes
+    * back to the driver is one FIXED-WIDTH row per file (the per-file
+    * read dispatch below inherently needs that much) — never the full
+    * key union per file, which at millions of wide files was the one
+    * manifest structure scaling as schema width × file count.
     */
   def probeFiles(spark: SparkSession, files: Seq[String]): Seq[FileProbe] = {
     if (files.isEmpty) return Nil
@@ -131,13 +165,13 @@ object JsonIngestor {
             // see Encodings for why latin-1 terminates the default walk
             val (text, enc) = Encodings.decode(bytes)
             val root = mapper.readTree(text)
-            val (keys, nonObj) = probeNode(root)
-            FileProbe(f, None, keys, nonObj, enc)
+            val (emptyKeys, hasRecords, nonObj) = probeNode(root)
+            FileProbe(f, None, emptyKeys, hasRecords, nonObj, enc)
           } catch {
             case e: Exception =>
               FileProbe(f,
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)), Nil,
-                hasNonObject = false)
+                hasRecords = false, hasNonObject = false)
           }
         }
       }
@@ -164,8 +198,9 @@ object JsonIngestor {
   /** Exact-semantics ingestion (see object doc). `samplingRatio` < 1
     * samples schema inference like the reference's 10-record sample
     * (A13, application.py:209-214) — a speed/completeness dial for
-    * wide corpora (keys outside the sample are dropped, exactly the
-    * reference's documented caveat).
+    * wide corpora (witnessed keys outside the sample are dropped,
+    * exactly the reference's documented caveat; only all-empty keys
+    * are ever restored as "", whatever the ratio).
     */
   def ingest(spark: SparkSession, dir: String,
       includePatterns: Seq[String] = Nil,
@@ -176,11 +211,11 @@ object JsonIngestor {
       includePatterns, excludePatterns,
       spark.sparkContext.hadoopConfiguration)("json")
     val probes = probeFiles(spark, files)
-    val errors = probes.collect { case FileProbe(f, Some(e), _, _, _) => FileError(f, e) }
+    val errors = probes.collect { case FileProbe(f, Some(e), _, _, _, _) => FileError(f, e) }
     val good = probes.filter(_.error.isEmpty)
 
     val perFile = good.flatMap { probe =>
-      if (probe.keys.isEmpty) None // only scalars (or empty array): 0 records
+      if (!probe.hasRecords) None // only scalars (or empty array): 0 records
       else {
         val raw =
           if (probe.hasNonObject) readObjectElements(spark, probe.file)
@@ -194,8 +229,10 @@ object JsonIngestor {
         val clean =
           if (raw.columns.contains(CorruptCol)) raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
           else raw
-        // restore inference-pruned always-empty keys as "" (empty->"")
-        val pruned = probe.keys.filterNot(clean.columns.contains)
+        // restore inference-pruned always-empty keys as "" (empty->"");
+        // the probe ships only the UNWITNESSED candidates, and the
+        // filterNot guard keeps any key inference decided to keep
+        val pruned = probe.emptyKeys.filterNot(clean.columns.contains)
         val restored = pruned.foldLeft(clean)((df, k) => df.withColumn(k, lit("")))
         Some(Normalizer.normalizeAll(restored)
           .withColumn("_source_file", lit(basename(probe.file))))

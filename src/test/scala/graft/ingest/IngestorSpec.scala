@@ -140,4 +140,27 @@ class IngestorSpec extends SparkSpec {
     assert(r.report.filesFailed == 0)
     assert(r.report.totalRecords == 1)
   }
+
+  test("probe manifest ships only UNWITNESSED keys; restore still lands them as \"\"") {
+    val dir = tmpDir("witness")
+    // `gone` is all-null, `hollow` all-empty-collection (both pruned by
+    // inference -> must be restored as ""); `kept`/`deep` carry a type
+    // witness somewhere and must NOT ride the driver manifest
+    writeFile(dir, "mixed.json",
+      """[{"kept": "", "gone": null, "hollow": [], "deep": {"x": [1]}},
+         |{"kept": "v", "gone": null, "hollow": [], "deep": {"x": []}}]""".stripMargin)
+    val probes = JsonIngestor.probeFiles(spark,
+      Seq(dir.resolve("mixed.json").toString))
+    assert(probes.head.emptyKeys.sorted == Seq("gone", "hollow"),
+      s"manifest must carry exactly the unwitnessed keys: ${probes.head}")
+    assert(probes.head.hasRecords && !probes.head.hasNonObject)
+    val data = JsonIngestor.ingest(spark, dir.toString).data
+    assert(data.columns.sorted.toSeq ==
+      Seq("_source_file", "deep", "gone", "hollow", "kept"))
+    val rows = data.orderBy("kept").collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("gone") == "" && r.getAs[String]("hollow") == "",
+        s"all-empty keys must be restored as empty string: $r")
+    }
+  }
 }

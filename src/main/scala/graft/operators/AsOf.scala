@@ -187,7 +187,15 @@ object AsOf {
     */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
       valueCols: Seq[String]): DataFrame = {
+    // working columns live in the _graft_ namespace (the side-tag
+    // precedent) AND are asserted absent: a caller column silently
+    // shadowed by a temporary would produce wrong output, not an error
     val tag = "_graft_side"
+    val (bCol, fCol, nearCol, packCol) =
+      ("_graft_b", "_graft_f", "_graft_near", "_graft_r_pack")
+    Seq(tag, bCol, fCol, nearCol, packCol).foreach(c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"asofJoinNearest reserves working column name $c"))
     val leftCols = left.columns.toSeq
     // right tags 0: at equal ts it sorts BEFORE the left row, so the
     // backward frame includes it (<= semantics) and the forward frame
@@ -195,23 +203,23 @@ object AsOf {
     // nearest: the distance-0 match is already the backward candidate.
     val l = left.withColumn(tag, lit(1))
     val pack = struct(col(ts).as("_ts") +: valueCols.map(col): _*)
-    val r = right.select(keys.map(col) :+ col(ts) :+ pack.as("_r_pack"): _*)
+    val r = right.select(keys.map(col) :+ col(ts) :+ pack.as(packCol): _*)
       .withColumn(tag, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(tag).asc)
     val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val backWins = col("_b").isNotNull && (col("_f").isNull ||
-      (col(ts) - col("_b._ts")) <= (col("_f._ts") - col(ts)))
+    val backWins = col(bCol).isNotNull && (col(fCol).isNull ||
+      (col(ts) - col(s"$bCol._ts")) <= (col(s"$fCol._ts") - col(ts)))
     unioned
-      .withColumn("_b", last(col("_r_pack"), ignoreNulls = true).over(wb))
-      .withColumn("_f", first(col("_r_pack"), ignoreNulls = true).over(wf))
+      .withColumn(bCol, last(col(packCol), ignoreNulls = true).over(wb))
+      .withColumn(fCol, first(col(packCol), ignoreNulls = true).over(wf))
       .filter(col(tag) === 1)
-      .withColumn("_near", when(backWins, col("_b")).otherwise(col("_f")))
+      .withColumn(nearCol, when(backWins, col(bCol)).otherwise(col(fCol)))
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"_near.$c").as(s"asof_$c")) :+
-        col("_near._ts").as("asof_ts"): _*)
+        valueCols.map(c => col(s"$nearCol.$c").as(s"asof_$c")) :+
+        col(s"$nearCol._ts").as("asof_ts"): _*)
   }
 
   // ---------------------------------------------------------------- ao04

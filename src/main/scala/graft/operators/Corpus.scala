@@ -819,9 +819,12 @@ object Corpus {
       .agg(count(lit(1)).as("db"))
     val sides = da.agg(sum(col("da")).as("n_left"))
       .crossJoin(db.agg(sum(col("db")).as("n_right")))
+    // coalesce: disjoint key sets sum over an EMPTY join — the caller
+    // is deciding whether the join is affordable, and the correct
+    // answer there is 0 predicted rows, not NULL
     val est = da.join(db, "k")
       .agg(count(lit(1)).as("n_keys_both"),
-        sum(col("da") * col("db")).as("predicted"))
+        coalesce(sum(col("da") * col("db")), lit(0L)).as("predicted"))
     sides.crossJoin(broadcast(est))
       .select(col("n_left").cast("bigint").as("n_left"),
         col("n_right").cast("bigint").as("n_right"),

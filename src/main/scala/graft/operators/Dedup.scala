@@ -939,10 +939,15 @@ object Dedup {
   // pre-upgrade history. The new layout NEVER writes root tables, so
   // their presence — even beside a batches/ dir a newer build already
   // added — means un-migrated history: fail loudly and name the remedy.
+  // Both root tables are checked: a partially-deleted legacy index
+  // with only shingles/ left would otherwise pass the guard, leaving
+  // stale corpus bytes undetected — the erasure-hygiene failure the
+  // guard exists to prevent.
   private def rejectLegacyLayout(path: String): Unit =
-    require(!new java.io.File(s"$path/bands").exists(),
-      s"$path holds a legacy flat-layout index (root bands/ table); " +
-        "re-save it with saveNearDupIndex before appending or probing")
+    Seq("bands", "shingles").foreach(t =>
+      require(!new java.io.File(s"$path/$t").exists(),
+        s"$path holds a legacy flat-layout index (root $t/ table); " +
+          "re-save it with saveNearDupIndex before appending or probing"))
 
   // one shingle pass feeds BOTH writes: the band table and the
   // shingle table share lineage from a persisted shingle set —

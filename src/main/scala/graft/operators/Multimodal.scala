@@ -99,7 +99,12 @@ object Multimodal {
       require(u32(b, 4) == b.length - 8, "RIFF size mismatch")
       require(tag(b, 12) == "fmt " && u32(b, 16) == 16L, "expected 16-byte fmt chunk")
       val fmt = u16(b, 20); val ch = u16(b, 22)
-      val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32); val bits = u16(b, 34)
+      // range-check as Long BEFORE narrowing (the dataLenL precedent):
+      // a declared u32 rate >= 2^31 would wrap to a negative Int and
+      // decode the rest of the row normally
+      val rateL = u32(b, 24)
+      require(rateL <= Int.MaxValue, s"declared sample rate $rateL out of range")
+      val rate = rateL.toInt; val blockAlign = u16(b, 32); val bits = u16(b, 34)
       require(fmt == 1 && bits == 8, s"only PCM u8 supported, got fmt=$fmt bits=$bits")
       require(ch >= 1 && ch <= 2 && blockAlign == ch, "mono/stereo u8 frames")
       require(tag(b, 36) == "data", "expected canonical data chunk at offset 36")

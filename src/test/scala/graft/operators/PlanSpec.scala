@@ -624,11 +624,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q62: outer join survives, priority filter pushes to the orders scan, aggs chain") {
-    val p = plan("q62_custdist")
+    // split off the duplicated "== Initial Plan ==" section (q60
+    // precedent) so line positions are unambiguous
+    val p = plan("q62_custdist").split("== Initial Plan ==").head
     assert(p.contains("LeftOuter"),
       s"zero-order customers need the outer join preserved:\n${p.take(1200)}")
-    assert(p.contains("StartsWith(o_orderpriority") || p.contains("o_orderpriority"),
-      "the right-side filter must evaluate pre-join (pushed at the scan)")
+    // the filter must sit BELOW the join in the tree (a Filter node or
+    // scan PushedFilters on the right side) — a WHERE-converted outer
+    // join would evaluate it above the join and fail this line-order
+    // check, which the old contains() disjunct could not detect
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("LeftOuter"))
+    val filtIdx = lines.indexWhere(l =>
+      (l.contains("Filter") || l.contains("PushedFilters")) &&
+        l.contains("o_orderpriority"))
+    assert(joinIdx >= 0 && filtIdx > joinIdx,
+      s"right-side priority filter must evaluate pre-join (below the join):\n${p.take(1500)}")
     // double aggregation: 2 aggs x (partial+final) = 4 HashAggregates
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(1500))
   }

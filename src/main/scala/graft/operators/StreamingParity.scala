@@ -714,7 +714,51 @@ object StreamingParity {
       ORDER BY p_event_id"""),
   )
 
+  // -------------------------------------------------------------- str15
+  // Streaming ANN probe parity — the continuous-retrieval deployment
+  // shape that ties the persisted vector index (VectorIndex, sim11) to
+  // the streaming machinery: the index is built ONCE in batch; query
+  // vectors then arrive as a stream (one file per trigger forces
+  // several micro-batches) and each micro-batch probes the LOADED
+  // index via foreachBatch, appending its top-k rows. Per-query
+  // results are independent, so the union across batches must equal
+  // the from-scratch batch search — str15 shares sim07's oracle, and a
+  // hash match certifies source listing, per-batch probe, and sink
+  // append together. Probe cost per batch is the batch's queries
+  // against the stored code table; the index is never rebuilt.
+  private val str15 = QueryDef(
+    "str15_stream_index_probe_parity",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val tmp = tempDir("graft_str15")
+      VectorIndex.saveVectorIndex(emb, tmp.resolve("vindex").toString)
+      emb.filter(col("vec_id") < 3).repartition(3)
+        .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
+      val landed = tmp.resolve("landed").toString
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.resolve("queries").toString)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // a trigger can fire on an empty file set: nothing to probe
+          if (!batch.isEmpty)
+            VectorIndex.probeVectorIndex(s, tmp.resolve("vindex").toString,
+              batch.toDF()).write.mode("append").parquet(landed): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(landed)
+        .orderBy("qid", "rn")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Similarity.sim07Oracle,
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14)
+      str11, str12, str13, str14, str15)
 }

@@ -234,17 +234,19 @@ object CurationPipeline {
       .withColumn("_rn", row_number().over(
         W.partitionBy(col("_h")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_h", "_rn")
-    // Per-batch drop set in ONE index probe: after the batch's rows are
-    // appended, probing the batch against the index yields every pair
-    // (batch doc, smaller indexed doc) — cross-batch pairs (history ids
-    // are all smaller under the append-only contract) AND within-batch
-    // pairs (both orders come back; batch_id > hist_id keeps each once)
-    // — so no separate minhashPairs pass re-shingles the batch, and the
-    // history side is only ever READ from the stored band/shingle
-    // tables. maxBucket counts history-side buckets over everything
-    // appended so far, matching the oracle's whole-corpus bucket cap.
-    def dropSet(path: String, batch: DataFrame): DataFrame =
-      Dedup.probeNearDupIndex(s, path, batch, cfg.nearDupThreshold)
+    // Per-batch drop set in ONE index probe with ZERO recomputation:
+    // after the batch's rows are appended, probing the NEWEST committed
+    // batch (its stored bands + shingles — probeNewestIndexBatch)
+    // against the index yields every pair (batch doc, smaller indexed
+    // doc) — cross-batch pairs (history ids are all smaller under the
+    // append-only contract) AND within-batch pairs (both orders come
+    // back; batch_id > hist_id keeps each once). The batch is
+    // tokenized/shingled exactly ONCE per batch — at append — and the
+    // history side is only ever READ from the stored tables. maxBucket
+    // counts history-side buckets over everything appended so far,
+    // matching the oracle's whole-corpus bucket cap.
+    def dropSet(path: String): DataFrame =
+      Dedup.probeNewestIndexBatch(s, path, cfg.nearDupThreshold)
         .filter(col("batch_id") > col("hist_id"))
         .select(col("batch_id").as("doc_id")).distinct()
     // ---- batch 1 lands: filter, exact-dedup, persist the index state
@@ -252,8 +254,7 @@ object CurationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val path = java.nio.file.Files.createTempDirectory("graft_cp02_index").toString
     Dedup.saveNearDupIndex(e1.select("doc_id", "text"), path)
-    val r1 = e1.join(dropSet(path, e1.select("doc_id", "text")),
-      Seq("doc_id"), "left_anti")
+    val r1 = e1.join(dropSet(path), Seq("doc_id"), "left_anti")
     // ---- batch 2 arrives: history is only ever PROBED, never rebuilt
     val ql2 = ql(docs.filter(col("doc_id") >= k))
     val exactSurv = Dedup.incrementalExactSurvivors(
@@ -261,8 +262,7 @@ object CurationPipeline {
     val e2 = keepMin(ql2.join(exactSurv, "doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.appendNearDupIndex(e2.select("doc_id", "text"), path)
-    val r2 = e2.join(dropSet(path, e2.select("doc_id", "text")),
-      Seq("doc_id"), "left_anti")
+    val r2 = e2.join(dropSet(path), Seq("doc_id"), "left_anti")
     // materialize before releasing the caches and the on-disk index
     val out = r1.unionByName(r2)
       .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))

@@ -834,7 +834,19 @@ object Dedup {
     */
   private def probeCore(histBands: DataFrame, histShingles: DataFrame,
       batch: DataFrame, threshold: Double, numHashes: Int, bands: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
+    probeCoreFromParts(histBands, histShingles,
+      bandTable(batch, numHashes, bands),
+      withShingles(batch).select(col("doc_id"), col("shingles")),
+      threshold, maxBucket)
+
+  // The kernel under probeCore, taking the batch's bands and shingles
+  // PRECOMPUTED — so a caller that already holds them (the newest
+  // committed index batch, probeNewestIndexBatch) skips every
+  // batch-side tokenize/shingle/signature pass.
+  private def probeCoreFromParts(histBands: DataFrame, histShingles: DataFrame,
+      batchBands: DataFrame, batchShingles: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
     // Bucket-size filter as a window over ONE band-table instance: a
     // groupBy-count + self-join here would evaluate the history-side
     // shingle+signature pass twice per call — the very pass this
@@ -850,7 +862,7 @@ object Dedup {
     // the verify join — without the cache the band index + join
     // lineage (including the history-side scan this operator exists
     // to avoid repeating) would compute twice.
-    val cands = bandTable(batch, numHashes, bands)
+    val cands = batchBands
       .select(col("doc_id").as("batch_id"), col("band"), col("bh"))
       .join(histOk.select(col("doc_id").as("hist_id"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -866,7 +878,7 @@ object Dedup {
     // per batch would defeat the incremental design at scale. The
     // candidate hist-id set is batch-bounded, hence broadcastable.
     val histNeeded = cands.select(col("hist_id").as("doc_id")).distinct()
-    val bSh = withShingles(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sa"))
+    val bSh = batchShingles.select(col("doc_id").as("batch_id"), col("shingles").as("sa"))
     val hSh = histShingles.join(broadcast(histNeeded), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("hist_id"), col("shingles").as("sb"))
     cands.join(bSh, "batch_id").join(hSh, "hist_id")
@@ -1013,6 +1025,38 @@ object Dedup {
       case None => (bands, sh)
     }
     probeCore(fb, fs, batch, threshold, nh, b, maxBucket)
+  }
+
+  /** Probe the NEWEST committed batch of a persisted index against the
+    * whole index with ZERO recomputation: both probe sides read the
+    * stored band/shingle tables (the batch's own rows landed in the
+    * newest batch dir at append time), so the per-batch near-dup stage
+    * of an incremental pipeline pays exactly ONE signature pass — at
+    * append — where append-then-[[probeNearDupIndex]] would tokenize,
+    * shingle, and sign the batch twice more (the probe's band table
+    * and its verify shingles). Within-batch duplicate pairs come back
+    * in both orders; callers keep one (cp02's batch_id > hist_id
+    * retention filter). Semantics are identical to probing the
+    * just-appended batch with [[probeNearDupIndex]] — pinned in
+    * DedupSpec.
+    */
+  def probeNewestIndexBatch(s: SparkSession, path: String,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val dirs = committedBatchDirs(path)
+    // numeric max, not the listing's lexicographic sort (b10 < b2 there)
+    val newest = dirs.maxBy(d =>
+      new java.io.File(d).getName.stripPrefix("b").toLong)
+    val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)
+    val sh = s.read.parquet(dirs.map(_ + "/shingles"): _*)
+    val (fb, fs) = tombstoneIds(s, path) match {
+      case Some(t) => (bands.join(t, Seq("doc_id"), "left_anti"),
+        sh.join(t, Seq("doc_id"), "left_anti"))
+      case None => (bands, sh)
+    }
+    probeCoreFromParts(fb, fs,
+      s.read.parquet(s"$newest/bands"),
+      s.read.parquet(s"$newest/shingles").select(col("doc_id"), col("shingles")),
+      threshold, maxBucket)
   }
 
   // ----- right-to-erasure for the persisted index (gov02) ------------

@@ -387,6 +387,17 @@ class DedupSpec extends SparkSpec {
       val inline2 = Dedup.incrementalNearDups(hist, batch, numHashes = 16, bands = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(loaded2 == inline2, "probe must follow the index's stored geometry")
+      // the zero-recompute probe of the newest committed batch must
+      // equal append-then-probe of the same rows (cp02's fast path):
+      // append the batch itself, then probe its STORED bands/shingles
+      Dedup.appendNearDupIndex(batch, path)
+      val stored = Dedup.probeNewestIndexBatch(spark, path)
+        .filter(col("batch_id") > col("hist_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // loaded probed batch-vs-history only; the stored probe also sees
+      // batch-vs-batch pairs (none planted here), so the sets must match
+      assert(stored == loaded,
+        s"newest-batch stored probe diverged from recompute probe: $stored vs $loaded")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -75,7 +75,12 @@ object VectorIndex {
   def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
     val model = loadModel(s, path)
-    val coded = s.read.parquet(committedBatchDirs(path).map(_ + "/codes"): _*)
+    val stored = s.read.parquet(committedBatchDirs(path).map(_ + "/codes"): _*)
+    // logical erasure: tombstoned vectors are invisible to every probe
+    val coded = tombstoneIds(s, path) match {
+      case Some(t) => stored.join(t, Seq("cid"), "left_anti")
+      case None => stored
+    }
     val q = queries.orderBy(col("vec_id"))
       .select(col("vec_id").cast("long").as("qid"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
@@ -94,6 +99,72 @@ object VectorIndex {
     require(cen.length == nCells,
       s"$path/centroids holds ${cen.length} rows, geometry says $nCells")
     Similarity.IvfPqModel(nCells, nSub, subDim, cen, rcb)
+  }
+
+  // ----- right-to-erasure for the persisted vector index (sim13) -----
+
+  private def tombstoneIds(s: SparkSession, path: String): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(s"$path/forgotten").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
+      .map(_.toString).toSeq.sorted
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(_ + "/ids"): _*)
+      .select(col("cid").cast("long").as("cid")).distinct())
+  }
+
+  /** Logical right-to-erasure (the Dedup.forgetFromIndex contract for
+    * vectors): record `ids` (a `vec_id` column) as marker-sealed
+    * tombstones; every subsequent [[probeVectorIndex]] filters them
+    * out of the stored code table before scoring. Bytes disappear at
+    * [[vacuumVectorIndex]].
+    *
+    * GUARDED governance caveat, unique to the vector index: the
+    * quantizers EMBED the training vectors (each centroid is a pinned
+    * vector; each codebook entry is a pinned vector's residual), so
+    * erasing a training vector cannot be honored by tombstoning its
+    * code row — its coordinates would live on in the model state. The
+    * call REFUSES training ids and names the remedy (re-save without
+    * them), rather than silently leaving the data resident.
+    */
+  def forgetFromVectorIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    val nCells = s.read.parquet(s"$path/meta").select("n_cells").head.getInt(0)
+    val nCodes = s.read.parquet(s"$path/codebook").count()
+    val trainIds = ids.filter(col("vec_id") < nCells + nCodes).count()
+    require(trainIds == 0L,
+      s"$trainIds forget ids are quantizer-training vectors — their " +
+        "coordinates are embedded in centroids/codebook; re-save the " +
+        "index without them instead of tombstoning")
+    val root = new java.io.File(s"$path/forgotten")
+    root.mkdirs()
+    val existing = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("f").toLongOption)
+    val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
+    ids.select(col("vec_id").cast("long").as("cid"))
+      .write.mode("overwrite").parquet(s"$fdir/ids")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$fdir/_COMMITTED"))
+    ()
+  }
+
+  /** PHYSICAL erasure: rewrite the code table without tombstoned rows
+    * (one compacted committed batch) and clear the tombstones —
+    * quantizer state is untouched because [[forgetFromVectorIndex]]
+    * already refused training ids. Same documented delete→rewrite
+    * crash window as Dedup.vacuumIndex.
+    */
+  def vacuumVectorIndex(s: SparkSession, path: String): Unit = {
+    val dirs = committedBatchDirs(path)
+    val tomb = tombstoneIds(s, path)
+    val codes = tomb.fold(s.read.parquet(dirs.map(_ + "/codes"): _*))(t =>
+      s.read.parquet(dirs.map(_ + "/codes"): _*)
+        .join(t, Seq("cid"), "left_anti"))
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(s"$path/batches"))
+    deleteRecursively(new java.io.File(s"$path/forgotten"))
+    codes.write.parquet(s"$path/batches/b0/codes")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/batches/b0/_COMMITTED"))
+    ()
   }
 
   private def commitCodesBatch(batch: DataFrame, path: String,
@@ -165,5 +236,38 @@ object VectorIndex {
     Similarity.sim07Oracle,
   )
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12)
+  // Right-to-erasure over the index: forget a deterministic set of
+  // NON-training vectors (vec_id >= 32, ≡ 5 mod 7), vacuum, probe —
+  // the post-vacuum ranking must equal from-scratch search over the
+  // corpus WITHOUT the erased vectors under the same pinned quantizers
+  // (the oracle is sim07's full rebuild with the erased ids excluded
+  // from the candidate set; queries and training vectors are disjoint
+  // from the forget set by construction). The spec separately pins
+  // tombstone-probe == vacuum-probe, physical absence of erased cids
+  // in the rewritten parquet, and the refusal of training-vector ids.
+  private val sim13 = QueryDef(
+    "sim13_index_erasure",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim13_vindex").toString
+      saveVectorIndex(emb, path)
+      forgetFromVectorIndex(s, path,
+        emb.filter(col("vec_id") >= 32 && col("vec_id") % 7 === 5)
+          .select("vec_id"))
+      vacuumVectorIndex(s, path)
+      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+        .localCheckpoint(eager = true)
+      deleteRecursively(new java.io.File(path))
+      out
+    },
+    Similarity.sim07Oracle.map { o =>
+      val anchored = "WHERE a.cid <> p.qid"
+      require(o.contains(anchored), "sim07 oracle candidate filter moved")
+      o.replace(anchored,
+        anchored + " AND NOT (a.cid >= 32 AND a.cid % 7 = 5)")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13)
 }

@@ -44,6 +44,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(probed == scratch, "probe must replay the stored geometry")
   }
 
+  test("erasure: tombstone probe == vacuum probe; bytes gone; training ids refused") {
+    val path = tmpDir("graft_vindex_erase").toString
+    VectorIndex.saveVectorIndex(emb, path)
+    val forget = emb.filter(col("vec_id") >= 32 && col("vec_id") % 7 === 5)
+      .select("vec_id")
+    val forgotten = forget.collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty, "fixture must plant a non-empty forget set")
+    VectorIndex.forgetFromVectorIndex(spark, path, forget)
+    val qs = emb.filter(col("vec_id") < 3)
+    val tombstoned = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    assert(!tombstoned.exists(r => forgotten(r.getLong(1))),
+      "tombstoned vectors must be invisible to probes immediately")
+    VectorIndex.vacuumVectorIndex(spark, path)
+    val vacuumed = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    assert(vacuumed == tombstoned, "vacuum must not change probe results")
+    // physical erasure: no forgotten cid survives in the rewritten parquet
+    val residual = spark.read.parquet(s"$path/batches/b0/codes")
+      .filter(col("cid").isin(forgotten.toSeq: _*)).count()
+    assert(residual == 0L, s"$residual erased rows still resident after vacuum")
+    // quantizer-training ids are refused with the re-save remedy
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.forgetFromVectorIndex(spark, path,
+        emb.filter(col("vec_id") === 5).select("vec_id"))
+    }
+    assert(e.getMessage.contains("re-save"),
+      s"training-id erasure must name the remedy: ${e.getMessage}")
+  }
+
   test("a crashed (markerless) append is invisible to probes; retry is clean") {
     val path = tmpDir("graft_vindex_crash").toString
     val keep = emb.filter(col("vec_id") < 40)

@@ -1018,6 +1018,84 @@ object Sketches {
       FROM merged m FULL OUTER JOIN direct d USING (h, kk)"""),
   )
 
+  // ------------------------------------------------------------- qs03
+  /** GROUPED quantile sketch — per-group deciles (per-priority price
+    * distribution, per-source length percentiles), the hll03/cms03
+    * grouped form of qs01: each group carries its own fixed k-row
+    * bottom-k state. The per-group cut is TWO-PHASE (cms03's salted
+    * top-k): the group column has few values, so a single window
+    * partitioned by group alone would funnel every group's rows
+    * through a handful of data-sized partitions — phase 1 takes a
+    * local bottom-k within (group, key-salt) (a group's global
+    * bottom-k rows are necessarily in their salt's local bottom-k),
+    * phase 2 re-ranks the ≤ 32·k survivors per group (bounded, not
+    * data-sized). Estimates and the exact-rank envelope then run per
+    * group exactly as qs01.
+    */
+  def quantileSketchBy(fact: DataFrame, grp: String, keyCol: String,
+      valCol: String, k: Int = QsK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = fact.select(col(grp), qsHash(col(keyCol)).as("h"),
+      col(keyCol).cast("long").as("kk"),
+      col(valCol).cast("double").as("v"))
+    val wSalt = W.partitionBy(col(grp), pmod(col("kk"), lit(32)))
+      .orderBy(col("h"), col("kk"))
+    val wG = W.partitionBy(col(grp)).orderBy(col("h"), col("kk"))
+    base
+      .withColumn("rk", row_number().over(wSalt)).filter(col("rk") <= k).drop("rk")
+      .withColumn("rk", row_number().over(wG)).filter(col("rk") <= k).drop("rk")
+  }
+
+  private val qs03 = QueryDef(
+    "qs03_grouped_quantiles",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir).orders
+      val sk = quantileSketchBy(o, "o_orderpriority", "o_orderkey", "o_totalprice")
+      // bounded windows/aggs: the sketch is ≤ k rows per group
+      val w = W.partitionBy(col("o_orderpriority")).orderBy(col("v"), col("h"), col("kk"))
+      val ranked = sk.withColumn("rn", row_number().over(w).cast("bigint"))
+        .join(sk.groupBy("o_orderpriority").agg(count(lit(1)).as("s_n")),
+          "o_orderpriority")
+      val est = ranked.join(broadcast(s.range(1, 10).toDF("decile")),
+          col("rn") === expr("decile * (s_n - 1) div 10 + 1"))
+        .select(col("o_orderpriority"), col("decile"), col("v").as("est"))
+      o.select(col("o_orderpriority"), col("o_totalprice").cast("double").as("v"))
+        .join(broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority", "decile", "est")
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+          count(lit(1)).as("n"))
+        .withColumn("in_envelope",
+          abs(col("rank_lt") * lit(1000000L) -
+            col("decile") * lit(100000L) * col("n")) <= lit(50000L) * col("n"))
+        .orderBy("o_orderpriority", "decile")
+    },
+    Some(s"""WITH f AS (SELECT o_orderpriority AS g, o_orderkey AS kk,
+          CAST(o_totalprice AS DOUBLE) AS v,
+          ${qsHashSql("o_orderkey")} AS h
+        FROM orders),
+      sk AS (SELECT g, h, kk, v FROM (
+          SELECT g, h, kk, v,
+            ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, kk) AS rk FROM f)
+        WHERE rk <= $QsK),
+      sn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS s_n FROM sk GROUP BY g),
+      rk AS (SELECT g, v,
+          CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, h, kk) AS BIGINT) AS rn
+        FROM sk),
+      est AS (SELECT sn.g, d.decile, rk.v AS est
+        FROM sn CROSS JOIN range(1, 10) d(decile)
+        JOIN rk ON rk.g = sn.g
+          AND rk.rn = (d.decile * (sn.s_n - 1)) // 10 + 1)
+      SELECT e.g AS o_orderpriority, e.decile, e.est,
+        CAST(SUM(CASE WHEN f.v < e.est THEN 1 ELSE 0 END) AS BIGINT) AS rank_lt,
+        COUNT(*) AS n,
+        abs(CAST(SUM(CASE WHEN f.v < e.est THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+          - e.decile * 100000 * COUNT(*)) <= 50000 * COUNT(*) AS in_envelope
+      FROM f JOIN est e ON e.g = f.g
+      GROUP BY e.g, e.decile, e.est
+      ORDER BY o_orderpriority, decile"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
-    hll05, hll06, bf01, qs01, qs02)
+    hll05, hll06, bf01, qs01, qs02, qs03)
 }

@@ -121,6 +121,23 @@ class SketchesSpec extends SparkSpec {
       s"merge must be exact over the full register table: $row")
   }
 
+  test("qs03: every (group, decile) estimate lands inside the per-group envelope") {
+    val rows = graft.Registry.byName("qs03_grouped_quantiles").run(spark, sf0001)
+      .collect()
+    val groups = rows.map(_.getString(0)).distinct
+    assert(groups.length == 5, s"expected 5 priority groups: ${groups.toSeq}")
+    groups.foreach { g =>
+      val sub = rows.filter(_.getString(0) == g)
+      assert(sub.map(_.getLong(1)).toSeq == (1L to 9L),
+        s"group $g must carry all nine deciles")
+      sub.foreach(r => assert(r.getBoolean(5),
+        s"group $g decile ${r.getLong(1)} out of envelope: $r"))
+      val ests = sub.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(ests.sorted.sameElements(ests),
+        s"group $g decile estimates must be monotone")
+    }
+  }
+
   test("quantile sketch compiles to a per-partition top-k, not a global sort") {
     val o = graft.sources.Tables(spark, sf0001).orders
     val plan = Sketches.quantileSketch(o, "o_orderkey", "o_totalprice")

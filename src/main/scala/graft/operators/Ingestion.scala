@@ -666,6 +666,46 @@ object Ingestion {
       ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing21
+  // Mixed-format landing dir, end to end: the documents corpus split
+  // five ways by doc_id and landed as JSONL + CSV + parquet + ORC +
+  // Avro in ONE prefix, then read back through the classifier-driven
+  // LakeIngestor (single listing, one native scan per format present,
+  // by-name unification onto a declared typed schema). The oracle is
+  // the whole corpus straight from parquet — a hash match proves no
+  // format leg lost, duplicated, or retyped a row. This is the lake a
+  // real pipeline inherits: five upstream teams, five formats, one
+  // table out.
+  private val ing21 = QueryDef(
+    "ing21_mixed_format_lake",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ing21")
+      val lake = base.resolve("lake")
+      try {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === i)
+        landJsonlFile(
+          slice(0).select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
+          lake.resolve("team_a/docs.jsonl"))
+        slice(1).coalesce(1).write.option("header", "true")
+          .csv(lake.resolve("team_b").toString)
+        slice(2).write.parquet(lake.resolve("team_c").toString)
+        slice(3).write.orc(lake.resolve("team_d").toString)
+        graft.ingest.AvroIngestor.writeAvro(
+          slice(4).coalesce(1), lake.resolve("team_e").toString)
+        graft.ingest.LakeIngestor.ingestMixed(s, lake.toString, docs.schema)
+          .orderBy("doc_id")
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+      FROM documents ORDER BY doc_id"""),
+  )
+
   // -------------------------------------------------------------- ing17
   // Row-level quarantine twin of ing10: same landing dir, OPPOSITE
   // isolation granularity. ing10 proves the reference's A8 contract
@@ -823,5 +863,6 @@ object Ingestion {
 
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
-      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19, ing20)
+      ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19, ing20,
+      ing21)
 }

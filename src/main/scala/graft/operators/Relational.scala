@@ -2104,9 +2104,202 @@ object Relational {
       ORDER BY lift_micro DESC, p1, p2"""),
   )
 
+  // ---------------------------------------------------------------- q64
+  // TPC-H Q2 shape: minimum-cost supplier — the classic correlated
+  // scalar subquery ("cost = (SELECT MIN ...) for THIS part")
+  // decorrelated into a per-part MIN aggregate joined back on exact
+  // decimal equality. The schema has no partsupp table, so supply
+  // cost is the minimum observed line price per (part, supplier) —
+  // same shape, same decorrelation. Scale: suppliers/nations/region
+  // and the part filter all broadcast; the only shuffles are the
+  // (part, supplier) aggregation and the per-part min — both
+  // map-side combined; the tie-back join keys on (partkey, exact
+  // decimal cost), never re-reading the fact.
+  private val q64 = QueryDef(
+    "q64_min_cost_supplier",
+    (s, dir) => {
+      val t = T(s, dir)
+      val eur = t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val cost = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(eur.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(m(col("l_extendedprice"))).as("cost_d"))
+      val minCost = cost.groupBy("l_partkey").agg(min(col("cost_d")).as("min_cost"))
+      cost.join(minCost.withColumnRenamed("l_partkey", "mp"),
+          col("l_partkey") === col("mp") && col("cost_d") === col("min_cost"))
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("cost_d").cast("double").as("cost"), col("s_acctbal"))
+        .orderBy("p_partkey", "s_name")
+    },
+    Some("""WITH eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      cost AS (SELECT l_partkey, l_suppkey,
+          MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d
+        FROM lineitem JOIN eur ON l_suppkey = s_suppkey GROUP BY 1, 2),
+      mc AS (SELECT l_partkey AS mp, MIN(cost_d) AS min_cost FROM cost GROUP BY 1)
+      SELECT p_partkey, p_name, s_name, n_name,
+        CAST(c.cost_d AS DOUBLE) AS cost, s_acctbal
+      FROM cost c JOIN mc ON c.l_partkey = mp AND c.cost_d = min_cost
+      JOIN part ON c.l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN eur ON c.l_suppkey = s_suppkey
+      ORDER BY p_partkey, s_name"""),
+  )
+
+  // ---------------------------------------------------------------- q65
+  // TPC-H Q9 shape: product-type profit by nation and year — the
+  // LIKE-filtered part dimension pruning the fact early, supplier →
+  // nation attribution, and a two-key (nation, year) rollup. The
+  // part/supplier/nation sides broadcast; orders⋈lineitem is the one
+  // fact-fact shuffle, on the key it always shuffles on.
+  private val q65 = QueryDef(
+    "q65_product_profit",
+    (s, dir) => {
+      val t = T(s, dir)
+      val sup = t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      t.lineitem
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(t.part.filter(col("p_name").like("%red%"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
+          .as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""),
+  )
+
+  // ---------------------------------------------------------------- q66
+  // TPC-H Q18 shape: large-volume customers — the grouped-HAVING
+  // subquery over the fact ("orders whose total quantity exceeds T")
+  // feeding a semi-selection of orders, then customer attribution and
+  // a top-100. The quantity threshold compares EXACT decimals; the
+  // big-order set is orders-keyed (small), so its joins back to
+  // orders broadcast after AQE sizes them.
+  private val q66 = QueryDef(
+    "q66_large_volume_cust",
+    (s, dir) => {
+      val t = T(s, dir)
+      val big = t.lineitem.select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(sum(m(col("l_quantity"))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 200)
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (SELECT l_orderkey,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+        FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(sum_qty_d AS DOUBLE) AS sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+  )
+
+  // ---------------------------------------------------------------- q67
+  // TPC-H Q12 shape: two-bucket conditional aggregation over the
+  // orders⋈lineitem join — high- vs low-priority line counts per
+  // return flag in a ship-date year (the schema carries no shipmode/
+  // commitdate, so the Q12 CASE pivots on o_orderpriority — the same
+  // conditional-SUM-over-join plan). Date filter pushes to the fact
+  // scan; one shuffle on orderkey; the aggregate is 3 rows.
+  private val q67 = QueryDef(
+    "q67_priority_shipping",
+    (s, dir) => {
+      val t = T(s, dir)
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t.lineitem.filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select("l_orderkey", "l_returnflag")
+        .join(t.orders.select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  // ---------------------------------------------------------------- q68
+  // TPC-H Q10 shape: returned-item revenue ranking — quarter-filtered
+  // orders join return-flagged lines, customer + nation attribution,
+  // top 20 by lost revenue. Both fact filters push to their scans;
+  // customer/nation broadcast; the double-revenue sort tie-breaks on
+  // c_custkey so the top-20 cut is total-ordered in both engines.
+  private val q68 = QueryDef(
+    "q68_returned_items",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-04-01"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(m(col("l_extendedprice")) * (lit(1) - r2(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q32v, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, mb01, sky01)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    mb01, sky01)
 }

@@ -644,6 +644,27 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(1500))
   }
 
+  test("q64: Q2 decorrelation shares the (part, supplier) shuffle across both branches") {
+    // the cost table feeds the per-part MIN and the tie-back join; the
+    // scale-correct plan reuses the aggregation exchange instead of
+    // scanning/shuffling the fact once per branch. Exchange reuse is
+    // an AQE runtime decision — execute, then probe the FINAL plan
+    // (the verify-skill AQE gotcha).
+    val df = Registry.byName("q64_min_cost_supplier").run(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"expected the shared cost-aggregation exchange to be reused:\n${p.take(2000)}")
+  }
+
+  test("q68: both fact filters reach their scans; top-20 is a TakeOrderedAndProject") {
+    val p = plan("q68_returned_items").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a per-partition top-k, not sort+limit:\n${p.take(1200)}")
+    assert(p.contains("l_returnflag") && p.contains("o_orderdate"),
+      "return-flag and date filters must appear in the plan (pushed legs)")
+  }
+
   test("q63: rolling median runs windowless — day-table explode + one bounded-array agg") {
     val p = plan("q63_rolling_median")
     assert(!p.contains("Window"),

@@ -145,8 +145,17 @@ object AvroIngestor {
       columns: Seq[String] = Nil): DataFrame = {
     val files = FileScanner.discover(pathGlob, fileTypes = Seq("avro"),
       hadoopConf = s.sessionState.newHadoopConf())
-    val paths = files("avro")
-    require(paths.nonEmpty, s"no .avro files under $pathGlob")
+    readAvroFiles(s, files("avro"), columns)
+  }
+
+  /** [[readAvro]] over an already-discovered file list — the entry a
+    * caller that ran its own listing under its own ignore/include
+    * semantics uses (LakeIngestor), so the Avro leg can never re-list
+    * a prefix under DIFFERENT exclude rules than the dispatch did.
+    */
+  def readAvroFiles(s: SparkSession, paths: Seq[String],
+      columns: Seq[String] = Nil): DataFrame = {
+    require(paths.nonEmpty, "no .avro files to read")
     val writer = writerSchema(s, paths.head)
     val reader =
       if (columns.isEmpty) writer

@@ -47,9 +47,19 @@ object LakeIngestor {
       "csv" -> (fs => spark.read.option("header", "true").schema(schema).csv(fs: _*)),
       "parquet" -> (fs => spark.read.parquet(fs: _*)),
       "orc" -> (fs => spark.read.orc(fs: _*)),
-      // readAvro re-discovers under the root; same ignore semantics
-      "avro" -> (_ => AvroIngestor.readAvro(spark, dir,
-        columns = schema.fieldNames.toSeq)),
+      // the avro leg reads EXACTLY the files this listing discovered
+      // (readAvroFiles — a re-discovery under default excludes could
+      // silently diverge from the caller's patterns), and projects the
+      // INTERSECTION of declared and writer columns so a column absent
+      // from the avro slice NULL-fills through conform() like every
+      // other leg (A12) instead of failing the strict projection
+      "avro" -> { fs =>
+        val writerCols = AvroIngestor
+          .toSparkSchema(AvroIngestor.writerSchema(spark, fs.head))
+          .fieldNames.toSet
+        AvroIngestor.readAvroFiles(spark, fs,
+          columns = schema.fieldNames.toSeq.filter(writerCols))
+      },
     ).collect { case (fmt, read) if found(fmt).nonEmpty => conform(read(found(fmt))) }
     require(legs.nonEmpty, s"no supported lake files under $dir")
     legs.reduce(_.unionByName(_))

@@ -196,6 +196,11 @@ object AsOf {
     Seq(tag, bCol, fCol, nearCol, packCol).foreach(c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"asofJoinNearest reserves working column name $c"))
+    // the pack struct names the matched timestamp _ts internally; a
+    // value column of that name would duplicate the struct field and
+    // make the nearCol._ts reference ambiguous
+    require(!valueCols.contains("_ts") && ts != "_ts",
+      "asofJoinNearest reserves the struct field name _ts")
     val leftCols = left.columns.toSeq
     // right tags 0: at equal ts it sorts BEFORE the left row, so the
     // backward frame includes it (<= semantics) and the forward frame

@@ -1048,14 +1048,16 @@ object Dedup {
       new java.io.File(d).getName.stripPrefix("b").toLong)
     val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)
     val sh = s.read.parquet(dirs.map(_ + "/shingles"): _*)
-    val (fb, fs) = tombstoneIds(s, path) match {
-      case Some(t) => (bands.join(t, Seq("doc_id"), "left_anti"),
-        sh.join(t, Seq("doc_id"), "left_anti"))
-      case None => (bands, sh)
-    }
-    probeCoreFromParts(fb, fs,
-      s.read.parquet(s"$newest/bands"),
-      s.read.parquet(s"$newest/shingles").select(col("doc_id"), col("shingles")),
+    // tombstones filter BOTH sides: an erased doc in the newest batch
+    // must neither be probed against history nor drive a drop set —
+    // "invisible to every probe" (gov02) includes the probe side
+    val tomb = tombstoneIds(s, path)
+    def keep(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    probeCoreFromParts(keep(bands), keep(sh),
+      keep(s.read.parquet(s"$newest/bands")),
+      keep(s.read.parquet(s"$newest/shingles")
+        .select(col("doc_id"), col("shingles"))),
       threshold, maxBucket)
   }
 

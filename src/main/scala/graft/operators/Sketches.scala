@@ -931,10 +931,13 @@ object Sketches {
     */
   def quantileEstimates(sketch: DataFrame): DataFrame = {
     val s = sketch.sparkSession
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"), col("h"), col("kk"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("v"), col("h"), col("kk"))
+    // rank AND size from the SAME bounded window pass — a separate
+    // count aggregate would re-execute the sketch's fact cut twice
     val ranked = sketch.withColumn("rn", row_number().over(w).cast("bigint"))
-      .crossJoin(broadcast(sketch.agg(count(lit(1)).as("s_n"))))
+      .withColumn("s_n", count(lit(1)).over(
+        w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
     ranked.join(broadcast(s.range(1, 10).toDF("decile")),
         col("rn") === expr("decile * (s_n - 1) div 10 + 1"))
       .select(col("decile"), col("v").as("est"))
@@ -1052,11 +1055,13 @@ object Sketches {
       val W = org.apache.spark.sql.expressions.Window
       val o = Tables(s, dir).orders
       val sk = quantileSketchBy(o, "o_orderpriority", "o_orderkey", "o_totalprice")
-      // bounded windows/aggs: the sketch is ≤ k rows per group
+      // bounded windows: the sketch is ≤ k rows per group; rank and
+      // group size come from the SAME window pass (a groupBy-count
+      // join would re-run the two-phase cut over the fact twice)
       val w = W.partitionBy(col("o_orderpriority")).orderBy(col("v"), col("h"), col("kk"))
       val ranked = sk.withColumn("rn", row_number().over(w).cast("bigint"))
-        .join(sk.groupBy("o_orderpriority").agg(count(lit(1)).as("s_n")),
-          "o_orderpriority")
+        .withColumn("s_n", count(lit(1)).over(
+          w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
       val est = ranked.join(broadcast(s.range(1, 10).toDF("decile")),
           col("rn") === expr("decile * (s_n - 1) div 10 + 1"))
         .select(col("o_orderpriority"), col("decile"), col("v").as("est"))

@@ -42,6 +42,13 @@ object VectorIndex {
   def saveVectorIndex(emb: DataFrame, path: String, nCells: Int = 16,
       nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16): Unit = {
     deleteRecursively(new java.io.File(s"$path/batches"))
+    // a save REPLACES the index: stale tombstones from the previous
+    // index would silently hide any NEW vector reusing an erased id
+    // from every probe, and the next vacuum would delete its rows
+    // (the saveNearDupIndex re-save contract — and the documented
+    // remedy for erasing a training vector lands HERE, so it must not
+    // inherit the tombstone that prompted it)
+    deleteRecursively(new java.io.File(s"$path/forgotten"))
     val s = emb.sparkSession
     import s.implicits._
     val model = Similarity.trainIvfPq(emb, nCells, nSub, subDim, nCodes)
@@ -207,11 +214,11 @@ object VectorIndex {
       val emb = Tables(s, dir).embeddings
       val path = java.nio.file.Files
         .createTempDirectory("graft_sim11_vindex").toString
-      saveVectorIndex(emb, path)
-      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
-        .localCheckpoint(eager = true)
-      deleteRecursively(new java.io.File(path))
-      out
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally deleteRecursively(new java.io.File(path))
     },
     Similarity.sim07Oracle,
   )
@@ -226,12 +233,12 @@ object VectorIndex {
       val emb = Tables(s, dir).embeddings
       val path = java.nio.file.Files
         .createTempDirectory("graft_sim12_vindex").toString
-      saveVectorIndex(emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
-      appendVectorIndex(emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
-      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
-        .localCheckpoint(eager = true)
-      deleteRecursively(new java.io.File(path))
-      out
+      try {
+        saveVectorIndex(emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
+        appendVectorIndex(emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally deleteRecursively(new java.io.File(path))
     },
     Similarity.sim07Oracle,
   )
@@ -251,15 +258,15 @@ object VectorIndex {
       val emb = Tables(s, dir).embeddings
       val path = java.nio.file.Files
         .createTempDirectory("graft_sim13_vindex").toString
-      saveVectorIndex(emb, path)
-      forgetFromVectorIndex(s, path,
-        emb.filter(col("vec_id") >= 32 && col("vec_id") % 7 === 5)
-          .select("vec_id"))
-      vacuumVectorIndex(s, path)
-      val out = probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
-        .localCheckpoint(eager = true)
-      deleteRecursively(new java.io.File(path))
-      out
+      try {
+        saveVectorIndex(emb, path)
+        forgetFromVectorIndex(s, path,
+          emb.filter(col("vec_id") >= 32 && col("vec_id") % 7 === 5)
+            .select("vec_id"))
+        vacuumVectorIndex(s, path)
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally deleteRecursively(new java.io.File(path))
     },
     Similarity.sim07Oracle.map { o =>
       val anchored = "WHERE a.cid <> p.qid"

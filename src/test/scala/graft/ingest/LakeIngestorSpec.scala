@@ -31,6 +31,21 @@ class LakeIngestorSpec extends SparkSpec {
       "missing/omitted score must land as typed NULL")
   }
 
+  test("an avro slice missing a declared column NULL-fills like every other leg") {
+    val dir = tmpDir("graft_lake_avro")
+    // avro slice written WITHOUT score: the projection must intersect
+    // with the writer schema and conform() NULL-fill the rest (A12),
+    // not fail readAvro's strict unknown-column check
+    val twoCol = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, "seven")),
+      StructType(schema.fields.filter(_.name != "score")))
+    AvroIngestor.writeAvro(twoCol.coalesce(1), dir.toString)
+    val rows = LakeIngestor.ingestMixed(spark, dir.toString, schema)
+      .orderBy("id").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 7L)
+    assert(rows(0).isNullAt(2), "absent avro column must land as typed NULL")
+  }
+
   test("an empty landing dir fails loudly, not as an empty table") {
     val dir = tmpDir("graft_lake_empty")
     writeFile(dir, "notes.txt", "not a lake file")

@@ -398,6 +398,16 @@ class DedupSpec extends SparkSpec {
       // batch-vs-batch pairs (none planted here), so the sets must match
       assert(stored == loaded,
         s"newest-batch stored probe diverged from recompute probe: $stored vs $loaded")
+      // tombstones hide BOTH sides of the stored probe: forgetting the
+      // batch doc that drove the pairs must empty the result — an
+      // erased doc can neither be probed nor drive a drop set
+      val drivingBatchId = loaded.head._1
+      Dedup.forgetFromIndex(spark, path, Seq(drivingBatchId).toDF("doc_id"))
+      val afterForget = Dedup.probeNewestIndexBatch(spark, path)
+        .filter(col("batch_id") > col("hist_id"))
+        .filter(col("batch_id") === drivingBatchId).count()
+      assert(afterForget == 0L,
+        "a tombstoned batch doc must be invisible on the PROBE side too")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -72,6 +72,25 @@ class VectorIndexSpec extends SparkSpec {
       s"training-id erasure must name the remedy: ${e.getMessage}")
   }
 
+  test("re-save wipes stale tombstones: a fresh index must see every vector") {
+    val path = tmpDir("graft_vindex_resave").toString
+    val qs = emb.filter(col("vec_id") < 3)
+    val scratch = Similarity.ivfPqTopK(emb).collect().toSeq
+    // forget a NON-TRAINING vector that actually appears in a top-5, so
+    // the tombstone observably changes the ranking before the re-save
+    val victim = scratch.map(_.getLong(1)).find(_ >= 32)
+      .getOrElse(fail("fixture yields no ranked non-training vector"))
+    VectorIndex.saveVectorIndex(emb, path)
+    VectorIndex.forgetFromVectorIndex(spark, path,
+      emb.filter(col("vec_id") === victim).select("vec_id"))
+    val hidden = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    assert(hidden != scratch, "the tombstone must change the ranking")
+    VectorIndex.saveVectorIndex(emb, path) // the documented re-save remedy
+    val probed = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    assert(probed == scratch,
+      "a re-saved index must not inherit the previous index's tombstones")
+  }
+
   test("a crashed (markerless) append is invisible to probes; retry is clean") {
     val path = tmpDir("graft_vindex_crash").toString
     val keep = emb.filter(col("vec_id") < 40)

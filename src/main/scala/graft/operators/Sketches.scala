@@ -943,21 +943,28 @@ object Sketches {
       .select(col("decile"), col("v").as("est"))
   }
 
+  /** The exact-rank envelope audit shared by qs01 (direct sketch) and
+    * qs04 (warehouse-merged sketch): one map-side-combined 9-key
+    * aggregation over the fact with the 9 estimates broadcast.
+    */
+  private def decileEnvelope(fact: DataFrame, valCol: String,
+      est: DataFrame): DataFrame =
+    fact.select(col(valCol).cast("double").as("v"))
+      .crossJoin(broadcast(est))
+      .groupBy("decile", "est")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+        count(lit(1)).as("n"))
+      .withColumn("in_envelope",
+        abs(col("rank_lt") * lit(1000000L) -
+          col("decile") * lit(100000L) * col("n")) <= lit(50000L) * col("n"))
+      .orderBy("decile")
+
   private val qs01 = QueryDef(
     "qs01_quantile_sketch",
     (s, dir) => {
       val o = Tables(s, dir).orders
-      val est = quantileEstimates(
-        quantileSketch(o, "o_orderkey", "o_totalprice"))
-      o.select(col("o_totalprice").cast("double").as("v"))
-        .crossJoin(broadcast(est))
-        .groupBy("decile", "est")
-        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
-          count(lit(1)).as("n"))
-        .withColumn("in_envelope",
-          abs(col("rank_lt") * lit(1000000L) -
-            col("decile") * lit(100000L) * col("n")) <= lit(50000L) * col("n"))
-        .orderBy("decile")
+      decileEnvelope(o, "o_totalprice",
+        quantileEstimates(quantileSketch(o, "o_orderkey", "o_totalprice")))
     },
     Some(s"""WITH f AS (SELECT o_orderkey AS kk, CAST(o_totalprice AS DOUBLE) AS v,
           ${qsHashSql("o_orderkey")} AS h
@@ -1101,6 +1108,42 @@ object Sketches {
       ORDER BY o_orderpriority, decile"""),
   )
 
+  // ------------------------------------------------------------- qs04
+  /** Persisted quantile-sketch warehouse — hll04's pattern for the
+    * quantile member: each ingestion batch APPENDS its k-row bottom-k
+    * state to a managed table, and estimation merges on read by
+    * distinct-then-recut (the union monoid qs02 proves, made
+    * replay-tolerant: a retried batch appends the SAME (h, kk, v)
+    * rows, and the (h, kk) dedup before the cut makes the duplicate
+    * copies invisible — without it a duplicated row could displace a
+    * legitimate k-th row from the recut, the bottom-k analog of why
+    * hll04's max-merge is naturally idempotent). Append-only, never
+    * rewritten. Shares qs01's oracle: a hash match proves neither
+    * batch boundaries NOR the persistence roundtrip can change a
+    * single decile estimate or its rank audit.
+    */
+  private lazy val qs04 = QueryDef(
+    "qs04_quantile_warehouse",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val table = s"qs04_sketch_${ProcessHandle.current().pid()}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      try {
+        graft.sink.Sinks.saveTable(
+          quantileSketch(o.filter(col("o_orderkey") % 3 =!= 0),
+            "o_orderkey", "o_totalprice"), table)
+        graft.sink.Sinks.saveTable(
+          quantileSketch(o.filter(col("o_orderkey") % 3 === 0),
+            "o_orderkey", "o_totalprice"), table)
+        val merged = s.table(table).dropDuplicates(Seq("h", "kk"))
+          .orderBy(col("h"), col("kk")).limit(QsK)
+        decileEnvelope(o, "o_totalprice", quantileEstimates(merged))
+          .localCheckpoint(eager = true)
+      } finally { s.sql(s"DROP TABLE IF EXISTS $table"); () }
+    },
+    qs01.oracle,
+  )
+
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
-    hll05, hll06, bf01, qs01, qs02, qs03)
+    hll05, hll06, bf01, qs01, qs02, qs03, qs04)
 }

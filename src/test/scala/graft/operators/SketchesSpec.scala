@@ -138,6 +138,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("qs04: warehouse merge-on-read is replay-idempotent under a duplicated batch") {
+    import spark.implicits._
+    val o = graft.sources.Tables(spark, sf0001).orders
+    val batchA = Sketches.quantileSketch(
+      o.filter(col("o_orderkey") % 3 =!= 0), "o_orderkey", "o_totalprice")
+    val batchB = Sketches.quantileSketch(
+      o.filter(col("o_orderkey") % 3 === 0), "o_orderkey", "o_totalprice")
+    def recut(df: org.apache.spark.sql.DataFrame) =
+      df.dropDuplicates(Seq("h", "kk")).orderBy(col("h"), col("kk")).limit(1024)
+    val once = recut(batchA.unionByName(batchB)).collect().toSeq
+    // a RETRIED batch appends its rows a second time; the dedup before
+    // the cut must make the duplicates invisible
+    val replayed = recut(batchA.unionByName(batchB).unionByName(batchB))
+      .collect().toSeq
+    assert(replayed == once, "a replayed batch must not perturb the recut")
+    val direct = Sketches.quantileSketch(o, "o_orderkey", "o_totalprice")
+      .collect().toSeq
+    assert(once == direct, "merged batches must equal the direct sketch")
+  }
+
   test("quantile sketch compiles to a per-partition top-k, not a global sort") {
     val o = graft.sources.Tables(spark, sf0001).orders
     val plan = Sketches.quantileSketch(o, "o_orderkey", "o_totalprice")

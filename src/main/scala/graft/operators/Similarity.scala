@@ -1221,10 +1221,84 @@ object Similarity {
       ORDER BY n_probe"""),
   )
 
+  /** Matryoshka-truncation recall (Kusupati et al. 2022): recall@k of
+    * PREFIX-dimension cosine rankings against the full-dimension brute
+    * truth, swept over truncation widths — the measurement that decides
+    * how many dimensions a matryoshka-trained embedding deployment
+    * actually stores/ships (truncation is free at query time: slice
+    * the arrays, no re-embedding). The final width equals the full
+    * dimension, so its recall is EXACTLY 1.0 — a built-in endpoint
+    * proof, the sim10 pattern. Scale shape: same broadcast-queries
+    * scan as bruteTopK, one pass per width over the corpus with the
+    * sliced codegen'd fold; only the per-(width, query) top-k ranks
+    * exchange.
+    */
+  def matryoshkaRecall(emb: DataFrame, nQueries: Int = 3, k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val truth = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = dims.map { d =>
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("sim", cosine(slice(col("qv"), 1, d), slice(col("cv"), 1, d)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(lit(d.toLong).as("trunc_dim"), col("qid"), col("cid"), lit(1L).as("hit"))
+    }.reduce(_.unionByName(_))
+    val out = dims.map(_.toLong).toDF("trunc_dim").crossJoin(truth)
+      .join(approx, Seq("trunc_dim", "qid", "cid"), "left")
+      .groupBy("trunc_dim", "qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_at_k", col("hits").cast("double") / k)
+      .orderBy("trunc_dim", "qid")
+      .localCheckpoint(eager = true)
+    truth.unpersist(blocking = false)
+    out
+  }
+
+  private val sim14 = QueryDef(
+    "sim14_matryoshka_recall",
+    (s, dir) => matryoshkaRecall(Tables(s, dir).embeddings),
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      ts AS (SELECT qid, cid,
+          list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(qv, v -> v * v))) *
+             sqrt(list_sum(list_transform(cv, v -> v * v)))) AS sim
+        FROM c, q WHERE qid <> cid),
+      tr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM ts) WHERE rn <= 5),
+      ds AS (SELECT d FROM (VALUES (8), (16), (32), (64)) v(d)),
+      ss AS (SELECT d, qid, cid,
+          list_sum(list_transform(range(d), i -> qv[i + 1] * cv[i + 1])) /
+            (sqrt(list_sum(list_transform(range(d), i -> qv[i + 1] * qv[i + 1]))) *
+             sqrt(list_sum(list_transform(range(d), i -> cv[i + 1] * cv[i + 1])))) AS sim
+        FROM c, q, ds WHERE qid <> cid),
+      ap AS (SELECT d, qid, cid FROM (SELECT d, qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY d, qid ORDER BY sim DESC, cid) AS rn
+        FROM ss) WHERE rn <= 5)
+      SELECT CAST(ds.d AS BIGINT) AS trunc_dim, t.qid AS qid,
+        CAST(COUNT(a.cid) AS BIGINT) AS hits,
+        CAST(COUNT(a.cid) AS DOUBLE) / 5 AS recall_at_k
+      FROM ds CROSS JOIN tr t
+      LEFT JOIN ap a ON a.d = ds.d AND a.qid = t.qid AND a.cid = t.cid
+      GROUP BY ds.d, t.qid ORDER BY trunc_dim, t.qid"""),
+  )
+
   // Shared by VectorIndex's sim11/sim12: a loaded-index probe must emit
   // the exact ranking the from-scratch search derives, so they are
   // checked against the SAME oracle rebuild.
   private[operators] def sim07Oracle: Option[String] = sim07.oracle
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, sim14, rp01, neg01)
 }

@@ -416,4 +416,17 @@ class SimilaritySpec extends SparkSpec {
     assert(full._2 == full._3 && full._4 == 1.0,
       s"nProbe = nCells must recover brute-force exactly: $full")
   }
+
+  test("sim14: full-width truncation recovers the brute truth exactly; widths x queries complete") {
+    val rows = graft.Registry.byName("sim14_matryoshka_recall").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.toSeq == Seq(8L, 16L, 32L, 64L))
+    assert(rows.count(_ => true) == 12, "4 widths x 3 queries")
+    // the endpoint proof: truncating to the FULL dimension is the
+    // identity, so its ranking IS the truth — recall exactly 1.0
+    rows.filter(_._1 == 64L).foreach { r =>
+      assert(r._3 == 1.0, s"full-width recall must be exactly 1: $r")
+    }
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+  }
 }

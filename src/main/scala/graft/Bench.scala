@@ -283,6 +283,13 @@ object Bench {
     try {
       val ipath = java.nio.file.Files
         .createTempDirectory("graft-bench-vindex").toString
+      // the index must outlive every timed pass (the defs below close
+      // over it), so cleanup rides a shutdown hook — and because the
+      // hook is registered BEFORE the build, a half-written index from
+      // a mid-save failure is removed too
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.ingest.FileUtils.delete(ipath, recursive = true): Unit
+        catch { case _: Throwable => () }))
       graft.operators.VectorIndex.saveVectorIndex(
         graft.sources.Tables(spark, sfDir).embeddings, ipath)
       Seq(

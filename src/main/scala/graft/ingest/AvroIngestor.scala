@@ -99,9 +99,14 @@ object AvroIngestor {
 
   /** Write `df` as Avro container files under `dir`, one file per
     * partition (part-<n>.avro), each task streaming its own partition
-    * through a DataFileWriter straight to the filesystem — the
-    * distributed write shape of Spark's own committers, minus the
-    * temp-rename protocol the lake sinks (Sinks.scala) own.
+    * through a DataFileWriter. Each attempt writes a task-attempt-
+    * unique temp name and renames into place on success — so a retry
+    * or speculative twin of the same partition can never interleave
+    * bytes into one container (rename is atomic per attempt; whichever
+    * attempt renames last wins whole, both are complete files of the
+    * same rows). A failed attempt's temp file is deleted on the spot
+    * and, being dot-prefixed, invisible to the discovery walk
+    * (FileScanner's default ignore patterns) even if the delete dies.
     */
   def writeAvro(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
@@ -109,14 +114,17 @@ object AvroIngestor {
     val confS = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sessionState.newHadoopConf())
     df.foreachPartition { (it: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val avro = new Schema.Parser().parse(avroJson)
       val p = new Path(f"$dir/part-$pid%05d.avro")
+      val tmp = new Path(f"$dir/.part-$pid%05d-attempt-${tc.taskAttemptId()}%d.avro.tmp")
       val fs = p.getFileSystem(confS.value)
-      val out = fs.create(p, true)
+      val out = fs.create(tmp, true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avro))
       w.create(avro, out) // DataFileWriter closes `out` on close()
+      var committed = false
       try {
         it.foreach { row =>
           val rec = new GenericData.Record(avro)
@@ -131,7 +139,17 @@ object AvroIngestor {
           }
           w.append(rec)
         }
-      } finally w.close()
+        w.close() // flush + close BEFORE rename: the final name only
+        if (fs.exists(p)) fs.delete(p, false) // ever holds complete files
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"avro commit rename failed: $tmp -> $p")
+        committed = true
+      } finally {
+        if (!committed) {
+          try w.close() catch { case _: Throwable => () }
+          try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
+        }
+      }
     }
   }
 
@@ -145,7 +163,10 @@ object AvroIngestor {
       columns: Seq[String] = Nil): DataFrame = {
     val files = FileScanner.discover(pathGlob, fileTypes = Seq("avro"),
       hadoopConf = s.sessionState.newHadoopConf())
-    readAvroFiles(s, files("avro"), columns)
+    // legacy convenience surface: Nil means "no projection" here;
+    // callers that need to distinguish "project nothing" use
+    // readAvroFiles' Option directly (LakeIngestor's intersection)
+    readAvroFiles(s, files("avro"), if (columns.isEmpty) None else Some(columns))
   }
 
   /** [[readAvro]] over an already-discovered file list — the entry a
@@ -154,19 +175,24 @@ object AvroIngestor {
     * a prefix under DIFFERENT exclude rules than the dispatch did.
     */
   def readAvroFiles(s: SparkSession, paths: Seq[String],
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Option[Seq[String]] = None): DataFrame = {
     require(paths.nonEmpty, "no .avro files to read")
     val writer = writerSchema(s, paths.head)
-    val reader =
-      if (columns.isEmpty) writer
-      else {
+    // None = no projection (full writer schema); Some(Nil) = project
+    // NOTHING — an empty reader record, so the decoder skips every
+    // writer field and rows carry only lineage (a caller whose
+    // declared schema shares no columns with the writer must get
+    // correctly-counted all-NULL rows, not a silent full decode)
+    val reader = columns match {
+      case None => writer
+      case Some(cols) =>
         val byName = writer.getFields.asScala.map(f => f.name -> f).toMap
-        val picked = columns.map(c => byName.getOrElse(c,
+        val picked = cols.map(c => byName.getOrElse(c,
           throw new IllegalArgumentException(s"column $c not in Avro schema")))
         Schema.createRecord(writer.getName, null, writer.getNamespace, false,
           picked.map(f => new Schema.Field(f.name, f.schema, null,
             Schema.Field.NULL_DEFAULT_VALUE)).asJava)
-      }
+    }
     val outSchema = toSparkSchema(reader)
       .add(StructField("_source_file", StringType, nullable = false))
     val readerJson = reader.toString

@@ -52,13 +52,17 @@ object LakeIngestor {
       // silently diverge from the caller's patterns), and projects the
       // INTERSECTION of declared and writer columns so a column absent
       // from the avro slice NULL-fills through conform() like every
-      // other leg (A12) instead of failing the strict projection
+      // other leg (A12) instead of failing the strict projection. The
+      // intersection is passed as Some(...) even when EMPTY: Some(Nil)
+      // is "project nothing" (rows decode field-free, conform NULL-
+      // fills them), where Nil-as-no-projection would silently invert
+      // the intent and decode every writer field
       "avro" -> { fs =>
         val writerCols = AvroIngestor
           .toSparkSchema(AvroIngestor.writerSchema(spark, fs.head))
           .fieldNames.toSet
         AvroIngestor.readAvroFiles(spark, fs,
-          columns = schema.fieldNames.toSeq.filter(writerCols))
+          columns = Some(schema.fieldNames.toSeq.filter(writerCols)))
       },
     ).collect { case (fmt, read) if found(fmt).nonEmpty => conform(read(found(fmt))) }
     require(legs.nonEmpty, s"no supported lake files under $dir")

@@ -79,6 +79,13 @@ object VectorIndex {
     * to the from-scratch Similarity.ivfPqTopK (shared kernel), with
     * the corpus side read from parquet instead of re-encoded.
     */
+  /** Hard ceiling on probe-batch size: each query vector becomes
+    * nProbe broadcast ADC lookup tables, so the collect below is
+    * driver-bounded by design — an unbounded query set must be chunked
+    * by the caller, not silently OOM the driver.
+    */
+  val MaxProbeQueries: Int = 4096
+
   def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
     val model = loadModel(s, path)
@@ -88,10 +95,17 @@ object VectorIndex {
       case Some(t) => stored.join(t, Seq("cid"), "left_anti")
       case None => stored
     }
-    val q = queries.orderBy(col("vec_id"))
+    // bounded collect: the limit(Max+1) caps what can ever reach the
+    // driver BEFORE the require reports the overflow
+    val rows = queries.orderBy(col("vec_id"))
       .select(col("vec_id").cast("long").as("qid"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .limit(MaxProbeQueries + 1).collect()
+    require(rows.length <= MaxProbeQueries,
+      s"probeVectorIndex takes at most $MaxProbeQueries query vectors " +
+        "per call (each becomes nProbe broadcast ADC tables); chunk " +
+        "larger query sets")
+    val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     Similarity.adcRank(coded, q, model, k, nProbe)
   }
 

@@ -57,6 +57,22 @@ class AvroIngestorSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("Some(Nil) projects NOTHING (row count kept, zero fields decoded)") {
+    val dir = tmpDir("graft_avro_none").toString
+    AvroIngestor.writeAvro(sample.coalesce(1), dir)
+    val files = FileScanner.discover(dir, fileTypes = Seq("avro"),
+      hadoopConf = spark.sessionState.newHadoopConf())("avro")
+    // the LakeIngestor empty-intersection contract: project-nothing is
+    // distinct from no-projection — rows come back lineage-only, one
+    // per record, never a silent full-schema decode
+    val none = AvroIngestor.readAvroFiles(spark, files, columns = Some(Nil))
+    assert(none.columns.toSeq == Seq("_source_file"))
+    assert(none.count() == 3L)
+    val all = AvroIngestor.readAvroFiles(spark, files, columns = None)
+    assert(all.columns.toSeq == schema.fieldNames.toSeq :+ "_source_file")
+    assert(all.count() == 3L)
+  }
+
   test("writerSchema reads the embedded header; classifier dispatches .avro/.orc") {
     val dir = tmpDir("graft_avro_schema").toString
     AvroIngestor.writeAvro(sample.coalesce(1), dir)

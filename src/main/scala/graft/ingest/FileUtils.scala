@@ -35,6 +35,32 @@ object FileUtils {
     fs(p, conf).exists(p)
   }
 
+  def mkdirs(path: String, conf: Configuration = new Configuration()): Boolean = {
+    val p = new Path(path)
+    fs(p, conf).mkdirs(p)
+  }
+
+  /** Create an empty marker file (create-if-absent, never overwrite —
+    * the commit-marker semantics the persisted-index lifecycles need:
+    * a marker can only appear once per batch dir).
+    */
+  def touch(path: String, conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(path)
+    fs(p, conf).create(p, false).close()
+  }
+
+  /** Immediate child DIRECTORIES of `path` as fully-qualified path
+    * strings, sorted; Nil when `path` doesn't exist. One listStatus
+    * call — a single LIST per prefix on object stores.
+    */
+  def listSubdirs(path: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val p = new Path(path)
+    val filesystem = fs(p, conf)
+    if (!filesystem.exists(p)) Nil
+    else filesystem.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+  }
+
   /** Content md5 as lowercase hex (reference md5-hashes files <10MB;
     * streaming digest here has no size limit).
     */

@@ -915,13 +915,14 @@ object Dedup {
     // tombstones first — a leftover forgotten/ set from the previous
     // index would silently hide any NEW doc that reuses an erased id
     // from every probe (and the next vacuum would delete its rows)
-    deleteRecursively(new java.io.File(s"$path/batches"))
-    deleteRecursively(new java.io.File(s"$path/forgotten"))
+    val hconf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    rmr(s"$path/batches", hconf)
+    rmr(s"$path/forgotten", hconf)
     // and any legacy flat-layout root tables: a save is the documented
     // migration remedy, and for an index with right-to-erasure support
     // the stale corpus bytes must not outlive it
-    deleteRecursively(new java.io.File(s"$path/bands"))
-    deleteRecursively(new java.io.File(s"$path/shingles"))
+    rmr(s"$path/bands", hconf)
+    rmr(s"$path/shingles", hconf)
     // geometry metadata FIRST: a probe against bands built with a
     // different (numHashes, bands) would collide essentially at
     // random and silently miss true near-dups — append/probe read the
@@ -940,7 +941,7 @@ object Dedup {
     * leaves only an uncommitted dir readers never see.
     */
   def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
-    rejectLegacyLayout(path)
+    rejectLegacyLayout(path, batch.sparkSession.sparkContext.hadoopConfiguration)
     val (nh, b) = indexGeometry(batch.sparkSession, path)
     commitIndexBatch(batch, path, nh, b)
   }
@@ -955,9 +956,10 @@ object Dedup {
   // with only shingles/ left would otherwise pass the guard, leaving
   // stale corpus bytes undetected — the erasure-hygiene failure the
   // guard exists to prevent.
-  private def rejectLegacyLayout(path: String): Unit =
+  private def rejectLegacyLayout(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
     Seq("bands", "shingles").foreach(t =>
-      require(!new java.io.File(s"$path/$t").exists(),
+      require(!graft.ingest.FileUtils.exists(s"$path/$t", conf),
         s"$path holds a legacy flat-layout index (root $t/ table); " +
           "re-save it with saveNearDupIndex before appending or probing"))
 
@@ -967,13 +969,14 @@ object Dedup {
   // twice (the very pass probeCore exists to avoid repeating)
   private def commitIndexBatch(corpus: DataFrame, path: String,
       numHashes: Int, bands: Int): Unit = {
-    val root = new java.io.File(s"$path/batches")
-    root.mkdirs()
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    graft.ingest.FileUtils.mkdirs(s"$path/batches", conf)
     // next id is one past the highest EXISTING dir, committed or not:
     // an abandoned attempt's id is never reused, so its partial files
     // can never be mistaken for this batch's
-    val ids = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.stripPrefix("b").toLongOption)
+    val ids = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("b").toLongOption)
     val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -981,17 +984,15 @@ object Dedup {
       bandTableFromShingles(sh, numHashes, bands)
         .write.mode("overwrite").parquet(s"$bdir/bands")
       sh.write.mode("overwrite").parquet(s"$bdir/shingles")
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$bdir/_COMMITTED"))
-      ()
+      graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
     } finally { sh.unpersist(blocking = false); () }
   }
 
-  private def committedBatchDirs(path: String): Seq[String] = {
-    rejectLegacyLayout(path)
-    val dirs = Option(new java.io.File(s"$path/batches").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
-      .map(_.toString).toSeq.sorted
+  private def committedBatchDirs(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    rejectLegacyLayout(path, conf)
+    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     require(dirs.nonEmpty, s"no committed index batches under $path/batches")
     dirs
   }
@@ -1011,9 +1012,10 @@ object Dedup {
     */
   def probeNearDupIndex(s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    rejectLegacyLayout(path) // before indexGeometry's meta read errors first
+    // legacy check before indexGeometry's meta read errors first
+    rejectLegacyLayout(path, s.sparkContext.hadoopConfiguration)
     val (nh, b) = indexGeometry(s, path)
-    val dirs = committedBatchDirs(path)
+    val dirs = committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
     val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)
     val sh = s.read.parquet(dirs.map(_ + "/shingles"): _*)
     // logical erasure: tombstoned docs are invisible to every probe —
@@ -1042,10 +1044,10 @@ object Dedup {
     */
   def probeNewestIndexBatch(s: SparkSession, path: String,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val dirs = committedBatchDirs(path)
+    val dirs = committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
     // numeric max, not the listing's lexicographic sort (b10 < b2 there)
     val newest = dirs.maxBy(d =>
-      new java.io.File(d).getName.stripPrefix("b").toLong)
+      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b").toLong)
     val bands = s.read.parquet(dirs.map(_ + "/bands"): _*)
     val sh = s.read.parquet(dirs.map(_ + "/shingles"): _*)
     // tombstones filter BOTH sides: an erased doc in the newest batch
@@ -1064,10 +1066,9 @@ object Dedup {
   // ----- right-to-erasure for the persisted index (gov02) ------------
 
   private def tombstoneIds(s: SparkSession, path: String): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(s"$path/forgotten").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
-      .map(_.toString).toSeq.sorted
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     if (dirs.isEmpty) None
     else Some(s.read.parquet(dirs.map(_ + "/ids"): _*)
       .select(col("doc_id").cast("bigint").as("doc_id")).distinct())
@@ -1081,15 +1082,15 @@ object Dedup {
     * the bytes disappear at the next [[vacuumIndex]].
     */
   def forgetFromIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
-    val root = new java.io.File(s"$path/forgotten")
-    root.mkdirs()
-    val existing = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.stripPrefix("f").toLongOption)
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.ingest.FileUtils.mkdirs(s"$path/forgotten", conf)
+    val existing = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("f").toLongOption)
     val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
     ids.select(col("doc_id").cast("bigint").as("doc_id"))
       .write.mode("overwrite").parquet(s"$fdir/ids")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$fdir/_COMMITTED"))
-    ()
+    graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
   }
 
   /** PHYSICAL erasure: rewrite the index without the tombstoned docs'
@@ -1104,8 +1105,9 @@ object Dedup {
     * here; semantics, not the commit protocol, are what gov02 pins.
     */
   def vacuumIndex(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
     val (nh, b) = indexGeometry(s, path)
-    val dirs = committedBatchDirs(path)
+    val dirs = committedBatchDirs(path, conf)
     val tomb = tombstoneIds(s, path)
     def keep(df: DataFrame): DataFrame =
       tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
@@ -1113,15 +1115,13 @@ object Dedup {
       .localCheckpoint(true)
     val sh = keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
       .localCheckpoint(true)
-    deleteRecursively(new java.io.File(path))
+    rmr(path, conf)
     import s.implicits._
     Seq((nh, b)).toDF("num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     bands.write.parquet(s"$path/batches/b0/bands")
     sh.write.parquet(s"$path/batches/b0/shingles")
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$path/batches/b0/_COMMITTED"))
-    ()
+    graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
   }
 
   // The forgotten docs (hist ids ≡ 0 mod 5) must vanish from probe
@@ -1144,7 +1144,7 @@ object Dedup {
       vacuumIndex(s, path)
       val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
         .localCheckpoint(eager = true)
-      deleteRecursively(new java.io.File(path))
+      rmr(path, s.sparkContext.hadoopConfiguration)
       out
     },
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
@@ -1192,7 +1192,7 @@ object Dedup {
       appendNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
       val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
         .localCheckpoint(eager = true)
-      deleteRecursively(new java.io.File(path))
+      rmr(path, s.sparkContext.hadoopConfiguration)
       out
     },
     dd09.oracle, // the persisted path must agree with dd09's recompute
@@ -1238,9 +1238,14 @@ object Dedup {
       ORDER BY cluster_size"""),
   )
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+  /** Recursive delete, tolerant of a missing path — the whole index
+    * lifecycle runs on the Hadoop FileSystem API (FileUtils), so an
+    * index path can live on HDFS/S3A exactly as on local disk.
+    */
+  private def rmr(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    graft.ingest.FileUtils.delete(path, recursive = true, conf)
+    ()
   }
 
   // Deterministic batch split (doc_id ≡ 3 mod 7 ≈ 1/7 of the corpus

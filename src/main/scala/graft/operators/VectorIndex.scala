@@ -41,14 +41,15 @@ object VectorIndex {
     */
   def saveVectorIndex(emb: DataFrame, path: String, nCells: Int = 16,
       nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16): Unit = {
-    deleteRecursively(new java.io.File(s"$path/batches"))
+    val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+    rmr(s"$path/batches", conf)
     // a save REPLACES the index: stale tombstones from the previous
     // index would silently hide any NEW vector reusing an erased id
     // from every probe, and the next vacuum would delete its rows
     // (the saveNearDupIndex re-save contract — and the documented
     // remedy for erasing a training vector lands HERE, so it must not
     // inherit the tombstone that prompted it)
-    deleteRecursively(new java.io.File(s"$path/forgotten"))
+    rmr(s"$path/forgotten", conf)
     val s = emb.sparkSession
     import s.implicits._
     val model = Similarity.trainIvfPq(emb, nCells, nSub, subDim, nCodes)
@@ -89,7 +90,9 @@ object VectorIndex {
   def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
     val model = loadModel(s, path)
-    val stored = s.read.parquet(committedBatchDirs(path).map(_ + "/codes"): _*)
+    val stored = s.read.parquet(
+      committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
+        .map(_ + "/codes"): _*)
     // logical erasure: tombstoned vectors are invisible to every probe
     val coded = tombstoneIds(s, path) match {
       case Some(t) => stored.join(t, Seq("cid"), "left_anti")
@@ -125,10 +128,9 @@ object VectorIndex {
   // ----- right-to-erasure for the persisted vector index (sim13) -----
 
   private def tombstoneIds(s: SparkSession, path: String): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(s"$path/forgotten").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
-      .map(_.toString).toSeq.sorted
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     if (dirs.isEmpty) None
     else Some(s.read.parquet(dirs.map(_ + "/ids"): _*)
       .select(col("cid").cast("long").as("cid")).distinct())
@@ -154,17 +156,17 @@ object VectorIndex {
     val trainIds = ids.filter(col("vec_id") < nCells + nCodes).count()
     require(trainIds == 0L,
       s"$trainIds forget ids are quantizer-training vectors — their " +
-        "coordinates are embedded in centroids/codebook; re-save the " +
-        "index without them instead of tombstoning")
-    val root = new java.io.File(s"$path/forgotten")
-    root.mkdirs()
-    val existing = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.stripPrefix("f").toLongOption)
+        "coordinates are embedded in centroids/codebook; rebuild the " +
+        "index without them (rebuildVectorIndex) instead of tombstoning")
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.ingest.FileUtils.mkdirs(s"$path/forgotten", conf)
+    val existing = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("f").toLongOption)
     val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
     ids.select(col("vec_id").cast("long").as("cid"))
       .write.mode("overwrite").parquet(s"$fdir/ids")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$fdir/_COMMITTED"))
-    ()
+    graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
   }
 
   /** PHYSICAL erasure: rewrite the code table without tombstoned rows
@@ -174,48 +176,49 @@ object VectorIndex {
     * crash window as Dedup.vacuumIndex.
     */
   def vacuumVectorIndex(s: SparkSession, path: String): Unit = {
-    val dirs = committedBatchDirs(path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirs = committedBatchDirs(path, conf)
     val tomb = tombstoneIds(s, path)
     val codes = tomb.fold(s.read.parquet(dirs.map(_ + "/codes"): _*))(t =>
       s.read.parquet(dirs.map(_ + "/codes"): _*)
         .join(t, Seq("cid"), "left_anti"))
       .localCheckpoint(true)
-    deleteRecursively(new java.io.File(s"$path/batches"))
-    deleteRecursively(new java.io.File(s"$path/forgotten"))
+    rmr(s"$path/batches", conf)
+    rmr(s"$path/forgotten", conf)
     codes.write.parquet(s"$path/batches/b0/codes")
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$path/batches/b0/_COMMITTED"))
-    ()
+    graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
   }
 
   private def commitCodesBatch(batch: DataFrame, path: String,
       model: Similarity.IvfPqModel): Unit = {
-    val root = new java.io.File(s"$path/batches")
-    root.mkdirs()
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    graft.ingest.FileUtils.mkdirs(s"$path/batches", conf)
     // next id is one past the highest EXISTING dir, committed or not:
     // an abandoned attempt's id is never reused
-    val ids = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.stripPrefix("b").toLongOption)
+    val ids = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("b").toLongOption)
     val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
     Similarity.encodeIvfPq(batch, model)
       .write.mode("overwrite").parquet(s"$bdir/codes")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$bdir/_COMMITTED"))
-    ()
+    graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
   }
 
-  private def committedBatchDirs(path: String): Seq[String] = {
-    val dirs = Option(new java.io.File(s"$path/batches").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_COMMITTED").exists())
-      .map(_.toString).toSeq.sorted
+  private def committedBatchDirs(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     require(dirs.nonEmpty, s"no committed index batches under $path/batches")
     dirs
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  /** Recursive delete, tolerant of a missing path — every filesystem
+    * op in this lifecycle goes through the Hadoop FileSystem API, so
+    * an index path can live on HDFS/S3A exactly as on local disk.
+    */
+  private def rmr(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    graft.ingest.FileUtils.delete(path, recursive = true, conf)
     ()
   }
 
@@ -232,7 +235,7 @@ object VectorIndex {
         saveVectorIndex(emb, path)
         probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
           .localCheckpoint(eager = true)
-      } finally deleteRecursively(new java.io.File(path))
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     Similarity.sim07Oracle,
   )
@@ -252,7 +255,7 @@ object VectorIndex {
         appendVectorIndex(emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
         probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
           .localCheckpoint(eager = true)
-      } finally deleteRecursively(new java.io.File(path))
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     Similarity.sim07Oracle,
   )
@@ -280,7 +283,7 @@ object VectorIndex {
         vacuumVectorIndex(s, path)
         probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
           .localCheckpoint(eager = true)
-      } finally deleteRecursively(new java.io.File(path))
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     Similarity.sim07Oracle.map { o =>
       val anchored = "WHERE a.cid <> p.qid"

@@ -505,6 +505,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index lifecycle runs through the Hadoop FileSystem API (file: URI)") {
+    // an explicit file:-scheme URI never resolves through java.io —
+    // save/append/forget/vacuum/probe must all route Path.getFileSystem,
+    // the property that lets the same index live on HDFS/S3A
+    val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = "file:" + java.nio.file.Files.createTempDirectory("ddfsuri").toString
+    try {
+      Dedup.saveNearDupIndex(hist.filter(col("doc_id") =!= 3L), path)
+      Dedup.appendNearDupIndex(hist.filter(col("doc_id") === 3L), path)
+      Dedup.forgetFromIndex(spark, path, Seq(5L).toDF("doc_id"))
+      Dedup.vacuumIndex(spark, path)
+      val probed = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probed == Set((10L, 0L)), s"vacuumed file:-URI index probe: $probed")
+      assert(graft.ingest.FileUtils.exists(s"$path/batches/b0/_COMMITTED",
+        spark.sparkContext.hadoopConfiguration))
+    } finally {
+      graft.ingest.FileUtils.delete(path, recursive = true)
+      ()
+    }
+  }
+
   test("dd16: a failed append is invisible and its retry is idempotent") {
     val hist = Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text")
     val late = Seq((1L, nearDup)).toDF("doc_id", "text")

@@ -17,6 +17,24 @@ class VectorIndexSpec extends SparkSpec {
       s"loaded-index probe diverged from from-scratch search")
   }
 
+  test("the whole lifecycle runs through the Hadoop FileSystem API (file: URI)") {
+    // an explicit file:-scheme URI never resolves through java.io —
+    // save/append/forget/vacuum/probe must all route Path.getFileSystem,
+    // the property that lets the same index live on HDFS/S3A
+    val path = "file:" + tmpDir("graft_vindex_fsuri").toString
+    VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 48), path)
+    VectorIndex.appendVectorIndex(emb.filter(col("vec_id") >= 48), path)
+    VectorIndex.forgetFromVectorIndex(spark, path,
+      emb.filter(col("vec_id") === 50).select("vec_id"))
+    VectorIndex.vacuumVectorIndex(spark, path)
+    val probed = VectorIndex.probeVectorIndex(spark, path,
+      emb.filter(col("vec_id") < 3)).collect()
+    assert(probed.nonEmpty)
+    assert(!probed.exists(_.getLong(1) == 50L), "vacuumed id must not rank")
+    assert(graft.ingest.FileUtils.exists(s"$path/batches/b0/_COMMITTED",
+      spark.sparkContext.hadoopConfiguration))
+  }
+
   test("sim12: appended batches are encoded under the STORED quantizers") {
     val path = tmpDir("graft_vindex_append").toString
     VectorIndex.saveVectorIndex(
@@ -63,12 +81,12 @@ class VectorIndexSpec extends SparkSpec {
     val residual = spark.read.parquet(s"$path/batches/b0/codes")
       .filter(col("cid").isin(forgotten.toSeq: _*)).count()
     assert(residual == 0L, s"$residual erased rows still resident after vacuum")
-    // quantizer-training ids are refused with the re-save remedy
+    // quantizer-training ids are refused with the rebuild remedy
     val e = intercept[IllegalArgumentException] {
       VectorIndex.forgetFromVectorIndex(spark, path,
         emb.filter(col("vec_id") === 5).select("vec_id"))
     }
-    assert(e.getMessage.contains("re-save"),
+    assert(e.getMessage.contains("rebuildVectorIndex"),
       s"training-id erasure must name the remedy: ${e.getMessage}")
   }
 

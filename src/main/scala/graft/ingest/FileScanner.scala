@@ -52,9 +52,31 @@ object FileScanner {
     Pattern.compile(sb.append('$').toString, Pattern.CASE_INSENSITIVE)
   }
 
+  /** Transparent-compression suffixes: a `.jsonl.gz` classifies as its
+    * inner format because every reader in the engine decompresses
+    * these natively (Spark's text/json/csv readers by extension; the
+    * probe path via Hadoop's CompressionCodecFactory). Only codecs
+    * guaranteed on a stock Hadoop classpath are listed — `.zst`/`.lz4`
+    * would classify and then fail at read time if the native lib is
+    * absent, a worse failure mode than "unrecognized".
+    */
+  val CompressionExts: Seq[String] = Seq(".gz", ".bz2", ".deflate")
+
+  /** `name` with any [[CompressionExts]] suffix stripped — the name the
+    * format classifier (and jsonl-vs-multiline dispatch) should see.
+    */
+  def decompressedName(name: String): String = {
+    val lower = name.toLowerCase
+    CompressionExts.find(lower.endsWith) match {
+      case Some(ce) => name.substring(0, name.length - ce.length)
+      case None => name
+    }
+  }
+
   def classify(fileName: String): Option[String] = {
-    val dot = fileName.lastIndexOf('.')
-    if (dot < 0) None else ExtensionMap.get(fileName.substring(dot).toLowerCase)
+    val stem = decompressedName(fileName)
+    val dot = stem.lastIndexOf('.')
+    if (dot < 0) None else ExtensionMap.get(stem.substring(dot).toLowerCase)
   }
 
   def matchesAny(name: String, patterns: Seq[String]): Boolean =

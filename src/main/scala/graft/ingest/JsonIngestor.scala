@@ -91,6 +91,14 @@ object JsonIngestor {
 
   private val CorruptCol = "_graft_corrupt"
 
+  /** Line-format dispatch on the DECOMPRESSED name: `batch.jsonl.gz`
+    * is a jsonl file Spark's reader decompresses natively by extension.
+    */
+  private def isJsonl(f: String): Boolean = {
+    val stem = FileScanner.decompressedName(f)
+    stem.endsWith(".jsonl") || stem.endsWith(".ndjson")
+  }
+
   private def basename(path: String): String = {
     val p = path.stripSuffix("/")
     p.substring(p.lastIndexOf('/') + 1)
@@ -148,10 +156,17 @@ object JsonIngestor {
       .mapPartitions { it =>
         val mapper = new ObjectMapper()
         val conf = new Configuration()
+        val codecs =
+          new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
         it.map { f =>
           try {
             val p = new Path(f)
-            val in = p.getFileSystem(conf).open(p)
+            val raw = p.getFileSystem(conf).open(p)
+            // transparent decompression by extension (.gz/.bz2/...) —
+            // the same dispatch Spark's own text readers apply, so a
+            // .json.gz probes identically to its uncompressed twin
+            val in = Option(codecs.getCodec(p))
+              .fold[java.io.InputStream](raw)(_.createInputStream(raw))
             val bytes =
               try {
                 val out = new java.io.ByteArrayOutputStream()
@@ -280,7 +295,7 @@ object JsonIngestor {
     val files = FileScanner.discover(dir, Seq("json"), recursive = true,
       includePatterns, excludePatterns,
       spark.sparkContext.hadoopConfiguration)("json")
-      .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
+      .filter(isJsonl)
     if (files.isEmpty) {
       return IngestResult(spark.emptyDataFrame,
         IngestReport(0, 0, 0, 0L, Nil, (System.nanoTime() - t0) / 1e9))
@@ -436,7 +451,7 @@ object JsonIngestor {
     val files = FileScanner.discover(dir, Seq("json"), recursive = true,
       includePatterns, excludePatterns,
       spark.sparkContext.hadoopConfiguration)("json")
-      .filter(f => f.endsWith(".jsonl") || f.endsWith(".ndjson"))
+      .filter(isJsonl)
     def emptyQuarantine: DataFrame = {
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -528,11 +528,15 @@ object Ingestion {
 
   /** Distributed write of `df`'s single string column as ONE .jsonl
     * file at `outFile` (write a part dir, promote the part file).
+    * `compression` other than "none" lands the part compressed
+    * (Spark's text writer codecs — "gzip" → part-*.txt.gz), for
+    * landing dirs that simulate upstream-compressed feeds (ing22).
     */
   private def landJsonlFile(df: org.apache.spark.sql.DataFrame,
-      outFile: java.nio.file.Path): Unit = {
+      outFile: java.nio.file.Path, compression: String = "none"): Unit = {
     val tmpd = java.nio.file.Files.createTempDirectory("graft_jsonl_part")
     df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", compression)
       .text(tmpd.resolve("d").toString)
     import scala.jdk.CollectionConverters._
     val part = java.nio.file.Files.list(tmpd.resolve("d")).iterator().asScala
@@ -706,6 +710,48 @@ object Ingestion {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing22
+  // Compressed landing dir, end to end: the documents corpus landed as
+  // TWO gzip JSONL batch files (the shape every upstream log shipper
+  // emits) and ingested through the full §1.2 contract — extension
+  // classifier sees through the .gz (FileScanner.decompressedName),
+  // Spark's reader decompresses natively, normalization/lineage/
+  // column-sorting identical to the uncompressed path. Lineage keeps
+  // the COMPRESSED filename (that is the file that landed); batch =
+  // doc_id % 2 is deterministic, so the oracle recomputes it — the
+  // ing15 file-accurate-lineage pattern. Scale note: gzip is not
+  // splittable — one task per file — so a 100-TB feed lands as many
+  // modest files, never one giant archive; that is a property of the
+  // codec, not this reader.
+  private val ing22 = QueryDef(
+    "ing22_compressed_ingest",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_ing22")
+      val landing = base.resolve("landing")
+      try {
+        (0 until 2).foreach(k => landJsonlFile(
+          docs.filter(pmod(col("doc_id"), lit(2)) === k)
+            .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
+          landing.resolve(s"batch$k.jsonl.gz"), compression = "gzip"))
+        JsonIngestor.ingestJsonl(s, landing.toString)
+          .data.orderBy(col("doc_id").cast("bigint"))
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
+        COALESCE(lang, '') AS lang,
+        COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
+        COALESCE(source, '') AS source,
+        COALESCE(text, '') AS text,
+        'batch' || CAST(doc_id % 2 AS VARCHAR) || '.jsonl.gz' AS _source_file
+      FROM documents ORDER BY documents.doc_id"""),
+  )
+
   // -------------------------------------------------------------- ing17
   // Row-level quarantine twin of ing10: same landing dir, OPPOSITE
   // isolation granularity. ing10 proves the reference's A8 contract
@@ -864,5 +910,5 @@ object Ingestion {
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
       ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19, ing20,
-      ing21)
+      ing21, ing22)
 }

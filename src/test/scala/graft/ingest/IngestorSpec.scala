@@ -141,6 +141,31 @@ class IngestorSpec extends SparkSpec {
     assert(r.report.totalRecords == 1)
   }
 
+  test("compressed extensions classify as their inner format; .json.gz ingests") {
+    assert(FileScanner.classify("feed.jsonl.gz").contains("json"))
+    assert(FileScanner.classify("FEED.NDJSON.GZ").contains("json"))
+    assert(FileScanner.classify("rows.csv.gz").contains("csv"))
+    assert(FileScanner.classify("doc.json.bz2").contains("json"))
+    assert(FileScanner.classify("blob.gz").isEmpty) // no inner extension
+    assert(FileScanner.decompressedName("a.jsonl.gz") == "a.jsonl")
+    assert(FileScanner.decompressedName("a.jsonl") == "a.jsonl")
+    // a gzip MULTILINE json file runs the probe + ingest path end to
+    // end: the probe decompresses via the Hadoop codec factory, the
+    // reader via Spark's native extension dispatch
+    val dir = tmpDir("ingest_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("orders.json.gz")))
+    gz.write("""[{"order_id": "O1", "qty": 2}, {"order_id": "O2", "qty": null}]"""
+      .getBytes("UTF-8"))
+    gz.close()
+    val res = JsonIngestor.ingest(spark, dir.toString)
+    assert(res.report.filesProcessed == 1 && res.report.totalRecords == 2L)
+    val rows = res.data.orderBy("order_id").collect()
+    assert(rows.map(_.getAs[String]("order_id")).toSeq == Seq("O1", "O2"))
+    assert(rows.map(_.getAs[String]("qty")).toSeq == Seq("2", ""))
+    assert(rows.forall(_.getAs[String]("_source_file") == "orders.json.gz"))
+  }
+
   test("probe manifest ships only UNWITNESSED keys; restore still lands them as \"\"") {
     val dir = tmpDir("witness")
     // `gone` is all-null, `hollow` all-empty-collection (both pruned by

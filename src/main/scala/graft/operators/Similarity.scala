@@ -683,20 +683,38 @@ object Similarity {
     * is the per-query top-k rank. The cell-match filter after the
     * explode IS the inverted-list probe.
     */
+  /** `queryLabels`, when present, adds the vector-database PRE-filter
+    * (the sim08 contract applied to an encoded corpus): `coded` must
+    * then carry a `label` column, and a candidate scores only when its
+    * label equals the query's — the restriction applies BEFORE the
+    * top-k rank, so k is filled from within the predicate, never
+    * under-filled by post-filtering a global top-k. The ADC doubles
+    * are untouched (same lutFor/probesOf kernel).
+    */
   private[operators] def adcRank(coded: DataFrame,
       queries: Array[(Long, Array[Double])], model: IvfPqModel,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int,
+      queryLabels: Option[Map[Long, Any]] = None): DataFrame = {
     val perQC = queries.flatMap { case (qid, qv) =>
       model.probesOf(qv, nProbe).map { cell =>
         val adist = (0 until model.nSub).map(m =>
             element_at(typedLit(model.lutFor(qv, cell, m)), col(s"code_$m") + 1))
           .reduce(_ + _) // subspace-ascending add order, same as the oracle
-        struct(lit(qid).as("qid"), lit(cell).as("pcell"), adist.as("adist"))
+        val fields = Seq(lit(qid).as("qid"), lit(cell).as("pcell"),
+          adist.as("adist")) ++
+          queryLabels.map(m => lit(m(qid)).as("qlabel"))
+        struct(fields: _*)
       }
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    coded.select(col("cid"), col("cell"), explode(array(perQC.toIndexedSeq: _*)).as("qa"))
-      .filter(col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid"))
+    val cellMatch = col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid")
+    val cond = queryLabels
+      .fold(cellMatch)(_ => cellMatch && col("qa.qlabel") === col("label"))
+    val cols = Seq(col("cid"), col("cell")) ++
+      queryLabels.map(_ => col("label")) :+
+      explode(array(perQC.toIndexedSeq: _*)).as("qa")
+    coded.select(cols: _*)
+      .filter(cond)
       .select(col("qa.qid").as("qid"), col("cid"), col("qa.adist").as("adist"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)

@@ -112,6 +112,48 @@ object VectorIndex {
     Similarity.adcRank(coded, q, model, k, nProbe)
   }
 
+  /** FILTERED probe of a persisted index — sim08's pre-filter contract
+    * (restrict candidates by a metadata predicate BEFORE scoring)
+    * applied to the stored code table: `meta` (vec_id, label) joins the
+    * codes scan with the query labels pushed into ITS parquet scan
+    * (PushedFilters In(label, ...), pinned in PlanSpec), so a
+    * label-partitioned metadata table prunes to its shards and the
+    * top-k fills from WITHIN the predicate — post-filtering an
+    * unfiltered top-k under-fills k whenever matches are scarce in the
+    * global neighborhood (the classic vector-DB bug; contrasted in
+    * VectorIndexSpec). Scale shape: meta is corpus-sized, so the
+    * codes⋈meta join is a co-partitioned equi-join on cid, never a
+    * broadcast of the corpus; everything downstream is the shared ADC
+    * kernel.
+    */
+  def probeVectorIndexFiltered(s: SparkSession, path: String,
+      queries: DataFrame, meta: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val model = loadModel(s, path)
+    val stored = s.read.parquet(
+      committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
+        .map(_ + "/codes"): _*)
+    val coded0 = tombstoneIds(s, path) match {
+      case Some(t) => stored.join(t, Seq("cid"), "left_anti")
+      case None => stored
+    }
+    val rows = queries.orderBy(col("vec_id"))
+      .select(col("vec_id").cast("long").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"),
+        col("label"))
+      .limit(MaxProbeQueries + 1).collect()
+    require(rows.length <= MaxProbeQueries,
+      s"probeVectorIndexFiltered takes at most $MaxProbeQueries query " +
+        "vectors per call; chunk larger query sets")
+    val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val labelOf: Map[Long, Any] = rows.map(r => r.getLong(0) -> r.get(2)).toMap
+    val wanted = rows.map(_.get(2)).distinct.toSeq
+    val fmeta = meta.filter(col("label").isin(wanted: _*))
+      .select(col("vec_id").cast("long").as("cid"), col("label"))
+    Similarity.adcRank(coded0.join(fmeta, "cid"), q, model, k, nProbe,
+      Some(labelOf))
+  }
+
   /** Rehydrate the quantizer state — nCells + nCodes bounded rows. */
   private[operators] def loadModel(s: SparkSession, path: String): Similarity.IvfPqModel = {
     val m = s.read.parquet(s"$path/meta").select("n_cells", "n_sub", "sub_dim").head
@@ -293,5 +335,35 @@ object VectorIndex {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13)
+  // Filtered probe of the persisted index: each query ranks ONLY
+  // candidates sharing its label (pre-filter, sim08's contract), over
+  // the stored code table. The oracle is sim07's full rebuild with the
+  // label predicate applied to the candidate set before ranking — a
+  // hash match proves the filter ran BEFORE scoring (post-filtering
+  // would keep the global top-5 and return its label-matching subset,
+  // a different, shorter list).
+  private val sim15 = QueryDef(
+    "sim15_filtered_index_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim15_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexFiltered(s, path, emb.filter(col("vec_id") < 3),
+          emb.select("vec_id", "label"))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val anchored = "WHERE a.cid <> p.qid"
+      require(o.contains(anchored), "sim07 oracle candidate filter moved")
+      o.replace(anchored,
+        anchored +
+          " AND (SELECT el.label FROM embeddings el WHERE el.vec_id = a.cid)" +
+          " = (SELECT eq.label FROM embeddings eq WHERE eq.vec_id = p.qid)")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15)
 }

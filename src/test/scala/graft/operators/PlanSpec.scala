@@ -831,4 +831,28 @@ class PlanSpec extends SparkSpec {
       "rank-then-filter must plan the group-limit pruning")
     assert(!plan("cms03_grouped_countmin").contains("CartesianProduct"), "cms03")
   }
+
+  test("sim15: the query-label predicate rides the metadata scan as a pushed filter") {
+    val emb = graft.sources.Tables(spark, sf0001).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sim15_plan").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val p = VectorIndex.probeVectorIndexFiltered(spark, path,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        emb.select("vec_id", "label"))
+        .queryExecution.executedPlan.toString
+      // the pre-filter reaches the metadata parquet scan itself, so a
+      // label-partitioned meta table would prune to its shards
+      assert(p.contains("PushedFilters") &&
+        (p.contains("In(label") || p.contains("EqualTo(label")),
+        s"label predicate must be pushed into the meta scan:\n${p.take(1500)}")
+      // and the meta read is pruned to the two joined columns
+      assert(!p.contains("ReadSchema: struct<vec_id:bigint,embedding"),
+        "meta scan must not read the embedding column")
+    } finally {
+      try graft.ingest.FileUtils.delete(path, recursive = true): Unit
+      catch { case _: Throwable => () }
+    }
+  }
 }

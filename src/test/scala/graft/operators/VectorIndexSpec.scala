@@ -35,6 +35,28 @@ class VectorIndexSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration))
   }
 
+  test("sim15: filtered probe fills k within the predicate; post-filtering under-fills") {
+    val path = tmpDir("graft_vindex_filtered").toString
+    VectorIndex.saveVectorIndex(emb, path)
+    val qs = emb.filter(col("vec_id") < 3)
+    val labelOf = emb.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val filtered = VectorIndex.probeVectorIndexFiltered(spark, path, qs,
+      emb.select("vec_id", "label")).collect()
+    // pre-filter: every query fills its full k, all from its own label
+    assert(filtered.groupBy(_.getLong(0)).forall(_._2.length == 5),
+      "filtered probe must fill k within the predicate")
+    assert(filtered.forall(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0))),
+      "every ranked candidate must carry the query's label")
+    // the classic vector-DB bug, demonstrated: filtering the UNFILTERED
+    // top-k after the fact keeps only its label-matching subset — fewer
+    // than k rows whenever the global neighborhood is label-mixed
+    val post = VectorIndex.probeVectorIndex(spark, path, qs).collect()
+      .filter(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0)))
+    assert(post.length < filtered.length,
+      s"post-filter kept ${post.length} of ${filtered.length} — expected under-fill")
+  }
+
   test("sim12: appended batches are encoded under the STORED quantizers") {
     val path = tmpDir("graft_vindex_append").toString
     VectorIndex.saveVectorIndex(

@@ -634,18 +634,31 @@ object Similarity {
       rcb.map(_.slice(m * subDim, (m + 1) * subDim))
   }
 
+  /** The pinned training set: the corpus's FIRST `n` vectors in vec_id
+    * order (on a dense-id corpus this is `vec_id < n`, the sim03v/pq01
+    * replayable-training contract; on a gapped corpus — e.g. a rebuild
+    * minus erased ids — it is the first n SURVIVORS, still fully
+    * deterministic). One bounded collect, re-sorted driver-side so the
+    * array order never depends on task completion order.
+    */
+  private[operators] def pinnedTrainRows(emb: DataFrame,
+      n: Int): Array[(Long, Array[Double])] =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   /** Pin the quantizers from the corpus's first nCells + nCodes
-    * vectors (the sim03v/pq01 replayable-training contract) — one
-    * bounded collect; trained quantizers drop in without changing
-    * anything downstream.
+    * vectors ([[pinnedTrainRows]]) — one bounded collect; trained
+    * quantizers drop in without changing anything downstream.
     */
   private[operators] def trainIvfPq(emb: DataFrame, nCells: Int,
       nSub: Int, subDim: Int, nCodes: Int): IvfPqModel = {
     val dim = nSub * subDim
-    // bounded collect: nCells + nCodes pinned rows
-    val pinned = emb.filter(col("vec_id") < nCells + nCodes).orderBy(col("vec_id"))
-      .select(asDouble(col("embedding")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val pinned = pinnedTrainRows(emb, nCells + nCodes).map(_._2)
+    require(pinned.length == nCells + nCodes,
+      s"IVF-PQ training needs ${nCells + nCodes} vectors, corpus has ${pinned.length}")
     val cen = pinned.take(nCells)
     val m0 = IvfPqModel(nCells, nSub, subDim, cen, Array.empty)
     // shared residual codebook: residual of each base vector vs ITS cell

@@ -57,6 +57,12 @@ object VectorIndex {
     // is unreadable, and append/probe trust the stored state only
     Seq((nCells, nSub, subDim)).toDF("n_cells", "n_sub", "sub_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the EXACT vec_ids the quantizers were trained on — the erasure
+    // guard checks membership here, not a dense-id heuristic, so it
+    // stays correct after a rebuild leaves gaps in the id space
+    Similarity.pinnedTrainRows(emb, nCells + nCodes).map(_._1).toSeq
+      .toDF("vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/train_ids")
     model.cen.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -193,9 +199,11 @@ object VectorIndex {
     * them), rather than silently leaving the data resident.
     */
   def forgetFromVectorIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
-    val nCells = s.read.parquet(s"$path/meta").select("n_cells").head.getInt(0)
-    val nCodes = s.read.parquet(s"$path/codebook").count()
-    val trainIds = ids.filter(col("vec_id") < nCells + nCodes).count()
+    // membership against the STORED training set (not a dense-id
+    // heuristic): a rebuilt index's training ids have gaps
+    val trainIds = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .join(s.read.parquet(s"$path/train_ids"), Seq("vec_id"), "left_semi")
+      .count()
     require(trainIds == 0L,
       s"$trainIds forget ids are quantizer-training vectors — their " +
         "coordinates are embedded in centroids/codebook; rebuild the " +
@@ -229,6 +237,36 @@ object VectorIndex {
     rmr(s"$path/forgotten", conf)
     codes.write.parquet(s"$path/batches/b0/codes")
     graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
+  }
+
+  /** The training-id refusal remedy, executed ([[forgetFromVectorIndex]]
+    * names it): retrain the quantizers and re-encode on `corpus` MINUS
+    * `erase` MINUS any ids already tombstoned, replacing the index at
+    * `path` under its STORED geometry. After this, the erased training
+    * vector's coordinates are byte-absent from centroids, codebook,
+    * and every code row — the erasure a tombstone structurally cannot
+    * deliver for quantizer-resident data (pinned in VectorIndexSpec).
+    * Existing tombstones fold into the erase set (a save clears the
+    * tombstone log, so leaving them out would RESURRECT previously
+    * forgotten vectors); the replacement set is the union.
+    */
+  def rebuildVectorIndex(corpus: DataFrame, path: String,
+      erase: DataFrame): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val m = s.read.parquet(s"$path/meta")
+      .select("n_cells", "n_sub", "sub_dim").head
+    val nCodes = s.read.parquet(s"$path/codebook").count().toInt
+    // materialized BEFORE the re-save deletes the tombstone parquet it
+    // reads from (the vacuumIndex localCheckpoint rationale)
+    val gone = erase.select(col("vec_id").cast("long").as("vec_id"))
+      .unionByName(tombstoneIds(s, path)
+        .fold(Seq.empty[Long].toDF("vec_id"))(_.select(col("cid").as("vec_id"))))
+      .distinct()
+      .localCheckpoint(true)
+    val kept = corpus.join(gone,
+      corpus("vec_id").cast("long") === gone("vec_id"), "left_anti")
+    saveVectorIndex(kept, path, m.getInt(0), m.getInt(1), m.getInt(2), nCodes)
   }
 
   private def commitCodesBatch(batch: DataFrame, path: String,
@@ -365,5 +403,53 @@ object VectorIndex {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15)
+  // Refused-erasure → rebuild → clean probe, end to end: a NON-training
+  // id (40) is tombstoned normally, a TRAINING id (20) is refused (its
+  // coordinates live in the quantizers), and the documented remedy runs
+  // — rebuildVectorIndex retrains on the corpus minus {20} with the
+  // tombstone folded in (minus {40} too). The oracle replays sim07's
+  // full rebuild over embeddings WITHOUT ids 20/40: the centroid set is
+  // unchanged (both ids ≥ 16), the residual codebook re-pins to the
+  // first 16 SURVIVING vectors past the centroids ({16..19, 21..32},
+  // re-indexed densely), and candidates exclude both ids. The spec
+  // separately pins byte-absence of the erased training vector from
+  // quantizer state.
+  private val sim16 = QueryDef(
+    "sim16_index_rebuild_erasure",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim16_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        forgetFromVectorIndex(s, path,
+          emb.filter(col("vec_id") === 40).select("vec_id"))
+        val refused =
+          try {
+            forgetFromVectorIndex(s, path,
+              emb.filter(col("vec_id") === 20).select("vec_id"))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(refused, "training-id tombstone must be refused")
+        rebuildVectorIndex(emb, path,
+          emb.filter(col("vec_id") === 20).select("vec_id"))
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val a1 = "c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),"
+      val a2 = "SELECT c.cid - 16 AS kk,"
+      val a3 = "WHERE c.cid >= 16 AND c.cid < 32),"
+      Seq(a1, a2, a3).foreach(a =>
+        require(o.contains(a), s"sim07 oracle anchor moved: $a"))
+      o.replace(a1,
+          "c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv" +
+            " FROM embeddings WHERE vec_id NOT IN (20, 40)),")
+        .replace(a2, "SELECT ROW_NUMBER() OVER (ORDER BY c.cid) - 1 AS kk,")
+        .replace(a3, "WHERE c.cid >= 16 AND c.cid <= 32),")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16)
 }

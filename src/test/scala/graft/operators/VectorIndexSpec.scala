@@ -57,6 +57,43 @@ class VectorIndexSpec extends SparkSpec {
       s"post-filter kept ${post.length} of ${filtered.length} — expected under-fill")
   }
 
+  test("sim16: rebuild erases a training vector from quantizer state, codes, and probes") {
+    val path = tmpDir("graft_vindex_rebuild").toString
+    VectorIndex.saveVectorIndex(emb, path)
+    VectorIndex.forgetFromVectorIndex(spark, path,
+      emb.filter(col("vec_id") === 40).select("vec_id"))
+    intercept[IllegalArgumentException] {
+      VectorIndex.forgetFromVectorIndex(spark, path,
+        emb.filter(col("vec_id") === 20).select("vec_id"))
+    }
+    val v20 = emb.filter(col("vec_id") === 20)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .head.getSeq[Double](0).toSeq
+    VectorIndex.rebuildVectorIndex(emb, path,
+      emb.filter(col("vec_id") === 20).select("vec_id"))
+    // byte-absence: the erased vector's coordinates appear in NO
+    // centroid row and NO codebook residual's reconstruction basis
+    val model = VectorIndex.loadModel(spark, path)
+    assert(!model.cen.exists(_.toSeq == v20), "erased vector is a centroid")
+    val trainIds = spark.read.parquet(s"$path/train_ids")
+      .collect().map(_.getLong(0)).toSet
+    assert(!trainIds.contains(20L) && !trainIds.contains(40L),
+      s"erased ids must not be in the rebuilt training set: $trainIds")
+    assert(trainIds == ((0L until 33L).toSet - 20L),
+      "training re-pins to the first 32 survivors")
+    // codes physically absent for BOTH the erase set and the folded tombstone
+    val cids = spark.read.parquet(s"$path/batches/b0/codes")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(!cids.contains(20L) && !cids.contains(40L))
+    // tombstone log cleared by the re-save; probes are clean
+    assert(!graft.ingest.FileUtils.exists(s"$path/forgotten",
+      spark.sparkContext.hadoopConfiguration))
+    val probed = VectorIndex.probeVectorIndex(spark, path,
+      emb.filter(col("vec_id") < 3)).collect()
+    assert(probed.nonEmpty && !probed.exists(r =>
+      r.getLong(1) == 20L || r.getLong(1) == 40L))
+  }
+
   test("sim12: appended batches are encoded under the STORED quantizers") {
     val path = tmpDir("graft_vindex_append").toString
     VectorIndex.saveVectorIndex(

@@ -1326,10 +1326,105 @@ object Similarity {
       GROUP BY ds.d, t.qid ORDER BY trunc_dim, t.qid"""),
   )
 
+  /** IVFADC + REFINE (Jégou et al. 2011 §V.C): take the ADC top-R
+    * candidates per query, re-score them EXACTLY (squared L2 against a
+    * raw-vector side table), keep the top k ≤ R — the standard recall
+    * repair for PQ's quantization error, swept over R at FIXED nProbe
+    * (the sim10 dial pattern). Truth is the exact re-rank of the FULL
+    * probed-cell candidate set, so the R = everything endpoint is a
+    * built-in exact-recall proof (recall 1.0), and the R = k row IS
+    * plain ADC's recall (re-scoring k candidates reorders but cannot
+    * change the set) — the sweep's span is precisely the refine gain.
+    * Scale shape: candidates score map-side off the code table; only
+    * the ADC top-R rows (R·nQueries, bounded) join the raw-vector
+    * table — the side table is corpus-sized, so that is a
+    * co-partitioned equi-join on cid, never a corpus broadcast; the
+    * per-query rank exchanges are top-k sized.
+    */
+  def ivfPqRefineSweep(emb: DataFrame,
+      rs: Seq[Int] = Seq(5, 10, 20, 1000000), nQueries: Int = 3,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+      subDim: Int = 8, nCodes: Int = 16): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val model = trainIvfPq(emb, nCells, nSub, subDim, nCodes)
+    val q = queryVectors(emb, nQueries)
+    val candAll = adcRank(encodeIvfPq(emb, model), q, model,
+        Int.MaxValue, nProbe)
+      .withColumnRenamed("rn", "ad_rn")
+    val qdf = q.map { case (qid, v) => (qid, v.toSeq) }.toSeq.toDF("qid", "qv")
+    val raw = emb.select(col("vec_id").cast("long").as("cid"),
+      asDouble(col("embedding")).as("cv"))
+    // exact refine distance: sequential (a_i-b_i)^2 fold, index-
+    // ascending — the same double sequence the oracle's list_sum runs
+    val diff = zip_with(col("qv"), col("cv"), (a, b) => a - b)
+    val scored = candAll.join(raw, "cid").join(broadcast(qdf), "qid")
+      .withColumn("exd", graft.functions.VectorFunctions.dotD(diff, diff))
+      .select("qid", "cid", "ad_rn", "exd")
+      .localCheckpoint(true) // scored once, re-cut per R
+    val w = Window.partitionBy(col("qid")).orderBy(col("exd"), col("cid"))
+    val truth = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", "cid")
+      .localCheckpoint(true)
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    rs.map { r =>
+      scored.filter(col("ad_rn") <= r)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nt))
+        .select(lit(r.toLong).as("r_cand"),
+          col("hits").cast("bigint").as("hits"), col("n_true"),
+          (col("hits").cast("double") / col("n_true")).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("r_cand")
+  }
+
+  private val RefineRs = Seq(5, 10, 20, 1000000)
+
+  private def refineBlock(r: Int): String = s"""
+      ref$r AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exd, cid) AS rn
+        FROM ex WHERE ad_rn <= $r) WHERE rn <= 5)"""
+
+  private def refineRow(r: Int): String = s"""
+      SELECT ${r}::BIGINT AS r_cand,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ref$r JOIN truth USING (qid, cid)) AS hits,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        CAST((SELECT COUNT(*) FROM ref$r JOIN truth USING (qid, cid)) AS DOUBLE)
+          / (SELECT COUNT(*) FROM truth) AS recall_at_k"""
+
+  // The oracle extends sim07's full index rebuild past its `ad` CTE:
+  // ADC-rank every candidate, exact-re-score each (the same index-
+  // ascending squared-L2 fold), cut the refine set per R, and score
+  // recall against the exact re-rank of ALL candidates.
+  private val sim17 = QueryDef(
+    "sim17_ivfpq_refine",
+    (s, dir) => ivfPqRefineSweep(Tables(s, dir).embeddings),
+    sim07.oracle.map { o =>
+      val anchored = "SELECT qid, cid, adist, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"
+      require(o.contains(anchored), "sim07 oracle final select moved")
+      o.replace(anchored, s""",
+      adrn AS (SELECT qid, cid, adist,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS ad_rn
+        FROM ad),
+      ex AS (SELECT a.qid, a.cid, a.ad_rn,
+          list_sum(list_transform(range(64), i ->
+            (q.qv[i + 1] - cc.cv[i + 1]) * (q.qv[i + 1] - cc.cv[i + 1]))) AS exd
+        FROM adrn a JOIN q ON q.qid = a.qid JOIN c cc ON cc.cid = a.cid),
+      truth AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exd, cid) AS rn
+        FROM ex) WHERE rn <= 5),
+      ${RefineRs.map(refineBlock).mkString(",")}
+      ${RefineRs.map(refineRow).mkString("\n      UNION ALL\n")}
+      ORDER BY r_cand""")
+    },
+  )
+
   // Shared by VectorIndex's sim11/sim12: a loaded-index probe must emit
   // the exact ranking the from-scratch search derives, so they are
   // checked against the SAME oracle rebuild.
   private[operators] def sim07Oracle: Option[String] = sim07.oracle
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, sim14, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, sim14, sim17, rp01, neg01)
 }

@@ -429,4 +429,18 @@ class SimilaritySpec extends SparkSpec {
     }
     rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
   }
+
+  test("sim17: refine recall is non-decreasing in R and exactly 1.0 at R = everything") {
+    val rows = graft.Registry.byName("sim17_ivfpq_refine").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5L, 10L, 20L, 1000000L))
+    // widening the re-ranked candidate set can only add truth hits
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall decreased: $a -> $b")
+    }
+    // the endpoint proof: exact re-rank of ALL candidates IS the truth
+    assert(rows.last._4 == 1.0 && rows.last._2 == rows.last._3,
+      s"R=everything must recover truth exactly: ${rows.last}")
+  }
 }

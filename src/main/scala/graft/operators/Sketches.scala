@@ -892,7 +892,7 @@ object Sketches {
     * scan is one map-side-combined 9-key aggregation over the fact
     * with the 9 estimates broadcast.
     */
-  private val QsK = 1024
+  private[operators] val QsK = 1024
 
   /** 60-bit uniform hash (15 md5 hex chars — 16 would overflow signed
     * BIGINT) of the row's unique key; (h, key) is a strict total
@@ -906,6 +906,16 @@ object Sketches {
   private def qsHashSql(key: String): String =
     s"('0x' || substr(md5('qs:' || CAST($key AS VARCHAR)), 1, 15))::BIGINT"
 
+  /** The sketch's per-row projection (h, kk, v) BEFORE the bottom-k
+    * cut — shared by the batch sketch below and the streaming
+    * maintenance (str16), so both hash identically by construction.
+    */
+  private[graft] def quantileRows(fact: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    fact.select(qsHash(col(keyCol)).as("h"),
+      col(keyCol).cast("long").as("kk"),
+      col(valCol).cast("double").as("v"))
+
   /** The k-row sketch state: (h, kk, v) — hash, unique row key, value.
     * Sampling on the ROW key (not the value) keeps duplicate values at
     * their true multiplicity, so the sketch answers quantiles of the
@@ -913,10 +923,7 @@ object Sketches {
     */
   def quantileSketch(fact: DataFrame, keyCol: String, valCol: String,
       k: Int = QsK): DataFrame =
-    fact.select(qsHash(col(keyCol)).as("h"),
-        col(keyCol).cast("long").as("kk"),
-        col(valCol).cast("double").as("v"))
-      .orderBy(col("h"), col("kk")).limit(k)
+    quantileRows(fact, keyCol, valCol).orderBy(col("h"), col("kk")).limit(k)
 
   /** Merge sketches: union then re-cut at k — the bottom-k of a union
     * IS the bottom-k of the united bottom-k's (every global survivor
@@ -947,7 +954,7 @@ object Sketches {
     * qs04 (warehouse-merged sketch): one map-side-combined 9-key
     * aggregation over the fact with the 9 estimates broadcast.
     */
-  private def decileEnvelope(fact: DataFrame, valCol: String,
+  private[operators] def decileEnvelope(fact: DataFrame, valCol: String,
       est: DataFrame): DataFrame =
     fact.select(col(valCol).cast("double").as("v"))
       .crossJoin(broadcast(est))
@@ -1143,6 +1150,10 @@ object Sketches {
     },
     qs01.oracle,
   )
+
+  // Shared by StreamingParity's str16: the streamed sketch must emit
+  // the identical envelope table, so it checks against the SAME oracle.
+  private[operators] def qs01Oracle: Option[String] = qs01.oracle
 
   val defs: Seq[QueryDef] = Seq(cms01, cms02, cms03, hll01, hll02, hll03, hll04,
     hll05, hll06, bf01, qs01, qs02, qs03, qs04)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.sources.Tables
-import graft.streaming.{EventStreams, StreamingDedup, StreamingIngest}
+import graft.streaming.{EventStreams, StreamingDedup, StreamingIngest, StreamingQuantile}
 
 /** Oracle-checked stream-equals-batch parity queries — the CORRECTNESS
   * rows for the streaming operators (SURVEY.md §2C streaming
@@ -758,7 +758,44 @@ object StreamingParity {
     Similarity.sim07Oracle,
   )
 
+  // -------------------------------------------------------------- str16
+  // Streaming QUANTILE sketch parity — qs01's bottom-k sketch
+  // maintained continuously (the str11 pattern for the quantile member
+  // of the sketch quartet): orders land as 4 parquet files drained 2
+  // per trigger, each hash shard's flatMapGroupsWithState keeps its
+  // own ≤ k-row bottom-k and emits seq-tagged snapshots; estimation is
+  // a BATCH read of the landed snapshots (latest per shard, union,
+  // re-cut — mergeQuantileSketches' algebra, proven lossless by qs02).
+  // The projection is Sketches.quantileRows, shared with the batch
+  // sketch, so the streamed state is hash-identical by construction —
+  // str16 shares qs01's oracle, and a hash match certifies the whole
+  // streamed sketch cell-for-cell, deciles and envelope included.
+  private val str16 = QueryDef(
+    "str16_stream_quantile_parity",
+    (s, dir) => withStatePartitions(s) {
+      val orders = Tables(s, dir).orders
+      val tmp = tempDir("graft_str16")
+      val landing = tmp.resolve("orders").toString
+      orders.select("o_orderkey", "o_totalprice").repartition(4)
+        .write.mode("overwrite").parquet(landing)
+      val stream = s.readStream.schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 2).parquet(landing)
+      val snaps = StreamingQuantile.bottomKUpdates(
+        Sketches.quantileRows(stream, "o_orderkey", "o_totalprice"),
+        Sketches.QsK)
+      val name = fresh(s, "str16_qsketch")
+      EventStreams.runToMemoryUpdate(snaps, name)
+      val sketch = StreamingQuantile.latestSketch(s.table(name), Sketches.QsK)
+      val out = Sketches.decileEnvelope(orders, "o_totalprice",
+          Sketches.quantileEstimates(sketch))
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Sketches.qs01Oracle,
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15)
+      str11, str12, str13, str14, str15, str16)
 }

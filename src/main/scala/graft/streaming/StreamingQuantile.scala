@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming maintenance of the bottom-k quantile sketch
+  * (Sketches.quantileSketch's KMV form) — the continuous analog of the
+  * batch cut, for the "live decile dashboard" a 100-TB event feed
+  * needs: state NEVER exceeds k rows per shard, whatever the firehose
+  * volume.
+  *
+  * Shape: rows shard by key-hash into `nGroups` groups; each group's
+  * flatMapGroupsWithState keeps its own bottom-k (h, kk, v) and emits a
+  * FULL snapshot per trigger tagged with a per-group monotone `seq`.
+  * The reader takes each group's LATEST snapshot, unions, and re-cuts
+  * at k — exactly mergeQuantileSketches' union-and-recut algebra, whose
+  * losslessness qs02 proves cell-for-cell (every global bottom-k member
+  * survives its own shard's cut). Snapshot-emission beats delta-
+  * emission here because the memory/table sink is append-shaped: the
+  * latest (gid, seq) group IS the state, no replay needed.
+  */
+object StreamingQuantile {
+
+  final case class QRow(gid: Int, h: Long, kk: Long, v: Double)
+  final case class QState(seq: Long, h: Array[Long], kk: Array[Long],
+      v: Array[Double])
+  final case class QSnap(gid: Int, seq: Long, h: Long, kk: Long, v: Double)
+
+  private def advance(k: Int)(gid: Int, rows: Iterator[QRow],
+      state: GroupState[QState]): Iterator[QSnap] = {
+    val old = state.getOption.getOrElse(QState(0L, Array.empty, Array.empty, Array.empty))
+    val merged = (old.h.indices.map(i => (old.h(i), old.kk(i), old.v(i))) ++
+        rows.map(r => (r.h, r.kk, r.v)))
+      .distinct // a retried batch must not duplicate a survivor
+      .sortBy(t => (t._1, t._2))
+      .take(k)
+    val seq = old.seq + 1
+    state.update(QState(seq, merged.map(_._1).toArray,
+      merged.map(_._2).toArray, merged.map(_._3).toArray))
+    merged.iterator.map(t => QSnap(gid, seq, t._1, t._2, t._3))
+  }
+
+  /** `rows` is the streaming (h, kk, v) projection
+    * (Sketches.quantileRows over a stream — hash-identical to the
+    * batch sketch by construction). Returns the per-trigger snapshot
+    * stream; read back with [[latestSketch]].
+    */
+  def bottomKUpdates(rows: DataFrame, k: Int,
+      nGroups: Int = 8): Dataset[QSnap] = {
+    implicit val rowEnc = Encoders.product[QRow]
+    implicit val snapEnc = Encoders.product[QSnap]
+    implicit val stateEnc = Encoders.product[QState]
+    rows
+      .select(pmod(col("kk"), lit(nGroups)).cast("int").as("gid"),
+        col("h"), col("kk"), col("v"))
+      .as[QRow]
+      .groupByKey(_.gid)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(advance(k))
+  }
+
+  /** The current global sketch from a landed snapshot table: latest
+    * snapshot per group (a window over ≤ nGroups × k × triggers rows,
+    * bounded), union, re-cut at k.
+    */
+  def latestSketch(snaps: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    snaps
+      .withColumn("mx", max(col("seq")).over(w))
+      .filter(col("seq") === col("mx"))
+      .select("h", "kk", "v")
+      .orderBy(col("h"), col("kk")).limit(k)
+  }
+}

@@ -70,6 +70,16 @@ object Bench {
     // measure the plan, not first-use classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Drift-bisection mode: measure ONLY ingest throughput (seconds,
+    // not the ~25 min full sweep) so an ingest_rps move between rounds
+    // can be re-measured in isolation on demand.
+    if (sys.env.contains("SPARK_GRAFT_INGEST_ONLY")) {
+      val (rps, best) = ingestThroughput(spark)
+      println(f"""{"metric":"ingest_rps","value":$rps%.0f,"best":$best%.0f}""")
+      spark.stop()
+      return
+    }
+
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       SparkEntry.queries.toSeq.sortBy(_._1) ++ bucketedJoinBench(spark, sfDir) ++
         skewBench ++ vectorIndexBench(spark, sfDir)

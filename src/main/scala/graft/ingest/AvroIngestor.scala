@@ -99,20 +99,34 @@ object AvroIngestor {
 
   /** Write `df` as Avro container files under `dir`, one file per
     * partition (part-<n>.avro), each task streaming its own partition
-    * through a DataFileWriter. Each attempt writes a task-attempt-
-    * unique temp name and renames into place on success — so a retry
-    * or speculative twin of the same partition can never interleave
-    * bytes into one container (rename is atomic per attempt; whichever
-    * attempt renames last wins whole, both are complete files of the
-    * same rows). A failed attempt's temp file is deleted on the spot
-    * and, being dot-prefixed, invisible to the discovery walk
+    * through a DataFileWriter. Commit protocol: stale part files are
+    * cleared DRIVER-SIDE before the job launches (so an overwrite of a
+    * reused dir never keeps a previous job's data), then each attempt
+    * writes a task-attempt-unique dot-prefixed temp name and commits
+    * by RENAME ONLY — a task never deletes the final name, so a
+    * lagging retry/speculative twin cannot destroy an already-
+    * committed file: its rename fails against the existing complete
+    * file and is treated as the twin having won (both attempts hold
+    * the same rows). A failed attempt's temp file is deleted on the
+    * spot and, being dot-prefixed, invisible to the discovery walk
     * (FileScanner's default ignore patterns) even if the delete dies.
     */
   def writeAvro(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema).toString
-    val confS = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sessionState.newHadoopConf())
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val confS = new org.apache.spark.util.SerializableConfiguration(hconf)
+    // driver-side pre-clean, BEFORE any task can commit: a stale
+    // part-*.avro from a previous job must not survive an overwrite,
+    // and doing it here (not in tasks) keeps the task protocol
+    // rename-only — no attempt ever deletes a committed file
+    val root = new Path(dir)
+    val rootFs = root.getFileSystem(hconf)
+    if (rootFs.exists(root))
+      rootFs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.matches("part-\\d{5}\\.avro"))
+          rootFs.delete(st.getPath, false): Unit
+      }
     df.foreachPartition { (it: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
@@ -140,9 +154,15 @@ object AvroIngestor {
           w.append(rec)
         }
         w.close() // flush + close BEFORE rename: the final name only
-        if (fs.exists(p)) fs.delete(p, false) // ever holds complete files
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"avro commit rename failed: $tmp -> $p")
+        //          ever holds complete files
+        if (!fs.rename(tmp, p)) {
+          // rename-only commit: failure against an EXISTING final file
+          // means a twin attempt already committed the same rows — the
+          // loser cleans its temp and succeeds; any other failure is real
+          if (!fs.exists(p))
+            throw new java.io.IOException(s"avro commit rename failed: $tmp -> $p")
+          fs.delete(tmp, false): Unit
+        }
         committed = true
       } finally {
         if (!committed) {

@@ -76,7 +76,16 @@ object FileScanner {
   def classify(fileName: String): Option[String] = {
     val stem = decompressedName(fileName)
     val dot = stem.lastIndexOf('.')
-    if (dot < 0) None else ExtensionMap.get(stem.substring(dot).toLowerCase)
+    val inner =
+      if (dot < 0) None else ExtensionMap.get(stem.substring(dot).toLowerCase)
+    // the see-through applies ONLY to text formats, whose readers
+    // decompress by extension; a gzipped BINARY container
+    // (.parquet.gz/.orc.gz/.avro.gz) would classify and then crash its
+    // reader on the magic bytes — for those, unrecognized (skip) is
+    // the correct verdict, exactly the .zst reasoning above
+    if (stem.length != fileName.length &&
+        !inner.forall(f => f == "json" || f == "csv")) None
+    else inner
   }
 
   def matchesAny(name: String, patterns: Seq[String]): Boolean =

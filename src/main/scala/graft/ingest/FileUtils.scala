@@ -35,6 +35,15 @@ object FileUtils {
     fs(p, conf).exists(p)
   }
 
+  /** Recursive delete, tolerant of a missing path (Unit-returning so
+    * lifecycle code calls it for effect) — the one shared spelling of
+    * "remove this index/temp tree via the Hadoop FS API".
+    */
+  def rmr(path: String, conf: Configuration = new Configuration()): Unit = {
+    delete(path, recursive = true, conf)
+    ()
+  }
+
   def mkdirs(path: String, conf: Configuration = new Configuration()): Boolean = {
     val p = new Path(path)
     fs(p, conf).mkdirs(p)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.ingest.FileUtils.rmr
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
 
@@ -1237,16 +1238,6 @@ object Dedup {
           - (SELECT COUNT(*) FROM cl)
       ORDER BY cluster_size"""),
   )
-
-  /** Recursive delete, tolerant of a missing path — the whole index
-    * lifecycle runs on the Hadoop FileSystem API (FileUtils), so an
-    * index path can live on HDFS/S3A exactly as on local disk.
-    */
-  private def rmr(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    graft.ingest.FileUtils.delete(path, recursive = true, conf)
-    ()
-  }
 
   // Deterministic batch split (doc_id ≡ 3 mod 7 ≈ 1/7 of the corpus
   // arriving "now"); the oracle recomputes signatures/bands for the

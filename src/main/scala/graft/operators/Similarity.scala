@@ -654,9 +654,17 @@ object Similarity {
     * quantizers drop in without changing anything downstream.
     */
   private[operators] def trainIvfPq(emb: DataFrame, nCells: Int,
-      nSub: Int, subDim: Int, nCodes: Int): IvfPqModel = {
+      nSub: Int, subDim: Int, nCodes: Int): IvfPqModel =
+    trainIvfPqPinned(pinnedTrainRows(emb, nCells + nCodes).map(_._2),
+      nCells, nSub, subDim, nCodes)
+
+  /** Pure training from ALREADY-collected pinned rows (vec_id order) —
+    * the entry for callers that also need the training ids
+    * (saveVectorIndex persists them), so one collect serves both.
+    */
+  private[operators] def trainIvfPqPinned(pinned: Array[Array[Double]],
+      nCells: Int, nSub: Int, subDim: Int, nCodes: Int): IvfPqModel = {
     val dim = nSub * subDim
-    val pinned = pinnedTrainRows(emb, nCells + nCodes).map(_._2)
     require(pinned.length == nCells + nCodes,
       s"IVF-PQ training needs ${nCells + nCodes} vectors, corpus has ${pinned.length}")
     val cen = pinned.take(nCells)
@@ -1341,8 +1349,14 @@ object Similarity {
     * co-partitioned equi-join on cid, never a corpus broadcast; the
     * per-query rank exchanges are top-k sized.
     */
+  /** The swept candidate-list widths — ONE definition feeding both the
+    * Spark sweep's default and the oracle's per-R blocks, so they
+    * cannot silently diverge.
+    */
+  private[operators] val RefineRs = Seq(5, 10, 20, 1000000)
+
   def ivfPqRefineSweep(emb: DataFrame,
-      rs: Seq[Int] = Seq(5, 10, 20, 1000000), nQueries: Int = 3,
+      rs: Seq[Int] = RefineRs, nQueries: Int = 3,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
       subDim: Int = 8, nCodes: Int = 16): DataFrame = {
     val s = emb.sparkSession
@@ -1379,8 +1393,6 @@ object Similarity {
           (col("hits").cast("double") / col("n_true")).as("recall_at_k"))
     }.reduce(_.unionByName(_)).orderBy("r_cand")
   }
-
-  private val RefineRs = Seq(5, 10, 20, 1000000)
 
   private def refineBlock(r: Int): String = s"""
       ref$r AS (SELECT qid, cid FROM (SELECT qid, cid,

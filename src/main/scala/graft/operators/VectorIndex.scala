@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.ingest.FileUtils.rmr
 import graft.sources.Tables
 
 /** Persisted IVF-PQ vector index — the dedup side's marker-sealed
@@ -52,7 +53,10 @@ object VectorIndex {
     rmr(s"$path/forgotten", conf)
     val s = emb.sparkSession
     import s.implicits._
-    val model = Similarity.trainIvfPq(emb, nCells, nSub, subDim, nCodes)
+    // ONE bounded collect serves training AND the persisted id list
+    val pinned = Similarity.pinnedTrainRows(emb, nCells + nCodes)
+    val model = Similarity.trainIvfPqPinned(pinned.map(_._2),
+      nCells, nSub, subDim, nCodes)
     // geometry + quantizers FIRST: a code table without its quantizers
     // is unreadable, and append/probe trust the stored state only
     Seq((nCells, nSub, subDim)).toDF("n_cells", "n_sub", "sub_dim")
@@ -60,8 +64,7 @@ object VectorIndex {
     // the EXACT vec_ids the quantizers were trained on — the erasure
     // guard checks membership here, not a dense-id heuristic, so it
     // stays correct after a rebuild leaves gaps in the id space
-    Similarity.pinnedTrainRows(emb, nCells + nCodes).map(_._1).toSeq
-      .toDF("vec_id")
+    pinned.map(_._1).toSeq.toDF("vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/train_ids")
     model.cen.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "v")
@@ -93,28 +96,44 @@ object VectorIndex {
     */
   val MaxProbeQueries: Int = 4096
 
-  def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4): DataFrame = {
+  /** Shared probe state: stored quantizers + the tombstone-filtered
+    * code table (logical erasure — tombstoned vectors are invisible to
+    * every probe). Both probe entries read through here so the
+    * protocol can never diverge between them.
+    */
+  private def loadCoded(s: SparkSession, path: String): (Similarity.IvfPqModel, DataFrame) = {
     val model = loadModel(s, path)
     val stored = s.read.parquet(
       committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
         .map(_ + "/codes"): _*)
-    // logical erasure: tombstoned vectors are invisible to every probe
-    val coded = tombstoneIds(s, path) match {
-      case Some(t) => stored.join(t, Seq("cid"), "left_anti")
-      case None => stored
-    }
-    // bounded collect: the limit(Max+1) caps what can ever reach the
-    // driver BEFORE the require reports the overflow
+    val coded = tombstoneIds(s, path)
+      .fold(stored)(t => stored.join(t, Seq("cid"), "left_anti"))
+    (model, coded)
+  }
+
+  /** Bounded query collect shared by both probes: the limit(Max+1)
+    * caps what can ever reach the driver BEFORE the require reports
+    * the overflow.
+    */
+  private def boundedQueries(queries: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column]): Array[org.apache.spark.sql.Row] = {
     val rows = queries.orderBy(col("vec_id"))
-      .select(col("vec_id").cast("long").as("qid"),
+      .select(Seq(col("vec_id").cast("long").as("qid"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        ++ extra: _*)
       .limit(MaxProbeQueries + 1).collect()
     require(rows.length <= MaxProbeQueries,
-      s"probeVectorIndex takes at most $MaxProbeQueries query vectors " +
-        "per call (each becomes nProbe broadcast ADC tables); chunk " +
+      s"index probes take at most $MaxProbeQueries query vectors per " +
+        "call (each becomes nProbe broadcast ADC tables); chunk " +
         "larger query sets")
-    val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    rows
+  }
+
+  def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (model, coded) = loadCoded(s, path)
+    val q = boundedQueries(queries, Nil)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     Similarity.adcRank(coded, q, model, k, nProbe)
   }
 
@@ -135,28 +154,14 @@ object VectorIndex {
   def probeVectorIndexFiltered(s: SparkSession, path: String,
       queries: DataFrame, meta: DataFrame, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val model = loadModel(s, path)
-    val stored = s.read.parquet(
-      committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
-        .map(_ + "/codes"): _*)
-    val coded0 = tombstoneIds(s, path) match {
-      case Some(t) => stored.join(t, Seq("cid"), "left_anti")
-      case None => stored
-    }
-    val rows = queries.orderBy(col("vec_id"))
-      .select(col("vec_id").cast("long").as("qid"),
-        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"),
-        col("label"))
-      .limit(MaxProbeQueries + 1).collect()
-    require(rows.length <= MaxProbeQueries,
-      s"probeVectorIndexFiltered takes at most $MaxProbeQueries query " +
-        "vectors per call; chunk larger query sets")
+    val (model, coded) = loadCoded(s, path)
+    val rows = boundedQueries(queries, Seq(col("label")))
     val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val labelOf: Map[Long, Any] = rows.map(r => r.getLong(0) -> r.get(2)).toMap
     val wanted = rows.map(_.get(2)).distinct.toSeq
     val fmeta = meta.filter(col("label").isin(wanted: _*))
       .select(col("vec_id").cast("long").as("cid"), col("label"))
-    Similarity.adcRank(coded0.join(fmeta, "cid"), q, model, k, nProbe,
+    Similarity.adcRank(coded.join(fmeta, "cid"), q, model, k, nProbe,
       Some(labelOf))
   }
 
@@ -199,6 +204,13 @@ object VectorIndex {
     * them), rather than silently leaving the data resident.
     */
   def forgetFromVectorIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    // a pre-train_ids index must fail LOUDLY with its remedy (the
+    // rejectLegacyLayout idiom), not with a raw path-not-found from
+    // the parquet reader
+    require(graft.ingest.FileUtils.exists(s"$path/train_ids",
+        s.sparkContext.hadoopConfiguration),
+      s"$path predates the train_ids manifest; re-save it with " +
+        "saveVectorIndex (or rebuildVectorIndex) before erasing from it")
     // membership against the STORED training set (not a dense-id
     // heuristic): a rebuilt index's training ids have gaps
     val trainIds = ids.select(col("vec_id").cast("long").as("vec_id"))
@@ -290,16 +302,6 @@ object VectorIndex {
       .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     require(dirs.nonEmpty, s"no committed index batches under $path/batches")
     dirs
-  }
-
-  /** Recursive delete, tolerant of a missing path — every filesystem
-    * op in this lifecycle goes through the Hadoop FileSystem API, so
-    * an index path can live on HDFS/S3A exactly as on local disk.
-    */
-  private def rmr(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    graft.ingest.FileUtils.delete(path, recursive = true, conf)
-    ()
   }
 
   // Save the WHOLE corpus, then probe the loaded index: the output

@@ -27,14 +27,27 @@ object StreamingQuantile {
       v: Array[Double])
   final case class QSnap(gid: Int, seq: Long, h: Long, kk: Long, v: Double)
 
+  // keyed on (h, kk): a re-delivered row is the SAME element (set-add
+  // no-ops), so a retried batch can never duplicate a survivor
+  private val bottomKOrd: Ordering[(Long, Long, Double)] =
+    Ordering.by(t => (t._1, t._2))
+
   private def advance(k: Int)(gid: Int, rows: Iterator[QRow],
       state: GroupState[QState]): Iterator[QSnap] = {
     val old = state.getOption.getOrElse(QState(0L, Array.empty, Array.empty, Array.empty))
-    val merged = (old.h.indices.map(i => (old.h(i), old.kk(i), old.v(i))) ++
-        rows.map(r => (r.h, r.kk, r.v)))
-      .distinct // a retried batch must not duplicate a survivor
-      .sortBy(t => (t._1, t._2))
-      .take(k)
+    // bounded fold, NOT buffer-sort-cut: the group's micro-batch can
+    // be arbitrarily large (the firehose case this operator exists
+    // for), so rows stream through a ≤ k-element ordered set — O(k)
+    // memory and O(n log k) work, never O(batch) of either
+    val heap = scala.collection.mutable.TreeSet.empty(bottomKOrd)
+    var i = 0
+    while (i < old.h.length) { heap.add((old.h(i), old.kk(i), old.v(i))); i += 1 }
+    rows.foreach { r =>
+      val t = (r.h, r.kk, r.v)
+      if (heap.size < k) heap.add(t): Unit
+      else if (bottomKOrd.lt(t, heap.last) && heap.add(t)) heap.remove(heap.last): Unit
+    }
+    val merged = heap.toSeq
     val seq = old.seq + 1
     state.update(QState(seq, merged.map(_._1).toArray,
       merged.map(_._2).toArray, merged.map(_._3).toArray))

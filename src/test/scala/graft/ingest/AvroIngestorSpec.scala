@@ -57,6 +57,18 @@ class AvroIngestorSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("writeAvro over a reused dir replaces stale parts (driver pre-clean)") {
+    val dir = tmpDir("graft_avro_ow").toString
+    // first job writes 2 part files; second writes 1 — the stale
+    // part-00001 from job 1 must NOT survive into the re-read
+    AvroIngestor.writeAvro(sample.repartition(2), dir)
+    AvroIngestor.writeAvro(sample.coalesce(1), dir)
+    val back = AvroIngestor.readAvro(spark, dir)
+    assert(back.select("_source_file").distinct().collect()
+      .map(_.getString(0)).toSet == Set("part-00000.avro"))
+    assert(back.count() == 3L)
+  }
+
   test("Some(Nil) projects NOTHING (row count kept, zero fields decoded)") {
     val dir = tmpDir("graft_avro_none").toString
     AvroIngestor.writeAvro(sample.coalesce(1), dir)

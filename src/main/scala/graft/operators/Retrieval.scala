@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.VectorFunctions.{asDouble, cosine}
+import graft.sources.Tables
+
+/** Retrieval composition — the operators a training-data pipeline runs
+  * ON TOP of its lexical (BM25, txt10) and dense (cosine, sim01)
+  * rankers to pick what actually enters a curated set or a RAG
+  * context:
+  *
+  *  - hybrid reciprocal-rank fusion (hyb01) — Cormack et al. 2009's
+  *    RRF, the standard way to combine a keyword leg and a vector leg
+  *    without score calibration: fused = Σ_legs 1/(K + rank), K = 60.
+  *  - maximal marginal relevance (mmr01) — Carbonell & Goldstein 1998:
+  *    greedy selection maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s),
+  *    the diversity re-rank that keeps near-duplicate passages from
+  *    crowding a context window (the retrieval-time cousin of the
+  *    dedup family's corpus-time guarantees).
+  *
+  * Scale shape: both operators consume the top-k OUTPUT of the
+  * rankers, never the corpus — the legs do the heavy work with their
+  * proven plans (BM25's TakeOrderedAndProject; the dense leg's
+  * broadcast-query scan, or the persisted IVF-PQ index at deployment
+  * scale), and fusion/diversification touch ≤ k + k rows. MMR is
+  * inherently sequential-greedy, so its step loop runs on the driver
+  * over the BOUNDED pool (≤ pool rel rows + pool² pair sims collected,
+  * both annotated) — exactly how a production reranker treats its
+  * candidate window.
+  */
+object Retrieval {
+
+  /** Hybrid retrieval by reciprocal-rank fusion: the BM25 top-kLeg for
+    * `terms` fused with the cosine top-kLeg for the query vector
+    * (vec_id = `queryVec`), fused score = Σ 1/(rrfK + rank) with a
+    * missing leg contributing 0 — rank-only fusion, so the two legs'
+    * incomparable score scales never need calibration. Output keeps
+    * each leg's rank for attribution (NULL = not in that leg's top-k).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVec: Long = 0L, kLeg: Int = 20, kOut: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val lex = Text.bm25TopK(docs, terms, kLeg)
+      .select(col("doc_id"), col("rn").as("lex_rn"))
+    val q = emb.filter(col("vec_id") === queryVec)
+      .select(asDouble(col("embedding")).as("qv"))
+    val den = emb.filter(col("vec_id") =!= queryVec)
+      .select(col("vec_id").cast("long").as("doc_id"),
+        asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .orderBy(col("sim").desc, col("doc_id")).limit(kLeg)
+      // rank over the already-LIMITed kLeg rows — bounded window
+      .withColumn("vec_rn", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).cast("bigint"))
+      .select("doc_id", "vec_rn")
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      // fixed add order (lex + dense): bit-deterministic cross-engine
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rn")), lit(0.0)))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+      // bounded window again: kOut rows
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+      .select("doc_id", "rrf", "lex_rn", "vec_rn", "rn")
+      .orderBy("rn")
+  }
+
+  /** MMR diversification of the dense top-`pool` for query vector
+    * `queryVec`: k greedy steps, each picking the candidate maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) (ties to the smaller
+    * id; an empty selection contributes 0 diversity penalty). The
+    * relevance scan and the pool's pairwise sims are computed
+    * DISTRIBUTED; only the bounded pool (≤ pool rel rows, ≤ pool²
+    * pair-sim rows) reaches the driver for the inherently sequential
+    * greedy loop.
+    */
+  def mmrDiversify(emb: DataFrame, queryVec: Long = 0L,
+      lambda: Double = 0.7, pool: Int = 20, k: Int = 5): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === queryVec)
+      .select(asDouble(col("embedding")).as("qv"))
+    val cand = emb.filter(col("vec_id") =!= queryVec)
+      .select(col("vec_id").cast("long").as("cid"),
+        asDouble(col("embedding")).as("cv"))
+    val poolDf = cand.crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("qv"), col("cv")))
+      .orderBy(col("rel").desc, col("cid")).limit(pool)
+      .select("cid", "rel", "cv")
+      .localCheckpoint(eager = true) // pin the pool before reuse x3
+    // bounded collects: ≤ pool rel rows, ≤ pool·(pool−1) pair sims
+    val rel = poolDf.select("cid", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = poolDf.select(col("cid").as("a"), col("cv").as("av"))
+    val b = poolDf.select(col("cid").as("b"), col("cv").as("bv"))
+    val simOf = a.join(b, col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("av"), col("bv")))
+      .select("a", "b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var selected = Vector.empty[(Int, Long, Double)] // (step, cid, mmr)
+    var remaining = rel.keySet.toVector.sorted
+    for (step <- 1 to math.min(k, remaining.size)) {
+      val scored = remaining.map { c =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.map(t => simOf((c, t._2))).max
+        // the exact double sequence the oracle replays: λ·rel − (1−λ)·ms
+        (c, lambda * rel(c) - (1.0 - lambda) * ms)
+      }
+      val (bestC, bestS) = scored.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      selected :+= ((step, bestC, bestS))
+      remaining = remaining.filterNot(_ == bestC)
+    }
+    selected.map { case (st, c, m) => (st.toLong, c, m) }
+      .toDF("step", "doc_id", "mmr")
+      .orderBy("step")
+  }
+
+  private val HybTerms = Seq("table", "scan", "stream")
+
+  // Fuses txt10's exact lexical ranking (shared oracle CTE chain) with
+  // the dense cosine ranking; the oracle replays both legs and the
+  // 1/(60+rank) fusion, so a hash match certifies leg ranks, the
+  // full-outer union, and the fused ordering together.
+  private val hyb01 = QueryDef(
+    "hyb01_rrf_fusion",
+    (s, dir) =>
+      hybridRrf(Tables(s, dir).documents, Tables(s, dir).embeddings, HybTerms),
+    Text.bm25Oracle.map { o =>
+      val anchored = "SELECT doc_id, score_micro, rn FROM r WHERE rn <= 20 ORDER BY rn"
+      require(o.contains(anchored), "txt10 oracle final select moved")
+      o.replace(anchored, """,
+      lex AS (SELECT doc_id, rn AS lex_rn FROM r WHERE rn <= 20),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id <> 0),
+      ds AS (SELECT cid,
+          list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+             sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        FROM c, q),
+      den AS (SELECT cid AS doc_id, vec_rn FROM (SELECT cid,
+          CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS BIGINT) AS vec_rn
+        FROM ds) WHERE vec_rn <= 20),
+      fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+          COALESCE(1.0 / (60 + l.lex_rn), 0.0)
+            + COALESCE(1.0 / (60 + d.vec_rn), 0.0) AS rrf,
+          l.lex_rn AS lex_rn, d.vec_rn AS vec_rn
+        FROM lex l FULL OUTER JOIN den d ON d.doc_id = l.doc_id),
+      fr AS (SELECT doc_id, rrf, lex_rn, vec_rn,
+          CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+        FROM fused)
+      SELECT doc_id, rrf, lex_rn, vec_rn, rn FROM fr WHERE rn <= 10 ORDER BY rn""")
+    },
+  )
+
+  private def mmrStep(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""
+      m$i AS (SELECT p.cid, p.rel, MAX(ps.sim) AS ms
+        FROM pool p JOIN psim ps ON ps.a = p.cid JOIN $prev t ON ps.b = t.cid
+        WHERE p.cid NOT IN (SELECT cid FROM $prev)
+        GROUP BY p.cid, p.rel),
+      s$i AS MATERIALIZED (SELECT cid, 0.7 * rel - 0.3 * ms AS mmr
+        FROM m$i ORDER BY mmr DESC, cid LIMIT 1),
+      sel$i AS MATERIALIZED (SELECT * FROM $prev
+        UNION ALL SELECT cid, $i AS step, mmr FROM s$i)"""
+  }
+
+  // The oracle replays the greedy unrolled (5 steps, each CTE
+  // MATERIALIZED — the gr04 lesson — and referenced a constant number
+  // of times): pool = dense top-20, psim = its pairwise cosines, step
+  // i = argmax of 0.7·rel − 0.3·max-sim-to-selected with ties to the
+  // smaller id. Doubles match bit-for-bit because both engines run the
+  // same cosine folds and the same two-multiply-one-subtract sequence.
+  private val mmr01 = QueryDef(
+    "mmr01_mmr_diversify",
+    (s, dir) => mmrDiversify(Tables(s, dir).embeddings),
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id <> 0),
+      ds AS (SELECT cid, cv,
+          list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+             sqrt(list_sum(list_transform(cv, x -> x * x)))) AS rel
+        FROM c, q),
+      pool AS MATERIALIZED (SELECT cid, cv, rel FROM (SELECT cid, cv, rel,
+          ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS rn FROM ds)
+        WHERE rn <= 20),
+      psim AS MATERIALIZED (SELECT pa.cid AS a, pb.cid AS b,
+          list_sum(list_transform(list_zip(pa.cv, pb.cv), x -> x[1] * x[2])) /
+            (sqrt(list_sum(list_transform(pa.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(pb.cv, x -> x * x)))) AS sim
+        FROM pool pa JOIN pool pb ON pa.cid <> pb.cid),
+      s1 AS MATERIALIZED (SELECT cid, 0.7 * rel - 0.3 * 0.0 AS mmr
+        FROM pool ORDER BY mmr DESC, cid LIMIT 1),
+      sel1 AS MATERIALIZED (SELECT cid, 1 AS step, mmr FROM s1),
+      ${(2 to 5).map(mmrStep).mkString(",")}
+      SELECT CAST(step AS BIGINT) AS step, cid AS doc_id, mmr
+      FROM sel5 ORDER BY step"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(hyb01, mmr01)
+}

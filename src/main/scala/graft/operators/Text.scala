@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -375,41 +376,48 @@ object Text {
     * rank must never be a single-partition window; the rank column is
     * assigned over the already-limited 20 rows).
     */
+  /** txt10's BM25 ranking as a reusable kernel — also the lexical leg
+    * of the hybrid RRF fusion (Similarity.hyb01). Returns
+    * (doc_id, score_micro, rn), rn 1..k.
+    */
+  private[operators] def bm25TopK(docs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), toks.as("toks"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("tk"))
+      .filter(col("tk").isin(terms: _*))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dft), "tk")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("score_micro",
+        floor(col("idf") * col("tfn") * lit(1000000.0)).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.groupBy("doc_id").agg(sum(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .select("doc_id", "score_micro", "rn")
+      .orderBy("rn")
+  }
+
   private val txt10 = QueryDef(
     "txt10_bm25",
-    (s, dir) => {
-      val terms = Seq("table", "scan", "stream")
-      val t = Tables(s, dir).documents.select(col("doc_id"), toks.as("toks"))
-      val dl = t.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      val tf = t.select(col("doc_id"), explode(col("toks")).as("tk"))
-        .filter(col("tk").isin(terms: _*))
-        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy("tk").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(dl, "doc_id")
-        .join(broadcast(dft), "tk")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("total_tokens").cast("double") / col("n_docs").cast("double"))
-        .withColumn("idf",
-          log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-        .withColumn("tfn",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-        .withColumn("score_micro",
-          floor(col("idf") * col("tfn") * lit(1000000.0)).cast("bigint"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score_micro").desc, col("doc_id"))
-      scored.groupBy("doc_id").agg(sum(col("score_micro")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(20)
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .select("doc_id", "score_micro", "rn")
-        .orderBy("rn")
-    },
+    (s, dir) =>
+      bm25TopK(Tables(s, dir).documents, Seq("table", "scan", "stream"), 20),
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
       stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
@@ -560,6 +568,10 @@ object Text {
         array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings_head
       FROM tf GROUP BY token HAVING COUNT(*) >= 50 ORDER BY token"""),
   )
+
+  // Shared by Retrieval's hyb01: the hybrid fusion's lexical leg must
+  // be txt10's exact ranking, so its oracle extends txt10's CTE chain.
+  private[operators] def bm25Oracle: Option[String] = txt10.oracle
 
   val defs: Seq[QueryDef] = Seq(txt01, txt02, txt03, txt04, txt05, txt06, txt07,
     txt08, txt09, txt10, txt11, txt12, ii01)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables(spark, sf0001).documents
+  private def emb = graft.sources.Tables(spark, sf0001).embeddings
+
+  test("hyb01: fused score is exactly the sum of the legs' reciprocal ranks") {
+    val rows = Retrieval.hybridRrf(docs, emb, Seq("table", "scan", "stream"))
+      .collect()
+    assert(rows.length == 10 && rows.map(_.getLong(4)).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getLong(2))
+      val vec = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getLong(3))
+      assert(r.getDouble(1) == lex + vec,
+        s"rrf must be the reciprocal-rank sum: $r")
+      assert(!(r.isNullAt(2) && r.isNullAt(3)),
+        "a fused doc must come from at least one leg")
+    }
+    // rank-only fusion: the output is ordered by fused score then id
+    val rrfs = rows.map(_.getDouble(1)).toSeq
+    assert(rrfs == rrfs.sorted.reverse, "output must be rrf-descending")
+  }
+
+  test("mmr01: greedy picks the top-rel first, then trades relevance for diversity") {
+    val sel = Retrieval.mmrDiversify(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.map(_._1).toSeq == (1L to 5L))
+    assert(sel.map(_._2).distinct.length == 5, "selections must be distinct")
+    // step 1 has no diversity penalty: it IS the relevance argmax
+    val q = emb.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val topRel = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").cast("long").as("cid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", graft.functions.VectorFunctions.cosine(col("qv"), col("cv")))
+      .orderBy(col("rel").desc, col("cid")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel.head._2 == topRel.head, "step 1 must be the top-rel candidate")
+    // the point of MMR: the selected set is strictly more diverse than
+    // plain top-5-by-relevance (lower mean pairwise cosine)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val vs = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").cast("long"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(x: Array[Double], y: Array[Double]): Double = {
+        val dot = x.indices.map(i => x(i) * y(i)).sum
+        dot / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(y.map(a => a * a).sum))
+      }
+      val pairs = for { i <- ids.indices; j <- ids.indices if i < j }
+        yield cos(vs(ids(i)), vs(ids(j)))
+      pairs.sum / pairs.size
+    }
+    val mmrIds = sel.map(_._2).toSeq
+    assert(meanPairSim(mmrIds) < meanPairSim(topRel),
+      s"MMR selection must be more diverse than plain top-5: " +
+        s"${meanPairSim(mmrIds)} vs ${meanPairSim(topRel)}")
+  }
+}

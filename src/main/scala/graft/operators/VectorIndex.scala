@@ -453,5 +453,53 @@ object VectorIndex {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16)
+  // Incremental SEMANTIC near-dup audit over the persisted index —
+  // sd01's SemDeDup idea composed with the save/append lifecycle the
+  // way a continuously-growing corpus runs it: the corpus arrives in
+  // two installments (save vec_id < 400 — which pins the same 0..31
+  // training set as a full-corpus save — then append the rest), and a
+  // deterministic sample of the appended batch is probed ADC-top-1
+  // against the WHOLE stored index; a nearest-neighbor distance at or
+  // below the threshold flags the new vector as a semantic
+  // near-duplicate. Per-batch cost is one encode at append plus the
+  // sampled probes; history is never re-encoded. The threshold (1.36)
+  // sits ≥ 0.008 from every adist at both test SFs, so the flag can
+  // never hinge on a last-ulp divergence — and it splits the sample
+  // (dups AND non-dups exist) at every SF, so the oracle certifies
+  // both outcomes.
+  private val sd02 = QueryDef(
+    "sd02_incremental_semdedup",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sd02_vindex").toString
+      try {
+        saveVectorIndex(emb.filter(col("vec_id") < 400), path)
+        appendVectorIndex(emb.filter(col("vec_id") >= 400), path)
+        probeVectorIndex(s, path,
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 50 === 0), k = 1)
+          .select(col("qid").as("vec_id"), col("cid").as("nn_cid"),
+            col("adist"), (col("adist") <= lit(1.36)).as("is_dup"))
+          .orderBy("vec_id")
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      // anchored edits (never bare "cid < 3" — it is a substring of
+      // the rcb CTE's "c.cid < 32"): retarget the query set to the
+      // appended-batch sample, cut at top-1, emit the dup verdict
+      val a1 = "AND cid < 3),"
+      val a2 = "FROM c WHERE cid < 3),"
+      val a3 = "SELECT qid, cid, adist, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"
+      Seq(a1, a2, a3).foreach(a =>
+        require(o.contains(a), s"sim07 oracle anchor moved: $a"))
+      o.replace(a1, "AND cid >= 400 AND cid % 50 = 0),")
+        .replace(a2, "FROM c WHERE cid >= 400 AND cid % 50 = 0),")
+        .replace(a3,
+          "SELECT qid AS vec_id, cid AS nn_cid, adist, " +
+            "adist <= 1.36 AS is_dup FROM r2 WHERE rn <= 1 ORDER BY vec_id")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16, sd02)
 }

@@ -94,6 +94,23 @@ class VectorIndexSpec extends SparkSpec {
       r.getLong(1) == 20L || r.getLong(1) == 40L))
   }
 
+  test("sd02: the appended-batch audit flags BOTH outcomes and matches a one-shot save") {
+    val path = tmpDir("graft_sd02a").toString
+    val path2 = tmpDir("graft_sd02b").toString
+    VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 400), path)
+    VectorIndex.appendVectorIndex(emb.filter(col("vec_id") >= 400), path)
+    val qs = emb.filter(col("vec_id") >= 400 && col("vec_id") % 50 === 0)
+    val audited = VectorIndex.probeVectorIndex(spark, path, qs, k = 1)
+      .withColumn("is_dup", col("adist") <= 1.36).collect()
+    assert(audited.map(_.getBoolean(4)).distinct.length == 2,
+      "threshold must split the sample: dups AND non-dups")
+    // incremental save+append must audit identically to one-shot save
+    VectorIndex.saveVectorIndex(emb, path2)
+    val oneShot = VectorIndex.probeVectorIndex(spark, path2, qs, k = 1).collect()
+    assert(audited.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      oneShot.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("sim12: appended batches are encoded under the STORED quantizers") {
     val path = tmpDir("graft_vindex_append").toString
     VectorIndex.saveVectorIndex(

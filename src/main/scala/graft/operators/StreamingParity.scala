@@ -795,7 +795,38 @@ object StreamingParity {
     Sketches.qs01Oracle,
   )
 
+  // -------------------------------------------------------------- str17
+  // str01 for COMPRESSED feeds — the log-shipper reality ing22 proves
+  // in batch, run through the continuous pipeline: the landing corpus
+  // arrives as gzip JSONL part files (Spark's file-stream source
+  // decompresses by extension, one task per file — gzip is not
+  // splittable, so a compressed feed ships many modest files), drained
+  // 2 per trigger through the same §1.2 normalization + idempotent
+  // upsert. Shares str01's oracle: compression must be invisible to
+  // every landed byte.
+  private val str17 = QueryDef(
+    "str17_stream_gzip_ingest_parity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val tmp = tempDir("graft_str17")
+      val landing = tmp.resolve("landing").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      docs.select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").text(landing)
+      val table = fresh(s, "str17_landed")
+      val q = StreamingIngest.ingestStream(s, landing, docs.schema, table,
+        keys = Seq("doc_id"), checkpointDir = ckpt, maxFilesPerTrigger = 2)
+      try q.processAllAvailable() finally q.stop()
+      deleteQuietly(tmp)
+      s.table(table).drop("_source_file")
+        .orderBy(col("doc_id").cast("bigint"))
+    },
+    str01.oracle, // compression must not change a single landed byte
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15, str16)
+      str11, str12, str13, str14, str15, str16, str17)
 }

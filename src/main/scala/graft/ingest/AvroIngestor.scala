@@ -124,8 +124,14 @@ object AvroIngestor {
     val rootFs = root.getFileSystem(hconf)
     if (rootFs.exists(root))
       rootFs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.matches("part-\\d{5}\\.avro"))
-          rootFs.delete(st.getPath, false): Unit
+        // \d+ not \d{5}: %05d WIDENS past 100k partitions, and a stale
+        // survivor would silently ride into the new dataset (or make a
+        // twin-rename read as "already committed"); a failed delete
+        // must fail the write for the same reason
+        if (st.getPath.getName.matches("part-\\d+\\.avro") &&
+            !rootFs.delete(st.getPath, false))
+          throw new java.io.IOException(
+            s"could not clear stale avro part ${st.getPath}")
       }
     df.foreachPartition { (it: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()

@@ -73,7 +73,7 @@ object Retrieval {
 
   /** MMR diversification of the dense top-`pool` for query vector
     * `queryVec`: k greedy steps, each picking the candidate maximizing
-    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) (ties to the smaller
+    * λ·rel(c) − μ·max_{s∈selected} sim(c, s) (ties to the smaller
     * id; an empty selection contributes 0 diversity penalty). The
     * relevance scan and the pool's pairwise sims are computed
     * DISTRIBUTED; only the bounded pool (≤ pool rel rows, ≤ pool²
@@ -81,7 +81,8 @@ object Retrieval {
     * greedy loop.
     */
   def mmrDiversify(emb: DataFrame, queryVec: Long = 0L,
-      lambda: Double = 0.7, pool: Int = 20, k: Int = 5): DataFrame = {
+      lambda: Double = 0.7, mu: Double = 0.3, pool: Int = 20,
+      k: Int = 5): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val q = emb.filter(col("vec_id") === queryVec)
@@ -109,8 +110,11 @@ object Retrieval {
       val scored = remaining.map { c =>
         val ms = if (selected.isEmpty) 0.0
           else selected.map(t => simOf((c, t._2))).max
-        // the exact double sequence the oracle replays: λ·rel − (1−λ)·ms
-        (c, lambda * rel(c) - (1.0 - lambda) * ms)
+        // the exact double sequence the oracle replays: λ·rel − μ·ms.
+        // μ is an EXPLICIT weight, not computed as 1−λ: 1.0−0.7 is one
+        // ulp above the 0.3 literal the oracle multiplies by, and an
+        // argmax decided inside that ulp would silently diverge
+        (c, lambda * rel(c) - mu * ms)
       }
       val (bestC, bestS) = scored.reduceLeft { (x, y) =>
         if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x

@@ -1334,6 +1334,12 @@ object Similarity {
       GROUP BY ds.d, t.qid ORDER BY trunc_dim, t.qid"""),
   )
 
+  /** The swept candidate-list widths — ONE definition feeding both the
+    * Spark sweep's default and the oracle's per-R blocks, so they
+    * cannot silently diverge.
+    */
+  private[operators] val RefineRs = Seq(5, 10, 20, 1000000)
+
   /** IVFADC + REFINE (Jégou et al. 2011 §V.C): take the ADC top-R
     * candidates per query, re-score them EXACTLY (squared L2 against a
     * raw-vector side table), keep the top k ≤ R — the standard recall
@@ -1349,12 +1355,6 @@ object Similarity {
     * co-partitioned equi-join on cid, never a corpus broadcast; the
     * per-query rank exchanges are top-k sized.
     */
-  /** The swept candidate-list widths — ONE definition feeding both the
-    * Spark sweep's default and the oracle's per-R blocks, so they
-    * cannot silently diverge.
-    */
-  private[operators] val RefineRs = Seq(5, 10, 20, 1000000)
-
   def ivfPqRefineSweep(emb: DataFrame,
       rs: Seq[Int] = RefineRs, nQueries: Int = 3,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,

@@ -362,23 +362,22 @@ object Text {
 
   // -------------------------------------------------------------- txt10
   /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) for a fixed query
-    * term set — the lexical-retrieval baseline next to txt06's TF-IDF.
-    * Per-term partial scores are quantized to integer MICRO-units
-    * (floor(score * 1e6), the qf03 contract) before the per-document
-    * sum, so the cross-term addition is order-independent and exact in
-    * both engines; idf/tf normalization is written with the identical
-    * operation shape on both sides (same casts, same association).
+    * term set — the lexical-retrieval baseline next to txt06's TF-IDF,
+    * reusable as a kernel (txt10 runs it as declared; Retrieval.hyb01
+    * consumes it as the hybrid fusion's lexical leg). Per-term partial
+    * scores are quantized to integer MICRO-units (floor(score * 1e6),
+    * the qf03 contract) before the per-document sum, so the cross-term
+    * addition is order-independent and exact in both engines; idf/tf
+    * normalization is written with the identical operation shape on
+    * both sides (same casts, same association). Returns
+    * (doc_id, score_micro, rn), rn 1..k.
     *
     * Scale: tf filters to the query terms at the scan (a handful of
     * rows per doc survive), df and the corpus stats are tiny broadcast
     * sides, and the final top-k plans as TakeOrderedAndProject (a
     * frequent query term can match millions of docs, so the global
     * rank must never be a single-partition window; the rank column is
-    * assigned over the already-limited 20 rows).
-    */
-  /** txt10's BM25 ranking as a reusable kernel — also the lexical leg
-    * of the hybrid RRF fusion (Similarity.hyb01). Returns
-    * (doc_id, score_micro, rn), rn 1..k.
+    * assigned over the already-limited k rows).
     */
   private[operators] def bm25TopK(docs: DataFrame, terms: Seq[String],
       k: Int): DataFrame = {

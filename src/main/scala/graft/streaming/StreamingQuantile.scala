@@ -40,13 +40,16 @@ object StreamingQuantile {
     // for), so rows stream through a ≤ k-element ordered set — O(k)
     // memory and O(n log k) work, never O(batch) of either
     val heap = scala.collection.mutable.TreeSet.empty(bottomKOrd)
-    var i = 0
-    while (i < old.h.length) { heap.add((old.h(i), old.kk(i), old.v(i))); i += 1 }
-    rows.foreach { r =>
-      val t = (r.h, r.kk, r.v)
+    def insert(t: (Long, Long, Double)): Unit = {
       if (heap.size < k) heap.add(t): Unit
       else if (bottomKOrd.lt(t, heap.last) && heap.add(t)) heap.remove(heap.last): Unit
     }
+    // seed through the SAME size-k insert as incoming rows: state
+    // restored from a checkpoint written under a larger k must re-cap
+    // here, or oversized state would persist and re-emit forever
+    var i = 0
+    while (i < old.h.length) { insert((old.h(i), old.kk(i), old.v(i))); i += 1 }
+    rows.foreach(r => insert((r.h, r.kk, r.v)))
     val merged = heap.toSeq
     val seq = old.seq + 1
     state.update(QState(seq, merged.map(_._1).toArray,

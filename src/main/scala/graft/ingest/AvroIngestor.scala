@@ -127,8 +127,13 @@ object AvroIngestor {
         // \d+ not \d{5}: %05d WIDENS past 100k partitions, and a stale
         // survivor would silently ride into the new dataset (or make a
         // twin-rename read as "already committed"); a failed delete
-        // must fail the write for the same reason
-        if (st.getPath.getName.matches("part-\\d+\\.avro") &&
+        // must fail the write for the same reason. Orphaned attempt
+        // temps (a crashed JVM whose finally never ran) are cleared
+        // too — dot-prefixed, so they never pollute reads, but a
+        // reused dir must not accumulate them forever
+        val name = st.getPath.getName
+        if ((name.matches("part-\\d+\\.avro") ||
+            name.matches("\\.part-\\d+-attempt-\\d+\\.avro\\.tmp")) &&
             !rootFs.delete(st.getPath, false))
           throw new java.io.IOException(
             s"could not clear stale avro part ${st.getPath}")

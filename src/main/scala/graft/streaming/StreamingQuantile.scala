@@ -25,14 +25,21 @@ object StreamingQuantile {
   final case class QRow(gid: Int, h: Long, kk: Long, v: Double)
   final case class QState(seq: Long, h: Array[Long], kk: Array[Long],
       v: Array[Double])
-  final case class QSnap(gid: Int, seq: Long, h: Long, kk: Long, v: Double)
+  // `ng` pins the sharding the snapshot was written under: a snapshot
+  // table can outlive its checkpoint, and gid = kk % nGroups means
+  // snapshots from a run with a DIFFERENT nGroups shard the key space
+  // differently — folding them together would double-count survivors
+  // or miss them. latestSketch filters ng === its own nGroups, so
+  // re-sharded runs can never mix.
+  final case class QSnap(gid: Int, ng: Int, seq: Long, h: Long, kk: Long,
+      v: Double)
 
   // keyed on (h, kk): a re-delivered row is the SAME element (set-add
   // no-ops), so a retried batch can never duplicate a survivor
   private val bottomKOrd: Ordering[(Long, Long, Double)] =
     Ordering.by(t => (t._1, t._2))
 
-  private def advance(k: Int)(gid: Int, rows: Iterator[QRow],
+  private def advance(k: Int, nGroups: Int)(gid: Int, rows: Iterator[QRow],
       state: GroupState[QState]): Iterator[QSnap] = {
     val old = state.getOption.getOrElse(QState(0L, Array.empty, Array.empty, Array.empty))
     // bounded fold, NOT buffer-sort-cut: the group's micro-batch can
@@ -54,13 +61,21 @@ object StreamingQuantile {
     val seq = old.seq + 1
     state.update(QState(seq, merged.map(_._1).toArray,
       merged.map(_._2).toArray, merged.map(_._3).toArray))
-    merged.iterator.map(t => QSnap(gid, seq, t._1, t._2, t._3))
+    merged.iterator.map(t => QSnap(gid, nGroups, seq, t._1, t._2, t._3))
   }
 
   /** `rows` is the streaming (h, kk, v) projection
     * (Sketches.quantileRows over a stream — hash-identical to the
     * batch sketch by construction). Returns the per-trigger snapshot
     * stream; read back with [[latestSketch]].
+    *
+    * CONTRACT: the sketch key (the column hashed into `h`/`kk`) must be
+    * UNIQUE per element — qsHash's strict-total-order contract. The
+    * stream dedupes on (h, kk) (set-add, so a RETRIED batch can never
+    * duplicate a survivor), while the batch quantileSketch keeps
+    * duplicate (h, kk) rows; with a duplicated key the two would
+    * legitimately diverge. Every caller here feeds a primary key
+    * (o_orderkey, doc_id), which satisfies it by construction.
     */
   def bottomKUpdates(rows: DataFrame, k: Int,
       nGroups: Int = 8): Dataset[QSnap] = {
@@ -73,16 +88,20 @@ object StreamingQuantile {
       .as[QRow]
       .groupByKey(_.gid)(Encoders.scalaInt)
       .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.NoTimeout())(advance(k))
+        GroupStateTimeout.NoTimeout())(advance(k, nGroups))
   }
 
   /** The current global sketch from a landed snapshot table: latest
     * snapshot per group (a window over ≤ nGroups × k × triggers rows,
-    * bounded), union, re-cut at k.
+    * bounded), union, re-cut at k. `nGroups` must repeat the writer's:
+    * only snapshots stamped with the SAME sharding fold in, so a
+    * snapshot table that outlives its checkpoint (or a restart that
+    * changed nGroups) can never mix two shardings into one sketch.
     */
-  def latestSketch(snaps: DataFrame, k: Int): DataFrame = {
+  def latestSketch(snaps: DataFrame, k: Int, nGroups: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
     snaps
+      .filter(col("ng") === nGroups)
       .withColumn("mx", max(col("seq")).over(w))
       .filter(col("seq") === col("mx"))
       .select("h", "kk", "v")

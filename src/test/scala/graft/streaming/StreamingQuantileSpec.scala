@@ -34,11 +34,16 @@ class StreamingQuantileSpec extends SparkSpec {
     assert(landed.agg(max("seq")).head.getLong(0) >= 2L,
       "expected a multi-trigger drain")
     // latest-union-recut == the batch bottom-k, cell for cell
-    val streamed = StreamingQuantile.latestSketch(landed, k)
+    val streamed = StreamingQuantile.latestSketch(landed, k, nGroups = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val batch = graft.operators.Sketches
       .quantileSketch(orders, "o_orderkey", "o_totalprice", k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch, "streamed sketch diverged from the batch cut")
+    // sharding pin: snapshots written under a DIFFERENT nGroups (here:
+    // the same table read back expecting 8 shards) contribute NOTHING —
+    // a snapshot table outliving its checkpoint cannot mix shardings
+    assert(StreamingQuantile.latestSketch(landed, k, nGroups = 8).isEmpty,
+      "foreign-sharding snapshots leaked into the sketch")
   }
 }

@@ -70,6 +70,83 @@ object FileUtils {
       .filter(_.isDirectory).map(_.getPath.toString).sorted
   }
 
+  /** Immediate child FILES of `path` (same contract as
+    * [[listSubdirs]] with the filter flipped).
+    */
+  def listChildFiles(path: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val p = new Path(path)
+    val filesystem = fs(p, conf)
+    if (!filesystem.exists(p)) Nil
+    else filesystem.listStatus(p).toSeq
+      .filter(_.isFile).map(_.getPath.toString).sorted
+  }
+
+  /** Atomically create `path` as an empty file IFF it does not exist:
+    * true means THIS call created it (the claim is won), false means
+    * someone else holds it. On HDFS, create(overwrite = false) is an
+    * atomic NameNode operation; the local filesystem needs O_EXCL
+    * (NIO createFile), because RawLocalFileSystem's no-overwrite
+    * create is exists-then-create and two racers could both pass the
+    * check — this is the only place engine code touches java.nio file
+    * APIs, and only for the file: scheme. (S3A's no-overwrite create
+    * is weaker — check-then-write; a deployment there backs claims
+    * with a conditional-PUT or an external lock, same protocol.)
+    */
+  def createExclusive(path: String, conf: Configuration = new Configuration()): Boolean = {
+    val p = new Path(path)
+    val filesystem = fs(p, conf)
+    if ("file" == filesystem.getUri.getScheme) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        Option(local.getParent).foreach(d => java.nio.file.Files.createDirectories(d))
+        java.nio.file.Files.createFile(local)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { filesystem.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          if (filesystem.exists(p)) false else throw e
+      }
+    }
+  }
+
+  /** Claim the next sequence-numbered batch directory under `base`
+    * (`<prefix><N>`), safely under CONCURRENT claimers: the id is
+    * reserved by atomically creating a sibling `<prefix><N>.claim`
+    * marker file BEFORE anything writes the directory, and a lost race
+    * retries with the next id. Enumeration counts directories AND
+    * claim files, so a claimed-but-not-yet-written id is already
+    * visible to the next claimer — two appenders can never pick the
+    * same id, the failure mode of a bare max(existing)+1 listing.
+    * Claim files are never deleted (an abandoned claim's id is simply
+    * never reused — the same tolerance the _COMMITTED protocol gives
+    * abandoned dirs); a lifecycle reset (save/vacuum) clears them by
+    * removing `base` wholesale.
+    */
+  def claimSeqDir(base: String, prefix: String,
+      conf: Configuration = new Configuration()): String = {
+    mkdirs(base, conf)
+    var attempt = 0
+    while (attempt < 1000) {
+      val dirIds = listSubdirs(base, conf)
+        .map(new Path(_).getName)
+        .flatMap(n => n.stripPrefix(prefix).toLongOption.filter(_ => n.startsWith(prefix)))
+      val claimIds = listChildFiles(base, conf)
+        .map(new Path(_).getName)
+        .filter(n => n.startsWith(prefix) && n.endsWith(".claim"))
+        .flatMap(_.stripPrefix(prefix).stripSuffix(".claim").toLongOption)
+      val ids = dirIds ++ claimIds
+      val id = if (ids.isEmpty) 0L else ids.max + 1
+      if (createExclusive(s"$base/$prefix$id.claim", conf))
+        return s"$base/$prefix$id"
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"could not claim a batch id under $base after 1000 attempts")
+  }
+
   /** Content md5 as lowercase hex (reference md5-hashes files <10MB;
     * streaming digest here has no size limit).
     */

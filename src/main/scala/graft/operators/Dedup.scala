@@ -971,14 +971,13 @@ object Dedup {
   private def commitIndexBatch(corpus: DataFrame, path: String,
       numHashes: Int, bands: Int): Unit = {
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    graft.ingest.FileUtils.mkdirs(s"$path/batches", conf)
-    // next id is one past the highest EXISTING dir, committed or not:
-    // an abandoned attempt's id is never reused, so its partial files
-    // can never be mistaken for this batch's
-    val ids = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
-      .flatMap(d => new org.apache.hadoop.fs.Path(d)
-        .getName.stripPrefix("b").toLongOption)
-    val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
+    // id reserved via an atomic claim-file create BEFORE anything is
+    // written (FileUtils.claimSeqDir): two CONCURRENT appenders can
+    // never pick the same dir and interleave part files under one
+    // _COMMITTED — the corruption a bare max(existing)+1 listing
+    // allows. An abandoned claim's (or attempt's) id is never reused,
+    // so partial files can never be mistaken for a later batch's.
+    val bdir = graft.ingest.FileUtils.claimSeqDir(s"$path/batches", "b", conf)
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1084,11 +1083,9 @@ object Dedup {
     */
   def forgetFromIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    graft.ingest.FileUtils.mkdirs(s"$path/forgotten", conf)
-    val existing = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
-      .flatMap(d => new org.apache.hadoop.fs.Path(d)
-        .getName.stripPrefix("f").toLongOption)
-    val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
+    // same claim protocol as data batches: concurrent governance
+    // requests must not share an f<N> dir
+    val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
     ids.select(col("doc_id").cast("bigint").as("doc_id"))
       .write.mode("overwrite").parquet(s"$fdir/ids")
     graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)

@@ -44,8 +44,6 @@ object Retrieval {
   def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVec: Long = 0L, kLeg: Int = 20, kOut: Int = 10,
       rrfK: Int = 60): DataFrame = {
-    val lex = Text.bm25TopK(docs, terms, kLeg)
-      .select(col("doc_id"), col("rn").as("lex_rn"))
     val q = emb.filter(col("vec_id") === queryVec)
       .select(asDouble(col("embedding")).as("qv"))
     val den = emb.filter(col("vec_id") =!= queryVec)
@@ -58,6 +56,37 @@ object Retrieval {
       .withColumn("vec_rn", row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))).cast("bigint"))
       .select("doc_id", "vec_rn")
+    rrfFuse(lexLeg(docs, terms, kLeg), den, kOut, rrfK)
+  }
+
+  /** [[hybridRrf]] with the dense leg served from a PERSISTED vector
+    * index (VectorIndex.probeVectorIndexRefined: stored-code ADC
+    * candidate nomination + exact cosine refine) instead of a raw
+    * corpus rescan — the build-once-probe-forever shape a deployed
+    * retrieval stack runs. At nProbe = nCells the refined leg IS the
+    * brute cosine ranking, so the fused output exactly matches
+    * [[hybridRrf]] (hyb02 shares hyb01's oracle — the sim10 endpoint
+    * pattern); at deployment nProbe the leg touches only probed cells.
+    */
+  def hybridRrfIndexed(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      indexPath: String, queryVec: Long = 0L, kLeg: Int = 20,
+      kOut: Int = 10, rrfK: Int = 60, nProbe: Int = 16): DataFrame = {
+    val den = VectorIndex.probeVectorIndexRefined(docs.sparkSession,
+        indexPath, emb.filter(col("vec_id") === queryVec), emb,
+        k = kLeg, nProbe = nProbe)
+      .select(col("cid").as("doc_id"), col("rn").as("vec_rn"))
+    rrfFuse(lexLeg(docs, terms, kLeg), den, kOut, rrfK)
+  }
+
+  private def lexLeg(docs: DataFrame, terms: Seq[String], kLeg: Int): DataFrame =
+    Text.bm25TopK(docs, terms, kLeg)
+      .select(col("doc_id"), col("rn").as("lex_rn"))
+
+  // shared fusion tail: both hybrids run the SAME full-outer union and
+  // 1/(K + rank) arithmetic, so swapping the dense leg's source cannot
+  // change the fusion semantics
+  private def rrfFuse(lex: DataFrame, den: DataFrame, kOut: Int,
+      rrfK: Int): DataFrame = {
     val fused = lex.join(den, Seq("doc_id"), "full_outer")
       // fixed add order (lex + dense): bit-deterministic cross-engine
       .withColumn("rrf",
@@ -165,6 +194,27 @@ object Retrieval {
     },
   )
 
+  // The dense leg sourced from the persisted index at FULL nProbe:
+  // candidate set = every non-self vector, refine = exact cosine, so
+  // the fused ordering must be byte-identical to hyb01's — it shares
+  // hyb01's oracle, proving the build-once index serves the hybrid
+  // stack end to end (RetrievalSpec pins the reduced-nProbe behavior).
+  private val hyb02 = QueryDef(
+    "hyb02_rrf_index_fused",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hyb02_vindex").toString
+      try {
+        VectorIndex.saveVectorIndex(t.embeddings, path)
+        hybridRrfIndexed(t.documents, t.embeddings, HybTerms, path)
+          .localCheckpoint(eager = true)
+      } finally graft.ingest.FileUtils.rmr(path,
+        s.sparkContext.hadoopConfiguration)
+    },
+    hyb01.oracle,
+  )
+
   private def mmrStep(i: Int): String = {
     val prev = s"sel${i - 1}"
     s"""
@@ -211,5 +261,5 @@ object Retrieval {
       FROM sel5 ORDER BY step"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(hyb01, mmr01)
+  val defs: Seq[QueryDef] = Seq(hyb01, hyb02, mmr01)
 }

@@ -632,6 +632,35 @@ object Similarity {
       }.toSeq
     def rcbSub(m: Int): Array[Array[Double]] =
       rcb.map(_.slice(m * subDim, (m + 1) * subDim))
+    // ---- MIPS (inner-product) probe kernel: x̂ = cen(cell) + rcb(code)
+    //      decomposes q·x̂ = q·cen(cell) + Σ_m q_m·rcb(code_m)_m, so the
+    //      ADC machinery serves dot-product scoring by dropping the
+    //      residual-norm term and adding the per-cell base dot ----
+    /** Inverted-list probe order for MIPS: cells by q·centroid
+      * DESCENDING (the cell whose reconstruction base scores highest),
+      * ties to the lower index — the dual of [[probesOf]]'s ascending
+      * L2.
+      */
+    def mipsProbesOf(qv: Array[Double], nProbe: Int): Seq[Int] = {
+      val d = Array.tabulate(nCells)(c => mipsBase(qv, c))
+      d.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2).toSeq
+    }
+    /** q·cen(cell), the cell-constant term of the decomposed dot. */
+    def mipsBase(qv: Array[Double], cell: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += qv(i) * cen(cell)(i); i += 1 }
+      s
+    }
+    /** MIPS LUT for subspace m: q_m · rcb[c]_m — CELL-independent
+      * (the residual term of the decomposed dot), dim-ascending fold
+      * like [[lutFor]].
+      */
+    def mipsLutFor(qv: Array[Double], m: Int): Seq[Double] =
+      rcb.map { r =>
+        var s = 0.0; var i = 0
+        while (i < subDim) { val j = m * subDim + i; s += qv(j) * r(j); i += 1 }
+        s
+      }.toSeq
   }
 
   /** The pinned training set: the corpus's FIRST `n` vectors in vec_id
@@ -712,22 +741,42 @@ object Similarity {
     * under-filled by post-filtering a global top-k. The ADC doubles
     * are untouched (same lutFor/probesOf kernel).
     */
+  /** `mips = true` flips the scoring objective from approximate
+    * squared-L2 to approximate INNER PRODUCT (the decomposition
+    * documented on [[IvfPqModel.mipsBase]]): probe order becomes
+    * q·centroid descending, the per-candidate score becomes
+    * base + Σ_m lut_m[code_m] (base added LAST, matching the oracle's
+    * `pscore + list_sum(...)` association), the rank flips to score
+    * DESC, and the score column is named `score` (sim06's shape)
+    * instead of `adist`. Everything else — bounded query structs, the
+    * cell-match inverted-list filter, the one top-k rank exchange — is
+    * the same kernel, so the two objectives cannot drift structurally.
+    */
   private[operators] def adcRank(coded: DataFrame,
       queries: Array[(Long, Array[Double])], model: IvfPqModel,
       k: Int, nProbe: Int,
-      queryLabels: Option[Map[Long, Any]] = None): DataFrame = {
+      queryLabels: Option[Map[Long, Any]] = None,
+      mips: Boolean = false): DataFrame = {
+    val scoreName = if (mips) "score" else "adist"
     val perQC = queries.flatMap { case (qid, qv) =>
-      model.probesOf(qv, nProbe).map { cell =>
-        val adist = (0 until model.nSub).map(m =>
-            element_at(typedLit(model.lutFor(qv, cell, m)), col(s"code_$m") + 1))
-          .reduce(_ + _) // subspace-ascending add order, same as the oracle
+      val cells =
+        if (mips) model.mipsProbesOf(qv, nProbe) else model.probesOf(qv, nProbe)
+      cells.map { cell =>
+        // subspace-ascending add order in both modes, same as the oracle
+        val luts = (0 until model.nSub).map { m =>
+          val lut = if (mips) model.mipsLutFor(qv, m)
+            else model.lutFor(qv, cell, m)
+          element_at(typedLit(lut), col(s"code_$m") + 1)
+        }.reduce(_ + _)
+        val sc = if (mips) lit(model.mipsBase(qv, cell)) + luts else luts
         val fields = Seq(lit(qid).as("qid"), lit(cell).as("pcell"),
-          adist.as("adist")) ++
+          sc.as(scoreName)) ++
           queryLabels.map(m => lit(m(qid)).as("qlabel"))
         struct(fields: _*)
       }
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(
+      if (mips) col(scoreName).desc else col(scoreName), col("cid"))
     val cellMatch = col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid")
     val cond = queryLabels
       .fold(cellMatch)(_ => cellMatch && col("qa.qlabel") === col("label"))
@@ -736,10 +785,11 @@ object Similarity {
       explode(array(perQC.toIndexedSeq: _*)).as("qa")
     coded.select(cols: _*)
       .filter(cond)
-      .select(col("qa.qid").as("qid"), col("cid"), col("qa.adist").as("adist"))
+      .select(col("qa.qid").as("qid"), col("cid"),
+        col(s"qa.$scoreName").as(scoreName))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
-      .select("qid", "cid", "adist", "rn")
+      .select("qid", "cid", scoreName, "rn")
       .orderBy("qid", "rn")
   }
 

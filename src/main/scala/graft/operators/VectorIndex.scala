@@ -137,6 +137,61 @@ object VectorIndex {
     Similarity.adcRank(coded, q, model, k, nProbe)
   }
 
+  /** INNER-PRODUCT (MIPS) probe of a persisted index — sim06's
+    * retrieval objective (DPR-style retrievers score q·d, which ranks
+    * differently from cosine/L2 whenever corpus norms vary) served
+    * from the STORED code table: the ADC lookup tables are built for
+    * dot-product (no residual-norm term; the q·centroid base dot adds
+    * per probed cell), cells are probed by q·centroid DESCENDING, and
+    * candidates rank by score DESC. Same kernel as [[probeVectorIndex]]
+    * (Similarity.adcRank's mips mode over the same loadCoded state),
+    * so the two objectives share quantizers, tombstone filtering, and
+    * the bounded-query collect — a retrieval stack picks its scoring
+    * function per query set without a second index.
+    */
+  def probeVectorIndexMips(s: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (model, coded) = loadCoded(s, path)
+    val q = boundedQueries(queries, Nil)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    Similarity.adcRank(coded, q, model, k, nProbe, mips = true)
+  }
+
+  /** ADC probe + EXACT COSINE REFINE from the stored index — the
+    * deployment shape of a retrieval dense leg (sim17's refine repair
+    * with the retrieval metric): the stored code table nominates the
+    * candidates within the probed cells, and only those rows join the
+    * raw-vector side `raw` (vec_id, embedding) for an exact cosine
+    * re-rank. At nProbe = nCells the candidate set is every non-self
+    * vector, so the output is EXACTLY the brute-force cosine top-k —
+    * the endpoint hyb02 pins against hyb01's oracle; at deployment
+    * nProbe ≪ nCells and the join touches only probed-cell rows
+    * (candidate-bounded equi-join on cid, never a corpus broadcast).
+    */
+  def probeVectorIndexRefined(s: SparkSession, path: String,
+      queries: DataFrame, raw: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val (model, coded) = loadCoded(s, path)
+    val q = boundedQueries(queries, Nil)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cand = Similarity.adcRank(coded, q, model, Int.MaxValue, nProbe)
+      .select("qid", "cid")
+    val qdf = q.map { case (qid, v) => (qid, v.toSeq) }.toSeq.toDF("qid", "qv")
+    val rawSide = raw.select(col("vec_id").cast("long").as("cid"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.join(rawSide, "cid").join(broadcast(qdf), "qid")
+      // the exact double sequence hyb01's from-raw dense leg runs
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** FILTERED probe of a persisted index — sim08's pre-filter contract
     * (restrict candidates by a metadata predicate BEFORE scoring)
     * applied to the stored code table: `meta` (vec_id, label) joins the
@@ -156,6 +211,12 @@ object VectorIndex {
       nProbe: Int = 4): DataFrame = {
     val (model, coded) = loadCoded(s, path)
     val rows = boundedQueries(queries, Seq(col("label")))
+    // fail fast on a NULL query label: isin/=== never match NULL, so
+    // the probe would silently return ZERO candidates for that query —
+    // indistinguishable from "no neighbors share the label"
+    require(rows.forall(!_.isNullAt(2)),
+      "filtered probe requires a non-NULL label on every query vector " +
+        "(a NULL label matches no candidate under SQL equality)")
     val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val labelOf: Map[Long, Any] = rows.map(r => r.getLong(0) -> r.get(2)).toMap
     val wanted = rows.map(_.get(2)).distinct.toSeq
@@ -221,11 +282,9 @@ object VectorIndex {
         "coordinates are embedded in centroids/codebook; rebuild the " +
         "index without them (rebuildVectorIndex) instead of tombstoning")
     val conf = s.sparkContext.hadoopConfiguration
-    graft.ingest.FileUtils.mkdirs(s"$path/forgotten", conf)
-    val existing = graft.ingest.FileUtils.listSubdirs(s"$path/forgotten", conf)
-      .flatMap(d => new org.apache.hadoop.fs.Path(d)
-        .getName.stripPrefix("f").toLongOption)
-    val fdir = s"$path/forgotten/f${if (existing.isEmpty) 0L else existing.max + 1}"
+    // same claim protocol as data batches: concurrent governance
+    // requests must not share an f<N> dir
+    val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
     ids.select(col("vec_id").cast("long").as("cid"))
       .write.mode("overwrite").parquet(s"$fdir/ids")
     graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
@@ -284,13 +343,14 @@ object VectorIndex {
   private def commitCodesBatch(batch: DataFrame, path: String,
       model: Similarity.IvfPqModel): Unit = {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    graft.ingest.FileUtils.mkdirs(s"$path/batches", conf)
-    // next id is one past the highest EXISTING dir, committed or not:
-    // an abandoned attempt's id is never reused
-    val ids = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
-      .flatMap(d => new org.apache.hadoop.fs.Path(d)
-        .getName.stripPrefix("b").toLongOption)
-    val bdir = s"$path/batches/b${if (ids.isEmpty) 0L else ids.max + 1}"
+    // id reserved via an atomic claim-file create BEFORE anything is
+    // written (FileUtils.claimSeqDir): two CONCURRENT appenders (two
+    // streaming jobs, an orchestrator retry racing its zombie) can
+    // never pick the same dir and interleave part files under one
+    // _COMMITTED — the corruption a bare max(existing)+1 listing
+    // allows. An abandoned claim's id is never reused, so partial
+    // files can never be mistaken for a later batch's.
+    val bdir = graft.ingest.FileUtils.claimSeqDir(s"$path/batches", "b", conf)
     Similarity.encodeIvfPq(batch, model)
       .write.mode("overwrite").parquet(s"$bdir/codes")
     graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
@@ -501,5 +561,58 @@ object VectorIndex {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16, sd02)
+  // MIPS probe of the persisted index, end to end: the oracle rebuilds
+  // the ENTIRE pipeline with the dot-product ADC derivation — probe
+  // lists by q·centroid DESC, cell-independent q·residual LUTs, score =
+  // base + Σ_m lut, rank DESC — so a hash match certifies the stored
+  // index serves the inner-product objective exactly (on this corpus
+  // the MIPS and L2 rankings genuinely disagree; pinned in
+  // VectorIndexSpec).
+  private val sim18 = QueryDef(
+    "sim18_index_mips_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim18_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexMips(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      // keep sim07's index-construction prefix (c..codes CTEs) intact;
+      // replace everything from the probe-list CTE on with the MIPS
+      // derivation
+      val cut = "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val i = o.indexOf(cut)
+      require(i >= 0, "sim07 oracle probe CTE moved")
+      o.substring(0, i) +
+        """q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),
+      pd AS (SELECT q.qid, cen.k AS cell,
+          list_sum(list_transform(range(64), i -> q.qv[i + 1] * cen.kv[i + 1])) AS pscore
+        FROM q, cen),
+      probes AS (SELECT qid, cell, pscore FROM (SELECT qid, cell, pscore,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pscore DESC, cell) AS r
+        FROM pd) WHERE r <= 4),
+      lut AS (SELECT q.qid, m, rcb.kk AS code,
+          list_sum(list_transform(range(8), i ->
+            q.qv[m * 8 + i + 1] * rcb.rv[m * 8 + i + 1])) AS pdot
+        FROM q, range(8) r(m), rcb),
+      cand AS (SELECT p.qid, a.cid, a.cell, p.pscore
+        FROM probes p JOIN assign a ON a.cell = p.cell WHERE a.cid <> p.qid),
+      ad AS (SELECT cand.qid, cand.cid,
+          cand.pscore + list_sum(list(l.pdot ORDER BY l.m)) AS score
+        FROM cand
+        JOIN codes ON codes.cid = cand.cid
+        JOIN lut l ON l.qid = cand.qid AND l.m = codes.m AND l.code = codes.code
+        GROUP BY cand.qid, cand.cid, cand.pscore),
+      r2 AS (SELECT qid, cid, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn
+        FROM ad)
+      SELECT qid, cid, score, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"""
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16, sim18, sd02)
 }

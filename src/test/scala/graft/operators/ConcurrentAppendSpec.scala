@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+
+import graft.SparkSpec
+import graft.ingest.FileUtils
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Concurrent-append safety for the persisted indexes: both index
+  * families reserve a batch id via an ATOMIC claim-file create before
+  * writing anything (FileUtils.claimSeqDir), so two appenders racing
+  * the same index land two intact batches — never interleaved part
+  * files under one `_COMMITTED` marker, the corruption a bare
+  * max(existing)+1 listing allows.
+  */
+class ConcurrentAppendSpec extends SparkSpec {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  /** Run the thunks truly concurrently (barrier start), propagating
+    * the first failure.
+    */
+  private def inParallel(thunks: Seq[() => Unit]): Unit = {
+    val pool = Executors.newFixedThreadPool(thunks.size)
+    val barrier = new CyclicBarrier(thunks.size)
+    try {
+      val futures = thunks.map(t => pool.submit(new Runnable {
+        def run(): Unit = { barrier.await(30, TimeUnit.SECONDS); t() }
+      }))
+      futures.foreach(_.get(300, TimeUnit.SECONDS))
+    } finally { pool.shutdownNow(); () }
+  }
+
+  test("claimSeqDir under contention: every claim wins a distinct id") {
+    val base = tmpDir("claims").toString
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    inParallel(Seq.fill(4)(() =>
+      (1 to 8).foreach(_ => assert(claimed.add(
+        FileUtils.claimSeqDir(base, "b", conf)),
+        "two claimers won the same batch dir"))))
+    assert(claimed.size == 32)
+    val ids = claimed.toArray(Array.empty[String])
+      .map(d => new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b").toLong)
+    assert(ids.toSet == (0L until 32L).toSet,
+      "claim ids must be dense: every id visible to the next claimer")
+  }
+
+  test("claimSeqDir counts a claimed-but-unwritten id (crashed claimer)") {
+    val base = tmpDir("claims_crash").toString
+    val d0 = FileUtils.claimSeqDir(base, "b", conf)
+    assert(d0.endsWith("/b0"))
+    // claimer 0 "crashes" before writing b0 — the next claim must NOT
+    // reuse id 0 even though no b0 directory exists
+    val d1 = FileUtils.claimSeqDir(base, "b", conf)
+    assert(d1.endsWith("/b1"), s"id 0 was reused: $d1")
+  }
+
+  test("two concurrent vector-index appends: both batches land intact; probe == one-shot save") {
+    val emb = Tables(spark, sf0001).embeddings
+    val concurrent = tmpDir("vidx_conc").toString
+    val oneShot = tmpDir("vidx_seq").toString
+    try {
+      // save on a slice containing the pinned training set (vec_id < 32)
+      VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), concurrent)
+      inParallel(Seq(
+        () => VectorIndex.appendVectorIndex(
+          emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 0), concurrent),
+        () => VectorIndex.appendVectorIndex(
+          emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 1), concurrent)))
+      // three committed batches, each sealed, no shared dir
+      val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
+      assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
+      dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
+      VectorIndex.saveVectorIndex(emb, oneShot)
+      val q = emb.filter(col("vec_id") < 3)
+      val got = VectorIndex.probeVectorIndex(spark, concurrent, q).collect().toSeq
+      val want = VectorIndex.probeVectorIndex(spark, oneShot, q).collect().toSeq
+      assert(got == want, "concurrently-appended index diverged from one-shot save")
+    } finally Seq(concurrent, oneShot).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("two concurrent near-dup-index appends: both batches land intact; probe == sequential") {
+    val docs = Tables(spark, sf0001).documents
+    val hist = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val concurrent = tmpDir("ndidx_conc").toString
+    val sequential = tmpDir("ndidx_seq").toString
+    try {
+      val h0 = hist.filter(col("doc_id") % 3 === 0)
+      val h1 = hist.filter(col("doc_id") % 3 === 1)
+      val h2 = hist.filter(col("doc_id") % 3 === 2)
+      Dedup.saveNearDupIndex(h0, concurrent)
+      inParallel(Seq(
+        () => Dedup.appendNearDupIndex(h1, concurrent),
+        () => Dedup.appendNearDupIndex(h2, concurrent)))
+      val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
+      assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
+      dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
+      Dedup.saveNearDupIndex(h0, sequential)
+      Dedup.appendNearDupIndex(h1, sequential)
+      Dedup.appendNearDupIndex(h2, sequential)
+      val got = Dedup.probeNearDupIndex(spark, concurrent, batch).collect().toSeq
+      val want = Dedup.probeNearDupIndex(spark, sequential, batch).collect().toSeq
+      assert(got == want, "concurrently-appended index diverged from sequential appends")
+    } finally Seq(concurrent, sequential).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("two concurrent forget calls land distinct tombstone batches; both apply") {
+    val emb = Tables(spark, sf0001).embeddings
+    val path = tmpDir("vidx_forget").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      inParallel(Seq(
+        () => VectorIndex.forgetFromVectorIndex(spark, path,
+          emb.filter(col("vec_id") === 40).select("vec_id")),
+        () => VectorIndex.forgetFromVectorIndex(spark, path,
+          emb.filter(col("vec_id") === 41).select("vec_id"))))
+      val fdirs = FileUtils.listSubdirs(s"$path/forgotten", conf)
+      assert(fdirs.size == 2, s"expected 2 tombstone dirs, got $fdirs")
+      val probed = VectorIndex.probeVectorIndex(spark, path,
+          emb.filter(col("vec_id") < 3), k = Int.MaxValue)
+        .select("cid").distinct().collect().map(_.getLong(0)).toSet
+      assert(!probed.contains(40L) && !probed.contains(41L),
+        "a concurrently-written tombstone was lost")
+    } finally FileUtils.rmr(path, conf)
+  }
+}

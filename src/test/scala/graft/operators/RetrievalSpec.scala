@@ -25,6 +25,31 @@ class RetrievalSpec extends SparkSpec {
     assert(rrfs == rrfs.sorted.reverse, "output must be rrf-descending")
   }
 
+  test("hyb02: index-served dense leg == from-raw hybrid at full nProbe; reduced nProbe stays well-formed") {
+    val path = tmpDir("hyb02_vindex").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val terms = Seq("table", "scan", "stream")
+      // endpoint parity: full probe ⇒ candidate set is every non-self
+      // vector and the refine is exact cosine, so the fused table must
+      // be IDENTICAL to the from-raw hybrid (hyb01's oracle contract)
+      val fromIndex = Retrieval.hybridRrfIndexed(docs, emb, terms, path)
+        .collect().toSeq
+      val fromRaw = Retrieval.hybridRrf(docs, emb, terms).collect().toSeq
+      assert(fromIndex == fromRaw,
+        "index-served hybrid diverged from the from-raw hybrid at full nProbe")
+      // deployment shape: a reduced probe still fuses a full top-k —
+      // the lexical leg is untouched and the dense leg fills from the
+      // probed cells only
+      val reduced = Retrieval.hybridRrfIndexed(docs, emb, terms, path,
+        nProbe = 4).collect()
+      assert(reduced.length == 10 && reduced.map(_.getLong(4)).toSeq == (1L to 10L))
+      assert(reduced.exists(!_.isNullAt(3)),
+        "reduced-probe dense leg contributed nothing")
+    } finally graft.ingest.FileUtils.rmr(path, conf)
+  }
+
   test("mmr01: greedy picks the top-rel first, then trades relevance for diversity") {
     val sel = Retrieval.mmrDiversify(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -35,6 +35,50 @@ class VectorIndexSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration))
   }
 
+  test("sim18: MIPS probe matches from-scratch MIPS ADC; rankings genuinely diverge from L2") {
+    val path = tmpDir("graft_vindex_mips").toString
+    VectorIndex.saveVectorIndex(emb, path)
+    val qs = emb.filter(col("vec_id") < 3)
+    val probed = VectorIndex.probeVectorIndexMips(spark, path, qs)
+      .collect().toSeq
+    // shared-kernel parity: the loaded path must emit the exact doubles
+    // the from-scratch MIPS ADC derives under the same pinned model
+    val model = Similarity.trainIvfPq(emb, 16, 8, 8, 16)
+    val scratch = Similarity.adcRank(Similarity.encodeIvfPq(emb, model),
+      Similarity.queryVectors(emb, 3), model, 5, 4, mips = true)
+      .collect().toSeq
+    assert(probed == scratch, "loaded MIPS probe diverged from from-scratch")
+    assert(probed.map(_.getLong(0)).distinct.length == 3 &&
+      probed.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // scores rank DESCENDING per query
+    probed.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, "MIPS must rank score-descending")
+    }
+    // the objective matters: on this norm-skewed corpus the MIPS and
+    // L2 ADC top-5 differ for at least one query — otherwise sim18
+    // would prove nothing sim11 doesn't
+    val l2 = VectorIndex.probeVectorIndex(spark, path, qs).collect()
+    def ranking(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(ranking(probed) != ranking(l2.toSeq),
+      "MIPS and L2 rankings were identical — corpus norms too uniform to test MIPS")
+  }
+
+  test("filtered probe refuses a NULL query label instead of silently matching nothing") {
+    val path = tmpDir("graft_vindex_nulllabel").toString
+    VectorIndex.saveVectorIndex(emb, path)
+    val qs = emb.filter(col("vec_id") < 3)
+      .withColumn("label",
+        when(col("vec_id") === 1, lit(null).cast("string"))
+          .otherwise(col("label")))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.probeVectorIndexFiltered(spark, path, qs,
+        emb.select("vec_id", "label")).collect()
+    }
+    assert(e.getMessage.contains("non-NULL label"))
+  }
+
   test("sim15: filtered probe fills k within the predicate; post-filtering under-fills") {
     val path = tmpDir("graft_vindex_filtered").toString
     VectorIndex.saveVectorIndex(emb, path)

@@ -55,12 +55,50 @@ object FileScanner {
   /** Transparent-compression suffixes: a `.jsonl.gz` classifies as its
     * inner format because every reader in the engine decompresses
     * these natively (Spark's text/json/csv readers by extension; the
-    * probe path via Hadoop's CompressionCodecFactory). Only codecs
-    * guaranteed on a stock Hadoop classpath are listed — `.zst`/`.lz4`
-    * would classify and then fail at read time if the native lib is
-    * absent, a worse failure mode than "unrecognized".
+    * probe path via Hadoop's CompressionCodecFactory). Codecs
+    * guaranteed on a stock Hadoop classpath are always listed;
+    * `.zst`/`.lz4` are CLASSPATH-GATED ([[gatedExts]]) — they classify
+    * only where their codec is actually usable at runtime, and stay
+    * "unrecognized" (skipped, not crashed on) where it isn't.
     */
-  val CompressionExts: Seq[String] = Seq(".gz", ".bz2", ".deflate")
+  /** Suffixes whose Hadoop codec is NOT guaranteed usable: zstd needs
+    * the native libhadoop binding; lz4 is pure-Java since Hadoop 3.3
+    * (lz4-java, which Spark bundles) but was native-only before.
+    * (Declared BEFORE CompressionExts — object vals initialize in
+    * declaration order.)
+    */
+  private[ingest] val GatedCompressionCandidates: Seq[String] = Seq(".zst", ".lz4")
+
+  val CompressionExts: Seq[String] =
+    Seq(".gz", ".bz2", ".deflate") ++ gatedExts(codecUsable)
+
+  /** True iff Hadoop's CompressionCodecFactory resolves `ext` AND the
+    * codec can construct a decompressor. The second half is the real
+    * gate: ZStandardCodec always RESOLVES on a stock classpath but
+    * throws at decompressor construction when the native lib is
+    * absent — classifying on resolution alone would crash the read
+    * later, the exact failure mode gating exists to avoid. Spark's
+    * text/json/csv readers decompress through this same factory, so
+    * "usable here" is precisely "readable by the engine". (Caveat
+    * carried from the codec itself: Hadoop's Lz4Codec speaks the
+    * Hadoop lz4 BLOCK framing, i.e. files written by Hadoop/Spark —
+    * not the lz4 CLI frame format.)
+    */
+  private[ingest] def codecUsable(ext: String): Boolean =
+    try {
+      val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+        new Configuration())
+      val codec = factory.getCodec(new Path("probe" + ext))
+      codec != null && { codec.createDecompressor(); true }
+    } catch { case _: Throwable => false }
+
+  /** The gated suffix list under an injectable usability probe — the
+    * seam that lets a spec prove BOTH branches (classify where usable,
+    * skip where not) regardless of what this container's classpath
+    * happens to provide.
+    */
+  private[ingest] def gatedExts(usable: String => Boolean): Seq[String] =
+    GatedCompressionCandidates.filter(usable)
 
   /** `name` with any [[CompressionExts]] suffix stripped — the name the
     * format classifier (and jsonl-vs-multiline dispatch) should see.

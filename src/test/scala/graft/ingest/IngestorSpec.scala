@@ -172,6 +172,43 @@ class IngestorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("_source_file") == "orders.json.gz"))
   }
 
+  test("gated compression (.zst/.lz4): classify iff the codec is usable; lz4 ingests e2e") {
+    // both gate branches via the injectable seam — environment-proof
+    assert(FileScanner.gatedExts(_ => true) == Seq(".zst", ".lz4"))
+    assert(FileScanner.gatedExts(_ => false).isEmpty)
+    assert(FileScanner.gatedExts(Set(".lz4")) == Seq(".lz4"))
+    // the live list is exactly base ++ gate — no hand-maintained drift
+    assert(FileScanner.CompressionExts ==
+      Seq(".gz", ".bz2", ".deflate") ++ FileScanner.gatedExts(FileScanner.codecUsable))
+    // classification FOLLOWS the gate on both suffixes, whatever this
+    // classpath provides: usable ⇒ see-through, unusable ⇒ skip
+    assert(FileScanner.classify("feed.jsonl.lz4").isDefined ==
+      FileScanner.codecUsable(".lz4"))
+    assert(FileScanner.classify("feed.jsonl.zst").isDefined ==
+      FileScanner.codecUsable(".zst"))
+    // lz4 is pure-Java since Hadoop 3.3 (lz4-java, bundled by Spark):
+    // usable here, so a .json.lz4 must classify and ingest end to end
+    assert(FileScanner.codecUsable(".lz4"), "lz4-java missing from classpath?")
+    assert(FileScanner.classify("feed.jsonl.lz4").contains("json"))
+    assert(FileScanner.classify("data.parquet.lz4").isEmpty,
+      "the see-through stays TEXT-only for gated codecs too")
+    val dir = tmpDir("ingest_lz4")
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+        spark.sparkContext.hadoopConfiguration)
+      .getCodec(new org.apache.hadoop.fs.Path("probe.lz4"))
+    val out = codec.createOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("orders.json.lz4")))
+    out.write("""[{"order_id": "O1", "qty": 2}, {"order_id": "O2", "qty": null}]"""
+      .getBytes("UTF-8"))
+    out.close()
+    val res = JsonIngestor.ingest(spark, dir.toString)
+    assert(res.report.filesProcessed == 1 && res.report.totalRecords == 2L)
+    val rows = res.data.orderBy("order_id").collect()
+    assert(rows.map(_.getAs[String]("order_id")).toSeq == Seq("O1", "O2"))
+    assert(rows.map(_.getAs[String]("qty")).toSeq == Seq("2", ""))
+    assert(rows.forall(_.getAs[String]("_source_file") == "orders.json.lz4"))
+  }
+
   test("probe manifest ships only UNWITNESSED keys; restore still lands them as \"\"") {
     val dir = tmpDir("witness")
     // `gone` is all-null, `hollow` all-empty-collection (both pruned by

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.ingest.FileUtils
+import graft.sources.Tables
+
+/** Persisted sketch warehouse WITH an erasure lifecycle — the missing
+  * governance half of hll04/qs04's append-only register/state tables.
+  *
+  * Sketches cannot subtract: an HLL register max and a bottom-k
+  * survivor both physically retain a forgotten key's contribution
+  * forever, so the tombstone remedy the row-level indexes use
+  * (Dedup.forgetFromIndex, VectorIndex tombstones) is structurally
+  * unavailable — exactly the quantizer-resident-data situation sim16
+  * resolves by REBUILD. This warehouse makes that remedy cheap by
+  * partitioning the sketch state: per source partition, one
+  * marker-sealed state dir; an erasure rebuilds ONLY the partitions
+  * that contain the erased keys, from the source minus every erased
+  * key recorded so far, and leaves the other partitions' bytes
+  * untouched.
+  *
+  * Layout under `path`:
+  *  - `meta`                  — (key_col, part_col) the warehouse was
+  *    built with; erase/estimate read the STORED config (the
+  *    saveNearDupIndex geometry contract).
+  *  - `parts/p<v>/v<n>/...`   — partition v's state, one VERSION dir
+  *    per (re)build, sealed by `_COMMITTED`; readers take the highest
+  *    committed version, so a crashed rebuild leaves the previous
+  *    state live (never a half-written one) and versions are claimed
+  *    race-safely (FileUtils.claimSeqDir).
+  *  - `erased/e<n>/ids`       — marker-sealed erasure manifests. Every
+  *    rebuild excludes the UNION of all committed manifests, so
+  *    repeated erasures touching the same partition compose instead of
+  *    resurrecting earlier forgotten keys.
+  *
+  * Scale shape: state per partition is O(registers) / O(k) rows; an
+  * erasure's cost is (affected partitions) × (one scan of those
+  * partitions' source rows) — never a whole-corpus rebuild, and never
+  * proportional to warehouse history. The affected-partition collect
+  * is bounded by the partition-value domain (required ≤ [[MaxParts]]).
+  */
+object SketchWarehouse {
+
+  /** Partition-value domain cap: save collects the distinct partition
+    * values and erase collects the affected subset — both driver-side
+    * lists by design (they drive per-partition writes), so the domain
+    * must be bounded (dates, shards, tenants — not a high-cardinality
+    * key).
+    */
+  val MaxParts: Int = 4096
+
+  private def conf(df: DataFrame) =
+    df.sparkSession.sparkContext.hadoopConfiguration
+
+  /** Build + persist the per-partition HLL register warehouse for
+    * `key` over `fact`, REPLACING anything at `path`.
+    */
+  def saveHllWarehouse(fact: DataFrame, path: String, key: String,
+      partCol: String): Unit =
+    saveWarehouse(fact, path, key, partCol, "hll")
+
+  /** Build + persist the per-partition bottom-k quantile-sketch
+    * warehouse for (`key`, `valCol`) over `fact`, REPLACING anything
+    * at `path`. The per-partition states merge losslessly by
+    * union-then-recut (qs02's monoid), so partition-scoped rebuilds
+    * compose into the global sketch exactly.
+    */
+  def saveQuantileWarehouse(fact: DataFrame, path: String, key: String,
+      valCol: String, partCol: String): Unit =
+    saveWarehouse(fact, path, key, partCol, "quantile", Some(valCol))
+
+  private def saveWarehouse(fact: DataFrame, path: String, key: String,
+      partCol: String, kind: String, valCol: Option[String] = None): Unit = {
+    val s = fact.sparkSession
+    val hconf = conf(fact)
+    FileUtils.rmr(path, hconf)
+    import s.implicits._
+    Seq((kind, key, partCol, valCol.getOrElse("")))
+      .toDF("kind", "key_col", "part_col", "val_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // bounded by contract: the partition domain drives per-partition
+    // writes, so it must be small (see MaxParts)
+    val parts = fact.select(col(partCol).cast("long").as("p")).distinct()
+      .orderBy("p").limit(MaxParts + 1).collect().map(_.getLong(0))
+    require(parts.length <= MaxParts,
+      s"warehouse partition column $partCol exceeds $MaxParts distinct " +
+        "values; partition by a bounded domain (date, shard, tenant)")
+    parts.foreach(p => writePartState(fact, path, kind, key, valCol, partCol, p, None))
+  }
+
+  // one (re)build of partition `p`'s state: source slice minus the
+  // erased keys, written as a fresh claimed version dir + marker
+  private def writePartState(fact: DataFrame, path: String, kind: String,
+      key: String, valCol: Option[String], partCol: String, p: Long,
+      erased: Option[DataFrame]): Unit = {
+    val hconf = conf(fact)
+    val slice0 = fact.filter(col(partCol).cast("long") === p)
+    val slice = erased.fold(slice0)(e =>
+      slice0.join(e, slice0(key).cast("long") === e("k"), "left_anti"))
+    val state = kind match {
+      case "hll" => Sketches.hllRegisterUpdates(slice, key)
+      case "quantile" => Sketches.quantileSketch(slice, key, valCol.get)
+      case other => sys.error(s"unknown warehouse kind in $path/meta: $other")
+    }
+    val vdir = FileUtils.claimSeqDir(s"$path/parts/p$p", "v", hconf)
+    state.write.parquet(s"$vdir/state")
+    FileUtils.touch(s"$vdir/_COMMITTED", hconf)
+  }
+
+  private def erasedKeys(s: SparkSession, path: String): Option[DataFrame] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dirs = FileUtils.listSubdirs(s"$path/erased", hconf)
+      .filter(d => FileUtils.exists(s"$d/_COMMITTED", hconf))
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(_ + "/ids"): _*)
+      .select(col("k").cast("long").as("k")).distinct())
+  }
+
+  /** Right-to-erasure, the honest sketch remedy: record the keys
+    * (first column of `eraseKeys`, cast to long) as a marker-sealed
+    * manifest, then REBUILD every partition of `fact` that contains
+    * them — from the source minus ALL committed manifests — as a new
+    * committed version. Untouched partitions keep their bytes; after
+    * the rebuild the erased keys' contributions are byte-absent from
+    * every live state file (registers can't subtract, so recompute is
+    * the only erasure that actually forgets).
+    */
+  def eraseFromWarehouse(fact: DataFrame, path: String,
+      eraseKeys: DataFrame): Unit = {
+    val s = fact.sparkSession
+    val hconf = conf(fact)
+    val m = s.read.parquet(s"$path/meta")
+      .select("kind", "key_col", "part_col", "val_col").head
+    val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
+    val valCol = Option(m.getString(3)).filter(_.nonEmpty)
+    // manifest FIRST: a crash after the manifest commits but before the
+    // rebuilds leaves the request durable — the next erase (or a retry)
+    // folds it in, never silently drops it
+    val edir = FileUtils.claimSeqDir(s"$path/erased", "e", hconf)
+    val keyCol = eraseKeys.columns.head
+    eraseKeys.select(col(keyCol).cast("long").as("k")).distinct()
+      .write.parquet(s"$edir/ids")
+    FileUtils.touch(s"$edir/_COMMITTED", hconf)
+    val all = erasedKeys(s, path).get // non-empty: we just committed one
+    // affected partitions only — bounded by the partition domain
+    val affected = fact.join(all, fact(key).cast("long") === all("k"), "left_semi")
+      .select(col(partCol).cast("long").as("p")).distinct()
+      .orderBy("p").limit(MaxParts + 1).collect().map(_.getLong(0))
+    require(affected.length <= MaxParts, s"partition domain exceeds $MaxParts")
+    affected.foreach(p =>
+      writePartState(fact, path, kind, key, valCol, partCol, p, Some(all)))
+  }
+
+  /** Newest committed state file per partition — the read set every
+    * estimator merges.
+    */
+  private def latestStates(s: SparkSession, path: String): Seq[String] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val latest = FileUtils.listSubdirs(s"$path/parts", hconf).flatMap { pd =>
+      val vs = FileUtils.listSubdirs(pd, hconf)
+        .filter(v => FileUtils.exists(s"$v/_COMMITTED", hconf))
+      if (vs.isEmpty) None
+      else Some(vs.maxBy(v => new org.apache.hadoop.fs.Path(v)
+        .getName.stripPrefix("v").toLong) + "/state")
+    }
+    require(latest.nonEmpty, s"no committed warehouse state under $path/parts")
+    latest
+  }
+
+  /** Corpus-level cardinality estimate from the live per-partition
+    * registers: groupBy(reg).max merge (hll02's monoid) + the shared
+    * estimator — never touches raw data.
+    */
+  def estimateHllWarehouse(s: SparkSession, path: String): DataFrame =
+    Sketches.hllEstimateFromRegisters(
+      s.read.parquet(latestStates(s, path): _*)
+        .groupBy("reg").agg(max(col("max_rho")).as("max_rho")))
+
+  /** The merged global bottom-k sketch from the live per-partition
+    * states: distinct-(h, kk) union then recut (qs04's replay-tolerant
+    * merge — partitions are disjoint by construction, but a retried
+    * rebuild must stay idempotent).
+    */
+  def mergedQuantileWarehouse(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(latestStates(s, path): _*)
+      .dropDuplicates(Seq("h", "kk"))
+      .orderBy(col("h"), col("kk")).limit(Sketches.QsK)
+
+  // Erase three customers from the per-partition register warehouse,
+  // then estimate: the oracle replays the DIRECT whole-corpus HLL build
+  // over orders WITHOUT those customers, so a hash match proves the
+  // partition-scoped rebuild leaves estimates exactly as if the erased
+  // keys had never been ingested (register merge is the hll02 monoid,
+  // so partition-wise build == direct build). The spec separately pins
+  // that untouched partitions keep their version-0 bytes and that
+  // repeated erasures compose.
+  private val gov03 = QueryDef(
+    "gov03_sketch_erasure",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_custkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov03_wh").toString
+      try {
+        import s.implicits._
+        saveHllWarehouse(o, path, "o_custkey", "part")
+        eraseFromWarehouse(o, path, Seq(97L, 194L, 388L).toDF("o_custkey"))
+        val exact = o.filter(!col("o_custkey").isin(97, 194, 388))
+          .agg(count_distinct(col("o_custkey")).as("n_exact"))
+        estimateHllWarehouse(s, path)
+          .crossJoin(broadcast(exact))
+          .select(lit("warehouse_custkey_post_erasure").as("col_name"),
+            col("n_exact"), col("n_est"),
+            (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+              .as("in_envelope"))
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(Sketches.hllSql(
+      "(SELECT * FROM orders WHERE o_custkey NOT IN (97, 194, 388))",
+      "o_custkey", "warehouse_custkey_post_erasure")),
+  )
+
+  // The quantile twin: bottom-k states can't subtract either (an
+  // erased key's row may BE a survivor), so the same partition-scoped
+  // rebuild runs, and the merged recut must equal the direct sketch of
+  // the filtered corpus — qs01's whole envelope table, deciles and
+  // rank audit included, over orders minus the erased keys.
+  private lazy val gov04 = QueryDef(
+    "gov04_quantile_erasure",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_orderkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov04_wh").toString
+      try {
+        import s.implicits._
+        saveQuantileWarehouse(o, path, "o_orderkey", "o_totalprice", "part")
+        eraseFromWarehouse(o, path, Seq(3L, 11L, 20L).toDF("o_orderkey"))
+        val survivors = o.filter(!col("o_orderkey").isin(3, 11, 20))
+        Sketches.decileEnvelope(survivors, "o_totalprice",
+            Sketches.quantileEstimates(mergedQuantileWarehouse(s, path)))
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Sketches.qs01Oracle.map { o =>
+      // one anchored edit: qs01's f CTE sources the raw fact exactly once
+      val anchored = "FROM orders)"
+      require(o.indexOf(anchored) == o.lastIndexOf(anchored) && o.contains(anchored),
+        "qs01 oracle fact CTE moved")
+      o.replace(anchored, "FROM orders WHERE o_orderkey NOT IN (3, 11, 20))")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(gov03, gov04)
+}

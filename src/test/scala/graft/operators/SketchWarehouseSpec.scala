@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ingest.FileUtils
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The sketch-warehouse erasure lifecycle: rebuild-on-erasure must
+  * leave the live state EXACTLY as if the erased keys were never
+  * ingested (sketches can't subtract, so recompute is the only honest
+  * forget), touch only affected partitions, and compose across
+  * repeated erasure requests.
+  */
+class SketchWarehouseSpec extends SparkSpec {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  private def orders = Tables(spark, sf0001).orders
+    .withColumn("part", pmod(col("o_custkey"), lit(8)))
+
+  private def versionsOf(path: String, p: Long): Seq[String] =
+    FileUtils.listSubdirs(s"$path/parts/p$p", conf)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .filterNot(_.endsWith(".claim"))
+
+  test("erasure rebuilds ONLY affected partitions; state == never-ingested build") {
+    import spark.implicits._
+    val path = tmpDir("wh_hll").toString
+    val fresh = tmpDir("wh_hll_fresh").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(orders, path, "o_custkey", "part")
+      val estBefore = SketchWarehouse.estimateHllWarehouse(spark, path)
+        .head.getDouble(0)
+      // pick a victim that ALONE holds its register's max (erasing a
+      // shadowed key legitimately leaves registers unchanged — HLL's
+      // whole point — so the estimate-must-move check needs a key whose
+      // contribution is visible)
+      val perKey = Sketches.hllRegisterUpdatesBy(orders, "o_custkey", "o_custkey")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getInt(2)))
+      val victim = perKey.filter(_._1 % 8 == 1).collectFirst {
+        case (k, reg, rho) if perKey.forall(o =>
+          o._1 == k || o._2 != reg || o._3 < rho) => k
+      }.get
+      SketchWarehouse.eraseFromWarehouse(orders, path, Seq(victim).toDF("k"))
+      (0L to 7L).foreach { p =>
+        val expected = if (p == 1L) Seq("v0", "v1") else Seq("v0")
+        assert(versionsOf(path, p) == expected,
+          s"partition $p versions: ${versionsOf(path, p)} — expected $expected")
+      }
+      // the estimate genuinely forgot the key
+      val estAfter = SketchWarehouse.estimateHllWarehouse(spark, path)
+        .head.getDouble(0)
+      assert(estAfter != estBefore, "erasure left the estimate unchanged")
+      // live state cell-for-cell == a warehouse built on the corpus
+      // with the key NEVER ingested
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(col("o_custkey") =!= victim), fresh, "o_custkey", "part")
+      def merged(p: String) = SketchWarehouse.estimateHllWarehouse(spark, p)
+        .head.getDouble(0)
+      assert(merged(path) == merged(fresh),
+        "post-erasure estimate diverged from the never-ingested build")
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("repeated erasures compose: a rebuild never resurrects earlier forgotten keys") {
+    import spark.implicits._
+    val path = tmpDir("wh_hll_compose").toString
+    val fresh = tmpDir("wh_hll_compose_fresh").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(orders, path, "o_custkey", "part")
+      // 97 and 105 share partition 1: the SECOND rebuild of p1 must
+      // still exclude 97 (manifests union) or it would resurrect it
+      SketchWarehouse.eraseFromWarehouse(orders, path, Seq(97L).toDF("k"))
+      SketchWarehouse.eraseFromWarehouse(orders, path, Seq(105L).toDF("k"))
+      assert(versionsOf(path, 1L) == Seq("v0", "v1", "v2"))
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(!col("o_custkey").isin(97, 105)), fresh, "o_custkey", "part")
+      val got = SketchWarehouse.estimateHllWarehouse(spark, path).head.getDouble(0)
+      val want = SketchWarehouse.estimateHllWarehouse(spark, fresh).head.getDouble(0)
+      assert(got == want, "second rebuild resurrected an earlier erased key")
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("quantile warehouse: merged recut == direct sketch; erased survivor evicted") {
+    import spark.implicits._
+    val o = Tables(spark, sf0001).orders
+      .withColumn("part", pmod(col("o_orderkey"), lit(8)))
+    val path = tmpDir("wh_qs").toString
+    try {
+      SketchWarehouse.saveQuantileWarehouse(o, path, "o_orderkey",
+        "o_totalprice", "part")
+      // partition-disjoint union-recut == the direct whole-corpus cut
+      val merged = SketchWarehouse.mergedQuantileWarehouse(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = Sketches.quantileSketch(o, "o_orderkey", "o_totalprice")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(merged == direct, "warehouse merge diverged from the direct cut")
+      // erase a key that IS a current survivor — the rebuild must evict
+      // its (h, kk, v) row from the live state, not just mask it
+      val victim = SketchWarehouse.mergedQuantileWarehouse(spark, path)
+        .orderBy("h", "kk").select("kk").head.getLong(0)
+      SketchWarehouse.eraseFromWarehouse(o, path, Seq(victim).toDF("k"))
+      val after = SketchWarehouse.mergedQuantileWarehouse(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(!after.exists(_._2 == victim), "erased survivor still in live state")
+      val directAfter = Sketches.quantileSketch(
+          o.filter(col("o_orderkey") =!= victim), "o_orderkey", "o_totalprice")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after == directAfter,
+        "post-erasure sketch diverged from the never-ingested cut")
+    } finally FileUtils.rmr(path, conf)
+  }
+}

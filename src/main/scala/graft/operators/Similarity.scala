@@ -761,14 +761,21 @@ object Similarity {
     val perQC = queries.flatMap { case (qid, qv) =>
       val cells =
         if (mips) model.mipsProbesOf(qv, nProbe) else model.probesOf(qv, nProbe)
+      // MIPS LUTs are CELL-independent (the residual term of the
+      // decomposed dot), so they hoist out of the per-cell loop — one
+      // literal array per (query, subspace) instead of nProbe copies
+      // in the shipped plan
+      val mipsLuts = if (mips) Some((0 until model.nSub).map(m =>
+          element_at(typedLit(model.mipsLutFor(qv, m)), col(s"code_$m") + 1))
+        .reduce(_ + _)) else None
       cells.map { cell =>
         // subspace-ascending add order in both modes, same as the oracle
-        val luts = (0 until model.nSub).map { m =>
-          val lut = if (mips) model.mipsLutFor(qv, m)
-            else model.lutFor(qv, cell, m)
-          element_at(typedLit(lut), col(s"code_$m") + 1)
-        }.reduce(_ + _)
-        val sc = if (mips) lit(model.mipsBase(qv, cell)) + luts else luts
+        val sc = mipsLuts match {
+          case Some(luts) => lit(model.mipsBase(qv, cell)) + luts
+          case None => (0 until model.nSub).map(m =>
+              element_at(typedLit(model.lutFor(qv, cell, m)), col(s"code_$m") + 1))
+            .reduce(_ + _)
+        }
         val fields = Seq(lit(qid).as("qid"), lit(cell).as("pcell"),
           sc.as(scoreName)) ++
           queryLabels.map(m => lit(m(qid)).as("qlabel"))

@@ -78,25 +78,59 @@ object SketchWarehouse {
     val hconf = conf(fact)
     FileUtils.rmr(path, hconf)
     import s.implicits._
-    Seq((kind, key, partCol, valCol.getOrElse("")))
-      .toDF("kind", "key_col", "part_col", "val_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // bounded by contract: the partition domain drives per-partition
     // writes, so it must be small (see MaxParts)
-    val parts = fact.select(col(partCol).cast("long").as("p")).distinct()
-      .orderBy("p").limit(MaxParts + 1).collect().map(_.getLong(0))
+    val parts = boundedParts(
+      fact.select(col(partCol).cast("long").as("p")), partCol)
+    parts.foreach(p =>
+      writePartState(fact, path, kind, key, valCol, partCol, p, None))
+    // meta LAST, carrying the full partition list: it is the
+    // warehouse-level commit marker. A save that crashes mid-way leaves
+    // no meta, so readers fail loudly instead of silently estimating
+    // from a partial register set; readers also cross-check every
+    // listed partition has a committed version (a deleted partition
+    // dir cannot silently shrink the estimate either).
+    Seq((kind, key, partCol, valCol.getOrElse(""), parts.toSeq))
+      .toDF("kind", "key_col", "part_col", "val_col", "parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  // partition-domain collect shared by save and erase: bounded, sorted,
+  // and NULL-free with a named contract error (a NULL would otherwise
+  // surface as an opaque NPE from Row.getLong)
+  private def boundedParts(pdf: DataFrame, partCol: String): Array[Long] = {
+    val rows = pdf.distinct().orderBy("p").limit(MaxParts + 1).collect()
+    require(rows.forall(!_.isNullAt(0)),
+      s"warehouse partition column $partCol contains NULL (or values " +
+        "that cast to NULL); every row must carry a non-NULL bounded " +
+        "partition value")
+    val parts = rows.map(_.getLong(0))
     require(parts.length <= MaxParts,
       s"warehouse partition column $partCol exceeds $MaxParts distinct " +
         "values; partition by a bounded domain (date, shard, tenant)")
-    parts.foreach(p => writePartState(fact, path, kind, key, valCol, partCol, p, None))
+    parts
   }
 
-  // one (re)build of partition `p`'s state: source slice minus the
-  // erased keys, written as a fresh claimed version dir + marker
+  /** One (re)build of partition `p`'s state, written as a fresh
+    * claimed version dir + marker. Rebuilds driven by erasure
+    * (`excludeErased = true`) read the manifest union AFTER claiming
+    * the version dir — the ordering that makes CONCURRENT erasers
+    * safe: version ids are totally ordered by claim-file creation, a
+    * manifest always commits before its eraser's first claim, and
+    * claim enumeration is what assigns the ids — so the HIGHEST
+    * version's manifest read happened after every lower version's
+    * manifest commit, and the winning state can never resurrect a key
+    * a losing concurrent eraser committed (pinned in
+    * SketchWarehouseSpec's concurrent-erase test).
+    */
   private def writePartState(fact: DataFrame, path: String, kind: String,
       key: String, valCol: Option[String], partCol: String, p: Long,
-      erased: Option[DataFrame]): Unit = {
+      excludeErased: Option[SparkSession]): Unit = {
     val hconf = conf(fact)
+    val vdir = FileUtils.claimSeqDir(s"$path/parts/p$p", "v", hconf)
+    // manifests read AFTER the claim (see scaladoc) — and always the
+    // FULL committed union, so repeated erasures compose
+    val erased = excludeErased.flatMap(s => erasedKeys(s, path))
     val slice0 = fact.filter(col(partCol).cast("long") === p)
     val slice = erased.fold(slice0)(e =>
       slice0.join(e, slice0(key).cast("long") === e("k"), "left_anti"))
@@ -105,7 +139,6 @@ object SketchWarehouse {
       case "quantile" => Sketches.quantileSketch(slice, key, valCol.get)
       case other => sys.error(s"unknown warehouse kind in $path/meta: $other")
     }
-    val vdir = FileUtils.claimSeqDir(s"$path/parts/p$p", "v", hconf)
     state.write.parquet(s"$vdir/state")
     FileUtils.touch(s"$vdir/_COMMITTED", hconf)
   }
@@ -137,37 +170,51 @@ object SketchWarehouse {
     val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
     val valCol = Option(m.getString(3)).filter(_.nonEmpty)
     // manifest FIRST: a crash after the manifest commits but before the
-    // rebuilds leaves the request durable — the next erase (or a retry)
-    // folds it in, never silently drops it
+    // rebuilds leaves the request durable — RETRYING the erase is the
+    // documented repair (it recomputes this manifest's partitions, and
+    // every rebuild excludes the full committed union anyway)
     val edir = FileUtils.claimSeqDir(s"$path/erased", "e", hconf)
     val keyCol = eraseKeys.columns.head
-    eraseKeys.select(col(keyCol).cast("long").as("k")).distinct()
-      .write.parquet(s"$edir/ids")
+    val mine = eraseKeys.select(col(keyCol).cast("long").as("k")).distinct()
+      .localCheckpoint(eager = true) // pinned: reused for the affected scan
+    mine.write.parquet(s"$edir/ids")
     FileUtils.touch(s"$edir/_COMMITTED", hconf)
-    val all = erasedKeys(s, path).get // non-empty: we just committed one
-    // affected partitions only — bounded by the partition domain
-    val affected = fact.join(all, fact(key).cast("long") === all("k"), "left_semi")
-      .select(col(partCol).cast("long").as("p")).distinct()
-      .orderBy("p").limit(MaxParts + 1).collect().map(_.getLong(0))
-    require(affected.length <= MaxParts, s"partition domain exceeds $MaxParts")
+    // affected partitions of THIS call's keys only — an erase costs
+    // (partitions its keys live in) × (one slice rebuild), independent
+    // of how many erasures the warehouse has absorbed before (the
+    // rebuilds themselves still exclude the FULL manifest union, so
+    // composition never regresses)
+    val affected = boundedParts(
+      fact.join(mine, fact(key).cast("long") === mine("k"), "left_semi")
+        .select(col(partCol).cast("long").as("p")), partCol)
     affected.foreach(p =>
-      writePartState(fact, path, kind, key, valCol, partCol, p, Some(all)))
+      writePartState(fact, path, kind, key, valCol, partCol, p, Some(s)))
   }
 
   /** Newest committed state file per partition — the read set every
-    * estimator merges.
+    * estimator merges. Driven by meta's partition LIST, not a dir
+    * listing: meta is written LAST by save (the warehouse-level commit
+    * marker), so a crashed partial save fails loudly here, and a
+    * partition listed but missing a committed version (a deleted dir)
+    * cannot silently shrink the estimate.
     */
   private def latestStates(s: SparkSession, path: String): Seq[String] = {
     val hconf = s.sparkContext.hadoopConfiguration
-    val latest = FileUtils.listSubdirs(s"$path/parts", hconf).flatMap { pd =>
-      val vs = FileUtils.listSubdirs(pd, hconf)
+    require(FileUtils.exists(s"$path/meta", hconf),
+      s"$path has no warehouse meta — the save never completed " +
+        "(meta commits last); re-run the save")
+    val expected = s.read.parquet(s"$path/meta")
+      .select("parts").head.getSeq[Long](0)
+    require(expected.nonEmpty, s"warehouse at $path lists no partitions")
+    expected.map { p =>
+      val vs = FileUtils.listSubdirs(s"$path/parts/p$p", hconf)
         .filter(v => FileUtils.exists(s"$v/_COMMITTED", hconf))
-      if (vs.isEmpty) None
-      else Some(vs.maxBy(v => new org.apache.hadoop.fs.Path(v)
-        .getName.stripPrefix("v").toLong) + "/state")
+      require(vs.nonEmpty,
+        s"partition p$p of $path has no committed state — the " +
+          "warehouse is damaged; re-run the save")
+      vs.maxBy(v => new org.apache.hadoop.fs.Path(v)
+        .getName.stripPrefix("v").toLong) + "/state"
     }
-    require(latest.nonEmpty, s"no committed warehouse state under $path/parts")
-    latest
   }
 
   /** Corpus-level cardinality estimate from the live per-partition

@@ -99,6 +99,11 @@ object StreamingQuantile {
     * changed nGroups) can never mix two shardings into one sketch.
     */
   def latestSketch(snaps: DataFrame, k: Int, nGroups: Int = 8): DataFrame = {
+    // a snapshot table written BEFORE the sharding stamp existed has no
+    // ng column — fail with the remedy, not an unresolved-column error
+    require(snaps.columns.contains("ng"),
+      "snapshot table predates the ng sharding stamp; re-land it with " +
+        "the current bottomKUpdates (its sharding cannot be verified)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
     snaps
       .filter(col("ng") === nGroups)

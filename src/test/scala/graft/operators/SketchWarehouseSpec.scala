@@ -82,6 +82,48 @@ class SketchWarehouseSpec extends SparkSpec {
     } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
   }
 
+  test("CONCURRENT erasers on a shared partition: neither request is lost") {
+    import spark.implicits._
+    val path = tmpDir("wh_hll_race").toString
+    val fresh = tmpDir("wh_hll_race_fresh").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(orders, path, "o_custkey", "part")
+      // 97 and 105 both live in partition 1: last-writer-wins rebuilds
+      // would resurrect the loser's key; the claim-then-read-manifests
+      // ordering must not (the winning version always saw the loser's
+      // committed manifest)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      try {
+        val fs = Seq(97L, 105L).map(k => pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            SketchWarehouse.eraseFromWarehouse(orders, path, Seq(k).toDF("k"))
+          }
+        }))
+        fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      } finally { pool.shutdownNow(); () }
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(!col("o_custkey").isin(97, 105)), fresh, "o_custkey", "part")
+      val got = SketchWarehouse.estimateHllWarehouse(spark, path).head.getDouble(0)
+      val want = SketchWarehouse.estimateHllWarehouse(spark, fresh).head.getDouble(0)
+      assert(got == want, "a concurrent eraser's key was resurrected")
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("a crashed partial save fails readers loudly (meta commits last)") {
+    val path = tmpDir("wh_hll_crash").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(orders, path, "o_custkey", "part")
+      // simulate the crash window: partition states landed, meta did not
+      FileUtils.rmr(s"$path/meta", conf)
+      val e = intercept[IllegalArgumentException] {
+        SketchWarehouse.estimateHllWarehouse(spark, path).collect()
+      }
+      assert(e.getMessage.contains("never completed"))
+    } finally FileUtils.rmr(path, conf)
+  }
+
   test("quantile warehouse: merged recut == direct sketch; erased survivor evicted") {
     import spark.implicits._
     val o = Tables(spark, sf0001).orders

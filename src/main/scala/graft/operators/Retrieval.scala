@@ -156,6 +156,107 @@ object Retrieval {
       .orderBy("step")
   }
 
+  /** Retrieval-quality EVALUATION — MRR, nDCG@k, recall@k of a ranked
+    * run against binary relevance judgments: the measurement loop every
+    * retrieval deployment closes before it trusts a ranker (and the
+    * gate a training-data pipeline puts on its retrieval-augmented
+    * curation). Run = the dense cosine top-k (Similarity.bruteTopK);
+    * qrels = label match (a candidate is relevant iff it shares the
+    * query's label — the same pseudo-judgment sim08/sim15 filter on).
+    *
+    * Determinism: MRR is max(1/rn) over relevant rows (order-free);
+    * DCG folds rel/log2(rn+1) in rank order via a sorted-array
+    * aggregate (collect_list order is not deterministic, the
+    * array_sort is), mirroring the oracle's list(... ORDER BY rn);
+    * IDCG folds 1/log2(i+1) over i = 1..min(n_rel, k); log2 is spelled
+    * ln(x)/ln(2) in BOTH engines (the hllSql linear-counting ln parity
+    * precedent). Scale shape: the run is k·nQueries rows, qrels sizes
+    * come from one label-count aggregation — evaluation never rescans
+    * the corpus beyond the ranker itself.
+    */
+  def retrievalMetrics(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").cast("long").as("qid"), col("label").as("qlabel"))
+    val others = emb.select(col("vec_id").cast("long").as("oid"),
+      col("label").as("olabel"))
+    val nRel = q.join(others,
+        col("olabel") === col("qlabel") && col("oid") =!= col("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val run = Similarity.bruteTopK(emb, nQueries, k)
+      .select(col("qid").cast("long").as("qid"),
+        col("cid").cast("long").as("cid"), col("rn"))
+      .join(broadcast(q), "qid")
+      .join(others, col("cid") === col("oid"))
+      .withColumn("rel", (col("olabel") === col("qlabel")).cast("int"))
+    val term = col("rel").cast("double") /
+      (log(col("rn").cast("double") + 1) / log(lit(2.0)))
+    val agg = run.withColumn("term", term)
+      .groupBy("qid")
+      .agg(
+        coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rn").cast("double"))), lit(0.0)).as("mrr"),
+        // rank-ascending fold — deterministic despite collect_list
+        expr("aggregate(transform(array_sort(collect_list(struct(rn, term)))," +
+          " x -> x.term), 0D, (a, x) -> a + x)").as("dcg"),
+        sum(col("rel")).cast("bigint").as("rel_ret"))
+    nRel.join(agg, "qid")
+      .withColumn("m", least(col("n_rel"), lit(k.toLong)))
+      .withColumn("idcg", expr(
+        "aggregate(transform(sequence(1L, m)," +
+          " i -> 1.0D / (ln(cast(i + 1 as double)) / ln(2.0D)))," +
+          " 0D, (a, x) -> a + x)"))
+      .select(col("qid"), col("n_rel").cast("bigint").as("n_rel"), col("mrr"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg_at_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("rel_ret").cast("double") / col("n_rel"))
+          .as("recall_at_k"))
+      .orderBy("qid")
+  }
+
+  // The oracle replays the run (sim01's cosine CTE shape), the label
+  // qrels, and every metric's exact arithmetic — rank-ordered DCG fold,
+  // min(n_rel, k)-term ideal, reciprocal-rank max — so a hash match
+  // certifies the measurement, not just the ranking under it.
+  private val ir01 = QueryDef(
+    "ir01_retrieval_metrics",
+    (s, dir) => retrievalMetrics(Tables(s, dir).embeddings),
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS clabel
+        FROM embeddings),
+      s AS (SELECT qid, qlabel, cid, clabel,
+        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        FROM c, q WHERE qid <> cid),
+      r AS (SELECT qid, qlabel, cid, clabel,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        FROM s),
+      run AS (SELECT qid, rn,
+          CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel
+        FROM r WHERE rn <= 10),
+      nr AS (SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.clabel = q.qlabel AND c.cid <> q.qid
+        GROUP BY q.qid),
+      agg AS (SELECT qid,
+          COALESCE(MAX(CASE WHEN rel = 1
+            THEN CAST(1 AS DOUBLE) / CAST(rn AS DOUBLE) END), CAST(0 AS DOUBLE)) AS mrr,
+          list_sum(list(CAST(rel AS DOUBLE) /
+            (ln(CAST(rn + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) ORDER BY rn)) AS dcg,
+          CAST(SUM(rel) AS BIGINT) AS rel_ret
+        FROM run GROUP BY qid)
+      SELECT nr.qid, nr.n_rel, agg.mrr,
+        CASE WHEN nr.n_rel = 0 THEN CAST(0 AS DOUBLE)
+          ELSE agg.dcg / list_sum(list_transform(
+            range(CASE WHEN nr.n_rel < 10 THEN nr.n_rel ELSE 10 END),
+            i -> CAST(1 AS DOUBLE) / (ln(CAST(i + 2 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))))
+          END AS ndcg_at_k,
+        CASE WHEN nr.n_rel = 0 THEN CAST(0 AS DOUBLE)
+          ELSE CAST(agg.rel_ret AS DOUBLE) / nr.n_rel END AS recall_at_k
+      FROM nr JOIN agg USING (qid) ORDER BY qid"""),
+  )
+
   private val HybTerms = Seq("table", "scan", "stream")
 
   // Fuses txt10's exact lexical ranking (shared oracle CTE chain) with
@@ -261,5 +362,5 @@ object Retrieval {
       FROM sel5 ORDER BY step"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(hyb01, hyb02, mmr01)
+  val defs: Seq[QueryDef] = Seq(hyb01, hyb02, mmr01, ir01)
 }

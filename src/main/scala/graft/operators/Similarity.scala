@@ -1069,6 +1069,63 @@ object Similarity {
       SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
   )
 
+  // -------------------------------------------------------------- sim19
+  /** MIPS served by the COSINE machinery via the norm-augmentation
+    * reduction (Bachrach et al. 2014) — the scale path [[mipsTopK]]'s
+    * doc names, executed: append one coordinate sqrt(M² − ‖x‖²) to
+    * every corpus vector (M = the max corpus norm, a 1-row broadcast)
+    * and 0 to every query. Every augmented corpus vector then has norm
+    * exactly M, so the augmented-space COSINE ranking IS the original
+    * inner-product ranking — and every cosine index path (sign-bit
+    * LSH sim02, IVF sim03v, the persisted index) applies to MIPS
+    * unchanged. Output is the augmented-space cosine top-k; the spec
+    * pins rank-for-rank equality with sim06's exact dot scan, and the
+    * oracle replays the reduction itself (norms, max, augmentation,
+    * cosine) so a hash match certifies the construction, not just the
+    * ordering. Scale shape: one extra corpus pass for norms + a 1-row
+    * max broadcast on top of the brute scan — nothing leaves the
+    * map side.
+    */
+  def mipsReducedTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val c0 = emb.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("n2", dotD(col("cv"), col("cv")))
+    val m2 = c0.agg(max(col("n2")).as("m2"))
+    // m2 − n2 ≥ 0 exactly (max over the same doubles), so the sqrt is
+    // total; the max-norm vector augments with exactly 0.0
+    val c = c0.crossJoin(broadcast(m2))
+      .withColumn("av", concat(col("cv"), array(sqrt(col("m2") - col("n2")))))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        concat(asDouble(col("embedding")), array(lit(0.0))).as("qav"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qav"), col("av")))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  private val sim19 = QueryDef(
+    "sim19_mips_reduction",
+    (s, dir) => mipsReducedTopK(Tables(s, dir).embeddings),
+    Some("""WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+      n AS (SELECT cid, cv, list_sum(list_transform(cv, v -> v * v)) AS n2 FROM c0),
+      m AS (SELECT MAX(n2) AS m2 FROM n),
+      c AS (SELECT cid, list_append(cv, sqrt(m2 - n2)) AS av FROM n, m),
+      q AS (SELECT vec_id AS qid, list_append(embedding::DOUBLE[], CAST(0 AS DOUBLE)) AS qav
+        FROM embeddings WHERE vec_id < 3),
+      s AS (SELECT qid, cid,
+        list_sum(list_transform(list_zip(qav, av), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(qav, x -> x * x))) *
+           sqrt(list_sum(list_transform(av, x -> x * x)))) AS sim
+        FROM c, q WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        FROM s)
+      SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
   // -------------------------------------------------------------- rp01
   /** First hex nibble of md5(s) — the Scala twin of the oracle's
     * `('0x' || substr(md5(s), 1, 1))::INT` so plane signs can be
@@ -1495,5 +1552,5 @@ object Similarity {
   // checked against the SAME oracle rebuild.
   private[operators] def sim07Oracle: Option[String] = sim07.oracle
 
-  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, sim14, sim17, rp01, neg01)
+  val defs: Seq[QueryDef] = Seq(sim01, sim02, sim03, sim03v, sq01, sd01, pq01, sim04, sim05, sim06, sim07, sim08, sim09, sim10, sim14, sim17, sim19, rp01, neg01)
 }

@@ -50,6 +50,37 @@ class RetrievalSpec extends SparkSpec {
     } finally graft.ingest.FileUtils.rmr(path, conf)
   }
 
+  test("ir01: metrics bounded and consistent with a hand-checked run") {
+    val rows = Retrieval.retrievalMetrics(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    rows.foreach { case (qid, nRel, mrr, ndcg, recall) =>
+      assert(nRel > 0, s"query $qid has no relevant candidates")
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0 &&
+        recall >= 0.0 && recall <= 1.0, s"metric out of [0,1] for $qid")
+    }
+    // hand-check one query end to end against the run itself
+    val labelOf = emb.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val run0 = Similarity.bruteTopK(emb, 3, 10).collect()
+      .filter(_.getAs[Number]("qid").longValue == 0L)
+      .sortBy(_.getLong(3))
+      .map(r => (r.getLong(3), labelOf(r.getAs[Number]("cid").longValue) == labelOf(0L)))
+    // StrictMath, not math.log: Spark's ln codegen is StrictMath.log,
+    // which can differ from Math.log by 1 ulp on some arguments
+    def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    val expMrr = run0.collectFirst { case (rn, true) => 1.0 / rn }.getOrElse(0.0)
+    val dcg = run0.foldLeft(0.0) { case (a, (rn, rel)) =>
+      a + (if (rel) 1.0 else 0.0) / log2(rn + 1.0) }
+    val nRel0 = rows.find(_._1 == 0L).get._2
+    val idcg = (1L to math.min(nRel0, 10L)).foldLeft(0.0)((a, i) => a + 1.0 / log2(i + 1.0))
+    val got = rows.find(_._1 == 0L).get
+    assert(got._3 == expMrr, s"mrr: ${got._3} != $expMrr")
+    assert(got._4 == dcg / idcg, s"ndcg: ${got._4} != ${dcg / idcg}")
+    assert(got._5 == run0.count(_._2).toDouble / nRel0)
+  }
+
   test("mmr01: greedy picks the top-rel first, then trades relevance for diversity") {
     val sel = Retrieval.mmrDiversify(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

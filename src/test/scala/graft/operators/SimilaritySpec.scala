@@ -443,4 +443,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._4 == 1.0 && rows.last._2 == rows.last._3,
       s"R=everything must recover truth exactly: ${rows.last}")
   }
+
+  test("sim19: the norm-augmentation reduction reproduces the exact MIPS ranking") {
+    val emb = graft.sources.Tables(spark, sf0001).embeddings
+    def ranking(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number]("qid").longValue, r.getLong(3),
+        r.getAs[Number]("cid").longValue)).toSeq
+    // the construction's whole point: cosine over the augmented space
+    // ranks EXACTLY as dot product over the original space
+    assert(ranking(Similarity.mipsReducedTopK(emb)) ==
+      ranking(Similarity.mipsTopK(emb)),
+      "augmented-cosine ranking diverged from the exact MIPS scan")
+    // the reduction must hold under GENUINE norm skew, where MIPS and
+    // cosine disagree — cosine is scale-invariant, MIPS is not, so
+    // scaling vectors by 1 + (vec_id % 5) forces the disagreement
+    val skewed = emb.withColumn("embedding",
+      transform(col("embedding"),
+        x => x * (lit(1) + pmod(col("vec_id"), lit(5))).cast("float")))
+    assert(ranking(Similarity.mipsReducedTopK(skewed)) ==
+      ranking(Similarity.mipsTopK(skewed)),
+      "reduction broke under norm skew")
+    assert(ranking(Similarity.mipsTopK(skewed)) !=
+      ranking(Similarity.bruteTopK(skewed)),
+      "skewed corpus failed to separate MIPS from cosine")
+  }
 }

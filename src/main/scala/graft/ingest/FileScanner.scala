@@ -84,7 +84,7 @@ object FileScanner {
     * Hadoop lz4 BLOCK framing, i.e. files written by Hadoop/Spark —
     * not the lz4 CLI frame format.)
     */
-  private[ingest] def codecUsable(ext: String): Boolean =
+  def codecUsable(ext: String): Boolean =
     try {
       val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(
         new Configuration())

@@ -752,6 +752,47 @@ object Ingestion {
       FROM documents ORDER BY documents.doc_id"""),
   )
 
+  // -------------------------------------------------------------- ing23
+  // ing22's shape for a CLASSPATH-GATED codec: the landing dir arrives
+  // as lz4 JSONL (Hadoop's pure-Java lz4 since 3.3 — present wherever
+  // Spark is, which is why FileScanner's runtime gate admits it here),
+  // written by the same Spark text writer a Hadoop/Spark producer uses
+  // and ingested through the identical §1.2 contract. The oracle never
+  // touches the lz4 bytes — it replays from the documents table with
+  // recomputed lineage (the ing15/ing22 pattern), so a hash match
+  // proves the gated codec path is byte-equivalent to the
+  // always-on-gzip one.
+  private val ing23 = QueryDef(
+    "ing23_lz4_ingest",
+    (s, dir) => {
+      require(graft.ingest.FileScanner.codecUsable(".lz4"),
+        "lz4 codec unavailable — Spark's bundled lz4-java is missing")
+      val docs = Tables(s, dir).documents
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_ing23")
+      val landing = base.resolve("landing")
+      try {
+        (0 until 2).foreach(k => landJsonlFile(
+          docs.filter(pmod(col("doc_id"), lit(2)) === k)
+            .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
+          landing.resolve(s"batch$k.jsonl.lz4"), compression = "lz4"))
+        JsonIngestor.ingestJsonl(s, landing.toString)
+          .data.orderBy(col("doc_id").cast("bigint"))
+          .localCheckpoint(eager = true)
+      } finally {
+        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+        catch { case _: Throwable => () }
+      }
+    },
+    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
+        COALESCE(lang, '') AS lang,
+        COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
+        COALESCE(source, '') AS source,
+        COALESCE(text, '') AS text,
+        'batch' || CAST(doc_id % 2 AS VARCHAR) || '.jsonl.lz4' AS _source_file
+      FROM documents ORDER BY documents.doc_id"""),
+  )
+
   // -------------------------------------------------------------- ing17
   // Row-level quarantine twin of ing10: same landing dir, OPPOSITE
   // isolation granularity. ing10 proves the reference's A8 contract
@@ -910,5 +951,5 @@ object Ingestion {
   val defs: Seq[QueryDef] =
     Seq(ing01, ing02, ing03, ing04, ing05, ing06, ing07, ing08, ing09, ing10,
       ing11, ing12, ing13, ing14, ing15, ing16, ing17, ing18, ing19, ing20,
-      ing21, ing22)
+      ing21, ing22, ing23)
 }

@@ -143,6 +143,42 @@ object SketchWarehouse {
     FileUtils.touch(s"$vdir/_COMMITTED", hconf)
   }
 
+  /** Extend a saved warehouse with NEW partitions of `fact` — the
+    * daily-ingestion shape (each batch arrives as fresh partition
+    * values; hll04's append-a-delta story with partition-scoped
+    * state). Only partitions absent from the warehouse are built; each
+    * lands as a committed v0 state dir sealed by an `_APPENDED` sibling
+    * marker created AFTER the state commits, so readers (which take
+    * meta's list ∪ appended markers) can never see a half-appended
+    * partition, and no meta rewrite is needed (meta stays the SAVE's
+    * atomic commit marker). Appended builds exclude the committed
+    * erasure-manifest union — a new batch cannot re-introduce a
+    * forgotten key.
+    */
+  def appendWarehousePartitions(fact: DataFrame, path: String): Unit = {
+    val s = fact.sparkSession
+    val hconf = conf(fact)
+    val m = s.read.parquet(s"$path/meta")
+      .select("kind", "key_col", "part_col", "val_col", "parts").head
+    val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
+    val valCol = Option(m.getString(3)).filter(_.nonEmpty)
+    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet
+    val fresh = boundedParts(
+      fact.select(col(partCol).cast("long").as("p")), partCol)
+      .filterNot(known)
+    fresh.foreach { p =>
+      writePartState(fact, path, kind, key, valCol, partCol, p, Some(s))
+      FileUtils.touch(s"$path/parts/p$p/_APPENDED", hconf)
+    }
+  }
+
+  private def appendedParts(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[Long] =
+    FileUtils.listSubdirs(s"$path/parts", hconf)
+      .filter(d => FileUtils.exists(s"$d/_APPENDED", hconf))
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("p").toLongOption)
+
   private def erasedKeys(s: SparkSession, path: String): Option[DataFrame] = {
     val hconf = s.sparkContext.hadoopConfiguration
     val dirs = FileUtils.listSubdirs(s"$path/erased", hconf)
@@ -204,7 +240,8 @@ object SketchWarehouse {
       s"$path has no warehouse meta — the save never completed " +
         "(meta commits last); re-run the save")
     val expected = s.read.parquet(s"$path/meta")
-      .select("parts").head.getSeq[Long](0)
+      .select("parts").head.getSeq[Long](0) ++
+      appendedParts(path, hconf)
     require(expected.nonEmpty, s"warehouse at $path lists no partitions")
     expected.map { p =>
       val vs = FileUtils.listSubdirs(s"$path/parts/p$p", hconf)
@@ -271,6 +308,36 @@ object SketchWarehouse {
       "o_custkey", "warehouse_custkey_post_erasure")),
   )
 
+  // The warehouse's APPEND lifecycle, end to end: save covers
+  // partitions 0–5, the "next ingestion batch" appends 6–7, and the
+  // merged estimate must hash-match the DIRECT whole-corpus HLL build
+  // (the register merge is the hll02 monoid, so save-then-append ==
+  // build-once — neither partition boundaries nor the _APPENDED
+  // marker path can move the estimate). The spec separately pins that
+  // an appended batch excludes previously-erased keys.
+  private lazy val wh01 = QueryDef(
+    "wh01_warehouse_append",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_custkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_wh01").toString
+      try {
+        saveHllWarehouse(o.filter(col("part") < 6), path, "o_custkey", "part")
+        appendWarehousePartitions(o, path)
+        val exact = o.agg(count_distinct(col("o_custkey")).as("n_exact"))
+        estimateHllWarehouse(s, path)
+          .crossJoin(broadcast(exact))
+          .select(lit("warehouse_custkey_appended").as("col_name"),
+            col("n_exact"), col("n_est"),
+            (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+              .as("in_envelope"))
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(Sketches.hllSql("orders", "o_custkey", "warehouse_custkey_appended")),
+  )
+
   // The quantile twin: bottom-k states can't subtract either (an
   // erased key's row may BE a survivor), so the same partition-scoped
   // rebuild runs, and the merged recut must equal the direct sketch of
@@ -302,5 +369,5 @@ object SketchWarehouse {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(gov03, gov04)
+  val defs: Seq[QueryDef] = Seq(gov03, gov04, wh01)
 }

@@ -82,6 +82,30 @@ class SketchWarehouseSpec extends SparkSpec {
     } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
   }
 
+  test("append lands only NEW partitions and respects earlier erasure manifests") {
+    import spark.implicits._
+    val path = tmpDir("wh_hll_append").toString
+    val fresh = tmpDir("wh_hll_append_fresh").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(col("part") < 6), path, "o_custkey", "part")
+      // erase a key whose partition (custkey 6 → p6) is NOT saved yet:
+      // the later append of p6 must still exclude it
+      SketchWarehouse.eraseFromWarehouse(orders, path, Seq(6L).toDF("k"))
+      SketchWarehouse.appendWarehousePartitions(orders, path)
+      val v6 = versionsOf(path, 6L)
+      // idempotent: a retried append adds nothing for known partitions
+      SketchWarehouse.appendWarehousePartitions(orders, path)
+      assert(versionsOf(path, 6L) == v6, "append rebuilt a known partition")
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(col("o_custkey") =!= 6), fresh, "o_custkey", "part")
+      val got = SketchWarehouse.estimateHllWarehouse(spark, path).head.getDouble(0)
+      val want = SketchWarehouse.estimateHllWarehouse(spark, fresh).head.getDouble(0)
+      assert(got == want,
+        "appended warehouse diverged from the never-ingested-minus-erased build")
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
   test("CONCURRENT erasers on a shared partition: neither request is lost") {
     import spark.implicits._
     val path = tmpDir("wh_hll_race").toString

@@ -72,6 +72,15 @@ object SketchWarehouse {
       valCol: String, partCol: String): Unit =
     saveWarehouse(fact, path, key, partCol, "quantile", Some(valCol))
 
+  /** Build + persist the per-partition count-min cell warehouse for
+    * `key` over `fact`, REPLACING anything at `path`. Cells merge by
+    * cell-wise SUM (cms02's monoid), so partition-scoped rebuilds
+    * compose into the corpus sketch exactly.
+    */
+  def saveCmsWarehouse(fact: DataFrame, path: String, key: String,
+      partCol: String): Unit =
+    saveWarehouse(fact, path, key, partCol, "cms")
+
   private def saveWarehouse(fact: DataFrame, path: String, key: String,
       partCol: String, kind: String, valCol: Option[String] = None): Unit = {
     val s = fact.sparkSession
@@ -137,6 +146,7 @@ object SketchWarehouse {
     val state = kind match {
       case "hll" => Sketches.hllRegisterUpdates(slice, key)
       case "quantile" => Sketches.quantileSketch(slice, key, valCol.get)
+      case "cms" => Sketches.countMinCells(slice, key)
       case other => sys.error(s"unknown warehouse kind in $path/meta: $other")
     }
     state.write.parquet(s"$vdir/state")
@@ -273,6 +283,14 @@ object SketchWarehouse {
       .dropDuplicates(Seq("h", "kk"))
       .orderBy(col("h"), col("kk")).limit(Sketches.QsK)
 
+  /** The merged global count-min cell table from the live
+    * per-partition states: cell-wise SUM (cms02's monoid), ≤
+    * depth×width rows whatever the partition count.
+    */
+  def mergedCmsWarehouse(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(latestStates(s, path): _*)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+
   // Erase three customers from the per-partition register warehouse,
   // then estimate: the oracle replays the DIRECT whole-corpus HLL build
   // over orders WITHOUT those customers, so a hash match proves the
@@ -306,6 +324,35 @@ object SketchWarehouse {
     Some(Sketches.hllSql(
       "(SELECT * FROM orders WHERE o_custkey NOT IN (97, 194, 388))",
       "o_custkey", "warehouse_custkey_post_erasure")),
+  )
+
+  // The count-min member of the erasure story: frequency cells can't
+  // subtract safely either (deleting would need exact per-key counts —
+  // the thing the sketch exists to avoid storing), so the same
+  // partition-scoped rebuild runs, and the merged cells must serve
+  // cms01's heavy-hitter probe over lineitem WITHOUT the erased part
+  // keys — exact top-20, min-over-depths estimates, and the
+  // probability-1 never-under flag, all hash-matched against the
+  // direct build on the never-ingested corpus.
+  private lazy val gov05 = QueryDef(
+    "gov05_cms_erasure",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("part", pmod(col("l_partkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov05_wh").toString
+      try {
+        import s.implicits._
+        saveCmsWarehouse(li, path, "l_partkey", "part")
+        eraseFromWarehouse(li, path, Seq(7L, 12L, 21L).toDF("l_partkey"))
+        val survivors = li.filter(!col("l_partkey").isin(7, 12, 21))
+        Sketches.cmsHeavyHitters(survivors,
+            mergedCmsWarehouse(s, path), "l_partkey")
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(Sketches.cmsHeavySql(
+      "(SELECT * FROM lineitem WHERE l_partkey NOT IN (7, 12, 21))")),
   )
 
   // The warehouse's APPEND lifecycle, end to end: save covers
@@ -369,5 +416,5 @@ object SketchWarehouse {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(gov03, gov04, wh01)
+  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, wh01)
 }

@@ -89,34 +89,40 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  private val cms01 = QueryDef(
-    "cms01_countmin_heavy",
-    (s, dir) => {
-      val li = Tables(s, dir).lineitem
-      val cells = countMinCells(li, "l_partkey")
-      // Exact top-20 heavy hitters (count-desc, key tie-break) — the
-      // ground truth the sketch estimates are compared against.
-      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
-      // Probe: 20 keys × 4 rows, joined against the ≤1,024-cell sketch
-      // — both sides broadcast-size by construction.
-      top.withColumn("_h", cmsDigest(col("l_partkey")))
-        .select(col("l_partkey"), col("n_exact"),
-          posexplode(array((0 until CmsDepth)
-            .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
-        .join(broadcast(cells), Seq("j", "bucket"))
-        .groupBy("l_partkey")
-        .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
-        .withColumn("never_under", col("n_est") >= col("n_exact"))
-        .orderBy(col("n_exact").desc, col("l_partkey"))
-    },
-    Some(s"""WITH cells AS (
+  /** Exact-top-20 heavy-hitter probe against a (j, bucket, cnt) cell
+    * table — cms01's measurement extracted so warehouse-merged cells
+    * (gov05) run the IDENTICAL probe: 20 keys × depth rows joined
+    * against the ≤1,024-cell sketch, both sides broadcast-size by
+    * construction; per key, estimate = min over depths, with the
+    * never-under flag the sketch guarantees with probability 1.
+    */
+  private[operators] def cmsHeavyHitters(fact: DataFrame, cells: DataFrame,
+      keyCol: String): DataFrame = {
+    val top = fact.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol)).limit(20)
+    top.withColumn("_h", cmsDigest(col(keyCol)))
+      .select(col(keyCol), col("n_exact"),
+        posexplode(array((0 until CmsDepth)
+          .map(j => cmsBucket(j, col("_h"))): _*)).as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(keyCol)
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
+      .withColumn("never_under", col("n_est") >= col("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol))
+  }
+
+  /** cms01's full oracle (cells + exact top + probe) over an arbitrary
+    * table expression — the SINGLE copy gov05 retargets at the
+    * erased-corpus subquery.
+    */
+  private[operators] def cmsHeavySql(table: String): String =
+    s"""WITH cells AS (
         SELECT j, CASE j ${(0 until CmsDepth).map(j =>
           s"WHEN $j THEN ${cmsBucketSql(j, "l_partkey")}").mkString(" ")} END AS bucket,
           COUNT(*) AS cnt
-        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
+        FROM $table CROSS JOIN generate_series(0, ${CmsDepth - 1}) g(j)
         GROUP BY 1, 2),
-      top AS (SELECT l_partkey, COUNT(*) AS n_exact FROM lineitem
+      top AS (SELECT l_partkey, COUNT(*) AS n_exact FROM $table
         GROUP BY 1 ORDER BY n_exact DESC, l_partkey LIMIT 20),
       probe AS (SELECT l_partkey, n_exact, j,
           CASE j ${(0 until CmsDepth).map(j =>
@@ -125,7 +131,15 @@ object Sketches {
       SELECT p.l_partkey, MAX(p.n_exact) AS n_exact, MIN(c.cnt) AS n_est,
         MIN(c.cnt) >= MAX(p.n_exact) AS never_under
       FROM probe p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
-      GROUP BY p.l_partkey ORDER BY n_exact DESC, l_partkey"""),
+      GROUP BY p.l_partkey ORDER BY n_exact DESC, l_partkey"""
+
+  private val cms01 = QueryDef(
+    "cms01_countmin_heavy",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      cmsHeavyHitters(li, countMinCells(li, "l_partkey"), "l_partkey")
+    },
+    Some(cmsHeavySql("lineitem")),
   )
 
   // ------------------------------------------------------------ hll01

@@ -148,6 +148,30 @@ class SketchWarehouseSpec extends SparkSpec {
     } finally FileUtils.rmr(path, conf)
   }
 
+  test("cms warehouse: merged cells == direct build; erasure == never-ingested, cell for cell") {
+    import spark.implicits._
+    val li = Tables(spark, sf0001).lineitem
+      .withColumn("part", pmod(col("l_partkey"), lit(8)))
+    val path = tmpDir("wh_cms").toString
+    val fresh = tmpDir("wh_cms_fresh").toString
+    try {
+      SketchWarehouse.saveCmsWarehouse(li, path, "l_partkey", "part")
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue)).toSet
+      // partition-wise build + cell-wise sum == the direct corpus build
+      assert(cells(SketchWarehouse.mergedCmsWarehouse(spark, path)) ==
+        cells(Sketches.countMinCells(li, "l_partkey")),
+        "warehouse merge diverged from the direct cell build")
+      SketchWarehouse.eraseFromWarehouse(li, path, Seq(7L).toDF("k"))
+      SketchWarehouse.saveCmsWarehouse(
+        li.filter(col("l_partkey") =!= 7), fresh, "l_partkey", "part")
+      assert(cells(SketchWarehouse.mergedCmsWarehouse(spark, path)) ==
+        cells(SketchWarehouse.mergedCmsWarehouse(spark, fresh)),
+        "post-erasure cells diverged from the never-ingested build")
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
   test("quantile warehouse: merged recut == direct sketch; erased survivor evicted") {
     import spark.implicits._
     val o = Tables(spark, sf0001).orders

@@ -723,18 +723,25 @@ object Ingestion {
   // splittable — one task per file — so a 100-TB feed lands as many
   // modest files, never one giant archive; that is a property of the
   // codec, not this reader.
-  private val ing22 = QueryDef(
-    "ing22_compressed_ingest",
+  // ONE copy of the land-compressed/ingest/replay shape for every
+  // codec (ing22 gzip, ing23 lz4): a lineage or contract change to
+  // compressed ingestion cannot silently apply to one codec and not
+  // the other. `gate` runs first so a classpath-gated codec fails with
+  // its named remedy, not a reader error.
+  private def compressedIngestDef(name: String, ext: String,
+      compression: String, gate: () => Unit = () => ()): QueryDef = QueryDef(
+    name,
     (s, dir) => {
+      gate()
       val docs = Tables(s, dir).documents
         .select("doc_id", "lang", "n_chars", "source", "text")
-      val base = java.nio.file.Files.createTempDirectory("graft_ing22")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_$name")
       val landing = base.resolve("landing")
       try {
         (0 until 2).foreach(k => landJsonlFile(
           docs.filter(pmod(col("doc_id"), lit(2)) === k)
             .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
-          landing.resolve(s"batch$k.jsonl.gz"), compression = "gzip"))
+          landing.resolve(s"batch$k.jsonl$ext"), compression = compression))
         JsonIngestor.ingestJsonl(s, landing.toString)
           .data.orderBy(col("doc_id").cast("bigint"))
           .localCheckpoint(eager = true)
@@ -743,14 +750,17 @@ object Ingestion {
         catch { case _: Throwable => () }
       }
     },
-    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
+    Some(s"""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
         COALESCE(lang, '') AS lang,
         COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
         COALESCE(source, '') AS source,
         COALESCE(text, '') AS text,
-        'batch' || CAST(doc_id % 2 AS VARCHAR) || '.jsonl.gz' AS _source_file
+        'batch' || CAST(doc_id % 2 AS VARCHAR) || '.jsonl$ext' AS _source_file
       FROM documents ORDER BY documents.doc_id"""),
   )
+
+  private val ing22 =
+    compressedIngestDef("ing22_compressed_ingest", ".gz", "gzip")
 
   // -------------------------------------------------------------- ing23
   // ing22's shape for a CLASSPATH-GATED codec: the landing dir arrives
@@ -762,36 +772,9 @@ object Ingestion {
   // recomputed lineage (the ing15/ing22 pattern), so a hash match
   // proves the gated codec path is byte-equivalent to the
   // always-on-gzip one.
-  private val ing23 = QueryDef(
-    "ing23_lz4_ingest",
-    (s, dir) => {
-      require(graft.ingest.FileScanner.codecUsable(".lz4"),
-        "lz4 codec unavailable — Spark's bundled lz4-java is missing")
-      val docs = Tables(s, dir).documents
-        .select("doc_id", "lang", "n_chars", "source", "text")
-      val base = java.nio.file.Files.createTempDirectory("graft_ing23")
-      val landing = base.resolve("landing")
-      try {
-        (0 until 2).foreach(k => landJsonlFile(
-          docs.filter(pmod(col("doc_id"), lit(2)) === k)
-            .select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value")),
-          landing.resolve(s"batch$k.jsonl.lz4"), compression = "lz4"))
-        JsonIngestor.ingestJsonl(s, landing.toString)
-          .data.orderBy(col("doc_id").cast("bigint"))
-          .localCheckpoint(eager = true)
-      } finally {
-        try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
-        catch { case _: Throwable => () }
-      }
-    },
-    Some("""SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS doc_id,
-        COALESCE(lang, '') AS lang,
-        COALESCE(CAST(n_chars AS VARCHAR), '') AS n_chars,
-        COALESCE(source, '') AS source,
-        COALESCE(text, '') AS text,
-        'batch' || CAST(doc_id % 2 AS VARCHAR) || '.jsonl.lz4' AS _source_file
-      FROM documents ORDER BY documents.doc_id"""),
-  )
+  private val ing23 = compressedIngestDef("ing23_lz4_ingest", ".lz4", "lz4",
+    gate = () => require(graft.ingest.FileScanner.codecUsable(".lz4"),
+      "lz4 codec unavailable — Spark's bundled lz4-java is missing"))
 
   // -------------------------------------------------------------- ing17
   // Row-level quarantine twin of ing10: same landing dir, OPPOSITE

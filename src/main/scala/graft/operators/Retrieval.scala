@@ -179,9 +179,12 @@ object Retrieval {
       .select(col("vec_id").cast("long").as("qid"), col("label").as("qlabel"))
     val others = emb.select(col("vec_id").cast("long").as("oid"),
       col("label").as("olabel"))
+    // LEFT join + count(non-null): a query whose label is unique in
+    // the corpus must land an n_rel = 0 row (and the 0.0-metric
+    // output), not silently vanish from the table
     val nRel = q.join(others,
-        col("olabel") === col("qlabel") && col("oid") =!= col("qid"))
-      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+        col("olabel") === col("qlabel") && col("oid") =!= col("qid"), "left")
+      .groupBy("qid").agg(count(col("oid")).as("n_rel"))
     val run = Similarity.bruteTopK(emb, nQueries, k)
       .select(col("qid").cast("long").as("qid"),
         col("cid").cast("long").as("cid"), col("rn"))
@@ -236,8 +239,8 @@ object Retrieval {
       run AS (SELECT qid, rn,
           CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel
         FROM r WHERE rn <= 10),
-      nr AS (SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
-        FROM q JOIN c ON c.clabel = q.qlabel AND c.cid <> q.qid
+      nr AS (SELECT q.qid, CAST(COUNT(c.cid) AS BIGINT) AS n_rel
+        FROM q LEFT JOIN c ON c.clabel = q.qlabel AND c.cid <> q.qid
         GROUP BY q.qid),
       agg AS (SELECT qid,
           COALESCE(MAX(CASE WHEN rel = 1

@@ -1082,7 +1082,12 @@ object Similarity {
     * pins rank-for-rank equality with sim06's exact dot scan, and the
     * oracle replays the reduction itself (norms, max, augmentation,
     * cosine) so a hash match certifies the construction, not just the
-    * ordering. Scale shape: one extra corpus pass for norms + a 1-row
+    * ordering. Honest float caveat: the equality is exact wherever dot
+    * scores are DISTINCT; two candidates with exactly-tied dots can
+    * tie-break differently (the augmented norm n2 + fl(√(M²−n2))²
+    * differs from M² by per-vector ulps, perturbing tied sims before
+    * the cid tie-break) — the guarantee is the mathematical ranking,
+    * and the oracle replays the same floats either way. Scale shape: one extra corpus pass for norms + a 1-row
     * max broadcast on top of the brute scan — nothing leaves the
     * map side.
     */

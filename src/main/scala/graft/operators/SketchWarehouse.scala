@@ -164,8 +164,18 @@ object SketchWarehouse {
     * atomic commit marker). Appended builds exclude the committed
     * erasure-manifest union — a new batch cannot re-introduce a
     * forgotten key.
+    *
+    * CONTRACT: the warehouse's unit of append is the PARTITION — rows
+    * of `fact` landing in already-known partitions are skipped, which
+    * is exactly what makes a crashed append's retry safe (sealed
+    * partitions no-op, the rest complete). A batch that needs to ADD
+    * rows to an existing partition value is a different operation
+    * (rebuild that partition, or land under a new value); the returned
+    * (appended, skipped) partition lists let the caller tell the retry
+    * no-op from the contract violation.
     */
-  def appendWarehousePartitions(fact: DataFrame, path: String): Unit = {
+  def appendWarehousePartitions(fact: DataFrame,
+      path: String): (Seq[Long], Seq[Long]) = {
     val s = fact.sparkSession
     val hconf = conf(fact)
     val m = s.read.parquet(s"$path/meta")
@@ -173,13 +183,19 @@ object SketchWarehouse {
     val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
     val valCol = Option(m.getString(3)).filter(_.nonEmpty)
     val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet
-    val fresh = boundedParts(
+    val batch = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
-      .filterNot(known)
+    val fresh = batch.filterNot(known)
     fresh.foreach { p =>
       writePartState(fact, path, kind, key, valCol, partCol, p, Some(s))
-      FileUtils.touch(s"$path/parts/p$p/_APPENDED", hconf)
+      // createExclusive, NOT touch: two concurrent appenders can both
+      // reach the seal of a shared fresh partition (both built a
+      // version — safe, claimed dirs; highest committed wins) and the
+      // loser's marker create must be a no-op, not an abort that
+      // strands its remaining fresh partitions
+      FileUtils.createExclusive(s"$path/parts/p$p/_APPENDED", hconf): Unit
     }
+    (fresh.toSeq, batch.filter(known).toSeq)
   }
 
   private def appendedParts(path: String,
@@ -212,7 +228,7 @@ object SketchWarehouse {
     val s = fact.sparkSession
     val hconf = conf(fact)
     val m = s.read.parquet(s"$path/meta")
-      .select("kind", "key_col", "part_col", "val_col").head
+      .select("kind", "key_col", "part_col", "val_col", "parts").head
     val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
     val valCol = Option(m.getString(3)).filter(_.nonEmpty)
     // manifest FIRST: a crash after the manifest commits but before the
@@ -229,10 +245,16 @@ object SketchWarehouse {
     // (partitions its keys live in) × (one slice rebuild), independent
     // of how many erasures the warehouse has absorbed before (the
     // rebuilds themselves still exclude the FULL manifest union, so
-    // composition never regresses)
+    // composition never regresses) — INTERSECTED with the partitions
+    // the warehouse actually holds: a key whose partition was never
+    // saved/appended has nothing stored to rebuild (its future append
+    // excludes the manifest anyway), and an unfiltered rebuild would
+    // write orphan state dirs no reader ever sees
+    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet
     val affected = boundedParts(
       fact.join(mine, fact(key).cast("long") === mine("k"), "left_semi")
         .select(col(partCol).cast("long").as("p")), partCol)
+      .filter(known)
     affected.foreach(p =>
       writePartState(fact, path, kind, key, valCol, partCol, p, Some(s)))
   }

@@ -52,6 +52,40 @@ object SketchWarehouse {
     */
   val MaxParts: Int = 4096
 
+  /** Per-partition state builds are INDEPENDENT Spark jobs writing
+    * distinct claimed dirs, so they run concurrently from the driver —
+    * serializing them would make every save/erase/append latency-bound
+    * on (partitions × per-job overhead), the actual bottleneck at
+    * date-partitioned warehouse sizes. Bounded pool: enough to keep
+    * the scheduler fed, small enough not to stack hundreds of
+    * concurrent jobs. Override with SPARK_GRAFT_WH_PAR (1 = serial —
+    * the A/B measurement dial).
+    */
+  private val PartBuildParallelism: Int =
+    sys.env.get("SPARK_GRAFT_WH_PAR").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(8)
+
+  private def forEachPart(parts: Seq[Long])(f: Long => Unit): Unit = {
+    val par = math.min(PartBuildParallelism, parts.size)
+    if (par <= 1) parts.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val futures = parts.map(p =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = f(p)
+          }))
+        futures.foreach { fu =>
+          try fu.get()
+          catch { // surface the real failure, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally { pool.shutdownNow(); () }
+    }
+  }
+
   private def conf(df: DataFrame) =
     df.sparkSession.sparkContext.hadoopConfiguration
 
@@ -91,7 +125,7 @@ object SketchWarehouse {
     // writes, so it must be small (see MaxParts)
     val parts = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
-    parts.foreach(p =>
+    forEachPart(parts.toSeq)(p =>
       writePartState(fact, path, kind, key, valCol, partCol, p, None))
     // meta LAST, carrying the full partition list: it is the
     // warehouse-level commit marker. A save that crashes mid-way leaves
@@ -186,7 +220,7 @@ object SketchWarehouse {
     val batch = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
     val fresh = batch.filterNot(known)
-    fresh.foreach { p =>
+    forEachPart(fresh.toSeq) { p =>
       writePartState(fact, path, kind, key, valCol, partCol, p, Some(s))
       // createExclusive, NOT touch: two concurrent appenders can both
       // reach the seal of a shared fresh partition (both built a
@@ -255,7 +289,7 @@ object SketchWarehouse {
       fact.join(mine, fact(key).cast("long") === mine("k"), "left_semi")
         .select(col(partCol).cast("long").as("p")), partCol)
       .filter(known)
-    affected.foreach(p =>
+    forEachPart(affected.toSeq)(p =>
       writePartState(fact, path, kind, key, valCol, partCol, p, Some(s)))
   }
 

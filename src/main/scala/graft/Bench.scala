@@ -308,6 +308,12 @@ object Bench {
             graft.sources.Tables(s, dir).embeddings)),
         "xv_ivfpq_probe" -> ((s: SparkSession, dir: String) =>
           graft.operators.VectorIndex.probeVectorIndex(s, ipath,
+            graft.sources.Tables(s, dir).embeddings.filter(col("vec_id") < 3))),
+        // the MIPS-objective probe of the SAME stored index: measures
+        // what the dot-product scoring function costs relative to the
+        // L2 probe (same codes, different lookup tables + rank order)
+        "xv_mips_probe" -> ((s: SparkSession, dir: String) =>
+          graft.operators.VectorIndex.probeVectorIndexMips(s, ipath,
             graft.sources.Tables(s, dir).embeddings.filter(col("vec_id") < 3))))
     } catch {
       case e: Throwable =>

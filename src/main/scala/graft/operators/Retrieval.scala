@@ -174,7 +174,24 @@ object Retrieval {
     * come from one label-count aggregation — evaluation never rescans
     * the corpus beyond the ranker itself.
     */
-  def retrievalMetrics(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+  def retrievalMetrics(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame =
+    runMetrics(
+      Similarity.bruteTopK(emb, nQueries, k)
+        .select(col("qid").cast("long").as("qid"),
+          col("cid").cast("long").as("cid"), col("rn")),
+      emb, nQueries, k)
+      .orderBy("qid")
+
+  /** The metric kernel over an ARBITRARY ranked run (qid, cid, rn ≤ k)
+    * — shared by ir01 (the dense run) and ir02 (ranker comparison), so
+    * two rankers can never be scored by subtly different arithmetic.
+    * A run row whose cid has no embedding (possible for fused runs
+    * mixing id spaces) is dropped by the inner label join — exactly
+    * equivalent to rel = 0 for every metric here (it contributes 0 to
+    * DCG/MRR/rel_ret, and recall's denominator comes from the qrels).
+    */
+  private def runMetrics(run: DataFrame, emb: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").cast("long").as("qid"), col("label").as("qlabel"))
     val others = emb.select(col("vec_id").cast("long").as("oid"),
@@ -185,15 +202,13 @@ object Retrieval {
     val nRel = q.join(others,
         col("olabel") === col("qlabel") && col("oid") =!= col("qid"), "left")
       .groupBy("qid").agg(count(col("oid")).as("n_rel"))
-    val run = Similarity.bruteTopK(emb, nQueries, k)
-      .select(col("qid").cast("long").as("qid"),
-        col("cid").cast("long").as("cid"), col("rn"))
+    val judged = run
       .join(broadcast(q), "qid")
       .join(others, col("cid") === col("oid"))
       .withColumn("rel", (col("olabel") === col("qlabel")).cast("int"))
     val term = col("rel").cast("double") /
       (log(col("rn").cast("double") + 1) / log(lit(2.0)))
-    val agg = run.withColumn("term", term)
+    val agg = judged.withColumn("term", term)
       .groupBy("qid")
       .agg(
         coalesce(max(when(col("rel") === 1,
@@ -214,7 +229,29 @@ object Retrieval {
         when(col("n_rel") === 0, lit(0.0))
           .otherwise(col("rel_ret").cast("double") / col("n_rel"))
           .as("recall_at_k"))
-      .orderBy("qid")
+  }
+
+  /** Ranker COMPARISON under the shared metric kernel — the A/B every
+    * retrieval deployment runs before switching rankers: the hybrid
+    * RRF run and the dense-only run for the same query, scored on the
+    * same label qrels, one row per ranker. No winner is presumed —
+    * the value is the measurement (here the qrels are embedding-label
+    * match, which the lexical leg doesn't target, so dense usually
+    * leads; swap in task qrels and the same query decides the ranker).
+    */
+  def fusionGain(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val dense = Similarity.bruteTopK(emb, 1, k)
+      .select(col("qid").cast("long").as("qid"),
+        col("cid").cast("long").as("cid"), col("rn"))
+    val hybrid = hybridRrf(docs, emb, terms, kOut = k)
+      .select(lit(0L).as("qid"), col("doc_id").cast("long").as("cid"),
+        col("rn"))
+    runMetrics(dense, emb, 1, k).withColumn("ranker", lit("dense"))
+      .unionByName(
+        runMetrics(hybrid, emb, 1, k).withColumn("ranker", lit("hybrid")))
+      .select("ranker", "n_rel", "mrr", "ndcg_at_k", "recall_at_k")
+      .orderBy("ranker")
   }
 
   // The oracle replays the run (sim01's cosine CTE shape), the label
@@ -261,6 +298,53 @@ object Retrieval {
   )
 
   private val HybTerms = Seq("table", "scan", "stream")
+
+  // The oracle extends hyb01's full replay (BM25 chain + dense leg +
+  // fusion) with the metric arithmetic applied to BOTH runs — same
+  // rank-ordered DCG fold, reciprocal-rank max, and min(n_rel, k)
+  // ideal as ir01 — so a hash match certifies the comparison itself.
+  private lazy val ir02 = QueryDef(
+    "ir02_fusion_gain",
+    (s, dir) =>
+      fusionGain(Tables(s, dir).documents, Tables(s, dir).embeddings, HybTerms),
+    hyb01.oracle.map { o =>
+      val anchored =
+        "SELECT doc_id, rrf, lex_rn, vec_rn, rn FROM fr WHERE rn <= 10 ORDER BY rn"
+      require(o.contains(anchored), "hyb01 oracle final select moved")
+      o.replace(anchored, """,
+      qr AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+      lbl AS (SELECT vec_id AS cid, label FROM embeddings),
+      nrx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM lbl, qr
+        WHERE lbl.label = qr.qlabel AND lbl.cid <> 0),
+      bruns AS (
+        SELECT 'dense' AS ranker, d.vec_rn AS rn,
+          CASE WHEN l.label = qr.qlabel THEN 1 ELSE 0 END AS rel
+        FROM den d JOIN lbl l ON l.cid = d.doc_id, qr
+        WHERE d.vec_rn <= 10
+        UNION ALL
+        SELECT 'hybrid' AS ranker, fr.rn,
+          CASE WHEN l.label = qr.qlabel THEN 1 ELSE 0 END AS rel
+        FROM fr JOIN lbl l ON l.cid = fr.doc_id, qr
+        WHERE fr.rn <= 10),
+      bagg AS (SELECT ranker,
+          COALESCE(MAX(CASE WHEN rel = 1
+            THEN CAST(1 AS DOUBLE) / CAST(rn AS DOUBLE) END),
+            CAST(0 AS DOUBLE)) AS mrr,
+          list_sum(list(CAST(rel AS DOUBLE) /
+            (ln(CAST(rn + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) ORDER BY rn)) AS dcg,
+          CAST(SUM(rel) AS BIGINT) AS rel_ret
+        FROM bruns GROUP BY ranker)
+      SELECT bagg.ranker, nrx.n_rel, bagg.mrr,
+        CASE WHEN nrx.n_rel = 0 THEN CAST(0 AS DOUBLE)
+          ELSE bagg.dcg / list_sum(list_transform(
+            range(CASE WHEN nrx.n_rel < 10 THEN nrx.n_rel ELSE 10 END),
+            i -> CAST(1 AS DOUBLE) / (ln(CAST(i + 2 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))))
+          END AS ndcg_at_k,
+        CASE WHEN nrx.n_rel = 0 THEN CAST(0 AS DOUBLE)
+          ELSE CAST(bagg.rel_ret AS DOUBLE) / nrx.n_rel END AS recall_at_k
+      FROM bagg, nrx ORDER BY ranker""")
+    },
+  )
 
   // Fuses txt10's exact lexical ranking (shared oracle CTE chain) with
   // the dense cosine ranking; the oracle replays both legs and the
@@ -365,5 +449,5 @@ object Retrieval {
       FROM sel5 ORDER BY step"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(hyb01, hyb02, mmr01, ir01)
+  val defs: Seq[QueryDef] = Seq(hyb01, hyb02, mmr01, ir01, ir02)
 }

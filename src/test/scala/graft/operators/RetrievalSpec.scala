@@ -81,6 +81,20 @@ class RetrievalSpec extends SparkSpec {
     assert(got._5 == run0.count(_._2).toDouble / nRel0)
   }
 
+  test("ir02: shared metric kernel — the dense row equals ir01's query-0 metrics") {
+    val cmp = Retrieval.fusionGain(docs, emb, Seq("table", "scan", "stream"))
+      .collect()
+    assert(cmp.map(_.getString(0)).toSeq == Seq("dense", "hybrid"))
+    val dense = cmp.head
+    val q0 = Retrieval.retrievalMetrics(emb).collect()
+      .find(_.getLong(0) == 0L).get
+    // same run, same qrels, same kernel ⇒ byte-identical metrics
+    assert((dense.getLong(1), dense.getDouble(2), dense.getDouble(3),
+        dense.getDouble(4)) ==
+      ((q0.getLong(1), q0.getDouble(2), q0.getDouble(3), q0.getDouble(4))),
+      "ir02's dense row diverged from ir01's query-0 row")
+  }
+
   test("mmr01: greedy picks the top-rel first, then trades relevance for diversity") {
     val sel = Retrieval.mmrDiversify(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

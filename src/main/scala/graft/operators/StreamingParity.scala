@@ -726,36 +726,58 @@ object StreamingParity {
   // hash match certifies source listing, per-batch probe, and sink
   // append together. Probe cost per batch is the batch's queries
   // against the stored code table; the index is never rebuilt.
+  // ONE copy of the build-once/stream-queries/probe-per-micro-batch
+  // topology for BOTH scoring objectives (str15 L2/ADC, str18 MIPS):
+  // a retrieval deployment switches objectives per query stream, and
+  // the streaming shell must be byte-identical around either.
+  private def streamedIndexProbe(s: SparkSession, dir: String, tag: String,
+      probe: (SparkSession, String, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val tmp = tempDir(s"graft_$tag")
+    VectorIndex.saveVectorIndex(emb, tmp.resolve("vindex").toString)
+    emb.filter(col("vec_id") < 3).repartition(3)
+      .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
+    val landed = tmp.resolve("landed").toString
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.resolve("queries").toString)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // a trigger can fire on an empty file set: nothing to probe
+        if (!batch.isEmpty)
+          probe(s, tmp.resolve("vindex").toString, batch.toDF())
+            .write.mode("append").parquet(landed): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.read.parquet(landed)
+      .orderBy("qid", "rn")
+      .localCheckpoint(eager = true)
+    deleteQuietly(tmp)
+    out
+  }
+
   private val str15 = QueryDef(
     "str15_stream_index_probe_parity",
-    (s, dir) => {
-      val emb = Tables(s, dir).embeddings
-      val tmp = tempDir("graft_str15")
-      VectorIndex.saveVectorIndex(emb, tmp.resolve("vindex").toString)
-      emb.filter(col("vec_id") < 3).repartition(3)
-        .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
-      val landed = tmp.resolve("landed").toString
-      val q = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp.resolve("queries").toString)
-        .writeStream
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          // a trigger can fire on an empty file set: nothing to probe
-          if (!batch.isEmpty)
-            VectorIndex.probeVectorIndex(s, tmp.resolve("vindex").toString,
-              batch.toDF()).write.mode("append").parquet(landed): Unit
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.read.parquet(landed)
-        .orderBy("qid", "rn")
-        .localCheckpoint(eager = true)
-      deleteQuietly(tmp)
-      out
-    },
+    (s, dir) => streamedIndexProbe(s, dir, "str15",
+      (ss, path, batch) => VectorIndex.probeVectorIndex(ss, path, batch)),
     Similarity.sim07Oracle,
+  )
+
+  // -------------------------------------------------------------- str18
+  // The MIPS twin of str15: the same build-once index serves the
+  // dot-product objective per micro-batch (sim18's probe), and the
+  // union across batches must equal the one-shot MIPS probe — str18
+  // shares sim18's full-rebuild oracle, so a hash match certifies the
+  // streamed MIPS ranking end to end.
+  private val str18 = QueryDef(
+    "str18_stream_mips_probe_parity",
+    (s, dir) => streamedIndexProbe(s, dir, "str18",
+      (ss, path, batch) => VectorIndex.probeVectorIndexMips(ss, path, batch)),
+    VectorIndex.sim18Oracle,
   )
 
   // -------------------------------------------------------------- str16
@@ -828,5 +850,5 @@ object StreamingParity {
 
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15, str16, str17)
+      str11, str12, str13, str14, str15, str16, str17, str18)
 }

@@ -614,5 +614,10 @@ object VectorIndex {
     },
   )
 
+  // Shared by StreamingParity's str18: the streamed MIPS probe must
+  // emit the exact ranking the one-shot probe derives, so it checks
+  // against the SAME oracle rebuild.
+  private[operators] def sim18Oracle: Option[String] = sim18.oracle
+
   val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16, sim18, sd02)
 }

@@ -81,6 +81,24 @@ object FileUtils {
       .filter(_.isFile).map(_.getPath.toString).sorted
   }
 
+  /** Immediate child DATA files of `path` with their byte lengths —
+    * the input a compaction planner sizes its output from. Skips
+    * marker/metadata names (`_SUCCESS`, `.crc`, claims); one
+    * listStatus call, Nil when `path` doesn't exist.
+    */
+  def listDataFilesWithSize(path: String,
+      conf: Configuration = new Configuration()): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val filesystem = fs(p, conf)
+    if (!filesystem.exists(p)) Nil
+    else filesystem.listStatus(p).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
+  }
+
   /** Atomically create `path` as an empty file IFF it does not exist:
     * true means THIS call created it (the claim is won), false means
     * someone else holds it. On HDFS, create(overwrite = false) is an

@@ -1101,6 +1101,13 @@ object Dedup {
     * not crash-atomic (same documented trade as the WAP retire/rename,
     * Ingestion.scala) — a production deployment puts a manifest swap
     * here; semantics, not the commit protocol, are what gov02 pins.
+    *
+    * With no tombstones outstanding this is BATCH COMPACTION: months
+    * of incremental appends leave one b<N> dir per batch, and probe
+    * cost picks up a per-file term per batch (listing, footers, task
+    * scheduling — the cmp01 arithmetic applied to index state); a
+    * maintenance vacuum folds them back into one committed batch with
+    * identical probe results (spec-pinned alongside the erasure case).
     */
   def vacuumIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration

@@ -236,5 +236,118 @@ object Layout {
       ORDER BY layout_pred"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01)
+  // ----------------------------------------------------------- compaction
+
+  /** What a compaction pass did: the before/after file census a
+    * table-maintenance job logs and alerts on.
+    */
+  final case class CompactionStats(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long)
+
+  /** SMALL-FILE COMPACTION — the table-maintenance operation every
+    * streaming/incremental landing zone needs at scale: micro-batch
+    * sinks and per-partition appends accumulate files far below the
+    * scan-efficient size, and at 100 TB the overhead is dominated by
+    * per-file costs (task scheduling, footer reads, one LIST + GET per
+    * object on S3), not bytes. Compaction rewrites the landing dir's
+    * data as `ceil(totalBytes / targetBytes)` evenly-sized files into
+    * a claimed, marker-sealed VERSION dir under `dst` — the warehouse
+    * versioning idiom — so readers ([[readCompacted]]) always see a
+    * complete version (the latest committed), a crashed pass leaves
+    * the previous version live, and concurrent passes can't collide.
+    * The source dir is untouched: cutover (pointing the catalog at the
+    * new version, deleting the old) is the caller's atomic step.
+    *
+    * Sizing reads one file listing (never the data) and the rewrite is
+    * ONE round-robin exchange — the even-file-size guarantee a plain
+    * `coalesce` can't give (it concatenates whole input partitions, so
+    * a skewed landing stays skewed). Pass `clusterBy` to instead
+    * range-cluster the rewrite on a column (the zorderWrite shape):
+    * same single exchange, and the compacted files carry useful
+    * min-max bounds on that column for downstream skipping.
+    *
+    * This pass is an unconditional rewrite; a maintenance loop gates
+    * on the returned census (e.g. skip when filesBefore is already ≤
+    * the target count) rather than inside this call, so the policy
+    * stays at the scheduler where it belongs.
+    *
+    * Layering note: `Sinks.compactParquet` (ing14) is the one-shot
+    * PRIMITIVE — caller-chosen file count, plain overwrite, certified
+    * content-identical by ing14's oracle. This is the MAINTENANCE
+    * lifecycle built on the same rewrite: byte-budget sizing from the
+    * listing, claim/commit versioning so readers and concurrent or
+    * crashed passes can't interfere, and the clustered layout option.
+    */
+  def compact(s: org.apache.spark.sql.SparkSession, src: String, dst: String,
+      targetBytes: Long, clusterBy: Option[String] = None): CompactionStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = s.sparkContext.hadoopConfiguration
+    val before = graft.ingest.FileUtils.listDataFilesWithSize(src, conf)
+    require(before.nonEmpty, s"nothing to compact under $src")
+    val bytesBefore = before.map(_._2).sum
+    // overflow-safe ceil(bytesBefore / targetBytes), floored at 1
+    val nOut = math.max(1L, (bytesBefore - 1) / targetBytes + 1).toInt
+    val vdir = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
+    val data = s.read.parquet(src)
+    clusterBy.fold(data.repartition(nOut))(c =>
+        data.repartitionByRange(nOut, col(c)).sortWithinPartitions(c))
+      .write.parquet(s"$vdir/data")
+    graft.ingest.FileUtils.touch(s"$vdir/_COMMITTED", conf)
+    val after = graft.ingest.FileUtils.listDataFilesWithSize(s"$vdir/data", conf)
+    CompactionStats(before.size.toLong, bytesBefore,
+      after.size.toLong, after.map(_._2).sum)
+  }
+
+  /** The newest complete compaction under `dst` — readers never see a
+    * mid-write version (the latestStates contract).
+    */
+  def readCompacted(s: org.apache.spark.sql.SparkSession, dst: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val vs = graft.ingest.FileUtils.listSubdirs(dst, conf)
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
+    require(vs.nonEmpty, s"no committed compaction under $dst")
+    s.read.parquet(vs.maxBy(v => new org.apache.hadoop.fs.Path(v)
+      .getName.stripPrefix("v").toLong) + "/data")
+  }
+
+  // A 64-small-file landing of lineitem is compacted and read back
+  // through the committed-version reader; the aggregate over the
+  // compacted table must hash-match the same aggregate over the
+  // ORIGINAL rows — compaction moves bytes between files, never a row.
+  // The spec separately pins the file-count census, even sizing vs
+  // coalesce on a skewed landing, crash/version semantics, and the
+  // clusterBy min-max bounds.
+  private val cmp01 = QueryDef(
+    "cmp01_small_file_compaction",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cmp01").toString
+      try {
+        val landing = s"$tmp/landing"
+        Tables(s, dir).lineitem.repartition(64)
+          .write.mode("overwrite").parquet(landing)
+        val stats = compact(s, landing, s"$tmp/compacted",
+          targetBytes = 8L * 1024 * 1024)
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction did not reduce the file count: $stats")
+        readCompacted(s, s"$tmp/compacted")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("l_returnflag")
+          .localCheckpoint(eager = true)
+      } finally graft.ingest.FileUtils.rmr(tmp,
+        s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01, cmp01)
 }

@@ -702,5 +702,86 @@ object Multimodal {
     FROM f"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06, mm07, mm08)
+  // -------------------------------------------------------------- mm09
+  /** Cross-video near-dup at FRAME granularity — the clip-copy shape
+    * video corpus dedup needs (a re-upload shares most sampled frames;
+    * a reaction video embeds a clip, sharing a contiguous subset):
+    * mm04's sampled-frame grid, fingerprinted per frame, paired by
+    * frame-hash equi-join — never all-pairs — with two bounds that
+    * keep the candidate stream linear-ish at corpus scale:
+    * partial tail frames are dropped (a short tail matches other
+    * tails vacuously), and frames shared by more than `maxBucket`
+    * docs are STOP-FRAMES (the dd06 stop-fingerprint / mm05
+    * degenerate-bucket trade — black frames, title cards, silence
+    * carry no discriminating signal and would expand ~n² per bucket).
+    * Pairs sharing at least `minShared` distinct frames emit with
+    * their containment = shared / min(|frames_a|, |frames_b|), the
+    * dd10 asymmetric-overlap measure, so a short clip embedded in a
+    * long video still scores near 1. Everything is aggregations over
+    * one frame table + one equi-join: partial aggregation and AQE
+    * sizing apply as-is at 100 TB.
+    */
+  def frameNearDup(media: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+      maxBucket: Int = 50, minShared: Long = 2L): DataFrame = {
+    val f = sampleFrames(media, frameBytes, stride)
+      .filter(length(col("frame")) === frameBytes)
+      .select(col("doc_id"), md5(col("frame")).as("h"))
+      .distinct()
+    val sizes = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // stop-frame drop: frequency computed over distinct (doc, frame)
+    val keep = f.join(
+      f.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+        .select("h"),
+      "h")
+    val pairs = keep.select(col("doc_id").as("doc_a"), col("h"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("bigint").as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+        col("nf_a").cast("bigint").as("nf_a"),
+        col("nf_b").cast("bigint").as("nf_b"),
+        (col("shared_frames").cast("double") /
+          least(col("nf_a"), col("nf_b")).cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // The oracle rebuilds the full pipeline — mm04's frame grid and
+  // ASCII slicing, the full-frame filter, per-doc distinct frame sets,
+  // the stop-frame cap, pair counting, and the containment division —
+  // so a hash match certifies the equi-join found exactly the pairs
+  // the quadratic definition implies under the same caps.
+  private val mm09 = QueryDef(
+    "mm09_frame_neardup",
+    (s, dir) => frameNearDup(syntheticMedia(Tables(s, dir).documents)),
+    Some("""WITH d AS (SELECT doc_id, text,
+          CAST(ceil(length(text) / 16.0) AS INT) AS nf FROM documents),
+      s AS (SELECT doc_id, text,
+          unnest(range(0, greatest(nf - 1, 0) + 1, 4)) AS i FROM d),
+      f0 AS (SELECT doc_id, substring(text, i * 16 + 1, 16) AS fr FROM s),
+      fd AS (SELECT DISTINCT doc_id, md5(fr) AS h FROM f0
+        WHERE octet_length(encode(fr)) = 16),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fd GROUP BY 1),
+      freq AS (SELECT h, COUNT(*) AS n FROM fd GROUP BY h),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(COUNT(*) AS BIGINT) AS shared_frames
+        FROM fd a JOIN fd b USING (h) JOIN freq USING (h)
+        WHERE a.doc_id < b.doc_id AND freq.n <= 50
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p.doc_a, p.doc_b, p.shared_frames,
+        sa.nf AS nf_a, sb.nf AS nf_b,
+        CAST(p.shared_frames AS DOUBLE) /
+          CAST(least(sa.nf, sb.nf) AS DOUBLE) AS containment
+      FROM pairs p
+      JOIN sz sa ON sa.doc_id = p.doc_a
+      JOIN sz sb ON sb.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b"""),
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(mm01, mm02, mm02v, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
 }

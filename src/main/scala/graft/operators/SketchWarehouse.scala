@@ -216,7 +216,11 @@ object SketchWarehouse {
       .select("kind", "key_col", "part_col", "val_col", "parts").head
     val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
     val valCol = Option(m.getString(3)).filter(_.nonEmpty)
-    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet
+    // retired values count as known even after vacuum deleted their
+    // dirs (and their _APPENDED markers): late-arriving data for an
+    // expired window must NOT resurrect it
+    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet ++
+      retiredParts(path, hconf)
     val batch = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
     val fresh = batch.filterNot(known)
@@ -238,6 +242,72 @@ object SketchWarehouse {
       .filter(d => FileUtils.exists(s"$d/_APPENDED", hconf))
       .flatMap(d => new org.apache.hadoop.fs.Path(d)
         .getName.stripPrefix("p").toLongOption)
+
+  /** Committed retirement manifests' union — the partitions readers
+    * must exclude. Kept as marker-sealed manifests (the erased/ idiom)
+    * rather than a meta rewrite, so retirement needs no
+    * read-modify-write of the warehouse-level commit marker and
+    * concurrent retirers compose the same way concurrent erasers do.
+    */
+  private def retiredParts(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Set[Long] =
+    FileUtils.listSubdirs(s"$path/retired", hconf)
+      .filter(d => FileUtils.exists(s"$d/_COMMITTED", hconf))
+      .flatMap { d =>
+        FileUtils.listChildFiles(s"$d/parts", hconf)
+          .filter(_.endsWith(".txt"))
+          .flatMap(f => new org.apache.hadoop.fs.Path(f)
+            .getName.stripSuffix(".txt").toLongOption)
+      }.toSet
+
+  /** Age-based retention — the OTHER half of warehouse governance
+    * next to [[eraseFromWarehouse]]'s by-key path: retire every stored
+    * partition whose value is strictly below `cutoff` (partition
+    * values are the warehouse's time axis — dates, epochs, shards with
+    * a rolling window). Retirement is a marker-sealed manifest, cost
+    * O(retired values), NO state rebuild and NO source scan — the
+    * whole point of partitioning the sketch state by the retention
+    * axis is that expiry is a metadata operation, in contrast to
+    * erase-by-key's partition rebuilds. Readers exclude retired
+    * partitions immediately; bytes disappear at [[vacuumRetired]].
+    *
+    * Retirement is DURABLE: a later append whose batch carries a
+    * retired partition value skips it (the value stays "known"), so
+    * late-arriving data for an expired window cannot resurrect it —
+    * the contract a compliance window needs. Returns the newly
+    * retired values (empty = nothing stored was old enough).
+    */
+  def retireWarehousePartitions(s: SparkSession, path: String,
+      cutoff: Long): Seq[Long] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    require(FileUtils.exists(s"$path/meta", hconf),
+      s"$path has no warehouse meta — the save never completed " +
+        "(meta commits last); re-run the save before retiring from it")
+    val m = s.read.parquet(s"$path/meta").select("parts").head
+    val known = m.getSeq[Long](0) ++ appendedParts(path, hconf)
+    val already = retiredParts(path, hconf)
+    val fresh = known.distinct.filter(p => p < cutoff && !already(p))
+    if (fresh.nonEmpty) {
+      val rdir = FileUtils.claimSeqDir(s"$path/retired", "r", hconf)
+      // one empty FILE per value, named by the value: the manifest is
+      // pure metadata, so it never needs a Spark job (or a parquet
+      // footer) to write or read
+      fresh.foreach(p => FileUtils.touch(s"$rdir/parts/$p.txt", hconf))
+      FileUtils.touch(s"$rdir/_COMMITTED", hconf)
+    }
+    fresh
+  }
+
+  /** Physically delete every retired partition's state dirs. The
+    * manifests stay (they are what keeps retirement durable against
+    * late appends); only the bytes go. Safe to retry — deleting an
+    * already-gone dir is a no-op.
+    */
+  def vacuumRetired(s: SparkSession, path: String): Unit = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    retiredParts(path, hconf)
+      .foreach(p => FileUtils.rmr(s"$path/parts/p$p", hconf))
+  }
 
   private def erasedKeys(s: SparkSession, path: String): Option[DataFrame] = {
     val hconf = s.sparkContext.hadoopConfiguration
@@ -284,7 +354,11 @@ object SketchWarehouse {
     // saved/appended has nothing stored to rebuild (its future append
     // excludes the manifest anyway), and an unfiltered rebuild would
     // write orphan state dirs no reader ever sees
-    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet
+    // ... and MINUS retired partitions: their state is already out of
+    // every reader's set (and possibly vacuumed), so rebuilding one
+    // would only write orphan versions
+    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet --
+      retiredParts(path, hconf)
     val affected = boundedParts(
       fact.join(mine, fact(key).cast("long") === mine("k"), "left_semi")
         .select(col(partCol).cast("long").as("p")), partCol)
@@ -305,10 +379,13 @@ object SketchWarehouse {
     require(FileUtils.exists(s"$path/meta", hconf),
       s"$path has no warehouse meta — the save never completed " +
         "(meta commits last); re-run the save")
-    val expected = s.read.parquet(s"$path/meta")
+    val expected = (s.read.parquet(s"$path/meta")
       .select("parts").head.getSeq[Long](0) ++
-      appendedParts(path, hconf)
-    require(expected.nonEmpty, s"warehouse at $path lists no partitions")
+      appendedParts(path, hconf))
+      .distinct.filterNot(retiredParts(path, hconf))
+    require(expected.nonEmpty,
+      s"warehouse at $path lists no live partitions (all saved " +
+        "partitions may have been retired)")
     expected.map { p =>
       val vs = FileUtils.listSubdirs(s"$path/parts/p$p", hconf)
         .filter(v => FileUtils.exists(s"$v/_COMMITTED", hconf))
@@ -472,5 +549,42 @@ object SketchWarehouse {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, wh01)
+  // Age-based retention end to end: a date-partitioned warehouse (the
+  // partition value IS the time axis) retires everything below the
+  // cutoff — a metadata-only operation, no rebuild, no source scan —
+  // then vacuums the bytes, and the estimate must hash-match the
+  // DIRECT whole-corpus HLL build over only the retained window. The
+  // spec separately pins that retired dirs are physically gone after
+  // vacuum, that the estimate is identical before and after vacuum
+  // (readers exclude retired state the moment the manifest commits),
+  // and that a late append carrying a retired value skips it.
+  private lazy val gov06 = QueryDef(
+    "gov06_warehouse_retention",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_custkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov06_wh").toString
+      try {
+        saveHllWarehouse(o, path, "o_custkey", "part")
+        retireWarehousePartitions(s, path, cutoff = 2L)
+        vacuumRetired(s, path)
+        val retained = o.filter(col("part") >= 2)
+        val exact = retained
+          .agg(count_distinct(col("o_custkey")).as("n_exact"))
+        estimateHllWarehouse(s, path)
+          .crossJoin(broadcast(exact))
+          .select(lit("warehouse_custkey_retained").as("col_name"),
+            col("n_exact"), col("n_est"),
+            (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+              .as("in_envelope"))
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(Sketches.hllSql(
+      "(SELECT * FROM orders WHERE o_custkey % 8 >= 2)",
+      "o_custkey", "warehouse_custkey_retained")),
+  )
+
+  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, gov06, wh01)
 }

@@ -848,7 +848,56 @@ object StreamingParity {
     str01.oracle, // compression must not change a single landed byte
   )
 
+  // -------------------------------------------------------------- str19
+  // The persisted SKETCH WAREHOUSE's streaming lifecycle — wh01's
+  // save-then-append contract driven by a file stream: partitions 0–1
+  // are built by the batch save, then each micro-batch lands a whole
+  // new partition (the daily-ingestion arrival shape — the landing
+  // write hash-partitions by the partition column, so a partition's
+  // rows can never split across triggers and violate the
+  // partition-granular append contract) and foreachBatch appends it.
+  // The final merged estimate must hash-match the DIRECT whole-corpus
+  // HLL build — neither micro-batch boundaries, the _APPENDED marker
+  // path, nor retry-skips can move a register. Per-trigger cost is the
+  // batch's partitions only; stored state is never re-read.
+  private val str19 = QueryDef(
+    "str19_stream_warehouse_append_parity",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_custkey"), lit(8)))
+      val tmp = tempDir("graft_str19")
+      val wh = tmp.resolve("wh").toString
+      SketchWarehouse.saveHllWarehouse(
+        o.filter(col("part") < 2), wh, "o_custkey", "part")
+      val landing = tmp.resolve("landing").toString
+      o.filter(col("part") >= 2).repartition(6, col("part"))
+        .write.mode("overwrite").parquet(landing)
+      val q = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty)
+            SketchWarehouse.appendWarehousePartitions(batch.toDF(), wh): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val exact = o.agg(count_distinct(col("o_custkey")).as("n_exact"))
+      val out = SketchWarehouse.estimateHllWarehouse(s, wh)
+        .crossJoin(broadcast(exact))
+        .select(lit("warehouse_custkey_streamed").as("col_name"),
+          col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <= lit(0.15) * col("n_exact"))
+            .as("in_envelope"))
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Some(Sketches.hllSql("orders", "o_custkey", "warehouse_custkey_streamed")),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15, str16, str17, str18)
+      str11, str12, str13, str14, str15, str16, str17, str18, str19)
 }

@@ -294,7 +294,11 @@ object VectorIndex {
     * (one compacted committed batch) and clear the tombstones —
     * quantizer state is untouched because [[forgetFromVectorIndex]]
     * already refused training ids. Same documented delete→rewrite
-    * crash window as Dedup.vacuumIndex.
+    * crash window as Dedup.vacuumIndex — and, like it, with no
+    * tombstones outstanding this is BATCH COMPACTION: a
+    * maintenance vacuum folds an append-heavy index's many b<N> dirs
+    * into one committed batch with identical probe results
+    * (spec-pinned), shedding the per-batch file costs probes pay.
     */
   def vacuumVectorIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration

@@ -166,6 +166,10 @@ object Sinks {
     * and per-file open costs dominate scans). One round-robin exchange
     * sized to the target count; content is untouched. Returns
     * (files before, files after).
+    *
+    * This is the one-shot primitive; `Layout.compact` (cmp01) is the
+    * maintenance lifecycle on top — byte-budget sizing, versioned
+    * marker-sealed output, optional range clustering.
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int): (Int, Int) = {

@@ -469,6 +469,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("vacuum with NO tombstones = batch compaction: appended dirs fold to one, probe identical") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hist = Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dd_compact").toString
+    try {
+      Dedup.saveNearDupIndex(hist, path)
+      Dedup.appendNearDupIndex(Seq((5L, nearDup)).toDF("doc_id", "text"), path)
+      Dedup.appendNearDupIndex(Seq((6L, base + " extra")).toDF("doc_id", "text"), path)
+      def batchNames = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+        .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      assert(batchNames == Seq("b0", "b1", "b2"), s"batches: $batchNames")
+      val before = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.nonEmpty)
+      Dedup.vacuumIndex(spark, path)
+      assert(batchNames == Seq("b0"), s"compaction left $batchNames")
+      val after = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before, "compaction changed probe results")
+    } finally graft.ingest.FileUtils.rmr(path, conf)
+  }
+
   test("gov02: tombstone and vacuum agree, and vacuum physically erases the bytes") {
     val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
     val batch = Seq((10L, base)).toDF("doc_id", "text")

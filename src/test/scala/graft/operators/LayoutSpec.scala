@@ -82,4 +82,74 @@ class LayoutSpec extends SparkSpec {
     val (_, _, zY, _) = rows("zorder_y")
     assert(zY < linY, s"z-order must out-prune linear on y: z=$zY linear=$linY")
   }
+
+  test("compact: fewer even files, rows untouched, versions crash-safe, skew evened") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft_compact")
+    val landing = dir.resolve("landing").toString
+    val dst = dir.resolve("compacted").toString
+    // a SKEWED landing: one fat file + 31 slivers (the coalesce trap —
+    // concatenating whole input partitions would keep the skew)
+    lineitem.filter(col("l_orderkey") % 32 === 0).repartition(1)
+      .write.parquet(landing)
+    lineitem.filter(col("l_orderkey") % 32 =!= 0).repartition(31)
+      .write.mode("append").parquet(landing)
+    val before = graft.ingest.FileUtils.listDataFilesWithSize(landing, conf)
+    assert(before.size == 32)
+    val target = (before.map(_._2).sum + 3) / 4 // aim at ~4 output files
+    val stats = Layout.compact(spark, landing, dst, target)
+    assert(stats.filesBefore == 32 && stats.filesAfter.toInt <= 5)
+    // content invariance, row for row — multiset compare ((l_orderkey,
+    // l_linenumber) is NOT unique in the synthetic lineitem, so no
+    // ORDER BY is total)
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.toSeq).view.mapValues(_.length).toMap
+    val a = multiset(lineitem.collect())
+    val b = multiset(Layout.readCompacted(spark, dst)
+      .select(lineitem.columns.map(col).toIndexedSeq: _*).collect())
+    assert(a == b, "compaction changed row content")
+    // even sizing: no output file more than 2x the mean
+    val sizes = graft.ingest.FileUtils
+      .listDataFilesWithSize(s"$dst/v0/data", conf).map(_._2)
+    val mean = sizes.sum.toDouble / sizes.size
+    assert(sizes.forall(_ <= 2 * mean),
+      s"round-robin rewrite left skewed files: $sizes")
+    // an uncommitted (crashed) later version is invisible to readers
+    graft.ingest.FileUtils.mkdirs(s"$dst/v1/data", conf)
+    assert(Layout.readCompacted(spark, dst).count() == lineitem.count())
+    // a second committed pass supersedes v0
+    Layout.compact(spark, dst + "/v0/data", dst, Long.MaxValue)
+    val vs = graft.ingest.FileUtils.listSubdirs(dst, conf)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .filterNot(_.endsWith(".claim"))
+    assert(vs.contains("v2"), s"versions: $vs")
+    assert(Layout.readCompacted(spark, dst).count() == lineitem.count())
+  }
+
+  test("compact clusterBy: files carry disjoint-ish min-max bounds on the cluster column") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft_compact_cluster")
+    val landing = dir.resolve("landing").toString
+    val dst = dir.resolve("compacted").toString
+    lineitem.repartition(16).write.parquet(landing)
+    val target = (graft.ingest.FileUtils.listDataFilesWithSize(landing, conf)
+      .map(_._2).sum + 3) / 4
+    Layout.compact(spark, landing, dst, target, clusterBy = Some("l_partkey"))
+    // per-file min-max on the cluster column must tile, not overlap
+    // wholesale: read each compacted file separately and check the
+    // ranges are pairwise non-nested (range clustering ⇒ sortable)
+    val files = graft.ingest.FileUtils.listDataFilesWithSize(s"$dst/v0/data", conf)
+      .map(_._1)
+    assert(files.size >= 2, "need multiple files to check bounds")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_partkey")), max(col("l_partkey"))).head
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(lo2 >= hi, s"cluster ranges interleave: $ranges")
+      case _ => ()
+    }
+  }
 }

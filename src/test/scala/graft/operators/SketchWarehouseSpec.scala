@@ -106,6 +106,46 @@ class SketchWarehouseSpec extends SparkSpec {
     } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
   }
 
+  test("retention: retire < cutoff is metadata-only; vacuum drops bytes; late append can't resurrect") {
+    val path = tmpDir("wh_hll_ttl").toString
+    val fresh = tmpDir("wh_hll_ttl_fresh").toString
+    try {
+      SketchWarehouse.saveHllWarehouse(orders, path, "o_custkey", "part")
+      val v3Before = versionsOf(path, 3L)
+      val retired = SketchWarehouse.retireWarehousePartitions(spark, path, 2L)
+      assert(retired.sorted == Seq(0L, 1L), s"retired $retired")
+      // metadata-only: no partition gained or lost a state version
+      (0L to 7L).foreach(p => assert(versionsOf(path, p) == Seq("v0")))
+      // readers exclude retired state the moment the manifest commits
+      val estRetired = SketchWarehouse.estimateHllWarehouse(spark, path)
+        .head.getDouble(0)
+      SketchWarehouse.saveHllWarehouse(
+        orders.filter(col("part") >= 2), fresh, "o_custkey", "part")
+      val want = SketchWarehouse.estimateHllWarehouse(spark, fresh)
+        .head.getDouble(0)
+      assert(estRetired == want,
+        "retired-partition estimate diverged from the retained-only build")
+      // vacuum: retired bytes gone, live partitions untouched, estimate
+      // unchanged
+      SketchWarehouse.vacuumRetired(spark, path)
+      Seq(0L, 1L).foreach(p =>
+        assert(!FileUtils.exists(s"$path/parts/p$p", conf),
+          s"vacuum left retired partition p$p on disk"))
+      assert(versionsOf(path, 3L) == v3Before)
+      assert(SketchWarehouse.estimateHllWarehouse(spark, path)
+        .head.getDouble(0) == estRetired, "vacuum moved the estimate")
+      // a late batch carrying a retired value must skip it (durable
+      // retention), even though vacuum deleted the dir AND its marker
+      val (appended, skipped) =
+        SketchWarehouse.appendWarehousePartitions(orders, path)
+      assert(appended.isEmpty && skipped.sorted == (0L to 7L),
+        s"late append resurrected a retired partition: $appended")
+      assert(!FileUtils.exists(s"$path/parts/p0", conf))
+      // retiring again is a no-op (already-retired values filtered)
+      assert(SketchWarehouse.retireWarehousePartitions(spark, path, 2L).isEmpty)
+    } finally Seq(path, fresh).foreach(FileUtils.rmr(_, conf))
+  }
+
   test("CONCURRENT erasers on a shared partition: neither request is lost") {
     import spark.implicits._
     val path = tmpDir("wh_hll_race").toString

@@ -35,6 +35,25 @@ class VectorIndexSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration))
   }
 
+  test("vacuum with NO tombstones = batch compaction: many b<N> dirs fold to one, probe identical") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = tmpDir("graft_vindex_compact").toString
+    VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), path)
+    Seq(100 to 199, 200 to 299, 300 to 10000).foreach(r =>
+      VectorIndex.appendVectorIndex(
+        emb.filter(col("vec_id") >= r.start && col("vec_id") <= r.end), path))
+    def batchDirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      .filterNot(_.endsWith(".claim"))
+    assert(batchDirs.size == 4, s"expected 4 append batches, got $batchDirs")
+    val qs = emb.filter(col("vec_id") < 3)
+    val before = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    VectorIndex.vacuumVectorIndex(spark, path)
+    assert(batchDirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+      == Seq("b0"), s"compaction left $batchDirs")
+    val after = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+    assert(after == before, "compaction changed probe results")
+  }
+
   test("sim18: MIPS probe matches from-scratch MIPS ADC; rankings genuinely diverge from L2") {
     val path = tmpDir("graft_vindex_mips").toString
     VectorIndex.saveVectorIndex(emb, path)

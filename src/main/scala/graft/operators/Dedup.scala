@@ -991,10 +991,44 @@ object Dedup {
   private def committedBatchDirs(path: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     rejectLegacyLayout(path, conf)
+    // live = committed and not retired: a batch retired by
+    // [[retireIndexBatches]] is out of every read the moment its
+    // marker lands, its bytes gone at the next vacuum
     val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
-      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
-    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf) &&
+        !graft.ingest.FileUtils.exists(s"$d/_RETIRED", conf))
+    require(dirs.nonEmpty,
+      s"no live committed index batches under $path/batches")
     dirs
+  }
+
+  /** ROLLING-WINDOW retention for the persisted index — the time-axis
+    * governance half next to [[forgetFromIndex]]'s by-key path, for
+    * the deployment that dedups new data against a bounded window of
+    * history (a 90-day crawl window) instead of all time: batches ARE
+    * the index's arrival order, so retention retires every committed
+    * batch except the newest `keepLast` by dropping a `_RETIRED`
+    * marker into each — metadata-only, cost O(retired batches), no
+    * state rewrite and no source scan (the gov06 warehouse-retention
+    * economics applied to the index). Every subsequent probe reads
+    * only live batches; bytes disappear at the next [[vacuumIndex]]
+    * (whose compacted rewrite also makes the retirement permanent —
+    * retired dirs are simply not carried over). Retired ids are never
+    * reclaimed (claim files persist), so a retire-then-append can
+    * never resurrect an expired batch under its old id. Returns the
+    * newly retired batch ids.
+    */
+  def retireIndexBatches(s: SparkSession, path: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val conf = s.sparkContext.hadoopConfiguration
+    val live = committedBatchDirs(path, conf)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("b").toLong).sorted
+    val retire = live.dropRight(keepLast)
+    retire.foreach(id =>
+      graft.ingest.FileUtils.touch(s"$path/batches/b$id/_RETIRED", conf))
+    retire
   }
 
   private def indexGeometry(s: SparkSession, path: String): (Int, Int) = {
@@ -1201,6 +1235,38 @@ object Dedup {
       out
     },
     dd09.oracle, // the persisted path must agree with dd09's recompute
+  )
+
+  // Rolling-window retention end to end: the OLD batch is saved, the
+  // RECENT batch appended, then retireIndexBatches(keepLast = 1)
+  // expires the old one — metadata-only — and the probe must pair the
+  // query docs against ONLY the recent window. The oracle is dd09's
+  // full replay with the history side cut to the recent batch; on this
+  // corpus the retired batch carries real near-dup pairs (2 of 5 at
+  // sf0.001, 4 of 11 at sf0.01), so a hash match proves retirement
+  // actually dropped history rather than matching vacuously.
+  private lazy val dd17 = QueryDef(
+    "dd17_index_retention",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hist = docs.filter(col("doc_id") % 7 =!= 3)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dd17_index").toString
+      saveNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
+      appendNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
+      val retired = retireIndexBatches(s, path, keepLast = 1)
+      require(retired == Seq(0L), s"expected to retire batch 0, got $retired")
+      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+        .localCheckpoint(eager = true)
+      rmr(path, s.sparkContext.hadoopConfiguration)
+      out
+    },
+    dd09.oracle.map { o =>
+      val anchored = "hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3),"
+      require(o.contains(anchored), "dd09 oracle history CTE moved")
+      o.replace(anchored,
+        "hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3 AND doc_id % 3 <> 0),")
+    },
   )
 
   // -------------------------------------------------------------- dm04
@@ -1845,5 +1911,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, gov02, dm04, dm06, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, dd17, gov02, dm04, dm06, spl01, tri01, leak01)
 }

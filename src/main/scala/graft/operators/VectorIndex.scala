@@ -362,10 +362,40 @@ object VectorIndex {
 
   private def committedBatchDirs(path: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    // live = committed and not retired (the Dedup.retireIndexBatches
+    // contract): a retired batch is out of every probe the moment its
+    // marker lands, its bytes gone at the next vacuum
     val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
-      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
-    require(dirs.nonEmpty, s"no committed index batches under $path/batches")
+      .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf) &&
+        !graft.ingest.FileUtils.exists(s"$d/_RETIRED", conf))
+    require(dirs.nonEmpty,
+      s"no live committed index batches under $path/batches")
     dirs
+  }
+
+  /** ROLLING-WINDOW retention for the vector index — batches are the
+    * arrival order, so a freshness-bounded retrieval corpus (serve
+    * only the last N ingestion windows) retires every committed batch
+    * except the newest `keepLast`: one `_RETIRED` marker per expired
+    * batch, metadata-only, probes exclude them immediately, bytes
+    * drop at [[vacuumVectorIndex]]. The QUANTIZERS are untouched — a
+    * retired batch's vectors stop being candidates, which is what
+    * retention means; it is NOT right-to-erasure (a training vector's
+    * coordinates still live in the model — that path stays
+    * [[rebuildVectorIndex]], and [[forgetFromVectorIndex]] still
+    * refuses training ids). Returns the newly retired batch ids.
+    */
+  def retireVectorIndexBatches(s: SparkSession, path: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val conf = s.sparkContext.hadoopConfiguration
+    val live = committedBatchDirs(path, conf)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("b").toLong).sorted
+    val retire = live.dropRight(keepLast)
+    retire.foreach(id =>
+      graft.ingest.FileUtils.touch(s"$path/batches/b$id/_RETIRED", conf))
+    retire
   }
 
   // Save the WHOLE corpus, then probe the loaded index: the output
@@ -623,5 +653,39 @@ object VectorIndex {
   // against the SAME oracle rebuild.
   private[operators] def sim18Oracle: Option[String] = sim18.oracle
 
-  val defs: Seq[QueryDef] = Seq(sim11, sim12, sim13, sim15, sim16, sim18, sd02)
+  // Rolling-window retention end to end: the save batch (which pins
+  // the 0..31 training set, the sim12 subset shape) is retired after a
+  // recent batch is appended, and the probe must rank candidates from
+  // ONLY the live window — under the ORIGINAL quantizers (retention
+  // expires candidate rows, not the model; erasing training data stays
+  // rebuildVectorIndex's job). The oracle replays sim07's full rebuild
+  // with the candidate set cut to the appended batch; on this corpus
+  // the retired batch holds top-5 entries at both test SFs (6 of 15
+  // rows at sf0.001), so a hash match proves candidates were actually
+  // dropped, and fresh vs retained quantizers genuinely differ.
+  private val sim20 = QueryDef(
+    "sim20_index_retention",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim20_vindex").toString
+      try {
+        saveVectorIndex(emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
+        appendVectorIndex(emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
+        val retired = retireVectorIndexBatches(s, path, keepLast = 1)
+        require(retired == Seq(0L), s"expected to retire batch 0, got $retired")
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val anchored = "WHERE a.cid <> p.qid"
+      require(o.contains(anchored), "sim07 oracle candidate filter moved")
+      o.replace(anchored,
+        anchored + " AND a.cid >= 32 AND a.cid % 3 <> 0")
+    },
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sd02)
 }

@@ -492,6 +492,33 @@ class DedupSpec extends SparkSpec {
     } finally graft.ingest.FileUtils.rmr(path, conf)
   }
 
+  test("index retention: retired batches leave probes immediately; vacuum drops their bytes") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dd_retain").toString
+    try {
+      // old window: docs 0 and 3; recent window: doc 5
+      Dedup.saveNearDupIndex(
+        Seq((0L, base), (3L, unrelated)).toDF("doc_id", "text"), path)
+      Dedup.appendNearDupIndex(Seq((5L, nearDup)).toDF("doc_id", "text"), path)
+      def pairs = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((10L, 0L), (10L, 5L)), s"pre-retirement: $pairs")
+      assert(Dedup.retireIndexBatches(spark, path, keepLast = 1) == Seq(0L))
+      // metadata-only, but the probe window changed immediately
+      assert(pairs == Set((10L, 5L)), s"post-retirement: $pairs")
+      // retiring again with a roomy window is a no-op
+      assert(Dedup.retireIndexBatches(spark, path, keepLast = 5).isEmpty)
+      // vacuum carries only the live window into the compacted batch
+      Dedup.vacuumIndex(spark, path)
+      assert(pairs == Set((10L, 5L)), "vacuum changed probe semantics")
+      val survivors = spark.read.parquet(s"$path/batches/b0/shingles")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(5L),
+        s"retired docs' shingles must be physically gone: $survivors")
+    } finally graft.ingest.FileUtils.rmr(path, conf)
+  }
+
   test("gov02: tombstone and vacuum agree, and vacuum physically erases the bytes") {
     val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
     val batch = Seq((10L, base)).toDF("doc_id", "text")

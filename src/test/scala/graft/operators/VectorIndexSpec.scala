@@ -54,6 +54,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed probe results")
   }
 
+  test("vector retention: retired batch's vectors leave probes; quantizers untouched") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = tmpDir("graft_vindex_retain").toString
+    VectorIndex.saveVectorIndex(
+      emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
+    VectorIndex.appendVectorIndex(
+      emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
+    def model = {
+      val m = VectorIndex.loadModel(spark, path)
+      (m.cen.map(_.toSeq).toSeq, m.rcb.map(_.toSeq).toSeq)
+    }
+    val modelBefore = model
+    val qs = emb.filter(col("vec_id") < 3)
+    val before = VectorIndex.probeVectorIndex(spark, path, qs).collect()
+    assert(before.exists(r => r.getLong(1) < 32 || r.getLong(1) % 3 == 0),
+      "retired-window cids must rank pre-retirement or the test proves nothing")
+    assert(VectorIndex.retireVectorIndexBatches(spark, path, 1) == Seq(0L))
+    val after = VectorIndex.probeVectorIndex(spark, path, qs).collect()
+    assert(after.forall(r => r.getLong(1) >= 32 && r.getLong(1) % 3 != 0),
+      "a retired batch's vectors must not rank")
+    // retention expires candidate rows, never the model
+    assert(model == modelBefore, "retirement must not touch quantizer state")
+    // vacuum drops the bytes and keeps the ranking
+    VectorIndex.vacuumVectorIndex(spark, path)
+    val live = spark.read.parquet(s"$path/batches/b0/codes")
+      .select("cid").collect().map(_.getLong(0))
+    assert(live.forall(c => c >= 32 && c % 3 != 0),
+      "retired codes must be physically gone after vacuum")
+    assert(VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+      == after.toSeq, "vacuum changed probe results")
+  }
+
   test("sim18: MIPS probe matches from-scratch MIPS ADC; rankings genuinely diverge from L2") {
     val path = tmpDir("graft_vindex_mips").toString
     VectorIndex.saveVectorIndex(emb, path)

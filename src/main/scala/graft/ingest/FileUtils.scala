@@ -81,6 +81,30 @@ object FileUtils {
       .filter(_.isFile).map(_.getPath.toString).sorted
   }
 
+  /** Run `body` holding an exclusive `_SAVING` lease under `root` —
+    * the save-side half of the concurrency story whose append side is
+    * [[claimSeqDir]]: a SAVE is a destructive replace (it clears prior
+    * state before rewriting), so two concurrent savers would interleave
+    * deletes and writes into one corrupt tree that no marker protocol
+    * downstream can repair. The second saver fails LOUDLY here instead.
+    * The lease is deleted on every exit (success or failure); only a
+    * crashed JVM leaves it behind, and then the next saver's error
+    * names the remedy (verify no saver is live, delete the lease,
+    * retry) rather than silently proceeding into a possibly half-dead
+    * writer's tree. Same local-scheme O_EXCL caveats as
+    * [[createExclusive]].
+    */
+  def withSaveLease[T](root: String, conf: Configuration)(body: => T): T = {
+    mkdirs(root, conf)
+    val lease = s"$root/_SAVING"
+    require(createExclusive(lease, conf),
+      s"another save appears to be running on $root ($lease exists); " +
+        "if its JVM crashed, verify no saver is live, delete the lease " +
+        "file, and retry")
+    try body
+    finally delete(lease, recursive = false, conf)
+  }
+
   /** Immediate child DATA files of `path` with their byte lengths —
     * the input a compaction planner sizes its output from. Skips
     * marker/metadata names (`_SUCCESS`, `.crc`, claims); one

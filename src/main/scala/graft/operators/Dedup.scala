@@ -912,11 +912,22 @@ object Dedup {
     */
   def saveNearDupIndex(corpus: DataFrame, path: String,
       numHashes: Int = 32, bands: Int = 16): Unit = {
+    val hconf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // saves are the one DESTRUCTIVE lifecycle step (replace, not
+    // append), so they run under an exclusive lease — two concurrent
+    // savers would interleave the clears and rewrites into one corrupt
+    // tree (appends don't need this: claimSeqDir isolates them)
+    graft.ingest.FileUtils.withSaveLease(path, hconf)(
+      doSaveNearDupIndex(corpus, path, numHashes, bands))
+  }
+
+  private def doSaveNearDupIndex(corpus: DataFrame, path: String,
+      numHashes: Int, bands: Int): Unit = {
+    val hconf = corpus.sparkSession.sparkContext.hadoopConfiguration
     // a save REPLACES any index at path: clear stale batches AND stale
     // tombstones first — a leftover forgotten/ set from the previous
     // index would silently hide any NEW doc that reuses an erased id
     // from every probe (and the next vacuum would delete its rows)
-    val hconf = corpus.sparkSession.sparkContext.hadoopConfiguration
     rmr(s"$path/batches", hconf)
     rmr(s"$path/forgotten", hconf)
     // and any legacy flat-layout root tables: a save is the documented

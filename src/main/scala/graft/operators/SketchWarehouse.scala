@@ -117,9 +117,22 @@ object SketchWarehouse {
 
   private def saveWarehouse(fact: DataFrame, path: String, key: String,
       partCol: String, kind: String, valCol: Option[String] = None): Unit = {
+    val hconf = conf(fact)
+    // destructive replace → exclusive lease (the saveNearDupIndex
+    // contract): a second concurrent saver fails loudly instead of
+    // interleaving the clears and rewrites below
+    FileUtils.withSaveLease(path, hconf)(
+      doSaveWarehouse(fact, path, key, partCol, kind, valCol))
+  }
+
+  private def doSaveWarehouse(fact: DataFrame, path: String, key: String,
+      partCol: String, kind: String, valCol: Option[String]): Unit = {
     val s = fact.sparkSession
     val hconf = conf(fact)
-    FileUtils.rmr(path, hconf)
+    // clear the warehouse's subtrees, not the root — the save lease
+    // lives at the root and must survive the clear
+    Seq("parts", "erased", "retired", "meta")
+      .foreach(t => FileUtils.rmr(s"$path/$t", hconf))
     import s.implicits._
     // bounded by contract: the partition domain drives per-partition
     // writes, so it must be small (see MaxParts)

@@ -43,6 +43,16 @@ object VectorIndex {
   def saveVectorIndex(emb: DataFrame, path: String, nCells: Int = 16,
       nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16): Unit = {
     val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+    // destructive replace → exclusive lease, the saveNearDupIndex
+    // contract: a second concurrent saver fails loudly instead of
+    // interleaving clears and rewrites
+    graft.ingest.FileUtils.withSaveLease(path, conf)(
+      doSaveVectorIndex(emb, path, nCells, nSub, subDim, nCodes))
+  }
+
+  private def doSaveVectorIndex(emb: DataFrame, path: String, nCells: Int,
+      nSub: Int, subDim: Int, nCodes: Int): Unit = {
+    val conf = emb.sparkSession.sparkContext.hadoopConfiguration
     rmr(s"$path/batches", conf)
     // a save REPLACES the index: stale tombstones from the previous
     // index would silently hide any NEW vector reusing an erased id

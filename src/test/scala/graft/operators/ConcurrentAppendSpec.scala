@@ -106,6 +106,65 @@ class ConcurrentAppendSpec extends SparkSpec {
     } finally Seq(concurrent, sequential).foreach(FileUtils.rmr(_, conf))
   }
 
+  test("save lease: a held lease fails the second saver loudly; release reopens; crash has a named remedy") {
+    import spark.implicits._
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    Seq(
+      ("ndx", (p: String) => Dedup.saveNearDupIndex(docs, p)),
+      ("wh", (p: String) => SketchWarehouse.saveHllWarehouse(
+        Tables(spark, sf0001).orders
+          .withColumn("part", pmod(col("o_custkey"), lit(4))),
+        p, "o_custkey", "part")),
+    ).foreach { case (tag, save) =>
+      val path = tmpDir(s"save_lease_$tag").toString
+      // a live (or crashed) saver's lease blocks the save with the
+      // documented remedy in the message
+      FileUtils.mkdirs(path, conf)
+      FileUtils.touch(s"$path/_SAVING", conf)
+      val e = intercept[IllegalArgumentException](save(path))
+      assert(e.getMessage.contains("delete the lease"),
+        s"$tag: error must name the remedy: ${e.getMessage}")
+      // the remedy works, the save succeeds, and it releases the lease
+      FileUtils.delete(s"$path/_SAVING", recursive = false, conf)
+      save(path)
+      assert(!FileUtils.exists(s"$path/_SAVING", conf),
+        s"$tag: save must release its lease")
+      // re-save over an existing tree still works (lease re-acquired)
+      save(path)
+      FileUtils.rmr(path, conf)
+    }
+  }
+
+  test("racing savers: at most one wins the lease window; the survivor tree is a valid index") {
+    val emb = Tables(spark, sf0001).embeddings.filter(col("vec_id") < 64)
+    val path = tmpDir("save_lease_race").toString
+    try {
+      val failures = new java.util.concurrent.atomic.AtomicInteger
+      val pool = Executors.newFixedThreadPool(2)
+      val barrier = new CyclicBarrier(2)
+      try {
+        val fs = Seq.fill(2)(pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await(30, TimeUnit.SECONDS)
+            try VectorIndex.saveVectorIndex(emb, path)
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("another save") =>
+                failures.incrementAndGet(): Unit
+            }
+          }
+        }))
+        fs.foreach(_.get(300, TimeUnit.SECONDS))
+      } finally { pool.shutdownNow(); () }
+      assert(failures.get() <= 1, "both savers cannot lose")
+      // whoever won last left a complete, probe-able index
+      assert(VectorIndex.probeVectorIndex(spark, path,
+        emb.filter(col("vec_id") < 2)).collect().nonEmpty)
+      assert(!FileUtils.exists(s"$path/_SAVING", conf))
+    } finally FileUtils.rmr(path, conf)
+  }
+
   test("two concurrent forget calls land distinct tombstone batches; both apply") {
     val emb = Tables(spark, sf0001).embeddings
     val path = tmpDir("vidx_forget").toString

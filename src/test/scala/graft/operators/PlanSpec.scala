@@ -291,6 +291,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_bin"), "join key must be the time bin")
   }
 
+  test("mm09: frame pairs come from the frame-hash equi-join (no cartesian)") {
+    val p = plan("mm09_frame_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"frame near-dup must pair within hash buckets, never all-pairs:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "frame hashing must stay in built-ins")
+  }
+
   test("fz01: fuzzy join candidates come from the variant equi-join (no cartesian)") {
     val p = plan("fz01_fuzzy_join_blocked")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

@@ -599,5 +599,38 @@ object SketchWarehouse {
       "o_custkey", "warehouse_custkey_retained")),
   )
 
-  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, gov06, wh01)
+  // Retention on the QUANTILE kind — the mechanism (latestStates
+  // excludes retired partitions) is kind-agnostic, but the read paths
+  // differ per kind (register max-merge vs bottom-k union-recut vs
+  // cell sums), so the quantile member gets its own oracle row: after
+  // retiring the sub-cutoff partitions the merged recut must equal
+  // qs01's direct sketch of ONLY the retained window — deciles, rank
+  // audit, and envelope included.
+  private lazy val gov07 = QueryDef(
+    "gov07_quantile_retention",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("part", pmod(col("o_orderkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov07_wh").toString
+      try {
+        saveQuantileWarehouse(o, path, "o_orderkey", "o_totalprice", "part")
+        retireWarehousePartitions(s, path, cutoff = 2L)
+        vacuumRetired(s, path)
+        val retained = o.filter(col("part") >= 2)
+        Sketches.decileEnvelope(retained, "o_totalprice",
+            Sketches.quantileEstimates(mergedQuantileWarehouse(s, path)))
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Sketches.qs01Oracle.map { o =>
+      // gov04's anchored edit with the retention predicate
+      val anchored = "FROM orders)"
+      require(o.indexOf(anchored) == o.lastIndexOf(anchored) && o.contains(anchored),
+        "qs01 oracle fact CTE moved")
+      o.replace(anchored, "FROM orders WHERE o_orderkey % 8 >= 2)")
+    },
+  )
+
+  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, gov06, gov07, wh01)
 }

@@ -632,5 +632,33 @@ object SketchWarehouse {
     },
   )
 
-  val defs: Seq[QueryDef] = Seq(gov03, gov04, gov05, gov06, gov07, wh01)
+  // ... and on the COUNT-MIN kind, completing the retention triad the
+  // way gov03/04/05 completed erasure: post-retirement the cell-wise
+  // SUM of the live partitions must serve cms01's heavy-hitter probe
+  // over only the retained window — exact top-20, min-over-depths
+  // estimates, never-under flag — hash-matched against the direct
+  // build on the retained rows.
+  private lazy val gov08 = QueryDef(
+    "gov08_cms_retention",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("part", pmod(col("l_partkey"), lit(8)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gov08_wh").toString
+      try {
+        saveCmsWarehouse(li, path, "l_partkey", "part")
+        retireWarehousePartitions(s, path, cutoff = 2L)
+        vacuumRetired(s, path)
+        val retained = li.filter(col("part") >= 2)
+        Sketches.cmsHeavyHitters(retained,
+            mergedCmsWarehouse(s, path), "l_partkey")
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(Sketches.cmsHeavySql(
+      "(SELECT * FROM lineitem WHERE l_partkey % 8 >= 2)")),
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(gov03, gov04, gov05, gov06, gov07, gov08, wh01)
 }

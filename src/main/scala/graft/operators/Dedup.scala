@@ -1156,22 +1156,33 @@ object Dedup {
     */
   def vacuumIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val (nh, b) = indexGeometry(s, path)
-    val dirs = committedBatchDirs(path, conf)
-    val tomb = tombstoneIds(s, path)
-    def keep(df: DataFrame): DataFrame =
-      tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
-    val bands = keep(s.read.parquet(dirs.map(_ + "/bands"): _*))
-      .localCheckpoint(true)
-    val sh = keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
-      .localCheckpoint(true)
-    rmr(path, conf)
-    import s.implicits._
-    Seq((nh, b)).toDF("num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    bands.write.parquet(s"$path/batches/b0/bands")
-    sh.write.parquet(s"$path/batches/b0/shingles")
-    graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
+    // a vacuum is a destructive replace too (delete-then-rewrite), so
+    // it takes the SAME exclusive lease saves do: unleased, a vacuum
+    // racing a save would interleave their clears/rewrites — and this
+    // vacuum's old root-wide rmr would even have deleted the saver's
+    // live _SAVING lease mid-save
+    graft.ingest.FileUtils.withSaveLease(path, conf) {
+      val (nh, b) = indexGeometry(s, path)
+      val dirs = committedBatchDirs(path, conf)
+      val tomb = tombstoneIds(s, path)
+      def keep(df: DataFrame): DataFrame =
+        tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+      val bands = keep(s.read.parquet(dirs.map(_ + "/bands"): _*))
+        .localCheckpoint(true)
+      val sh = keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
+        .localCheckpoint(true)
+      // clear subtrees, never the root: the lease lives at the root
+      // and must survive the clear (the doSaveWarehouse idiom)
+      rmr(s"$path/batches", conf)
+      rmr(s"$path/forgotten", conf)
+      rmr(s"$path/meta", conf)
+      import s.implicits._
+      Seq((nh, b)).toDF("num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      bands.write.parquet(s"$path/batches/b0/bands")
+      sh.write.parquet(s"$path/batches/b0/shingles")
+      graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
+    }
   }
 
   // The forgotten docs (hist ids ≡ 0 mod 5) must vanish from probe
@@ -1188,14 +1199,14 @@ object Dedup {
       val hist = docs.filter(col("doc_id") % 7 =!= 3)
       val path = java.nio.file.Files
         .createTempDirectory("graft_gov02_index").toString
-      saveNearDupIndex(hist, path)
-      forgetFromIndex(s, path,
-        hist.filter(col("doc_id") % 5 === 0).select("doc_id"))
-      vacuumIndex(s, path)
-      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
-        .localCheckpoint(eager = true)
-      rmr(path, s.sparkContext.hadoopConfiguration)
-      out
+      try {
+        saveNearDupIndex(hist, path)
+        forgetFromIndex(s, path,
+          hist.filter(col("doc_id") % 5 === 0).select("doc_id"))
+        vacuumIndex(s, path)
+        probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     Some(s"""WITH t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM documents),
       g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
@@ -1238,12 +1249,12 @@ object Dedup {
       val hist = docs.filter(col("doc_id") % 7 =!= 3)
       val path = java.nio.file.Files
         .createTempDirectory("graft_dd16_index").toString
-      saveNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
-      appendNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
-      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
-        .localCheckpoint(eager = true)
-      rmr(path, s.sparkContext.hadoopConfiguration)
-      out
+      try {
+        saveNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
+        appendNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
+        probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     dd09.oracle, // the persisted path must agree with dd09's recompute
   )
@@ -1263,14 +1274,14 @@ object Dedup {
       val hist = docs.filter(col("doc_id") % 7 =!= 3)
       val path = java.nio.file.Files
         .createTempDirectory("graft_dd17_index").toString
-      saveNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
-      appendNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
-      val retired = retireIndexBatches(s, path, keepLast = 1)
-      require(retired == Seq(0L), s"expected to retire batch 0, got $retired")
-      val out = probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
-        .localCheckpoint(eager = true)
-      rmr(path, s.sparkContext.hadoopConfiguration)
-      out
+      try {
+        saveNearDupIndex(hist.filter(col("doc_id") % 3 === 0), path)
+        appendNearDupIndex(hist.filter(col("doc_id") % 3 =!= 0), path)
+        val retired = retireIndexBatches(s, path, keepLast = 1)
+        require(retired == Seq(0L), s"expected to retire batch 0, got $retired")
+        probeNearDupIndex(s, path, docs.filter(col("doc_id") % 7 === 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
     },
     dd09.oracle.map { o =>
       val anchored = "hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3),"

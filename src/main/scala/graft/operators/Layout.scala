@@ -286,7 +286,14 @@ object Layout {
     require(before.nonEmpty, s"nothing to compact under $src")
     val bytesBefore = before.map(_._2).sum
     // overflow-safe ceil(bytesBefore / targetBytes), floored at 1
-    val nOut = math.max(1L, (bytesBefore - 1) / targetBytes + 1).toInt
+    val nOutL = math.max(1L, (bytesBefore - 1) / targetBytes + 1)
+    // a clear contract error, not a negative repartition count: a tiny
+    // targetBytes against a huge landing can push the ceil past Int
+    require(nOutL <= Int.MaxValue.toLong,
+      s"compaction would need $nOutL output files (bytes=$bytesBefore, " +
+        s"targetBytes=$targetBytes) — exceeds Spark's Int partition " +
+        "count; raise targetBytes")
+    val nOut = nOutL.toInt
     val vdir = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
     val data = s.read.parquet(src)
     clusterBy.fold(data.repartition(nOut))(c =>

@@ -312,16 +312,21 @@ object VectorIndex {
     */
   def vacuumVectorIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val dirs = committedBatchDirs(path, conf)
-    val tomb = tombstoneIds(s, path)
-    val codes = tomb.fold(s.read.parquet(dirs.map(_ + "/codes"): _*))(t =>
-      s.read.parquet(dirs.map(_ + "/codes"): _*)
-        .join(t, Seq("cid"), "left_anti"))
-      .localCheckpoint(true)
-    rmr(s"$path/batches", conf)
-    rmr(s"$path/forgotten", conf)
-    codes.write.parquet(s"$path/batches/b0/codes")
-    graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
+    // destructive replace → the save lease (the Dedup.vacuumIndex
+    // rationale): a vacuum racing a save must fail loudly, not
+    // interleave its delete-then-rewrite with the saver's
+    graft.ingest.FileUtils.withSaveLease(path, conf) {
+      val dirs = committedBatchDirs(path, conf)
+      val tomb = tombstoneIds(s, path)
+      val codes = tomb.fold(s.read.parquet(dirs.map(_ + "/codes"): _*))(t =>
+        s.read.parquet(dirs.map(_ + "/codes"): _*)
+          .join(t, Seq("cid"), "left_anti"))
+        .localCheckpoint(true)
+      rmr(s"$path/batches", conf)
+      rmr(s"$path/forgotten", conf)
+      codes.write.parquet(s"$path/batches/b0/codes")
+      graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
+    }
   }
 
   /** The training-id refusal remedy, executed ([[forgetFromVectorIndex]]
@@ -334,6 +339,12 @@ object VectorIndex {
     * Existing tombstones fold into the erase set (a save clears the
     * tombstone log, so leaving them out would RESURRECT previously
     * forgotten vectors); the replacement set is the union.
+    *
+    * Lease story: the rebuild's DESTRUCTIVE phase is the nested
+    * [[saveVectorIndex]], which takes the exclusive `_SAVING` lease
+    * itself (taking it here too would self-deadlock on the nested
+    * acquire); the work before that point is reads only, materialized
+    * (localCheckpoint) so nothing re-reads files the save deletes.
     */
   def rebuildVectorIndex(corpus: DataFrame, path: String,
       erase: DataFrame): Unit = {

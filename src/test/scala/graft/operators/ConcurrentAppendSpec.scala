@@ -136,6 +136,41 @@ class ConcurrentAppendSpec extends SparkSpec {
     }
   }
 
+  test("vacuum takes the save lease: it cannot race a saver, and never deletes a live lease") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "pack my box with five dozen liquor jugs for the judge"))
+      .toDF("doc_id", "text")
+    val emb = Tables(spark, sf0001).embeddings.filter(col("vec_id") < 64)
+    Seq(
+      ("ndx", (p: String) => Dedup.saveNearDupIndex(docs, p),
+        (p: String) => Dedup.vacuumIndex(spark, p)),
+      ("vidx", (p: String) => VectorIndex.saveVectorIndex(emb, p),
+        (p: String) => VectorIndex.vacuumVectorIndex(spark, p)),
+    ).foreach { case (tag, save, vacuum) =>
+      val path = tmpDir(s"vacuum_lease_$tag").toString
+      try {
+        save(path)
+        // a live saver's lease blocks the vacuum loudly (unleased, its
+        // delete-then-rewrite would interleave with the save — and the
+        // old root-wide rmr would have deleted the lease itself)
+        FileUtils.touch(s"$path/_SAVING", conf)
+        val e = intercept[IllegalArgumentException](vacuum(path))
+        assert(e.getMessage.contains("delete the lease"),
+          s"$tag: vacuum error must name the remedy: ${e.getMessage}")
+        assert(FileUtils.exists(s"$path/_SAVING", conf),
+          s"$tag: a failed vacuum must not delete the saver's lease")
+        // remedy → vacuum succeeds, releases the lease, tree stays live
+        FileUtils.delete(s"$path/_SAVING", recursive = false, conf)
+        vacuum(path)
+        assert(!FileUtils.exists(s"$path/_SAVING", conf),
+          s"$tag: vacuum must release its lease")
+      } finally FileUtils.rmr(path, conf)
+    }
+    ()
+  }
+
   test("racing savers: at most one wins the lease window; the survivor tree is a valid index") {
     val emb = Tables(spark, sf0001).embeddings.filter(col("vec_id") < 64)
     val path = tmpDir("save_lease_race").toString

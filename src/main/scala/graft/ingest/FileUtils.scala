@@ -123,36 +123,37 @@ object FileUtils {
       .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
   }
 
-  /** Atomically create `path` as an empty file IFF it does not exist:
-    * true means THIS call created it (the claim is won), false means
-    * someone else holds it. On HDFS, create(overwrite = false) is an
-    * atomic NameNode operation; the local filesystem needs O_EXCL
-    * (NIO createFile), because RawLocalFileSystem's no-overwrite
-    * create is exists-then-create and two racers could both pass the
-    * check — this is the only place engine code touches java.nio file
-    * APIs, and only for the file: scheme. (S3A's no-overwrite create
-    * is weaker — check-then-write; a deployment there backs claims
-    * with a conditional-PUT or an external lock, same protocol.)
+  /** The claim/lease backend every atomic create below routes through
+    * ([[ClaimBackend]]): `fs` (default) uses the filesystem's own
+    * atomic no-overwrite create; `cput` (SPARK_GRAFT_CLAIM_BACKEND)
+    * claims via the conditional-PUT token protocol — the shape a
+    * deployment on an object store binds to the store's real
+    * If-None-Match primitive.
     */
-  def createExclusive(path: String, conf: Configuration = new Configuration()): Boolean = {
-    val p = new Path(path)
-    val filesystem = fs(p, conf)
-    if ("file" == filesystem.getUri.getScheme) {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
-        Option(local.getParent).foreach(d => java.nio.file.Files.createDirectories(d))
-        java.nio.file.Files.createFile(local)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { filesystem.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException =>
-          if (filesystem.exists(p)) false else throw e
-      }
+  @volatile private var claimBackendVar: ClaimBackend =
+    sys.env.get("SPARK_GRAFT_CLAIM_BACKEND") match {
+      case Some("cput") => new ConditionalPutClaimBackend(HadoopFsConditionalStore)
+      case _ => FsClaimBackend
     }
+
+  def claimBackend: ClaimBackend = claimBackendVar
+
+  /** Scoped backend swap — a TEST seam (process-global, suites run
+    * sequentially in the forked test JVM; not for concurrent use).
+    */
+  def withClaimBackend[T](b: ClaimBackend)(body: => T): T = {
+    val prev = claimBackendVar
+    claimBackendVar = b
+    try body finally claimBackendVar = prev
   }
+
+  /** Atomically create `path` as a claim marker IFF it does not exist:
+    * true means THIS call created it (the claim is won), false means
+    * someone else holds it — delegated to the configured
+    * [[ClaimBackend]] (see there for the per-store atomicity story).
+    */
+  def createExclusive(path: String, conf: Configuration = new Configuration()): Boolean =
+    claimBackendVar.createExclusive(path, conf)
 
   /** Claim the next sequence-numbered batch directory under `base`
     * (`<prefix><N>`), safely under CONCURRENT claimers: the id is

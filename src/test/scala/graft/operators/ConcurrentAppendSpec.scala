@@ -32,78 +32,98 @@ class ConcurrentAppendSpec extends SparkSpec {
     } finally { pool.shutdownNow(); () }
   }
 
-  test("claimSeqDir under contention: every claim wins a distinct id") {
-    val base = tmpDir("claims").toString
-    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    inParallel(Seq.fill(4)(() =>
-      (1 to 8).foreach(_ => assert(claimed.add(
-        FileUtils.claimSeqDir(base, "b", conf)),
-        "two claimers won the same batch dir"))))
-    assert(claimed.size == 32)
-    val ids = claimed.toArray(Array.empty[String])
-      .map(d => new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b").toLong)
-    assert(ids.toSet == (0L until 32L).toSet,
-      "claim ids must be dense: every id visible to the next claimer")
-  }
+  // The claim protocol must hold through BOTH shipped ClaimBackends:
+  // the filesystem's atomic create (default) and the conditional-PUT
+  // token protocol (the object-store shape) — same scenarios, same
+  // assertions, backend swapped through the FileUtils seam.
+  private val backends = Seq[(String, () => graft.ingest.ClaimBackend)](
+    ("fs", () => graft.ingest.FsClaimBackend),
+    ("cput", () => new graft.ingest.ConditionalPutClaimBackend(
+      graft.ingest.HadoopFsConditionalStore)))
 
-  test("claimSeqDir counts a claimed-but-unwritten id (crashed claimer)") {
-    val base = tmpDir("claims_crash").toString
-    val d0 = FileUtils.claimSeqDir(base, "b", conf)
-    assert(d0.endsWith("/b0"))
-    // claimer 0 "crashes" before writing b0 — the next claim must NOT
-    // reuse id 0 even though no b0 directory exists
-    val d1 = FileUtils.claimSeqDir(base, "b", conf)
-    assert(d1.endsWith("/b1"), s"id 0 was reused: $d1")
-  }
+  backends.foreach { case (bname, mkBackend) =>
 
-  test("two concurrent vector-index appends: both batches land intact; probe == one-shot save") {
-    val emb = Tables(spark, sf0001).embeddings
-    val concurrent = tmpDir("vidx_conc").toString
-    val oneShot = tmpDir("vidx_seq").toString
-    try {
-      // save on a slice containing the pinned training set (vec_id < 32)
-      VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), concurrent)
-      inParallel(Seq(
-        () => VectorIndex.appendVectorIndex(
-          emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 0), concurrent),
-        () => VectorIndex.appendVectorIndex(
-          emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 1), concurrent)))
-      // three committed batches, each sealed, no shared dir
-      val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
-      assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
-      dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
-      VectorIndex.saveVectorIndex(emb, oneShot)
-      val q = emb.filter(col("vec_id") < 3)
-      val got = VectorIndex.probeVectorIndex(spark, concurrent, q).collect().toSeq
-      val want = VectorIndex.probeVectorIndex(spark, oneShot, q).collect().toSeq
-      assert(got == want, "concurrently-appended index diverged from one-shot save")
-    } finally Seq(concurrent, oneShot).foreach(FileUtils.rmr(_, conf))
-  }
+    test(s"[$bname] claimSeqDir under contention: every claim wins a distinct id") {
+      FileUtils.withClaimBackend(mkBackend()) {
+        val base = tmpDir(s"claims_$bname").toString
+        val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        inParallel(Seq.fill(4)(() =>
+          (1 to 8).foreach(_ => assert(claimed.add(
+            FileUtils.claimSeqDir(base, "b", conf)),
+            "two claimers won the same batch dir"))))
+        assert(claimed.size == 32)
+        val ids = claimed.toArray(Array.empty[String])
+          .map(d => new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b").toLong)
+        assert(ids.toSet == (0L until 32L).toSet,
+          "claim ids must be dense: every id visible to the next claimer")
+      }
+    }
 
-  test("two concurrent near-dup-index appends: both batches land intact; probe == sequential") {
-    val docs = Tables(spark, sf0001).documents
-    val hist = docs.filter(col("doc_id") % 7 =!= 3)
-    val batch = docs.filter(col("doc_id") % 7 === 3)
-    val concurrent = tmpDir("ndidx_conc").toString
-    val sequential = tmpDir("ndidx_seq").toString
-    try {
-      val h0 = hist.filter(col("doc_id") % 3 === 0)
-      val h1 = hist.filter(col("doc_id") % 3 === 1)
-      val h2 = hist.filter(col("doc_id") % 3 === 2)
-      Dedup.saveNearDupIndex(h0, concurrent)
-      inParallel(Seq(
-        () => Dedup.appendNearDupIndex(h1, concurrent),
-        () => Dedup.appendNearDupIndex(h2, concurrent)))
-      val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
-      assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
-      dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
-      Dedup.saveNearDupIndex(h0, sequential)
-      Dedup.appendNearDupIndex(h1, sequential)
-      Dedup.appendNearDupIndex(h2, sequential)
-      val got = Dedup.probeNearDupIndex(spark, concurrent, batch).collect().toSeq
-      val want = Dedup.probeNearDupIndex(spark, sequential, batch).collect().toSeq
-      assert(got == want, "concurrently-appended index diverged from sequential appends")
-    } finally Seq(concurrent, sequential).foreach(FileUtils.rmr(_, conf))
+    test(s"[$bname] claimSeqDir counts a claimed-but-unwritten id (crashed claimer)") {
+      FileUtils.withClaimBackend(mkBackend()) {
+        val base = tmpDir(s"claims_crash_$bname").toString
+        val d0 = FileUtils.claimSeqDir(base, "b", conf)
+        assert(d0.endsWith("/b0"))
+        // claimer 0 "crashes" before writing b0 — the next claim must NOT
+        // reuse id 0 even though no b0 directory exists
+        val d1 = FileUtils.claimSeqDir(base, "b", conf)
+        assert(d1.endsWith("/b1"), s"id 0 was reused: $d1")
+      }
+    }
+
+    test(s"[$bname] two concurrent vector-index appends: both batches land intact; probe == one-shot save") {
+      FileUtils.withClaimBackend(mkBackend()) {
+        val emb = Tables(spark, sf0001).embeddings
+        val concurrent = tmpDir(s"vidx_conc_$bname").toString
+        val oneShot = tmpDir(s"vidx_seq_$bname").toString
+        try {
+          // save on a slice containing the pinned training set (vec_id < 32)
+          VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), concurrent)
+          inParallel(Seq(
+            () => VectorIndex.appendVectorIndex(
+              emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 0), concurrent),
+            () => VectorIndex.appendVectorIndex(
+              emb.filter(col("vec_id") >= 100 && col("vec_id") % 2 === 1), concurrent)))
+          // three committed batches, each sealed, no shared dir
+          val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
+          assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
+          dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
+          VectorIndex.saveVectorIndex(emb, oneShot)
+          val q = emb.filter(col("vec_id") < 3)
+          val got = VectorIndex.probeVectorIndex(spark, concurrent, q).collect().toSeq
+          val want = VectorIndex.probeVectorIndex(spark, oneShot, q).collect().toSeq
+          assert(got == want, "concurrently-appended index diverged from one-shot save")
+        } finally Seq(concurrent, oneShot).foreach(FileUtils.rmr(_, conf))
+      }
+    }
+
+    test(s"[$bname] two concurrent near-dup-index appends: both batches land intact; probe == sequential") {
+      FileUtils.withClaimBackend(mkBackend()) {
+        val docs = Tables(spark, sf0001).documents
+        val hist = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val concurrent = tmpDir(s"ndidx_conc_$bname").toString
+        val sequential = tmpDir(s"ndidx_seq_$bname").toString
+        try {
+          val h0 = hist.filter(col("doc_id") % 3 === 0)
+          val h1 = hist.filter(col("doc_id") % 3 === 1)
+          val h2 = hist.filter(col("doc_id") % 3 === 2)
+          Dedup.saveNearDupIndex(h0, concurrent)
+          inParallel(Seq(
+            () => Dedup.appendNearDupIndex(h1, concurrent),
+            () => Dedup.appendNearDupIndex(h2, concurrent)))
+          val dirs = FileUtils.listSubdirs(s"$concurrent/batches", conf)
+          assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
+          dirs.foreach(d => assert(FileUtils.exists(s"$d/_COMMITTED", conf)))
+          Dedup.saveNearDupIndex(h0, sequential)
+          Dedup.appendNearDupIndex(h1, sequential)
+          Dedup.appendNearDupIndex(h2, sequential)
+          val got = Dedup.probeNearDupIndex(spark, concurrent, batch).collect().toSeq
+          val want = Dedup.probeNearDupIndex(spark, sequential, batch).collect().toSeq
+          assert(got == want, "concurrently-appended index diverged from sequential appends")
+        } finally Seq(concurrent, sequential).foreach(FileUtils.rmr(_, conf))
+      }
+    }
   }
 
   test("save lease: a held lease fails the second saver loudly; release reopens; crash has a named remedy") {

@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.ingest.FileUtils
+import graft.sources.Tables
+
+/** Operator-state catalog — `DESCRIBE` for the engine's persisted
+  * state roots (the reference's introspection instinct, app.py:243-251
+  * `get_table_info`, applied to the engine's own lifecycles): one
+  * surface that tells an operator what a state directory IS and what
+  * shape it is in, without touching any stored data.
+  *
+  * Everything is derived from FileUtils listings of the lifecycle
+  * protocol's own markers (claim files, `_COMMITTED` / `_RETIRED` /
+  * `_APPENDED` seals, manifest dirs, the `_SAVING` lease) plus ONE
+  * bounded read of the 1-row `meta` manifest for the geometry string —
+  * never a batch/state/corpus file. Cost is a handful of LISTs however
+  * large the state is, so it is safe to run against a 100-TB
+  * deployment's indexes from a laptop.
+  *
+  * Point-in-time caveats (inherent to a metadata census): a batch an
+  * appender is writing RIGHT NOW shows as a claimed-abandoned id until
+  * its `_COMMITTED` lands, and `stale_saving_lease` is really
+  * "a `_SAVING` lease exists" — the operator cross-checks against live
+  * jobs before applying the lease error's named remedy.
+  */
+object StateCatalog {
+
+  /** Census of one seq-claimed dir family (`<prefix><N>` dirs +
+    * `<prefix><N>.claim` files — the claimSeqDir protocol).
+    */
+  private final case class SeqCensus(
+      committed: Long, retired: Long, abandoned: Long)
+
+  private def censusSeqDirs(base: String, prefix: String,
+      conf: org.apache.hadoop.conf.Configuration): SeqCensus = {
+    val dirs = FileUtils.listSubdirs(base, conf)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName -> d)
+      .filter(_._1.startsWith(prefix))
+    val committedNames = dirs.collect {
+      case (n, d) if FileUtils.exists(s"$d/_COMMITTED", conf) => n
+    }.toSet
+    val retired = dirs.count { case (n, d) =>
+      committedNames(n) && FileUtils.exists(s"$d/_RETIRED", conf)
+    }
+    // a claim whose target never reached _COMMITTED is abandoned (or
+    // mid-write — see the point-in-time caveat above); its id is
+    // burned by protocol, never reused
+    val abandoned = FileUtils.listChildFiles(base, conf)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".claim"))
+      .count(n => !committedNames(n.stripSuffix(".claim")))
+    SeqCensus(committedNames.size.toLong, retired.toLong, abandoned.toLong)
+  }
+
+  /** Warehouse partition-value census from listings only: retired
+    * values come from the retirement manifests' per-value marker files
+    * (pure metadata — the SketchWarehouse.retiredParts protocol).
+    */
+  private def warehouseRetiredParts(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Set[Long] =
+    FileUtils.listSubdirs(s"$root/retired", conf)
+      .filter(d => FileUtils.exists(s"$d/_COMMITTED", conf))
+      .flatMap(d => FileUtils.listChildFiles(s"$d/parts", conf)
+        .filter(_.endsWith(".txt"))
+        .flatMap(f => new org.apache.hadoop.fs.Path(f)
+          .getName.stripSuffix(".txt").toLongOption))
+      .toSet
+
+  private def partDirs(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(Long, String)] =
+    FileUtils.listSubdirs(s"$root/parts", conf)
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("p").toLongOption.map(_ -> d))
+      .sortBy(_._1)
+
+  /** The 1-row meta manifest rendered as a stable `k=v,...` string —
+    * the single read beyond listings (geometry is index identity, and
+    * it lives nowhere else).
+    */
+  private def geometryOf(s: SparkSession, root: String,
+      kind: String): String = {
+    if (!FileUtils.exists(s"$root/meta",
+        s.sparkContext.hadoopConfiguration)) return ""
+    val m = s.read.parquet(s"$root/meta").head
+    kind match {
+      case "near_dup_index" =>
+        s"num_hashes=${m.getAs[Int]("num_hashes")},bands=${m.getAs[Int]("bands")}"
+      case "vector_index" =>
+        s"n_cells=${m.getAs[Int]("n_cells")},n_sub=${m.getAs[Int]("n_sub")}," +
+          s"sub_dim=${m.getAs[Int]("sub_dim")}"
+      case _ =>
+        val vc = m.getAs[String]("val_col")
+        s"kind=${m.getAs[String]("kind")},key=${m.getAs[String]("key_col")}," +
+          s"part=${m.getAs[String]("part_col")}" +
+          (if (vc == null || vc.isEmpty) "" else s",val=$vc")
+    }
+  }
+
+  /** One catalog row for the persisted state at `root`. Kind is
+    * detected STRUCTURALLY (each lifecycle's layout is disjoint:
+    * `centroids` ⇒ vector index, `parts` ⇒ sketch warehouse, else
+    * `batches`/`meta` ⇒ near-dup index); an unrecognizable root fails
+    * loudly with the three known layouts named.
+    *
+    * Column semantics by kind — indexes: committed/retired/abandoned
+    * count `batches/b<N>` (committed INCLUDES the retired subset),
+    * tombstone_logs counts committed `forgotten/f<N>` erasure logs;
+    * warehouse: committed/abandoned count state VERSION dirs summed
+    * over `parts/p<v>`, erasure_manifests counts committed
+    * `erased/e<N>`, live/retired_partitions split the listed `p<v>`
+    * dirs by the retirement manifests. `stale_saving_lease` is the
+    * root `_SAVING` marker.
+    */
+  def describeState(s: SparkSession, root: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val kind =
+      if (FileUtils.exists(s"$root/centroids", conf)) "vector_index"
+      else if (FileUtils.exists(s"$root/parts", conf)) "sketch_warehouse"
+      else if (FileUtils.exists(s"$root/batches", conf) ||
+        FileUtils.exists(s"$root/meta", conf)) "near_dup_index"
+      else sys.error(s"$root holds no recognizable engine state " +
+        "(vector index: centroids/; sketch warehouse: parts/; " +
+        "near-dup index: batches/ + meta/)")
+    val (batches, parts) =
+      if (kind == "sketch_warehouse") {
+        val retiredVals = warehouseRetiredParts(root, conf)
+        val pds = partDirs(root, conf)
+        val versions = pds.map { case (_, d) => censusSeqDirs(d, "v", conf) }
+        (SeqCensus(versions.map(_.committed).sum, 0L,
+          versions.map(_.abandoned).sum),
+          (pds.count(p => !retiredVals(p._1)).toLong,
+            pds.count(p => retiredVals(p._1)).toLong))
+      } else (censusSeqDirs(s"$root/batches", "b", conf), (0L, 0L))
+    val tombstones =
+      if (kind == "sketch_warehouse") 0L
+      else censusSeqDirs(s"$root/forgotten", "f", conf).committed
+    val erasures =
+      if (kind == "sketch_warehouse")
+        censusSeqDirs(s"$root/erased", "e", conf).committed
+      else 0L
+    import s.implicits._
+    Seq((kind, geometryOf(s, root, kind), batches.committed,
+      batches.retired, batches.abandoned, tombstones, erasures,
+      parts._1, parts._2, FileUtils.exists(s"$root/_SAVING", conf)))
+      .toDF("state_kind", "geometry", "committed_batches",
+        "retired_batches", "abandoned_claims", "tombstone_logs",
+        "erasure_manifests", "live_partitions", "retired_partitions",
+        "stale_saving_lease")
+  }
+
+  /** Per-partition drill-down for a sketch warehouse: one row per
+    * listed `parts/p<v>` dir with its committed version count, the
+    * LIVE version id (highest committed — what every estimator reads),
+    * and the append/retire flags. Same listing-only cost model as
+    * [[describeState]].
+    */
+  def describeWarehousePartitions(s: SparkSession, root: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    require(FileUtils.exists(s"$root/parts", conf),
+      s"$root is not a sketch warehouse (no parts/)")
+    val retiredVals = warehouseRetiredParts(root, conf)
+    import s.implicits._
+    partDirs(root, conf).map { case (p, d) =>
+      val committed = FileUtils.listSubdirs(d, conf)
+        .filter(v => FileUtils.exists(s"$v/_COMMITTED", conf))
+        .flatMap(v => new org.apache.hadoop.fs.Path(v)
+          .getName.stripPrefix("v").toLongOption)
+      (p, committed.size.toLong,
+        if (committed.isEmpty) -1L else committed.max,
+        FileUtils.exists(s"$d/_APPENDED", conf), retiredVals(p))
+    }.toDF("partition", "n_versions", "live_version", "appended",
+      "retired").orderBy("partition")
+  }
+
+  // ------------------------------------------------------------- ops01
+  // The catalog proved against all three lifecycles at once, each
+  // driven through save / append / govern / retire on DETERMINISTIC
+  // inputs (the warehouse fact is a literal id range, so the affected-
+  // partition set never depends on SF), then described: the oracle
+  // recomputes every count independently from the same lifecycle
+  // arithmetic (2 commits - 1 retirement, 1 tombstone log, 8 saved +
+  // 2 appended partitions with 2 erase-rebuilt versions and 2 retired
+  // values...) as literals. The spec separately pins the
+  // failure-census rows (stale lease, abandoned claim) and unknown
+  // roots.
+  private val ops01 = QueryDef(
+    "ops01_state_catalog",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ops01_state").toString
+      try {
+        import s.implicits._
+        val docs = Tables(s, dir).documents
+        val emb = Tables(s, dir).embeddings
+        // near-dup index: save + append + forget + retire-to-newest
+        val nd = s"$tmp/nd"
+        Dedup.saveNearDupIndex(docs.filter(col("doc_id") % 3 === 0), nd)
+        Dedup.appendNearDupIndex(docs.filter(col("doc_id") % 3 =!= 0), nd)
+        Dedup.forgetFromIndex(s, nd,
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+        require(Dedup.retireIndexBatches(s, nd, keepLast = 1) == Seq(0L))
+        // vector index: save + append + forget a non-training id
+        val vx = s"$tmp/vx"
+        VectorIndex.saveVectorIndex(
+          emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), vx)
+        VectorIndex.appendVectorIndex(
+          emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), vx)
+        VectorIndex.forgetFromVectorIndex(s, vx,
+          emb.filter(col("vec_id") === 40).select("vec_id"))
+        // warehouse: 8 saved partitions + 2 appended; keys 9 and 18
+        // erased (rebuilding p1 and p2); values < 2 retired (p0, p1)
+        val wh = s"$tmp/wh"
+        val fact = s.range(0, 64).select(col("id").as("k"),
+          pmod(col("id"), lit(8)).as("part"))
+        SketchWarehouse.saveHllWarehouse(fact, wh, "k", "part")
+        val late = s.range(64, 80).select(col("id").as("k"),
+          (pmod(col("id"), lit(2)) + 8).as("part"))
+        require(SketchWarehouse.appendWarehousePartitions(late, wh)
+          ._1.sorted == Seq(8L, 9L))
+        SketchWarehouse.eraseFromWarehouse(fact, wh,
+          Seq(9L, 18L).toDF("k"))
+        require(SketchWarehouse.retireWarehousePartitions(s, wh,
+          cutoff = 2L).sorted == Seq(0L, 1L))
+        describeState(s, nd)
+          .unionByName(describeState(s, vx))
+          .unionByName(describeState(s, wh))
+          .orderBy("state_kind")
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(tmp, s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT * FROM (VALUES
+        ('near_dup_index', 'num_hashes=32,bands=16',
+          CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), FALSE),
+        ('sketch_warehouse', 'kind=hll,key=k,part=part',
+          CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
+          CAST(2 AS BIGINT), FALSE),
+        ('vector_index', 'n_cells=16,n_sub=8,sub_dim=8',
+          CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), FALSE))
+        AS t(state_kind, geometry, committed_batches, retired_batches,
+          abandoned_claims, tombstone_logs, erasure_manifests,
+          live_partitions, retired_partitions, stale_saving_lease)
+      ORDER BY state_kind"""),
+  )
+
+  // ------------------------------------------------------------- ops02
+  // The per-partition drill-down over the same warehouse lifecycle:
+  // p1 and p2 carry the erase-rebuilt v1 (p1 retired afterwards — its
+  // history stays visible to the census), p8/p9 carry the _APPENDED
+  // seal, everything else sits at its save-time v0.
+  private val ops02 = QueryDef(
+    "ops02_warehouse_partition_census",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ops02_state").toString
+      try {
+        import s.implicits._
+        val wh = s"$tmp/wh"
+        val fact = s.range(0, 64).select(col("id").as("k"),
+          pmod(col("id"), lit(8)).as("part"))
+        SketchWarehouse.saveHllWarehouse(fact, wh, "k", "part")
+        val late = s.range(64, 80).select(col("id").as("k"),
+          (pmod(col("id"), lit(2)) + 8).as("part"))
+        require(SketchWarehouse.appendWarehousePartitions(late, wh)
+          ._1.sorted == Seq(8L, 9L))
+        SketchWarehouse.eraseFromWarehouse(fact, wh,
+          Seq(9L, 18L).toDF("k"))
+        require(SketchWarehouse.retireWarehousePartitions(s, wh,
+          cutoff = 2L).sorted == Seq(0L, 1L))
+        describeWarehousePartitions(s, wh)
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(tmp, s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE),
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), FALSE, TRUE),
+        (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), FALSE, FALSE),
+        (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+        (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+        (CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+        (CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+        (CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, FALSE),
+        (CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, FALSE))
+        AS t(partition, n_versions, live_version, appended, retired)
+      ORDER BY partition"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ops01, ops02)
+}

@@ -394,6 +394,70 @@ object VectorIndex {
     dirs
   }
 
+  /** QUANTIZER-DRIFT AUDIT — the maintenance loop's trigger for
+    * [[rebuildVectorIndex]]: quantizers are pinned at SAVE time, so a
+    * batch appended from a drifted distribution is encoded against
+    * centroids/codebooks that no longer cover it, and every ADC score
+    * over its rows silently degrades. The audit measures exactly that,
+    * per committed live batch, as the PQ reconstruction error of the
+    * STORED code rows: for each sampled vector,
+    * `err = Σ_m ‖(v − cen[cell])_m − rcb[code_m]_m‖²` — the residual
+    * the chosen codes failed to capture, i.e. the ADC-vs-exact score
+    * error's vector-side term (FAISS's quantization-error metric). A
+    * batch whose mean error clears `threshold` gets `drifted = true` —
+    * the rebuild trigger.
+    *
+    * `raw` carries (vec_id, embedding) for the audited rows; the
+    * deterministic sample keeps `cid % sampleMod == 0` (the sim04/sd02
+    * sampling shape — at 100 TB the audit reads the code table once
+    * and joins only the sampled slice of the raw corpus, an equi-join
+    * on cid, never a broadcast). Error folds are subspace- and
+    * dim-ascending, and the per-batch mean rides a decimal-exact sum,
+    * so the stats are bit-deterministic (the oracle replays them).
+    */
+  def auditVectorIndexDrift(s: SparkSession, path: String, raw: DataFrame,
+      threshold: Double, sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val model = loadModel(s, path)
+    val dirs = committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
+    val codes = dirs.map { d =>
+      val bid = new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("b").toLong
+      s.read.parquet(s"$d/codes").withColumn("batch_id", lit(bid))
+    }.reduce(_.unionByName(_))
+    val sampled = codes.filter(pmod(col("cid"), lit(sampleMod)) === 0)
+      .join(raw.select(col("vec_id").cast("long").as("cid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),
+        "cid")
+    // the encodeIvfPq arithmetic replayed against the STORED codes:
+    // per subspace, residual-vs-codebook-entry squared distance,
+    // folded dim-ascending (functions.aggregate is a left fold) and
+    // summed subspace-ascending — the oracle's list_sum shapes
+    val err = (0 until model.nSub).map { m =>
+      val cenSub = model.cen
+        .map(_.slice(m * model.subDim, (m + 1) * model.subDim).toSeq).toSeq
+      val rcbSub = model.rcbSub(m).map(_.toSeq).toSeq
+      val sub = zip_with(
+        slice(col("v"), m * model.subDim + 1, model.subDim),
+        element_at(typedLit(cenSub), col("cell") + 1),
+        (x, cc) => x - cc)
+      val diff = zip_with(sub,
+        element_at(typedLit(rcbSub), col(s"code_$m") + 1),
+        (x, r) => x - r)
+      aggregate(diff, lit(0.0d), (acc, x) => acc + x * x)
+    }.reduce(_ + _)
+    sampled.withColumn("err", err)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("err").cast("decimal(30,15)")).cast("double").as("sum_err"),
+        max(col("err")).as("max_err"))
+      .select(col("batch_id"), col("n_sampled"),
+        (col("sum_err") / col("n_sampled").cast("double")).as("mean_err"),
+        col("max_err"))
+      .withColumn("drifted", col("mean_err") > lit(threshold))
+      .orderBy("batch_id")
+  }
+
   /** ROLLING-WINDOW retention for the vector index — batches are the
     * arrival order, so a freshness-bounded retrieval corpus (serve
     * only the last N ingestion windows) retires every committed batch
@@ -707,6 +771,75 @@ object VectorIndex {
     },
   )
 
+  // Quantizer-drift audit end to end: the corpus arrives in two
+  // installments — the save batch (vec_id < 400, pinning the 0..31
+  // training set) in-distribution, the appended batch DELIBERATELY
+  // distribution-shifted (every coordinate x → 3x + 1, ids moved to
+  // +100000) — and the audit must report, per stored batch, the PQ
+  // reconstruction error of a deterministic half sample (cid even),
+  // flagging only the shifted batch against the threshold. The oracle
+  // replays sim07's full index construction with the union corpus and
+  // derives each vector's error as the sum of its chosen codes'
+  // residual distances (the cd rows the codes CTE selected) — so a
+  // hash match certifies the audit measures exactly what the stored
+  // encoding lost. The threshold (8.0) sits far inside the gap
+  // between the two batches' means at both test SFs (~1.0 vs ~58 at
+  // sf0.001); the spec pins the strict ordering and the
+  // rebuild-trigger flag split.
+  private val sim22 = QueryDef(
+    "sim22_index_drift_audit",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim22_vindex").toString
+      try {
+        val asD = graft.functions.VectorFunctions.asDouble(col("embedding"))
+        val base = emb.filter(col("vec_id") < 400)
+        val shifted = emb.filter(col("vec_id") >= 400)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(asD, x => x * lit(3.0d) + lit(1.0d)).as("embedding"))
+        saveVectorIndex(base, path)
+        appendVectorIndex(shifted, path)
+        val raw = base.select(col("vec_id").cast("long").as("vec_id"),
+            asD.as("embedding"))
+          .unionByName(shifted)
+        auditVectorIndexDrift(s, path, raw, threshold = 8.0, sampleMod = 2)
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val cAnchor =
+        "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),"
+      require(o.contains(cAnchor), "sim07 oracle corpus CTE moved")
+      val cut =
+        "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val i = o.indexOf(cut)
+      require(i >= 0, "sim07 oracle probe CTE moved")
+      o.substring(0, i).replace(cAnchor,
+        """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 400
+        UNION ALL
+        SELECT vec_id + 100000,
+            list_transform(embedding::DOUBLE[], x -> x * 3.0 + 1.0)
+          FROM embeddings WHERE vec_id >= 400),""") +
+        """errs AS (SELECT cd.cid, list_sum(list(cd.dist ORDER BY cd.m)) AS err
+          FROM cd JOIN codes ON codes.cid = cd.cid AND codes.m = cd.m
+            AND codes.code = cd.kk
+          GROUP BY cd.cid),
+      lab AS (SELECT CASE WHEN cid >= 100000 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS batch_id, err
+          FROM errs WHERE cid % 2 = 0),
+      agg AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+          CAST(SUM(CAST(err AS DECIMAL(30,15))) AS DOUBLE) AS sum_err,
+          MAX(err) AS max_err
+        FROM lab GROUP BY batch_id)
+      SELECT batch_id, n_sampled,
+        sum_err / CAST(n_sampled AS DOUBLE) AS mean_err, max_err,
+        sum_err / CAST(n_sampled AS DOUBLE) > 8.0 AS drifted
+      FROM agg ORDER BY batch_id"""
+    },
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sd02)
+    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sd02)
 }

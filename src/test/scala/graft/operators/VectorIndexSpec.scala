@@ -280,6 +280,38 @@ class VectorIndexSpec extends SparkSpec {
       "a re-saved index must not inherit the previous index's tombstones")
   }
 
+  test("sim22: drift audit — shifted batch's error strictly exceeds in-distribution; only it triggers rebuild") {
+    val path = tmpDir("graft_vindex_drift").toString
+    val asD = graft.functions.VectorFunctions.asDouble(col("embedding"))
+    val base = emb.filter(col("vec_id") < 400)
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(asD, x => x * lit(3.0d) + lit(1.0d)).as("embedding"))
+    VectorIndex.saveVectorIndex(base, path)
+    VectorIndex.appendVectorIndex(shifted, path)
+    val raw = base.select(col("vec_id").cast("long").as("vec_id"),
+      asD.as("embedding")).unionByName(shifted)
+    val rows = VectorIndex.auditVectorIndexDrift(spark, path, raw,
+      threshold = 8.0, sampleMod = 2).collect()
+    assert(rows.map(_.getAs[Long]("batch_id")).toSeq == Seq(0L, 1L))
+    val Array(b0, b1) = rows
+    assert(b1.getAs[Double]("mean_err") > b0.getAs[Double]("mean_err"),
+      s"shifted batch must audit strictly worse: $b0 vs $b1")
+    assert(!b0.getAs[Boolean]("drifted") && b1.getAs[Boolean]("drifted"),
+      "only the shifted batch may trigger the rebuild")
+    // a SAME-distribution append never trips the trigger: the audit
+    // is a drift detector, not an append alarm
+    val clean = tmpDir("graft_vindex_nodrift").toString
+    VectorIndex.saveVectorIndex(base, clean)
+    VectorIndex.appendVectorIndex(emb.filter(col("vec_id") >= 400), clean)
+    val cleanRows = VectorIndex.auditVectorIndexDrift(spark, clean,
+      emb.select(col("vec_id").cast("long").as("vec_id"),
+        asD.as("embedding")),
+      threshold = 8.0, sampleMod = 2).collect()
+    assert(cleanRows.forall(!_.getAs[Boolean]("drifted")),
+      s"in-distribution appends must not be flagged: ${cleanRows.toSeq}")
+  }
+
   test("a crashed (markerless) append is invisible to probes; retry is clean") {
     val path = tmpDir("graft_vindex_crash").toString
     val keep = emb.filter(col("vec_id") < 40)

@@ -356,5 +356,92 @@ object Layout {
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01, cmp01)
+  // -------------------------------------------------------------- cmp02
+  /** Clustered compaction's data-skipping benefit MEASURED (the zo02
+    * treatment applied to cmp01's clusterBy option): the same 64-file
+    * landing is compacted twice into exactly 8 files — plain
+    * round-robin vs range-clustered on l_partkey — and probed by the
+    * selective low-eighth predicate. The census is PHYSICAL: per
+    * output file, min(l_partkey) and row count (a file must be
+    * scanned iff its min clears the cut — the low-range mirror of
+    * zo02's rule); plain files each span ~the whole key domain (scan
+    * all 8), clustered files carry tight ranges (scan the low 1–2).
+    *
+    * Oracle shape: the exact quantities a replay can derive
+    * (file counts pinned by construction, the plain layout's
+    * scan-everything numbers, the true selectivity) are emitted
+    * exactly; the clustered side's file split depends on
+    * repartitionByRange's sampled boundaries (not replayable in SQL),
+    * so its benefit is emitted as margin-safe booleans
+    * (prunes-some-files, scans-at-most-half) — the gov03
+    * envelope idiom — while the SPEC pins the strict physical
+    * inequalities on the same census. In-query requires turn any
+    * would-be literal mismatch into a loud named failure.
+    */
+  private val cmp02 = QueryDef(
+    "cmp02_clustered_compaction_pruning",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cmp02").toString
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val landing = s"$tmp/landing"
+        Tables(s, dir).lineitem.repartition(64)
+          .write.mode("overwrite").parquet(landing)
+        // targetBytes = ceil(bytes/8) makes nOut exactly 8 (B >= 57),
+        // so the file count is deterministic whatever parquet encodes
+        val bytes = graft.ingest.FileUtils
+          .listDataFilesWithSize(landing, conf).map(_._2).sum
+        val target = (bytes - 1) / 8 + 1
+        val plain = compact(s, landing, s"$tmp/plain", target)
+        val clustered = compact(s, landing, s"$tmp/clustered", target,
+          clusterBy = Some("l_partkey"))
+        require(plain.filesAfter == 8 && clustered.filesAfter == 8,
+          s"expected 8 output files each, got $plain / $clustered")
+        def census(dst: String) = readCompacted(s, dst)
+          .select(col("l_partkey"), input_file_name().as("f"))
+          .groupBy("f")
+          .agg(min(col("l_partkey")).as("mn"), count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        // 1-row scalar (broadcast; the zo02 mx shape)
+        val cut = Tables(s, dir).lineitem
+          .agg(expr("CAST(MAX(l_partkey) AS BIGINT) div 8").as("cut"))
+          .localCheckpoint(true)
+        // 1-row driver reads: the census is 8 rows, the hit stats one
+        def hits(st: DataFrame) = st.crossJoin(broadcast(cut))
+          .agg(sum(when(col("mn") <= col("cut"), 1L).otherwise(0L))
+              .as("files_hit"),
+            sum(when(col("mn") <= col("cut"), col("n")).otherwise(0L))
+              .as("rows_scanned"))
+          .head
+        val (ph, ch) = (hits(census(s"$tmp/plain")),
+          hits(census(s"$tmp/clustered")))
+        val (pf, pr) = (ph.getLong(0), ph.getLong(1))
+        val (cf, cr) = (ch.getLong(0), ch.getLong(1))
+        require(pf == 8L,
+          s"plain round-robin files must all hit the low-range probe, got $pf")
+        val matched = Tables(s, dir).lineitem.crossJoin(broadcast(cut))
+          .agg(sum(when(col("l_partkey") <= col("cut"), 1L).otherwise(0L))
+            .as("rows_matched")).head.getLong(0)
+        import s.implicits._
+        Seq((8L, matched, pf, pr, cf < pf, cr * 2 <= pr))
+          .toDF("n_files_each", "rows_matched", "plain_files_hit",
+            "plain_rows_scanned", "clustered_prunes_files",
+            "clustered_scans_at_most_half")
+          .localCheckpoint(eager = true)
+      } finally graft.ingest.FileUtils.rmr(tmp,
+        s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT CAST(8 AS BIGINT) AS n_files_each,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_partkey <= (SELECT CAST(MAX(l_partkey) AS BIGINT) // 8
+            FROM lineitem)) AS rows_matched,
+        CAST(8 AS BIGINT) AS plain_files_hit,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+          AS plain_rows_scanned,
+        TRUE AS clustered_prunes_files,
+        TRUE AS clustered_scans_at_most_half"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01, cmp01, cmp02)
 }

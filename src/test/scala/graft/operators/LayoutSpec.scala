@@ -152,4 +152,36 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("cmp02: clustered compaction prunes STRICTLY fewer files and rows than plain") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft_cmp02_strict")
+    val landing = dir.resolve("landing").toString
+    lineitem.repartition(64).write.parquet(landing)
+    val bytes = graft.ingest.FileUtils.listDataFilesWithSize(landing, conf)
+      .map(_._2).sum
+    val target = (bytes - 1) / 8 + 1
+    Layout.compact(spark, landing, dir.resolve("plain").toString, target)
+    Layout.compact(spark, landing, dir.resolve("clustered").toString,
+      target, clusterBy = Some("l_partkey"))
+    val cut = lineitem.agg(expr("CAST(MAX(l_partkey) AS BIGINT) div 8"))
+      .head.getLong(0)
+    // the physical census the query derives its booleans from — a
+    // file must be scanned iff its min clears the low-range cut
+    def census(dst: String): (Long, Long) = {
+      val st = Layout.readCompacted(spark, dst)
+        .select(col("l_partkey"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min(col("l_partkey")).cast("bigint").as("mn"),
+          count(lit(1)).as("n"))
+        .collect()
+      (st.count(_.getLong(1) <= cut).toLong,
+        st.filter(_.getLong(1) <= cut).map(_.getLong(2)).sum)
+    }
+    val (pf, pr) = census(dir.resolve("plain").toString)
+    val (cf, cr) = census(dir.resolve("clustered").toString)
+    assert(cf < pf, s"clustered must hit strictly fewer files: $cf vs $pf")
+    assert(cr < pr, s"clustered must scan strictly fewer rows: $cr vs $pr")
+    assert(cf >= 1 && cr >= 1, "the matching range itself must survive")
+  }
 }

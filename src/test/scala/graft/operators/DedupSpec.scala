@@ -555,6 +555,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("heavily tombstoned index: probe equals a survivors-only index — no candidate starvation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf0001).documents
+    val hist = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val heavy = java.nio.file.Files.createTempDirectory("ndx_heavy").toString
+    val lean = java.nio.file.Files.createTempDirectory("ndx_lean").toString
+    try {
+      // tombstone 80% of history: the retention-heavy shape — the
+      // probe must behave as if only the survivors were ever indexed
+      // (tombstones filter bands AND shingles AND bucket counts before
+      // the candidate join, so no pair is starved or resurrected)
+      Dedup.saveNearDupIndex(hist, heavy)
+      Dedup.forgetFromIndex(spark, heavy,
+        hist.filter(col("doc_id") % 5 =!= 0).select("doc_id"))
+      Dedup.saveNearDupIndex(hist.filter(col("doc_id") % 5 === 0), lean)
+      val got = Dedup.probeNearDupIndex(spark, heavy, batch).collect().toSeq
+      val want = Dedup.probeNearDupIndex(spark, lean, batch).collect().toSeq
+      assert(got == want,
+        "heavily tombstoned probe must equal the survivors-only index")
+    } finally Seq(heavy, lean).foreach(p =>
+      graft.ingest.FileUtils.rmr(p, spark.sparkContext.hadoopConfiguration))
+  }
+
   test("near-dup index lifecycle runs through the Hadoop FileSystem API (file: URI)") {
     // an explicit file:-scheme URI never resolves through java.io —
     // save/append/forget/vacuum/probe must all route Path.getFileSystem,

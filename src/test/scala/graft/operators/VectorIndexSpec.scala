@@ -280,6 +280,57 @@ class VectorIndexSpec extends SparkSpec {
       "a re-saved index must not inherit the previous index's tombstones")
   }
 
+  test("heavy tombstoning: probes filter BEFORE ranking, so k fills from survivors alone") {
+    val path = tmpDir("graft_vindex_heavy_tomb").toString
+    val clean = tmpDir("graft_vindex_survivors").toString
+    // tombstone two thirds of the non-training corpus — the
+    // retention-lifecycle shape sim15 contrasts for the label filter:
+    // a POST-filtering probe would rank the full corpus, drop the
+    // tombstoned majority of its top-k, and silently return < k rows
+    VectorIndex.saveVectorIndex(emb, path)
+    VectorIndex.forgetFromVectorIndex(spark, path,
+      emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0)
+        .select("vec_id"))
+    val qs = emb.filter(col("vec_id") < 3)
+    val rows = VectorIndex.probeVectorIndex(spark, path, qs, k = 5).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L) &&
+      byQ.values.forall(_.length == 5),
+      s"every query must still fill k=5 from survivors: " +
+        s"${byQ.view.mapValues(_.length).toMap}")
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("cid"); c < 32 || c % 3 == 0
+    }, "no tombstoned cid may surface")
+    // and the ranking is EXACTLY a fresh index over the survivors
+    // (training set 0..31 survives, so the quantizers agree) — the
+    // filter ran before scoring, not as a post-rank drop
+    VectorIndex.saveVectorIndex(
+      emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), clean)
+    assert(rows.toSeq ==
+      VectorIndex.probeVectorIndex(spark, clean, qs, k = 5).collect().toSeq,
+      "tombstone-probe must equal the survivors-only index probe")
+  }
+
+  test("mostly-retired index: probes fill k from the live window alone") {
+    val path = tmpDir("graft_vindex_heavy_ret").toString
+    VectorIndex.saveVectorIndex(
+      emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), path)
+    VectorIndex.appendVectorIndex(
+      emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), path)
+    assert(VectorIndex.retireVectorIndexBatches(spark, path,
+      keepLast = 1) == Seq(0L))
+    val qs = emb.filter(col("vec_id") < 3)
+    val rows = VectorIndex.probeVectorIndex(spark, path, qs, k = 5).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L) &&
+      byQ.values.forall(_.length == 5),
+      s"every query must still fill k=5 from the live window: " +
+        s"${byQ.view.mapValues(_.length).toMap}")
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("cid"); c >= 32 && c % 3 != 0
+    }, "only live-batch candidates may surface")
+  }
+
   test("sim22: drift audit — shifted batch's error strictly exceeds in-distribution; only it triggers rebuild") {
     val path = tmpDir("graft_vindex_drift").toString
     val asD = graft.functions.VectorFunctions.asDouble(col("embedding"))

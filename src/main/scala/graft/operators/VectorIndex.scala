@@ -420,11 +420,16 @@ object VectorIndex {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     val model = loadModel(s, path)
     val dirs = committedBatchDirs(path, s.sparkContext.hadoopConfiguration)
-    val codes = dirs.map { d =>
+    val stored = dirs.map { d =>
       val bid = new org.apache.hadoop.fs.Path(d).getName
         .stripPrefix("b").toLong
       s.read.parquet(s"$d/codes").withColumn("batch_id", lit(bid))
     }.reduce(_.unionByName(_))
+    // tombstoned rows are invisible to every probe (loadCoded), so
+    // they must not steer the rebuild trigger either — a logically
+    // erased outlier is leaving at the next vacuum, not drift
+    val codes = tombstoneIds(s, path)
+      .fold(stored)(t => stored.join(t, Seq("cid"), "left_anti"))
     val sampled = codes.filter(pmod(col("cid"), lit(sampleMod)) === 0)
       .join(raw.select(col("vec_id").cast("long").as("cid"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),

@@ -309,6 +309,17 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows.toSeq ==
       VectorIndex.probeVectorIndex(spark, clean, qs, k = 5).collect().toSeq,
       "tombstone-probe must equal the survivors-only index probe")
+    // the drift audit shares the probes' erasure view: tombstoned rows
+    // can't steer the rebuild trigger, so its sample counts survivors
+    val audit = VectorIndex.auditVectorIndexDrift(spark, path,
+      emb.select(col("vec_id").cast("long").as("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding"))
+          .as("embedding")),
+      threshold = 8.0).collect()
+    val survivors = emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0)
+      .count()
+    assert(audit.map(_.getAs[Long]("n_sampled")).sum == survivors,
+      s"audit must census exactly the surviving rows: ${audit.toSeq}")
   }
 
   test("mostly-retired index: probes fill k from the live window alone") {

@@ -1185,6 +1185,46 @@ object Dedup {
     }
   }
 
+  /** BUCKET-SKEW AUDIT for the persisted near-dup index — the
+    * maintenance trigger next to the vector side's
+    * [[VectorIndex.auditVectorIndexDrift]]: a boilerplate surge (site
+    * footers, licence blocks, template pages) concentrates a batch's
+    * band hashes into a few giant buckets, which is exactly what
+    * degrades probe cost and what the `maxBucket` cap then silently
+    * truncates — so the operator wants to know WHICH append brought
+    * the skew before deciding to tombstone the boilerplate
+    * ([[forgetFromIndex]]) or re-shingle. Per committed live batch,
+    * over the STORED band table (tombstone-filtered — erased docs are
+    * leaving, not skew): row count, distinct (band, bh) buckets, the
+    * largest within-batch bucket, rows sitting in over-`cap` buckets,
+    * and the flag. Within-batch bucket sizes are the batch's own
+    * contribution signal (global sizes are the probe's bucket-count
+    * job); cost is one scan of the band table — never the shingles,
+    * never the corpus.
+    */
+  def auditIndexBuckets(s: SparkSession, path: String,
+      cap: Int = 1000): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirs = committedBatchDirs(path, conf)
+    val stored = dirs.map { d =>
+      val bid = new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("b").toLong
+      s.read.parquet(s"$d/bands").withColumn("batch_id", lit(bid))
+    }.reduce(_.unionByName(_))
+    val bands = tombstoneIds(s, path)
+      .fold(stored)(t => stored.join(t, Seq("doc_id"), "left_anti"))
+    bands.groupBy(col("batch_id"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("batch_id")
+      .agg(sum(col("n")).cast("bigint").as("n_rows"),
+        count(lit(1)).cast("bigint").as("n_buckets"),
+        max(col("n")).cast("bigint").as("max_bucket"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).cast("bigint")
+          .as("over_cap_rows"))
+      .withColumn("flagged", col("max_bucket") > cap)
+      .orderBy("batch_id")
+  }
+
   // The forgotten docs (hist ids ≡ 0 mod 5) must vanish from probe
   // results — first logically (tombstone), then physically (vacuum);
   // the query returns the post-VACUUM probe, and the oracle recomputes
@@ -1289,6 +1329,61 @@ object Dedup {
       o.replace(anchored,
         "hb AS (SELECT * FROM band WHERE doc_id % 7 <> 3 AND doc_id % 3 <> 0),")
     },
+  )
+
+  // The bucket-skew audit end to end: a normal batch is saved, then a
+  // DELIBERATELY boilerplate-heavy batch appended (every doc the same
+  // footer text — identical shingles, identical signatures, one giant
+  // bucket per band), and the audit must attribute the skew to the
+  // right batch: per-batch row/bucket counts and max within-batch
+  // bucket, with only the boilerplate batch over the cap. The oracle
+  // replays tokenize → shingle → minhash → band over the SAME
+  // case-transformed corpus and recomputes every count (flags
+  // included) from the band table. Cap 16 clears the normal batch's
+  // real duplicate families at both test SFs while the boilerplate
+  // batch (|docs|/7 identical docs) is far above it.
+  private lazy val dd18 = QueryDef(
+    "dd18_index_bucket_audit",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val boiler =
+        "the same boilerplate footer appears verbatim on every page of this site"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dd18_index").toString
+      try {
+        saveNearDupIndex(docs.filter(col("doc_id") % 7 =!= 3), path)
+        appendNearDupIndex(docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), lit(boiler).as("text")), path)
+        auditIndexBuckets(s, path, cap = 16)
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Some(s"""WITH src AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3
+            THEN 'the same boilerplate footer appears verbatim on every page of this site'
+            ELSE text END AS text FROM documents),
+      t AS (SELECT doc_id, ${OracleSql.Toks} AS toks FROM src),
+      g AS (SELECT doc_id, ${OracleSql.Shingles3} AS shingles FROM t),
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM e),
+      sig AS (SELECT doc_id, j,
+          MIN(((1337 * j + 17) * h + 7919 * j + 31) % 2147483647) AS m
+        FROM hh, range(32) r(j) GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 2 AS band,
+          ((MAX(CASE WHEN j % 2 = 0 THEN m END) % 2147483629) * 1000003
+            + MAX(CASE WHEN j % 2 = 1 THEN m END)) % 2147483629 AS bh
+        FROM sig GROUP BY doc_id, j // 2),
+      lab AS (SELECT CASE WHEN doc_id % 7 = 3 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS batch_id, band, bh FROM band),
+      bc AS (SELECT batch_id, band, bh, COUNT(*) AS n FROM lab
+        GROUP BY batch_id, band, bh)
+      SELECT batch_id, CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(MAX(n) AS BIGINT) AS max_bucket,
+        CAST(SUM(CASE WHEN n > 16 THEN n ELSE 0 END) AS BIGINT)
+          AS over_cap_rows,
+        MAX(n) > 16 AS flagged
+      FROM bc GROUP BY batch_id ORDER BY batch_id"""),
   )
 
   // -------------------------------------------------------------- dm04
@@ -1933,5 +2028,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd02v, dd03, dd03v, dd04, dd05, dd05v, dd06, dd06v,
-      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, dd17, gov02, dm04, dm06, spl01, tri01, leak01)
+      dd07, dd08, dd09, dd10, dd11, dd12, dd14, dd15, dd16, dd17, dd18, gov02, dm04, dm06, spl01, tri01, leak01)
 }

@@ -579,6 +579,38 @@ class DedupSpec extends SparkSpec {
       graft.ingest.FileUtils.rmr(p, spark.sparkContext.hadoopConfiguration))
   }
 
+  test("dd18 remedy loop: tombstoning the boilerplate clears its batch's skew flag") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val normal = graft.sources.Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 7 =!= 3)
+    val boiler = spark.range(100000, 100030)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate footer appears verbatim on every page of this site")
+          .as("text"))
+    val path = java.nio.file.Files.createTempDirectory("dd18spec").toString
+    try {
+      Dedup.saveNearDupIndex(normal, path)
+      Dedup.appendNearDupIndex(boiler, path)
+      val before = Dedup.auditIndexBuckets(spark, path, cap = 16).collect()
+      assert(before.map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[Boolean]("flagged")).toMap == Map(0L -> false, 1L -> true),
+        s"only the boilerplate batch may flag: ${before.toSeq}")
+      // the remedy: tombstone two thirds of the boilerplate — its
+      // surviving bucket (10 identical docs) drops under the cap, and
+      // the audit reflects it WITHOUT any rewrite (tombstones filter
+      // the band scan)
+      Dedup.forgetFromIndex(spark, path,
+        boiler.filter(col("doc_id") % 3 =!= 0).select("doc_id"))
+      val after = Dedup.auditIndexBuckets(spark, path, cap = 16).collect()
+      assert(after.map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[Boolean]("flagged")).toMap == Map(0L -> false, 1L -> false),
+        s"the tombstoned batch must drop under the cap: ${after.toSeq}")
+      assert(after.find(_.getAs[Long]("batch_id") == 1L).get
+        .getAs[Long]("max_bucket") == 10L)
+    } finally graft.ingest.FileUtils.rmr(path,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   test("near-dup index lifecycle runs through the Hadoop FileSystem API (file: URI)") {
     // an explicit file:-scheme URI never resolves through java.io —
     // save/append/forget/vacuum/probe must all route Path.getFileSystem,

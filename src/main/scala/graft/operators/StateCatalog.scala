@@ -194,7 +194,11 @@ object StateCatalog {
         .createTempDirectory("graft_ops01_state").toString
       try {
         import s.implicits._
-        val docs = Tables(s, dir).documents
+        // the catalog censuses STATE GEOMETRY (batches, manifests,
+        // markers), which is invariant to corpus size — so the
+        // lifecycle inputs are bounded slices and ops01's cost stays
+        // flat across SFs
+        val docs = Tables(s, dir).documents.filter(col("doc_id") < 120)
         val emb = Tables(s, dir).embeddings
         // near-dup index: save + append + forget + retire-to-newest
         val nd = s"$tmp/nd"

@@ -1,0 +1,95 @@
+package graft.ingest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Generation pointer for the persisted indexes' batch trees — the
+  * manifest swap that makes VACUUM crash-atomic (the trade both
+  * vacuums previously documented as open: an in-place delete→rewrite
+  * window in which a crash left the index half-gone).
+  *
+  * Protocol: generation 0 is the plain `batches` dir every save and
+  * append writes; a vacuum STAGES its compacted replacement as a fresh
+  * `batches_g<N>` tree (invisible — readers never resolve an
+  * unmarked generation) and then commits it by atomically creating
+  * the `gen/g<N>` marker file — one [[FileUtils.createExclusive]],
+  * the same primitive every claim rides, so the commit is a single
+  * atomic metadata operation on every store a [[ClaimBackend]]
+  * supports. Readers resolve the HIGHEST committed marker. Crash
+  * before the marker → readers still on the old generation, the
+  * staged tree is an orphan the next vacuum sweeps; crash after →
+  * readers on the new generation, stale bytes (old tree, applied
+  * tombstones) linger harmlessly until the next vacuum's sweep
+  * (tombstones re-filter rows the compaction already dropped — a
+  * no-op).
+  *
+  * A SAVE is a full replace and resets to generation 0 ([[reset]]);
+  * it runs under the exclusive `_SAVING` lease, as do vacuums, so
+  * generation numbers are never contended (the marker create's
+  * atomicity is a belt-and-braces backstop, not the locking story).
+  */
+object Generations {
+
+  private def genNumbers(root: String, conf: Configuration): Seq[Long] =
+    FileUtils.listChildFiles(s"$root/gen", conf)
+      .map(f => new Path(f).getName)
+      .filter(_.startsWith("g"))
+      .flatMap(_.stripPrefix("g").toLongOption)
+
+  private def dirNameOf(n: Long): String =
+    if (n == 0L) "batches" else s"batches_g$n"
+
+  /** Highest committed generation (0 when none was ever committed). */
+  def currentGen(root: String, conf: Configuration): Long =
+    genNumbers(root, conf).maxOption.getOrElse(0L)
+
+  /** The LIVE batches dir readers, appenders, and retirers resolve. */
+  def currentBatchesDir(root: String, conf: Configuration): String =
+    s"$root/${dirNameOf(currentGen(root, conf))}"
+
+  /** The staging dir for the next generation (current + 1) — written
+    * in full, then flipped live with [[commitGeneration]]. Any orphan
+    * tree of the same number (a predecessor that crashed between
+    * staging and committing) is cleared first: an unmarked stage is
+    * invisible to every reader by definition, and stagers hold the
+    * exclusive save lease, so the retry can never collide with a live
+    * writer — this is exactly what makes a crashed vacuum's retry
+    * clean.
+    */
+  def stageNextGen(root: String, conf: Configuration): (Long, String) = {
+    val n = currentGen(root, conf) + 1
+    val stage = s"$root/${dirNameOf(n)}"
+    FileUtils.rmr(stage, conf)
+    (n, stage)
+  }
+
+  /** THE commit point: one atomic marker create. False = lost to a
+    * concurrent committer of the same number (impossible under the
+    * save lease both vacuums hold; surfaced loudly anyway).
+    */
+  def commitGeneration(root: String, n: Long, conf: Configuration): Boolean =
+    FileUtils.createExclusive(s"$root/gen/g$n", conf)
+
+  /** Sweep every non-live batch tree (older generations, orphaned
+    * stages from crashed vacuums). Safe to re-run; never touches the
+    * live tree or the markers.
+    */
+  def sweepStale(root: String, conf: Configuration): Unit = {
+    val live = dirNameOf(currentGen(root, conf))
+    FileUtils.listSubdirs(root, conf)
+      .map(d => new Path(d).getName)
+      .filter(n => (n == "batches" || n.startsWith("batches_g")) && n != live)
+      .foreach(n => FileUtils.rmr(s"$root/$n", conf))
+  }
+
+  /** A save's full replace: every batch tree and every marker goes —
+    * the index restarts at generation 0.
+    */
+  def reset(root: String, conf: Configuration): Unit = {
+    FileUtils.listSubdirs(root, conf)
+      .map(d => new Path(d).getName)
+      .filter(n => n == "batches" || n.startsWith("batches_g"))
+      .foreach(n => FileUtils.rmr(s"$root/$n", conf))
+    FileUtils.rmr(s"$root/gen", conf)
+  }
+}

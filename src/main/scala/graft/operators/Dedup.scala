@@ -928,7 +928,7 @@ object Dedup {
     // tombstones first — a leftover forgotten/ set from the previous
     // index would silently hide any NEW doc that reuses an erased id
     // from every probe (and the next vacuum would delete its rows)
-    rmr(s"$path/batches", hconf)
+    graft.ingest.Generations.reset(path, hconf)
     rmr(s"$path/forgotten", hconf)
     // and any legacy flat-layout root tables: a save is the documented
     // migration remedy, and for an index with right-to-erasure support
@@ -988,7 +988,8 @@ object Dedup {
     // _COMMITTED — the corruption a bare max(existing)+1 listing
     // allows. An abandoned claim's (or attempt's) id is never reused,
     // so partial files can never be mistaken for a later batch's.
-    val bdir = graft.ingest.FileUtils.claimSeqDir(s"$path/batches", "b", conf)
+    val bdir = graft.ingest.FileUtils.claimSeqDir(
+      graft.ingest.Generations.currentBatchesDir(path, conf), "b", conf)
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1002,14 +1003,17 @@ object Dedup {
   private def committedBatchDirs(path: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     rejectLegacyLayout(path, conf)
-    // live = committed and not retired: a batch retired by
+    // live = committed and not retired, within the LIVE generation
+    // (Generations.currentBatchesDir — a staged vacuum tree without
+    // its gen marker is invisible here): a batch retired by
     // [[retireIndexBatches]] is out of every read the moment its
     // marker lands, its bytes gone at the next vacuum
-    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+    val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+    val dirs = graft.ingest.FileUtils.listSubdirs(base, conf)
       .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf) &&
         !graft.ingest.FileUtils.exists(s"$d/_RETIRED", conf))
     require(dirs.nonEmpty,
-      s"no live committed index batches under $path/batches")
+      s"no live committed index batches under $base")
     dirs
   }
 
@@ -1037,8 +1041,9 @@ object Dedup {
       .map(d => new org.apache.hadoop.fs.Path(d).getName
         .stripPrefix("b").toLong).sorted
     val retire = live.dropRight(keepLast)
+    val base = graft.ingest.Generations.currentBatchesDir(path, conf)
     retire.foreach(id =>
-      graft.ingest.FileUtils.touch(s"$path/batches/b$id/_RETIRED", conf))
+      graft.ingest.FileUtils.touch(s"$base/b$id/_RETIRED", conf))
     retire
   }
 
@@ -1139,13 +1144,14 @@ object Dedup {
   /** PHYSICAL erasure: rewrite the index without the tombstoned docs'
     * band and shingle rows — the GDPR-compliance half a tombstone
     * alone doesn't deliver (the forgotten text's shingles would still
-    * sit in parquet). The filtered tables are materialized
-    * (localCheckpoint — lineage truncated, so nothing re-reads the
-    * files being deleted) before the old tree is removed and rewritten
-    * as one compacted committed batch. The delete→rewrite window is
-    * not crash-atomic (same documented trade as the WAP retire/rename,
-    * Ingestion.scala) — a production deployment puts a manifest swap
-    * here; semantics, not the commit protocol, are what gov02 pins.
+    * sit in parquet). The rewrite is CRASH-ATOMIC via the Generations
+    * manifest swap (the "production deployment puts a manifest swap
+    * here" trade earlier rounds documented as open, now closed): the
+    * compacted single batch is staged as the next generation's tree
+    * and flips live with one atomic marker create — readers see
+    * exactly the old index or exactly the new one, never a mix and
+    * never an absence. Geometry metadata is untouched (a vacuum never
+    * changes the index identity).
     *
     * With no tombstones outstanding this is BATCH COMPACTION: months
     * of incremental appends leave one b<N> dir per batch, and probe
@@ -1156,32 +1162,34 @@ object Dedup {
     */
   def vacuumIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    // a vacuum is a destructive replace too (delete-then-rewrite), so
-    // it takes the SAME exclusive lease saves do: unleased, a vacuum
-    // racing a save would interleave their clears/rewrites — and this
-    // vacuum's old root-wide rmr would even have deleted the saver's
-    // live _SAVING lease mid-save
+    // a vacuum is a destructive replace, so it takes the SAME
+    // exclusive lease saves do: a vacuum racing a save fails loudly
     graft.ingest.FileUtils.withSaveLease(path, conf) {
-      val (nh, b) = indexGeometry(s, path)
-      val dirs = committedBatchDirs(path, conf)
       val tomb = tombstoneIds(s, path)
       def keep(df: DataFrame): DataFrame =
         tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
-      val bands = keep(s.read.parquet(dirs.map(_ + "/bands"): _*))
-        .localCheckpoint(true)
-      val sh = keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
-        .localCheckpoint(true)
-      // clear subtrees, never the root: the lease lives at the root
-      // and must survive the clear (the doSaveWarehouse idiom)
-      rmr(s"$path/batches", conf)
+      val dirs = committedBatchDirs(path, conf)
+      // CRASH-ATOMIC manifest swap (Generations): the compacted state
+      // is STAGED as the next generation's tree — invisible to every
+      // reader — and flips live with ONE atomic marker create; a crash
+      // before the marker leaves the old generation serving (orphan
+      // stage swept by the next vacuum), a crash after leaves only
+      // stale bytes the sweep below would have removed. There is no
+      // window in which a reader sees half an index.
+      val (gen, stage) = graft.ingest.Generations.stageNextGen(path, conf)
+      keep(s.read.parquet(dirs.map(_ + "/bands"): _*))
+        .write.parquet(s"$stage/b0/bands")
+      keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
+        .write.parquet(s"$stage/b0/shingles")
+      graft.ingest.FileUtils.touch(s"$stage/b0/_COMMITTED", conf)
+      require(graft.ingest.Generations.commitGeneration(path, gen, conf),
+        s"generation $gen of $path was committed concurrently — " +
+          "another vacuum ran despite the save lease")
+      // best-effort cleanup AFTER the commit point: old generations'
+      // bytes and the now-folded-in tombstone log (applied tombstones
+      // re-filter rows the compaction already dropped — a no-op)
+      graft.ingest.Generations.sweepStale(path, conf)
       rmr(s"$path/forgotten", conf)
-      rmr(s"$path/meta", conf)
-      import s.implicits._
-      Seq((nh, b)).toDF("num_hashes", "bands")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      bands.write.parquet(s"$path/batches/b0/bands")
-      sh.write.parquet(s"$path/batches/b0/shingles")
-      graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
     }
   }
 

@@ -134,7 +134,14 @@ object StateCatalog {
           versions.map(_.abandoned).sum),
           (pds.count(p => !retiredVals(p._1)).toLong,
             pds.count(p => retiredVals(p._1)).toLong))
-      } else (censusSeqDirs(s"$root/batches", "b", conf), (0L, 0L))
+      } else (censusSeqDirs(
+        graft.ingest.Generations.currentBatchesDir(root, conf), "b", conf),
+        (0L, 0L))
+    // the LIVE vacuum generation (indexes; 0 = never vacuumed or a
+    // fresh save) — the Generations marker the readers resolve
+    val generation =
+      if (kind == "sketch_warehouse") 0L
+      else graft.ingest.Generations.currentGen(root, conf)
     val tombstones =
       if (kind == "sketch_warehouse") 0L
       else censusSeqDirs(s"$root/forgotten", "f", conf).committed
@@ -143,10 +150,10 @@ object StateCatalog {
         censusSeqDirs(s"$root/erased", "e", conf).committed
       else 0L
     import s.implicits._
-    Seq((kind, geometryOf(s, root, kind), batches.committed,
+    Seq((kind, geometryOf(s, root, kind), generation, batches.committed,
       batches.retired, batches.abandoned, tombstones, erasures,
       parts._1, parts._2, FileUtils.exists(s"$root/_SAVING", conf)))
-      .toDF("state_kind", "geometry", "committed_batches",
+      .toDF("state_kind", "geometry", "generation", "committed_batches",
         "retired_batches", "abandoned_claims", "tombstone_logs",
         "erasure_manifests", "live_partitions", "retired_partitions",
         "stale_saving_lease")
@@ -237,21 +244,22 @@ object StateCatalog {
       } finally FileUtils.rmr(tmp, s.sparkContext.hadoopConfiguration)
     },
     Some("""SELECT * FROM (VALUES
-        ('near_dup_index', 'num_hashes=32,bands=16',
+        ('near_dup_index', 'num_hashes=32,bands=16', CAST(0 AS BIGINT),
           CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), FALSE),
-        ('sketch_warehouse', 'kind=hll,key=k,part=part',
+        ('sketch_warehouse', 'kind=hll,key=k,part=part', CAST(0 AS BIGINT),
           CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
           CAST(2 AS BIGINT), FALSE),
-        ('vector_index', 'n_cells=16,n_sub=8,sub_dim=8',
+        ('vector_index', 'n_cells=16,n_sub=8,sub_dim=8', CAST(0 AS BIGINT),
           CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), FALSE))
-        AS t(state_kind, geometry, committed_batches, retired_batches,
-          abandoned_claims, tombstone_logs, erasure_manifests,
-          live_partitions, retired_partitions, stale_saving_lease)
+        AS t(state_kind, geometry, generation, committed_batches,
+          retired_batches, abandoned_claims, tombstone_logs,
+          erasure_manifests, live_partitions, retired_partitions,
+          stale_saving_lease)
       ORDER BY state_kind"""),
   )
 

@@ -53,7 +53,7 @@ object VectorIndex {
   private def doSaveVectorIndex(emb: DataFrame, path: String, nCells: Int,
       nSub: Int, subDim: Int, nCodes: Int): Unit = {
     val conf = emb.sparkSession.sparkContext.hadoopConfiguration
-    rmr(s"$path/batches", conf)
+    graft.ingest.Generations.reset(path, conf)
     // a save REPLACES the index: stale tombstones from the previous
     // index would silently hide any NEW vector reusing an erased id
     // from every probe, and the next vacuum would delete its rows
@@ -303,8 +303,9 @@ object VectorIndex {
   /** PHYSICAL erasure: rewrite the code table without tombstoned rows
     * (one compacted committed batch) and clear the tombstones —
     * quantizer state is untouched because [[forgetFromVectorIndex]]
-    * already refused training ids. Same documented delete→rewrite
-    * crash window as Dedup.vacuumIndex — and, like it, with no
+    * already refused training ids. CRASH-ATOMIC via the Generations
+    * manifest swap (Dedup.vacuumIndex's protocol: stage, one atomic
+    * marker create, sweep) — and, like it, with no
     * tombstones outstanding this is BATCH COMPACTION: a
     * maintenance vacuum folds an append-heavy index's many b<N> dirs
     * into one committed batch with identical probe results
@@ -313,19 +314,24 @@ object VectorIndex {
   def vacuumVectorIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     // destructive replace → the save lease (the Dedup.vacuumIndex
-    // rationale): a vacuum racing a save must fail loudly, not
-    // interleave its delete-then-rewrite with the saver's
+    // rationale): a vacuum racing a save must fail loudly
     graft.ingest.FileUtils.withSaveLease(path, conf) {
       val dirs = committedBatchDirs(path, conf)
       val tomb = tombstoneIds(s, path)
       val codes = tomb.fold(s.read.parquet(dirs.map(_ + "/codes"): _*))(t =>
         s.read.parquet(dirs.map(_ + "/codes"): _*)
           .join(t, Seq("cid"), "left_anti"))
-        .localCheckpoint(true)
-      rmr(s"$path/batches", conf)
+      // CRASH-ATOMIC manifest swap (the Dedup.vacuumIndex protocol):
+      // stage the compacted generation, flip it live with one atomic
+      // marker create, sweep stale bytes only after the commit point
+      val (gen, stage) = graft.ingest.Generations.stageNextGen(path, conf)
+      codes.write.parquet(s"$stage/b0/codes")
+      graft.ingest.FileUtils.touch(s"$stage/b0/_COMMITTED", conf)
+      require(graft.ingest.Generations.commitGeneration(path, gen, conf),
+        s"generation $gen of $path was committed concurrently — " +
+          "another vacuum ran despite the save lease")
+      graft.ingest.Generations.sweepStale(path, conf)
       rmr(s"$path/forgotten", conf)
-      codes.write.parquet(s"$path/batches/b0/codes")
-      graft.ingest.FileUtils.touch(s"$path/batches/b0/_COMMITTED", conf)
     }
   }
 
@@ -375,7 +381,8 @@ object VectorIndex {
     // _COMMITTED — the corruption a bare max(existing)+1 listing
     // allows. An abandoned claim's id is never reused, so partial
     // files can never be mistaken for a later batch's.
-    val bdir = graft.ingest.FileUtils.claimSeqDir(s"$path/batches", "b", conf)
+    val bdir = graft.ingest.FileUtils.claimSeqDir(
+      graft.ingest.Generations.currentBatchesDir(path, conf), "b", conf)
     Similarity.encodeIvfPq(batch, model)
       .write.mode("overwrite").parquet(s"$bdir/codes")
     graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
@@ -384,13 +391,16 @@ object VectorIndex {
   private def committedBatchDirs(path: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     // live = committed and not retired (the Dedup.retireIndexBatches
-    // contract): a retired batch is out of every probe the moment its
-    // marker lands, its bytes gone at the next vacuum
-    val dirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+    // contract), within the LIVE generation (a staged vacuum tree
+    // without its gen marker is invisible here): a retired batch is
+    // out of every probe the moment its marker lands, its bytes gone
+    // at the next vacuum
+    val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+    val dirs = graft.ingest.FileUtils.listSubdirs(base, conf)
       .filter(d => graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf) &&
         !graft.ingest.FileUtils.exists(s"$d/_RETIRED", conf))
     require(dirs.nonEmpty,
-      s"no live committed index batches under $path/batches")
+      s"no live committed index batches under $base")
     dirs
   }
 
@@ -483,8 +493,9 @@ object VectorIndex {
       .map(d => new org.apache.hadoop.fs.Path(d).getName
         .stripPrefix("b").toLong).sorted
     val retire = live.dropRight(keepLast)
+    val base = graft.ingest.Generations.currentBatchesDir(path, conf)
     retire.foreach(id =>
-      graft.ingest.FileUtils.touch(s"$path/batches/b$id/_RETIRED", conf))
+      graft.ingest.FileUtils.touch(s"$base/b$id/_RETIRED", conf))
     retire
   }
 

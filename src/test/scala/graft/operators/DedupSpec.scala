@@ -478,7 +478,9 @@ class DedupSpec extends SparkSpec {
       Dedup.saveNearDupIndex(hist, path)
       Dedup.appendNearDupIndex(Seq((5L, nearDup)).toDF("doc_id", "text"), path)
       Dedup.appendNearDupIndex(Seq((6L, base + " extra")).toDF("doc_id", "text"), path)
-      def batchNames = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+      // resolve the LIVE generation each time: vacuum flips it
+      def batchNames = graft.ingest.FileUtils.listSubdirs(
+          graft.ingest.Generations.currentBatchesDir(path, conf), conf)
         .map(d => new org.apache.hadoop.fs.Path(d).getName)
       assert(batchNames == Seq("b0", "b1", "b2"), s"batches: $batchNames")
       val before = Dedup.probeNearDupIndex(spark, path, batch).collect()
@@ -486,6 +488,9 @@ class DedupSpec extends SparkSpec {
       assert(before.nonEmpty)
       Dedup.vacuumIndex(spark, path)
       assert(batchNames == Seq("b0"), s"compaction left $batchNames")
+      // the swap's cleanup swept the pre-vacuum generation's bytes
+      assert(!graft.ingest.FileUtils.exists(s"$path/batches", conf),
+        "the stale generation-0 tree must be swept")
       val after = Dedup.probeNearDupIndex(spark, path, batch).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(after == before, "compaction changed probe results")
@@ -512,7 +517,9 @@ class DedupSpec extends SparkSpec {
       // vacuum carries only the live window into the compacted batch
       Dedup.vacuumIndex(spark, path)
       assert(pairs == Set((10L, 5L)), "vacuum changed probe semantics")
-      val survivors = spark.read.parquet(s"$path/batches/b0/shingles")
+      val survivors = spark.read.parquet(
+          graft.ingest.Generations.currentBatchesDir(path, conf) +
+            "/b0/shingles")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(survivors == Set(5L),
         s"retired docs' shingles must be physically gone: $survivors")
@@ -540,7 +547,9 @@ class DedupSpec extends SparkSpec {
       val vacuumed = Dedup.probeNearDupIndex(spark, path, batch).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(vacuumed == tombstoned, "vacuum must not change probe semantics")
-      val survivors = spark.read.parquet(s"$path/batches/b0/shingles")
+      val survivors = spark.read.parquet(graft.ingest.Generations
+          .currentBatchesDir(path, spark.sparkContext.hadoopConfiguration) +
+          "/b0/shingles")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(!survivors.contains(5L), "erased doc's shingles must be physically gone")
       assert(survivors == Set(0L, 3L))
@@ -553,6 +562,49 @@ class DedupSpec extends SparkSpec {
       }
       rm(new java.io.File(path))
     }
+  }
+
+  test("vacuum is crash-atomic: an unmarked staged generation is invisible; the crashed retry is clean") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hist = Seq((0L, base), (5L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dd_genatom").toString
+    try {
+      Dedup.saveNearDupIndex(hist, path)
+      Dedup.forgetFromIndex(spark, path, Seq(5L).toDF("doc_id"))
+      def pairs = Dedup.probeNearDupIndex(spark, path, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tombstoned = pairs
+      assert(tombstoned == Set((10L, 0L)))
+      // a vacuum that CRASHED between staging and committing: the
+      // staged tree is complete and marker-sealed INSIDE, but the
+      // generation marker never landed — readers must not see it
+      graft.ingest.FileUtils.mkdirs(s"$path/batches_g1/b0", conf)
+      graft.ingest.FileUtils.touch(s"$path/batches_g1/b0/_COMMITTED", conf)
+      assert(pairs == tombstoned,
+        "an unmarked staged generation leaked into reads")
+      val cat = StateCatalog.describeState(spark, path).head
+      assert(cat.getAs[Long]("generation") == 0L,
+        "the catalog must still report the live generation")
+      // the RETRY: the real vacuum clears the orphan stage, re-stages
+      // the same number, and its marker create is the atomic flip
+      Dedup.vacuumIndex(spark, path)
+      assert(pairs == tombstoned, "vacuum changed probe semantics")
+      val base1 = graft.ingest.Generations.currentBatchesDir(path, conf)
+      assert(base1.endsWith("batches_g1"), s"live dir: $base1")
+      assert(!graft.ingest.FileUtils.exists(s"$path/batches", conf),
+        "the old generation's bytes must be swept")
+      assert(StateCatalog.describeState(spark, path).head
+        .getAs[Long]("generation") == 1L)
+      // and a SECOND vacuum keeps walking forward (g2), sweeping g1
+      Dedup.vacuumIndex(spark, path)
+      assert(pairs == tombstoned)
+      assert(graft.ingest.Generations.currentBatchesDir(path, conf)
+        .endsWith("batches_g2"))
+      assert(!graft.ingest.FileUtils.exists(s"$path/batches_g1", conf))
+    } finally graft.ingest.FileUtils.rmr(path, conf)
   }
 
   test("heavily tombstoned index: probe equals a survivors-only index — no candidate starvation") {
@@ -626,7 +678,10 @@ class DedupSpec extends SparkSpec {
       val probed = Dedup.probeNearDupIndex(spark, path, batch).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(probed == Set((10L, 0L)), s"vacuumed file:-URI index probe: $probed")
-      assert(graft.ingest.FileUtils.exists(s"$path/batches/b0/_COMMITTED",
+      // post-vacuum the live tree is generation 1 (resolved, not assumed)
+      assert(graft.ingest.FileUtils.exists(
+        graft.ingest.Generations.currentBatchesDir(path,
+          spark.sparkContext.hadoopConfiguration) + "/b0/_COMMITTED",
         spark.sparkContext.hadoopConfiguration))
     } finally {
       graft.ingest.FileUtils.delete(path, recursive = true)

@@ -31,7 +31,9 @@ class VectorIndexSpec extends SparkSpec {
       emb.filter(col("vec_id") < 3)).collect()
     assert(probed.nonEmpty)
     assert(!probed.exists(_.getLong(1) == 50L), "vacuumed id must not rank")
-    assert(graft.ingest.FileUtils.exists(s"$path/batches/b0/_COMMITTED",
+    assert(graft.ingest.FileUtils.exists(
+      graft.ingest.Generations.currentBatchesDir(path,
+        spark.sparkContext.hadoopConfiguration) + "/b0/_COMMITTED",
       spark.sparkContext.hadoopConfiguration))
   }
 
@@ -42,7 +44,9 @@ class VectorIndexSpec extends SparkSpec {
     Seq(100 to 199, 200 to 299, 300 to 10000).foreach(r =>
       VectorIndex.appendVectorIndex(
         emb.filter(col("vec_id") >= r.start && col("vec_id") <= r.end), path))
-    def batchDirs = graft.ingest.FileUtils.listSubdirs(s"$path/batches", conf)
+    // resolve the LIVE generation each time: vacuum flips it
+    def batchDirs = graft.ingest.FileUtils.listSubdirs(
+        graft.ingest.Generations.currentBatchesDir(path, conf), conf)
       .filterNot(_.endsWith(".claim"))
     assert(batchDirs.size == 4, s"expected 4 append batches, got $batchDirs")
     val qs = emb.filter(col("vec_id") < 3)
@@ -78,7 +82,8 @@ class VectorIndexSpec extends SparkSpec {
     assert(model == modelBefore, "retirement must not touch quantizer state")
     // vacuum drops the bytes and keeps the ranking
     VectorIndex.vacuumVectorIndex(spark, path)
-    val live = spark.read.parquet(s"$path/batches/b0/codes")
+    val live = spark.read.parquet(graft.ingest.Generations
+        .currentBatchesDir(path, conf) + "/b0/codes")
       .select("cid").collect().map(_.getLong(0))
     assert(live.forall(c => c >= 32 && c % 3 != 0),
       "retired codes must be physically gone after vacuum")
@@ -249,7 +254,9 @@ class VectorIndexSpec extends SparkSpec {
     val vacuumed = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
     assert(vacuumed == tombstoned, "vacuum must not change probe results")
     // physical erasure: no forgotten cid survives in the rewritten parquet
-    val residual = spark.read.parquet(s"$path/batches/b0/codes")
+    val residual = spark.read.parquet(graft.ingest.Generations
+        .currentBatchesDir(path, spark.sparkContext.hadoopConfiguration) +
+        "/b0/codes")
       .filter(col("cid").isin(forgotten.toSeq: _*)).count()
     assert(residual == 0L, s"$residual erased rows still resident after vacuum")
     // quantizer-training ids are refused with the rebuild remedy

@@ -70,6 +70,63 @@ object Generations {
   def commitGeneration(root: String, n: Long, conf: Configuration): Boolean =
     FileUtils.createExclusive(s"$root/gen/g$n", conf)
 
+  /** A batch dir qualified by its generation tree ("batches/b2",
+    * "batches_g3/b0") — the name space consumed-manifests use, so a
+    * batch id reused by a LATER generation can never alias an earlier
+    * one.
+    */
+  def qualifiedName(batchDir: String): String = {
+    val p = new Path(batchDir)
+    s"${p.getParent.getName}/${p.getName}"
+  }
+
+  /** Record which batch dirs generation `n`'s compaction CONSUMED —
+    * written beside the markers (never inside a sweepable tree, so the
+    * record outlives the sweep) BEFORE the generation commits. This is
+    * what lets a concurrent appender distinguish "my batch was folded
+    * into the new generation" from "my batch landed after the
+    * vacuum's read set and died with the old tree" ([[isConsumed]]).
+    */
+  def recordConsumed(root: String, n: Long, batchDirs: Seq[String],
+      conf: Configuration): Unit =
+    FileUtils.atomicWrite(s"$root/gen/g$n.consumed",
+      batchDirs.map(qualifiedName).sorted.mkString("", "\n", "\n"), conf)
+
+  /** Whether any committed generation's consumed-manifest lists this
+    * qualified batch name — i.e. the batch's rows live on in the
+    * compaction chain.
+    */
+  def isConsumed(root: String, qualified: String,
+      conf: Configuration): Boolean =
+    FileUtils.listChildFiles(s"$root/gen", conf)
+      .filter(_.endsWith(".consumed"))
+      .exists(f => HadoopFsConditionalStore.get(f, conf)
+        .exists(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.contains(qualified)))
+
+  /** Wait out any in-flight maintenance writer's `_SAVING` lease —
+    * the gate that makes a self-healing append/forget's post-commit
+    * verification sound: once no lease is held at the moment of the
+    * check, any FUTURE vacuum's read set necessarily includes our
+    * already-committed state (its lease acquire, read, and flip all
+    * happen after), so "my dir still exists" and "my name is in a
+    * consumed manifest" between them decide the outcome exactly.
+    * Bounded: a lease still held past the timeout means a live (or
+    * crashed) maintenance writer — fail loudly with the stale-lease
+    * remedy rather than spin forever.
+    */
+  def awaitNoLease(root: String, conf: Configuration,
+      timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (FileUtils.exists(s"$root/_SAVING", conf)) {
+      require(System.currentTimeMillis() < deadline,
+        s"$root/_SAVING still held after ${timeoutMs}ms — a " +
+          "maintenance writer (save/vacuum) is live or crashed; verify " +
+          "none is running, delete the lease, and retry")
+      Thread.sleep(100L)
+    }
+  }
+
   /** Sweep every non-live batch tree (older generations, orphaned
     * stages from crashed vacuums). Safe to re-run; never touches the
     * live tree or the markers.

@@ -951,11 +951,48 @@ object Dedup {
     * rewrites history; callers dedup batches upstream via the
     * key-idempotent ingestion path). Safe to retry: a failed attempt
     * leaves only an uncommitted dir readers never see.
+    *
+    * SELF-HEALING against concurrent maintenance: after committing,
+    * the append waits out any live `_SAVING` holder
+    * (Generations.awaitNoLease) and verifies its fate — the batch
+    * either survived in the still-live tree under the geometry it was
+    * encoded with, or a vacuum folded it into the new generation (the
+    * durable consumed manifest says so), or it died with a
+    * replaced/swept tree and is re-committed against the CURRENT
+    * index state (geometry re-read per attempt — a concurrent save
+    * may have replaced the index under different parameters). Nothing
+    * is lost, nothing duplicates.
     */
   def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
-    rejectLegacyLayout(path, batch.sparkSession.sparkContext.hadoopConfiguration)
-    val (nh, b) = indexGeometry(batch.sparkSession, path)
-    commitIndexBatch(batch, path, nh, b)
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    rejectLegacyLayout(path, conf)
+    // one shingle pass feeds every attempt (signatures re-derive only
+    // if the geometry changed)
+    val sh = withShingles(batch).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 8,
+          s"append to $path kept losing maintenance races after 8 attempts")
+        val (nh, b) = indexGeometry(s, path)
+        val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+        val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
+        bandTableFromShingles(sh, nh, b)
+          .write.mode("overwrite").parquet(s"$bdir/bands")
+        sh.write.mode("overwrite").parquet(s"$bdir/shingles")
+        graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+        graft.ingest.Generations.awaitNoLease(path, conf)
+        done = (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
+            graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
+            indexGeometry(s, path) == ((nh, b))) ||
+          graft.ingest.Generations.isConsumed(path,
+            graft.ingest.Generations.qualifiedName(bdir), conf)
+      }
+    } finally { sh.unpersist(blocking = false); () }
   }
 
   // An index persisted by the pre-batch-dir layout has bands/shingles
@@ -979,15 +1016,18 @@ object Dedup {
   // shingle table share lineage from a persisted shingle set —
   // unshared, every save/append would tokenize and shingle the corpus
   // twice (the very pass probeCore exists to avoid repeating)
+  // One-shot batch commit, called from the SAVE path (which holds the
+  // exclusive lease, so there is nothing to race and no verification
+  // loop — appendNearDupIndex owns the self-healing variant). The id
+  // is reserved via an atomic claim-file create BEFORE anything is
+  // written (FileUtils.claimSeqDir): two CONCURRENT appenders can
+  // never pick the same dir and interleave part files under one
+  // _COMMITTED — the corruption a bare max(existing)+1 listing
+  // allows. An abandoned claim's id is never reused, so partial files
+  // can never be mistaken for a later batch's.
   private def commitIndexBatch(corpus: DataFrame, path: String,
       numHashes: Int, bands: Int): Unit = {
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    // id reserved via an atomic claim-file create BEFORE anything is
-    // written (FileUtils.claimSeqDir): two CONCURRENT appenders can
-    // never pick the same dir and interleave part files under one
-    // _COMMITTED — the corruption a bare max(existing)+1 listing
-    // allows. An abandoned claim's (or attempt's) id is never reused,
-    // so partial files can never be mistaken for a later batch's.
     val bdir = graft.ingest.FileUtils.claimSeqDir(
       graft.ingest.Generations.currentBatchesDir(path, conf), "b", conf)
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
@@ -1129,16 +1169,36 @@ object Dedup {
     * protocol), making them invisible to every subsequent
     * [[probeNearDupIndex]] without touching the stored tables. A
     * governance request is answered the moment the tombstone commits;
-    * the bytes disappear at the next [[vacuumIndex]].
+    * the bytes disappear at the next [[vacuumIndex]]. Durability
+    * assumes doc ids are stable entity keys: a request re-recorded
+    * across a concurrent full re-save applies to the new index's doc
+    * under the same id (recycling ids for different content across
+    * replaces is a caller data-modeling error).
     */
   def forgetFromIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    // same claim protocol as data batches: concurrent governance
-    // requests must not share an f<N> dir
-    val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
-    ids.select(col("doc_id").cast("bigint").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$fdir/ids")
-    graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+    // SELF-HEALING like appendNearDupIndex: a vacuum sweeps the
+    // tombstone log after folding ITS snapshot of it in, and a save
+    // clears it wholesale — a request committed inside either window
+    // could vanish before it was ever applied. Post-commit, wait out
+    // any live maintenance writer and re-record if our log entry is
+    // gone (idempotent: a tombstone for already-removed rows filters
+    // nothing). A governance request can never be silently dropped.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 8,
+        s"forget on $path kept losing maintenance races after 8 attempts")
+      // same claim protocol as data batches: concurrent governance
+      // requests must not share an f<N> dir
+      val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
+      ids.select(col("doc_id").cast("bigint").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$fdir/ids")
+      graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+      graft.ingest.Generations.awaitNoLease(path, conf)
+      done = graft.ingest.FileUtils.exists(s"$fdir/_COMMITTED", conf)
+    }
   }
 
   /** PHYSICAL erasure: rewrite the index without the tombstoned docs'
@@ -1182,6 +1242,11 @@ object Dedup {
       keep(s.read.parquet(dirs.map(_ + "/shingles"): _*))
         .write.parquet(s"$stage/b0/shingles")
       graft.ingest.FileUtils.touch(s"$stage/b0/_COMMITTED", conf)
+      // the durable record of WHICH batches this compaction folded in
+      // — what lets an append racing this vacuum tell "my rows live
+      // on in b0" from "my batch died with the old tree" (the
+      // commitIndexBatch retry loop)
+      graft.ingest.Generations.recordConsumed(path, gen, dirs, conf)
       require(graft.ingest.Generations.commitGeneration(path, gen, conf),
         s"generation $gen of $path was committed concurrently — " +
           "another vacuum ran despite the save lease")

@@ -89,9 +89,48 @@ object VectorIndex {
     * quantizers the index was SAVED with (append-only commits; the
     * index never rewrites history). Safe to retry: a failed attempt
     * leaves only an uncommitted dir readers never see.
+    *
+    * SELF-HEALING against concurrent maintenance (the
+    * Dedup.appendNearDupIndex contract): post-commit, wait out any
+    * live `_SAVING` holder, then verify — survived in the still-live
+    * tree under the SAME quantizers it was encoded with, or folded
+    * into a vacuum's new generation (consumed manifest), or it died
+    * with a replaced/swept tree and is re-encoded against the CURRENT
+    * model (re-loaded per attempt: a concurrent save/rebuild may have
+    * retrained — stale-model codes must never land in a new tree).
     */
-  def appendVectorIndex(batch: DataFrame, path: String): Unit =
-    commitCodesBatch(batch, path, loadModel(batch.sparkSession, path))
+  def appendVectorIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 8,
+        s"append to $path kept losing maintenance races after 8 attempts")
+      val model = loadModel(s, path)
+      val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+      val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
+      Similarity.encodeIvfPq(batch, model)
+        .write.mode("overwrite").parquet(s"$bdir/codes")
+      graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+      graft.ingest.Generations.awaitNoLease(path, conf)
+      done = (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
+          graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
+          sameModel(loadModel(s, path), model)) ||
+        graft.ingest.Generations.isConsumed(path,
+          graft.ingest.Generations.qualifiedName(bdir), conf)
+    }
+  }
+
+  // deep quantizer equality (case-class equals is reference-based on
+  // the Array fields): the append verification's "encoded under the
+  // index's CURRENT model" check
+  private def sameModel(a: Similarity.IvfPqModel,
+      b: Similarity.IvfPqModel): Boolean =
+    a.nCells == b.nCells && a.nSub == b.nSub && a.subDim == b.subDim &&
+      a.cen.corresponds(b.cen)(_.sameElements(_)) &&
+      a.rcb.corresponds(b.rcb)(_.sameElements(_))
 
   /** Probe a persisted index: score `queries` (a bounded vector set
     * carrying vec_id + embedding) against the STORED code table via
@@ -292,12 +331,25 @@ object VectorIndex {
         "coordinates are embedded in centroids/codebook; rebuild the " +
         "index without them (rebuildVectorIndex) instead of tombstoning")
     val conf = s.sparkContext.hadoopConfiguration
-    // same claim protocol as data batches: concurrent governance
-    // requests must not share an f<N> dir
-    val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
-    ids.select(col("vec_id").cast("long").as("cid"))
-      .write.mode("overwrite").parquet(s"$fdir/ids")
-    graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+    // self-healing against a concurrent vacuum's log sweep or a
+    // save's log clear (the Dedup.forgetFromIndex contract):
+    // re-record until the committed entry survives a lease-free
+    // observation — a governance request can never be silently dropped
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 8,
+        s"forget on $path kept losing maintenance races after 8 attempts")
+      // same claim protocol as data batches: concurrent governance
+      // requests must not share an f<N> dir
+      val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
+      ids.select(col("vec_id").cast("long").as("cid"))
+        .write.mode("overwrite").parquet(s"$fdir/ids")
+      graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+      graft.ingest.Generations.awaitNoLease(path, conf)
+      done = graft.ingest.FileUtils.exists(s"$fdir/_COMMITTED", conf)
+    }
   }
 
   /** PHYSICAL erasure: rewrite the code table without tombstoned rows
@@ -327,6 +379,9 @@ object VectorIndex {
       val (gen, stage) = graft.ingest.Generations.stageNextGen(path, conf)
       codes.write.parquet(s"$stage/b0/codes")
       graft.ingest.FileUtils.touch(s"$stage/b0/_COMMITTED", conf)
+      // durable consumed record — the append-vs-vacuum retry contract
+      // (see Dedup.vacuumIndex)
+      graft.ingest.Generations.recordConsumed(path, gen, dirs, conf)
       require(graft.ingest.Generations.commitGeneration(path, gen, conf),
         s"generation $gen of $path was committed concurrently — " +
           "another vacuum ran despite the save lease")
@@ -371,16 +426,18 @@ object VectorIndex {
     saveVectorIndex(kept, path, m.getInt(0), m.getInt(1), m.getInt(2), nCodes)
   }
 
+  // One-shot codes commit, called from the SAVE path (which holds the
+  // exclusive lease — appendVectorIndex owns the self-healing retry).
+  // The id is reserved via an atomic claim-file create BEFORE
+  // anything is written (FileUtils.claimSeqDir): two CONCURRENT
+  // appenders (two streaming jobs, an orchestrator retry racing its
+  // zombie) can never pick the same dir and interleave part files
+  // under one _COMMITTED — the corruption a bare max(existing)+1
+  // listing allows. An abandoned claim's id is never reused, so
+  // partial files can never be mistaken for a later batch's.
   private def commitCodesBatch(batch: DataFrame, path: String,
       model: Similarity.IvfPqModel): Unit = {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    // id reserved via an atomic claim-file create BEFORE anything is
-    // written (FileUtils.claimSeqDir): two CONCURRENT appenders (two
-    // streaming jobs, an orchestrator retry racing its zombie) can
-    // never pick the same dir and interleave part files under one
-    // _COMMITTED — the corruption a bare max(existing)+1 listing
-    // allows. An abandoned claim's id is never reused, so partial
-    // files can never be mistaken for a later batch's.
     val bdir = graft.ingest.FileUtils.claimSeqDir(
       graft.ingest.Generations.currentBatchesDir(path, conf), "b", conf)
     Similarity.encodeIvfPq(batch, model)

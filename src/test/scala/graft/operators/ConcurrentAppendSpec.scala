@@ -220,6 +220,102 @@ class ConcurrentAppendSpec extends SparkSpec {
     } finally FileUtils.rmr(path, conf)
   }
 
+  test("append racing a vacuum self-heals: nothing lost, nothing duplicated") {
+    val emb = Tables(spark, sf0001).embeddings
+    val h0 = emb.filter(col("vec_id") < 100)
+    val h1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val qs = emb.filter(col("vec_id") < 3)
+    // the reference: sequential save + append (vacuum never changes
+    // probe results — pinned elsewhere)
+    val ref = tmpDir("race_ref").toString
+    VectorIndex.saveVectorIndex(h0, ref)
+    VectorIndex.appendVectorIndex(h1, ref)
+    val want = VectorIndex.probeVectorIndex(spark, ref, qs).collect().toSeq
+    (1 to 3).foreach { i =>
+      val path = tmpDir(s"race_av_$i").toString
+      try {
+        VectorIndex.saveVectorIndex(h0, path)
+        // real race: the vacuum's generation flip lands somewhere
+        // inside the append; whatever the interleaving, the append's
+        // lease-gated verification must converge on "h1 is in the
+        // live index exactly once"
+        inParallel(Seq(
+          () => VectorIndex.appendVectorIndex(h1, path),
+          () => VectorIndex.vacuumVectorIndex(spark, path)))
+        val got = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+        assert(got == want,
+          s"round $i: append racing vacuum diverged from sequential")
+      } finally FileUtils.rmr(path, conf)
+    }
+    FileUtils.rmr(ref, conf)
+  }
+
+  test("near-dup append racing a vacuum self-heals to the sequential result") {
+    val docs = Tables(spark, sf0001).documents
+    val h0 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 3 === 0)
+    val h1 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val ref = tmpDir("race_nd_ref").toString
+    Dedup.saveNearDupIndex(h0, ref)
+    Dedup.appendNearDupIndex(h1, ref)
+    val want = Dedup.probeNearDupIndex(spark, ref, batch).collect().toSeq
+    (1 to 2).foreach { i =>
+      val path = tmpDir(s"race_nd_$i").toString
+      try {
+        Dedup.saveNearDupIndex(h0, path)
+        inParallel(Seq(
+          () => Dedup.appendNearDupIndex(h1, path),
+          () => Dedup.vacuumIndex(spark, path)))
+        val got = Dedup.probeNearDupIndex(spark, path, batch).collect().toSeq
+        assert(got == want,
+          s"round $i: near-dup append racing vacuum diverged from sequential")
+      } finally FileUtils.rmr(path, conf)
+    }
+    FileUtils.rmr(ref, conf)
+  }
+
+  test("forget racing a vacuum is never dropped: the tombstone survives or its rows are gone") {
+    val emb = Tables(spark, sf0001).embeddings
+    (1 to 3).foreach { i =>
+      val path = tmpDir(s"race_fv_$i").toString
+      try {
+        VectorIndex.saveVectorIndex(emb, path)
+        inParallel(Seq(
+          () => VectorIndex.forgetFromVectorIndex(spark, path,
+            emb.filter(col("vec_id") === 40).select("vec_id")),
+          () => VectorIndex.vacuumVectorIndex(spark, path)))
+        // the durable-governance invariant, whatever the interleaving:
+        // cid 40 is either physically absent from the live code table
+        // or still covered by a committed tombstone
+        val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+        val live = FileUtils.listSubdirs(base, conf)
+          .filter(d => FileUtils.exists(s"$d/_COMMITTED", conf))
+        val codes = spark.read.parquet(live.map(_ + "/codes"): _*)
+          .filter(col("cid") === 40).count()
+        val tombDirs = FileUtils.listSubdirs(s"$path/forgotten", conf)
+          .filter(d => FileUtils.exists(s"$d/_COMMITTED", conf))
+        val tombstoned = tombDirs.nonEmpty &&
+          spark.read.parquet(tombDirs.map(_ + "/ids"): _*)
+            .filter(col("cid") === 40).count() > 0
+        assert(codes == 0L || tombstoned,
+          s"round $i: the forget was dropped (cid 40 resident, no tombstone)")
+      } finally FileUtils.rmr(path, conf)
+    }
+  }
+
+  test("consumed manifests: qualified names round-trip and survive the sweep") {
+    val root = tmpDir("consumed").toString
+    FileUtils.mkdirs(root, conf)
+    graft.ingest.Generations.recordConsumed(root, 1L,
+      Seq(s"$root/batches/b0", s"$root/batches/b2"), conf)
+    assert(graft.ingest.Generations.isConsumed(root, "batches/b0", conf))
+    assert(graft.ingest.Generations.isConsumed(root, "batches/b2", conf))
+    assert(!graft.ingest.Generations.isConsumed(root, "batches/b1", conf))
+    // a LATER generation reusing the bare id never aliases the earlier
+    // one — names are generation-qualified
+    assert(!graft.ingest.Generations.isConsumed(root, "batches_g1/b0", conf))
+  }
+
   test("two concurrent forget calls land distinct tombstone batches; both apply") {
     val emb = Tables(spark, sf0001).embeddings
     val path = tmpDir("vidx_forget").toString

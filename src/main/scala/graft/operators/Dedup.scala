@@ -978,19 +978,42 @@ object Dedup {
         attempts += 1
         require(attempts <= 8,
           s"append to $path kept losing maintenance races after 8 attempts")
-        val (nh, b) = indexGeometry(s, path)
-        val base = graft.ingest.Generations.currentBatchesDir(path, conf)
-        val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
-        bandTableFromShingles(sh, nh, b)
-          .write.mode("overwrite").parquet(s"$bdir/bands")
-        sh.write.mode("overwrite").parquet(s"$bdir/shingles")
-        graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+        // the whole attempt tolerates exceptions: a maintenance sweep
+        // can delete the tree UNDER a mid-flight write (the marker is
+        // touched last, so a failed attempt is an invisible markerless
+        // dir); verification then sends us around again. A genuine,
+        // persistent write failure keeps failing and surfaces through
+        // the attempt bound.
+        val committed =
+          try {
+            val (nh, b) = indexGeometry(s, path)
+            val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+            val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
+            try {
+              bandTableFromShingles(sh, nh, b)
+                .write.mode("overwrite").parquet(s"$bdir/bands")
+              sh.write.mode("overwrite").parquet(s"$bdir/shingles")
+              graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+              Some((nh, b, base, bdir))
+            } catch {
+              case _: Exception if attempts < 8 =>
+                // the marker op itself may have half-landed before the
+                // failure — best-effort removal so a retry can never
+                // double-commit into a tree that is actually live
+                try graft.ingest.FileUtils.delete(
+                  s"$bdir/_COMMITTED", recursive = false, conf): Unit
+                catch { case _: Exception => () }
+                None
+            }
+          } catch { case _: Exception if attempts < 8 => None }
         graft.ingest.Generations.awaitNoLease(path, conf)
-        done = (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
+        done = committed.exists { case (nh, b, base, bdir) =>
+          (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
             graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
             indexGeometry(s, path) == ((nh, b))) ||
           graft.ingest.Generations.isConsumed(path,
             graft.ingest.Generations.qualifiedName(bdir), conf)
+        }
       }
     } finally { sh.unpersist(blocking = false); () }
   }
@@ -1191,13 +1214,29 @@ object Dedup {
       require(attempts <= 8,
         s"forget on $path kept losing maintenance races after 8 attempts")
       // same claim protocol as data batches: concurrent governance
-      // requests must not share an f<N> dir
-      val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
-      ids.select(col("doc_id").cast("bigint").as("doc_id"))
-        .write.mode("overwrite").parquet(s"$fdir/ids")
-      graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+      // requests must not share an f<N> dir. The attempt tolerates
+      // exceptions — a vacuum's log sweep can delete the dir under a
+      // mid-flight write — and re-records until a committed entry
+      // survives a lease-free observation.
+      val fdir =
+        try {
+          val d = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
+          try {
+            ids.select(col("doc_id").cast("bigint").as("doc_id"))
+              .write.mode("overwrite").parquet(s"$d/ids")
+            graft.ingest.FileUtils.touch(s"$d/_COMMITTED", conf)
+            Some(d)
+          } catch {
+            case _: Exception if attempts < 8 =>
+              try graft.ingest.FileUtils.delete(
+                s"$d/_COMMITTED", recursive = false, conf): Unit
+              catch { case _: Exception => () }
+              None
+          }
+        } catch { case _: Exception if attempts < 8 => None }
       graft.ingest.Generations.awaitNoLease(path, conf)
-      done = graft.ingest.FileUtils.exists(s"$fdir/_COMMITTED", conf)
+      done = fdir.exists(d =>
+        graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     }
   }
 

@@ -108,18 +108,37 @@ object VectorIndex {
       attempts += 1
       require(attempts <= 8,
         s"append to $path kept losing maintenance races after 8 attempts")
-      val model = loadModel(s, path)
-      val base = graft.ingest.Generations.currentBatchesDir(path, conf)
-      val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
-      Similarity.encodeIvfPq(batch, model)
-        .write.mode("overwrite").parquet(s"$bdir/codes")
-      graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+      // attempt tolerates exceptions (a sweep can delete the tree
+      // under a mid-flight write; the marker is touched last, so a
+      // failed attempt is invisible) — the Dedup.appendNearDupIndex
+      // contract; a persistent failure surfaces via the bound
+      val committed =
+        try {
+          val model = loadModel(s, path)
+          val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+          val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
+          try {
+            Similarity.encodeIvfPq(batch, model)
+              .write.mode("overwrite").parquet(s"$bdir/codes")
+            graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
+            Some((model, base, bdir))
+          } catch {
+            case _: Exception if attempts < 8 =>
+              // a half-landed marker must not let a retry double-commit
+              try graft.ingest.FileUtils.delete(
+                s"$bdir/_COMMITTED", recursive = false, conf): Unit
+              catch { case _: Exception => () }
+              None
+          }
+        } catch { case _: Exception if attempts < 8 => None }
       graft.ingest.Generations.awaitNoLease(path, conf)
-      done = (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
+      done = committed.exists { case (model, base, bdir) =>
+        (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
           graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
           sameModel(loadModel(s, path), model)) ||
         graft.ingest.Generations.isConsumed(path,
           graft.ingest.Generations.qualifiedName(bdir), conf)
+      }
     }
   }
 
@@ -342,13 +361,27 @@ object VectorIndex {
       require(attempts <= 8,
         s"forget on $path kept losing maintenance races after 8 attempts")
       // same claim protocol as data batches: concurrent governance
-      // requests must not share an f<N> dir
-      val fdir = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
-      ids.select(col("vec_id").cast("long").as("cid"))
-        .write.mode("overwrite").parquet(s"$fdir/ids")
-      graft.ingest.FileUtils.touch(s"$fdir/_COMMITTED", conf)
+      // requests must not share an f<N> dir; exception-tolerant like
+      // Dedup.forgetFromIndex (a sweep can delete the dir mid-write)
+      val fdir =
+        try {
+          val d = graft.ingest.FileUtils.claimSeqDir(s"$path/forgotten", "f", conf)
+          try {
+            ids.select(col("vec_id").cast("long").as("cid"))
+              .write.mode("overwrite").parquet(s"$d/ids")
+            graft.ingest.FileUtils.touch(s"$d/_COMMITTED", conf)
+            Some(d)
+          } catch {
+            case _: Exception if attempts < 8 =>
+              try graft.ingest.FileUtils.delete(
+                s"$d/_COMMITTED", recursive = false, conf): Unit
+              catch { case _: Exception => () }
+              None
+          }
+        } catch { case _: Exception if attempts < 8 => None }
       graft.ingest.Generations.awaitNoLease(path, conf)
-      done = graft.ingest.FileUtils.exists(s"$fdir/_COMMITTED", conf)
+      done = fdir.exists(d =>
+        graft.ingest.FileUtils.exists(s"$d/_COMMITTED", conf))
     }
   }
 

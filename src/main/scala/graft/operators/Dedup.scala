@@ -955,13 +955,13 @@ object Dedup {
     * SELF-HEALING against concurrent maintenance: after committing,
     * the append waits out any live `_SAVING` holder
     * (Generations.awaitNoLease) and verifies its fate — the batch
-    * either survived in the still-live tree under the geometry it was
-    * encoded with, or a vacuum folded it into the new generation (the
-    * durable consumed manifest says so), or it died with a
-    * replaced/swept tree and is re-committed against the CURRENT
-    * index state (geometry re-read per attempt — a concurrent save
-    * may have replaced the index under different parameters). Nothing
-    * is lost, nothing duplicates.
+    * either survived in an unchanged generation (which implies no
+    * save replaced the geometry: a save clears the batch trees, so
+    * our dir would be gone), or a vacuum folded it into the new
+    * generation (the durable consumed manifest says so), or it died
+    * with a replaced/swept tree and is re-committed against the
+    * CURRENT index state (geometry re-read per attempt). Nothing is
+    * lost, nothing duplicates.
     */
   def appendNearDupIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
@@ -1007,10 +1007,14 @@ object Dedup {
             }
           } catch { case _: Exception if attempts < 8 => None }
         graft.ingest.Generations.awaitNoLease(path, conf)
-        done = committed.exists { case (nh, b, base, bdir) =>
+        // marker survived + generation unchanged ⟹ no maintenance
+        // replaced the index since our commit (a save clears the batch
+        // trees — our dir would be gone; a vacuum flips the
+        // generation), so the geometry we encoded under is still the
+        // stored one — no meta re-read needed on the happy path
+        done = committed.exists { case (_, _, base, bdir) =>
           (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-            graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
-            indexGeometry(s, path) == ((nh, b))) ||
+            graft.ingest.Generations.currentBatchesDir(path, conf) == base) ||
           graft.ingest.Generations.isConsumed(path,
             graft.ingest.Generations.qualifiedName(bdir), conf)
         }

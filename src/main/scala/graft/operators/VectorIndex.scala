@@ -92,12 +92,13 @@ object VectorIndex {
     *
     * SELF-HEALING against concurrent maintenance (the
     * Dedup.appendNearDupIndex contract): post-commit, wait out any
-    * live `_SAVING` holder, then verify — survived in the still-live
-    * tree under the SAME quantizers it was encoded with, or folded
-    * into a vacuum's new generation (consumed manifest), or it died
-    * with a replaced/swept tree and is re-encoded against the CURRENT
-    * model (re-loaded per attempt: a concurrent save/rebuild may have
-    * retrained — stale-model codes must never land in a new tree).
+    * live `_SAVING` holder, then verify — marker survived in an
+    * unchanged generation (which implies no save replaced the
+    * quantizers: a save clears the batch trees, so our dir would be
+    * gone), or folded into a vacuum's new generation (consumed
+    * manifest), or it died with a replaced/swept tree and is
+    * re-encoded against the CURRENT model (re-loaded per attempt —
+    * stale-model codes can never land in a retrained index).
     */
   def appendVectorIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
@@ -132,24 +133,19 @@ object VectorIndex {
           }
         } catch { case _: Exception if attempts < 8 => None }
       graft.ingest.Generations.awaitNoLease(path, conf)
-      done = committed.exists { case (model, base, bdir) =>
+      // marker survived + generation unchanged ⟹ no maintenance
+      // replaced the index since our commit (a save clears the batch
+      // trees — our dir would be gone; a vacuum flips the generation),
+      // so the quantizers we encoded under are still the stored ones —
+      // no model re-read on the happy path (the retry path reloads)
+      done = committed.exists { case (_, base, bdir) =>
         (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-          graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
-          sameModel(loadModel(s, path), model)) ||
+          graft.ingest.Generations.currentBatchesDir(path, conf) == base) ||
         graft.ingest.Generations.isConsumed(path,
           graft.ingest.Generations.qualifiedName(bdir), conf)
       }
     }
   }
-
-  // deep quantizer equality (case-class equals is reference-based on
-  // the Array fields): the append verification's "encoded under the
-  // index's CURRENT model" check
-  private def sameModel(a: Similarity.IvfPqModel,
-      b: Similarity.IvfPqModel): Boolean =
-    a.nCells == b.nCells && a.nSub == b.nSub && a.subDim == b.subDim &&
-      a.cen.corresponds(b.cen)(_.sameElements(_)) &&
-      a.rcb.corresponds(b.rcb)(_.sameElements(_))
 
   /** Probe a persisted index: score `queries` (a bounded vector set
     * carrying vec_id + embedding) against the STORED code table via

@@ -126,13 +126,15 @@ object FileUtils {
   /** The claim/lease backend every atomic create below routes through
     * ([[ClaimBackend]]): `fs` (default) uses the filesystem's own
     * atomic no-overwrite create; `cput` (SPARK_GRAFT_CLAIM_BACKEND)
-    * claims via the conditional-PUT token protocol — the shape a
-    * deployment on an object store binds to the store's real
-    * If-None-Match primitive.
+    * claims via the conditional-PUT token protocol over the Hadoop FS;
+    * `s3` claims via the same protocol bound to the AWS SDK's real
+    * If-None-Match PutObject ([[S3ConditionalStore]] — classpath-gated
+    * on the SDK, fails loudly when absent).
     */
   @volatile private var claimBackendVar: ClaimBackend =
     sys.env.get("SPARK_GRAFT_CLAIM_BACKEND") match {
       case Some("cput") => new ConditionalPutClaimBackend(HadoopFsConditionalStore)
+      case Some("s3") => new ConditionalPutClaimBackend(S3ConditionalStore.fromClasspath())
       case _ => FsClaimBackend
     }
 

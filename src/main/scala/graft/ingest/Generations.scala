@@ -104,6 +104,44 @@ object Generations {
         .exists(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.contains(qualified)))
 
+  /** Monotonic SAVE epoch — the counter that closes the generation-0
+    * ABA hole: a save's [[reset]] restores the index to generation 0
+    * with the SAME `batches` dir name, so "marker survived in an
+    * unchanged generation" alone cannot prove no save replaced the
+    * quantizers/geometry between an append's model load and its
+    * commit. Epoch markers live in `$root/epoch/` — which [[reset]]
+    * never touches — so the counter is monotonic across every save,
+    * and an append verifies `saveEpoch == the epoch it loaded under`.
+    *
+    * Saves bump the epoch as their LAST step (after the replacement
+    * quantizers/meta are fully written, still under the `_SAVING`
+    * lease). The ordering is what makes the check sound in BOTH
+    * directions: an appender that read the pre-save epoch and loaded
+    * the old model always sees a bumped epoch at verify (the bump
+    * lands before the lease release that awaitNoLease waits for) and
+    * retries; an appender that read the post-bump epoch can only load
+    * the NEW model (the bump lands after the model is fully written),
+    * so its codes are valid. A save that crashes mid-way leaves the
+    * lease held and every append fails loudly via [[awaitNoLease]].
+    */
+  def saveEpoch(root: String, conf: Configuration): Long =
+    FileUtils.listChildFiles(s"$root/epoch", conf)
+      .map(f => new Path(f).getName)
+      .filter(_.startsWith("e"))
+      .flatMap(_.stripPrefix("e").toLongOption)
+      .maxOption.getOrElse(0L)
+
+  /** Advance the save epoch — callers hold the exclusive `_SAVING`
+    * lease, so the atomic create can only lose to a lease violation;
+    * surface that loudly instead of letting two saves share an epoch.
+    */
+  def bumpSaveEpoch(root: String, conf: Configuration): Unit = {
+    val n = saveEpoch(root, conf) + 1
+    require(FileUtils.createExclusive(s"$root/epoch/e$n", conf),
+      s"$root/epoch/e$n already exists — a concurrent save bumped the " +
+        "epoch under our exclusive lease; the lease protocol was violated")
+  }
+
   /** Wait out any in-flight maintenance writer's `_SAVING` lease —
     * the gate that makes a self-healing append/forget's post-commit
     * verification sound: once no lease is held at the moment of the
@@ -112,17 +150,46 @@ object Generations {
     * happen after), so "my dir still exists" and "my name is in a
     * consumed manifest" between them decide the outcome exactly.
     * Bounded: a lease still held past the timeout means a live (or
-    * crashed) maintenance writer — fail loudly with the stale-lease
-    * remedy rather than spin forever.
+    * crashed) maintenance writer — fail loudly rather than spin
+    * forever. The default 120 s bound is sized for test-scale
+    * maintenance; a production vacuum compacting a 100-TB index can
+    * legitimately hold `_SAVING` far longer, so the bound is
+    * configurable per-call or fleet-wide via
+    * `graft.lease.timeout.ms` in the Hadoop conf (negative `timeoutMs`
+    * defers to the conf). The failure message reports the lease's AGE
+    * so the operator can tell a live long-running writer (young lease
+    * → raise the timeout) from a crashed one (old lease → delete it
+    * and retry) instead of being handed the crash remedy for both.
     */
+  val LeaseTimeoutKey = "graft.lease.timeout.ms"
+
   def awaitNoLease(root: String, conf: Configuration,
-      timeoutMs: Long = 120000L): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (FileUtils.exists(s"$root/_SAVING", conf)) {
-      require(System.currentTimeMillis() < deadline,
-        s"$root/_SAVING still held after ${timeoutMs}ms — a " +
-          "maintenance writer (save/vacuum) is live or crashed; verify " +
-          "none is running, delete the lease, and retry")
+      timeoutMs: Long = -1L): Unit = {
+    val bound =
+      if (timeoutMs >= 0L) timeoutMs else conf.getLong(LeaseTimeoutKey, 120000L)
+    val lease = s"$root/_SAVING"
+    val deadline = System.currentTimeMillis() + bound
+    while (FileUtils.exists(lease, conf)) {
+      if (System.currentTimeMillis() >= deadline) {
+        val age =
+          try {
+            val p = new Path(lease)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            (System.currentTimeMillis() - st.getModificationTime) / 1000L
+          } catch { case _: Exception => -1L } // lease vanished / stat failed
+        if (age < 0L && !FileUtils.exists(lease, conf)) return // released at the wire
+        val hint =
+          if (age >= 0L && age * 1000L <= 2L * bound)
+            s"the lease is only ${age}s old — a maintenance writer " +
+              s"(save/vacuum) is likely STILL RUNNING; raise $LeaseTimeoutKey " +
+              "(or pass a longer timeout) and retry"
+          else
+            s"the lease is ${if (age >= 0L) s"${age}s old" else "of unknown age"} — " +
+              "the writer likely CRASHED; verify no save/vacuum is running, " +
+              "delete the lease, and retry"
+        throw new IllegalStateException(
+          s"$lease still held after ${bound}ms; $hint")
+      }
       Thread.sleep(100L)
     }
   }

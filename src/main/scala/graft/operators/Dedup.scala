@@ -944,6 +944,12 @@ object Dedup {
     Seq((numHashes, bands)).toDF("num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     commitIndexBatch(corpus, path, numHashes, bands)
+    // LAST step, still under the lease: advance the monotonic save
+    // epoch (Generations.saveEpoch). Ordering is load-bearing — the
+    // bump landing AFTER the replacement geometry is fully written is
+    // what lets appendNearDupIndex treat "epoch unchanged at verify"
+    // as proof its read geometry is the stored one (the gen-0 ABA fix).
+    graft.ingest.Generations.bumpSaveEpoch(path, hconf)
   }
 
   /** Extend a persisted index with a new batch (append-only commits,
@@ -986,6 +992,12 @@ object Dedup {
         // the attempt bound.
         val committed =
           try {
+            // epoch FIRST, then geometry: a save bumps the monotonic
+            // epoch only after its replacement meta is fully written,
+            // so epoch unchanged at verify ⟹ the geometry read HERE
+            // is the stored one — closes the gen-0 ABA hole (a save's
+            // reset keeps generation 0 and the same `batches` name)
+            val epoch0 = graft.ingest.Generations.saveEpoch(path, conf)
             val (nh, b) = indexGeometry(s, path)
             val base = graft.ingest.Generations.currentBatchesDir(path, conf)
             val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
@@ -994,7 +1006,7 @@ object Dedup {
                 .write.mode("overwrite").parquet(s"$bdir/bands")
               sh.write.mode("overwrite").parquet(s"$bdir/shingles")
               graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
-              Some((nh, b, base, bdir))
+              Some((epoch0, base, bdir))
             } catch {
               case _: Exception if attempts < 8 =>
                 // the marker op itself may have half-landed before the
@@ -1007,16 +1019,34 @@ object Dedup {
             }
           } catch { case _: Exception if attempts < 8 => None }
         graft.ingest.Generations.awaitNoLease(path, conf)
-        // marker survived + generation unchanged ⟹ no maintenance
-        // replaced the index since our commit (a save clears the batch
-        // trees — our dir would be gone; a vacuum flips the
-        // generation), so the geometry we encoded under is still the
-        // stored one — no meta re-read needed on the happy path
-        done = committed.exists { case (_, _, base, bdir) =>
+        // marker survived + generation unchanged + SAVE EPOCH
+        // unchanged ⟹ no maintenance replaced the index since our
+        // geometry read: a vacuum flips the generation, and a save —
+        // which keeps gen 0 and the same dir name — always bumps the
+        // monotonic epoch, so the (num_hashes, bands) we banded under
+        // is provably the stored one. Happy path stays filesystem
+        // checks only (no meta parquet re-read); the retry path
+        // re-reads the geometry. Consumed-manifest arm is epoch-free:
+        // vacuums never change the geometry.
+        done = committed.exists { case (epoch0, base, bdir) =>
           (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-            graft.ingest.Generations.currentBatchesDir(path, conf) == base) ||
+            graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
+            graft.ingest.Generations.saveEpoch(path, conf) == epoch0) ||
           graft.ingest.Generations.isConsumed(path,
             graft.ingest.Generations.qualifiedName(bdir), conf)
+        }
+        // RETRACT a commit that failed verification before retrying:
+        // a dir that survived a save's reset (landed after the tree
+        // clear) holds possibly stale-geometry bands AND would be
+        // duplicated by the retry — marker delete first (one atomic
+        // op takes it out of every read), then the bytes; dirs that
+        // died with a swept tree make this a no-op.
+        if (!done) committed.foreach { case (_, _, bdir) =>
+          try {
+            graft.ingest.FileUtils.delete(
+              s"$bdir/_COMMITTED", recursive = false, conf): Unit
+            graft.ingest.FileUtils.rmr(bdir, conf)
+          } catch { case _: Exception => () }
         }
       }
     } finally { sh.unpersist(blocking = false); () }

@@ -83,6 +83,12 @@ object VectorIndex {
       .toDF("code", "rv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     commitCodesBatch(emb, path, model)
+    // LAST step, still under the lease: advance the monotonic save
+    // epoch (Generations.saveEpoch). Ordering is load-bearing — the
+    // bump landing AFTER the replacement quantizers are fully written
+    // is what lets appendVectorIndex treat "epoch unchanged at verify"
+    // as proof its loaded model is the stored one (the gen-0 ABA fix).
+    graft.ingest.Generations.bumpSaveEpoch(path, conf)
   }
 
   /** Extend a persisted index with a new batch, encoded under the
@@ -115,6 +121,12 @@ object VectorIndex {
       // contract; a persistent failure surfaces via the bound
       val committed =
         try {
+          // epoch FIRST, then model: a save bumps the epoch only after
+          // its replacement quantizers are fully written, so epoch
+          // unchanged at verify ⟹ the model loaded HERE is the stored
+          // one — the check that closes the gen-0 ABA hole (a save's
+          // reset keeps generation 0 and the same `batches` dir name)
+          val epoch0 = graft.ingest.Generations.saveEpoch(path, conf)
           val model = loadModel(s, path)
           val base = graft.ingest.Generations.currentBatchesDir(path, conf)
           val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
@@ -122,7 +134,7 @@ object VectorIndex {
             Similarity.encodeIvfPq(batch, model)
               .write.mode("overwrite").parquet(s"$bdir/codes")
             graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
-            Some((model, base, bdir))
+            Some((epoch0, base, bdir))
           } catch {
             case _: Exception if attempts < 8 =>
               // a half-landed marker must not let a retry double-commit
@@ -133,16 +145,33 @@ object VectorIndex {
           }
         } catch { case _: Exception if attempts < 8 => None }
       graft.ingest.Generations.awaitNoLease(path, conf)
-      // marker survived + generation unchanged ⟹ no maintenance
-      // replaced the index since our commit (a save clears the batch
-      // trees — our dir would be gone; a vacuum flips the generation),
-      // so the quantizers we encoded under are still the stored ones —
-      // no model re-read on the happy path (the retry path reloads)
-      done = committed.exists { case (_, base, bdir) =>
+      // marker survived + generation unchanged + SAVE EPOCH unchanged
+      // ⟹ no maintenance replaced the index since our model load: a
+      // vacuum flips the generation, and a save — which keeps gen 0
+      // and the same dir name — always bumps the monotonic epoch, so
+      // the quantizers we encoded under are provably the stored ones.
+      // Still filesystem checks only on the happy path (no parquet
+      // re-read); the retry path reloads the model. The consumed-
+      // manifest arm stays epoch-free: vacuums never change the model.
+      done = committed.exists { case (epoch0, base, bdir) =>
         (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-          graft.ingest.Generations.currentBatchesDir(path, conf) == base) ||
+          graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
+          graft.ingest.Generations.saveEpoch(path, conf) == epoch0) ||
         graft.ingest.Generations.isConsumed(path,
           graft.ingest.Generations.qualifiedName(bdir), conf)
+      }
+      // RETRACT a commit that failed verification before retrying: if
+      // the dir survived a save's reset (landed after the tree clear),
+      // its codes may be stale-model and the retry would duplicate the
+      // batch on top — delete the marker first (one atomic op takes
+      // the dir out of every read), then the bytes. Dirs that died
+      // with a swept tree make this a no-op.
+      if (!done) committed.foreach { case (_, _, bdir) =>
+        try {
+          graft.ingest.FileUtils.delete(
+            s"$bdir/_COMMITTED", recursive = false, conf): Unit
+          graft.ingest.FileUtils.rmr(bdir, conf)
+        } catch { case _: Exception => () }
       }
     }
   }
@@ -839,6 +868,7 @@ object VectorIndex {
   // emit the exact ranking the one-shot probe derives, so it checks
   // against the SAME oracle rebuild.
   private[operators] def sim18Oracle: Option[String] = sim18.oracle
+  private[operators] def sim22Oracle: Option[String] = sim22.oracle
 
   // Rolling-window retention end to end: the save batch (which pins
   // the 0..31 training set, the sim12 subset shape) is retired after a
@@ -942,6 +972,137 @@ object VectorIndex {
     },
   )
 
+  // The audit→remedy loop CLOSED (dd18's spec-pinned remedy-loop
+  // standard applied to the vector side): the corpus regime moves —
+  // the appended batch is TRANSLATED (x → x + 5, ids +100000), same
+  // shape and scale as the base but far from the save-time centroids
+  // — so audit round 1 trips exactly the shifted batch; the remedy
+  // sim22 names (rebuildVectorIndex) retrains on the current regime
+  // (the translated distribution IS the corpus now — base has aged
+  // out); audit round 2, run with the SAME threshold, reports the
+  // rebuilt index clean. Translation is the honest choice here: PQ is
+  // translation-EQUIVARIANT (centroids/codebook of x+5 are those of x
+  // shifted by 5; residuals identical), so one threshold is provably
+  // right before and after the remedy — a scaled shift would move the
+  // post-rebuild noise floor and smuggle in a second tuned constant.
+  // The oracle replays BOTH audits around the replayed rebuild: chain
+  // 1 derives from sim07's construction with the translated union
+  // corpus (the sim22 surgery); chain 2 re-runs the construction on
+  // the post-rebuild corpus, whose pinned training rows are its 32
+  // LOWEST ids (100400..100431 — dense ids, the pinnedTrainRows
+  // contract), centroids the first 16 (k = cid - 100400), codebook
+  // residuals the next 16 (kk = cid - 100416). In-query requires turn
+  // a missed trip or a dirty post-rebuild audit into loud failures.
+  private val sim23 = QueryDef(
+    "sim23_drift_remedy_loop",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim23_vindex").toString
+      try {
+        val asD = graft.functions.VectorFunctions.asDouble(col("embedding"))
+        val base = emb.filter(col("vec_id") < 400)
+        val shifted = emb.filter(col("vec_id") >= 400)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(asD, x => x + lit(5.0d)).as("embedding"))
+        saveVectorIndex(base, path)
+        appendVectorIndex(shifted, path)
+        val raw1 = base.select(col("vec_id").cast("long").as("vec_id"),
+            asD.as("embedding"))
+          .unionByName(shifted)
+        val audit1 = auditVectorIndexDrift(s, path, raw1,
+          threshold = 8.0, sampleMod = 2).localCheckpoint(eager = true)
+        val tripped = audit1.filter(col("drifted")).select("batch_id")
+          .collect().map(_.getLong(0)).toSeq
+        require(tripped == Seq(1L),
+          s"the audit must trip exactly the shifted batch, got $tripped")
+        rebuildVectorIndex(shifted, path, shifted.select("vec_id").limit(0))
+        val audit2 = auditVectorIndexDrift(s, path, shifted,
+          threshold = 8.0, sampleMod = 2).localCheckpoint(eager = true)
+        require(audit2.filter(col("drifted")).count() == 0L,
+          "the post-rebuild audit must be clean at the SAME threshold")
+        audit1.withColumn("audit_round", lit(1L))
+          .unionByName(audit2.withColumn("audit_round", lit(2L)))
+          .select("audit_round", "batch_id", "n_sampled", "mean_err",
+            "max_err", "drifted")
+          .orderBy("audit_round", "batch_id")
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val cAnchor =
+        "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),"
+      require(o.contains(cAnchor), "sim07 oracle corpus CTE moved")
+      val cut =
+        "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val i = o.indexOf(cut)
+      require(i >= 0, "sim07 oracle probe CTE moved")
+      o.substring(0, i).replace(cAnchor,
+        """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 400
+        UNION ALL
+        SELECT vec_id + 100000,
+            list_transform(embedding::DOUBLE[], x -> x + 5.0)
+          FROM embeddings WHERE vec_id >= 400),""") +
+        """errs AS (SELECT cd.cid, list_sum(list(cd.dist ORDER BY cd.m)) AS err
+          FROM cd JOIN codes ON codes.cid = cd.cid AND codes.m = cd.m
+            AND codes.code = cd.kk
+          GROUP BY cd.cid),
+      lab AS (SELECT CASE WHEN cid >= 100000 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS batch_id, err
+          FROM errs WHERE cid % 2 = 0),
+      agg AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+          CAST(SUM(CAST(err AS DECIMAL(30,15))) AS DOUBLE) AS sum_err,
+          MAX(err) AS max_err
+        FROM lab GROUP BY batch_id),
+      c2 AS (SELECT vec_id + 100000 AS cid,
+          list_transform(embedding::DOUBLE[], x -> x + 5.0) AS cv
+        FROM embeddings WHERE vec_id >= 400),
+      cen2 AS (SELECT cid - 100400 AS k, cv AS kv FROM c2 WHERE cid < 100416),
+      d2 AS (SELECT cid, k,
+          list_sum(list_transform(range(64), i ->
+            (cv[i + 1] - kv[i + 1]) * (cv[i + 1] - kv[i + 1]))) AS dist
+        FROM c2, cen2),
+      rk2 AS (SELECT cid, k,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, k) AS r FROM d2),
+      assign2 AS (SELECT cid, k AS cell FROM rk2 WHERE r = 1),
+      rcb2 AS (SELECT c2.cid - 100416 AS kk,
+          list_transform(range(64), i -> c2.cv[i + 1] - cen2.kv[i + 1]) AS rv
+        FROM c2 JOIN assign2 a ON a.cid = c2.cid JOIN cen2 ON cen2.k = a.cell
+        WHERE c2.cid >= 100416 AND c2.cid < 100432),
+      res2 AS (SELECT c2.cid, a.cell,
+          list_transform(range(64), i -> c2.cv[i + 1] - cen2.kv[i + 1]) AS rv
+        FROM c2 JOIN assign2 a ON a.cid = c2.cid JOIN cen2 ON cen2.k = a.cell),
+      cd2 AS (SELECT res2.cid, m, rcb2.kk,
+          list_sum(list_transform(range(8), i ->
+            (res2.rv[m * 8 + i + 1] - rcb2.rv[m * 8 + i + 1]) *
+            (res2.rv[m * 8 + i + 1] - rcb2.rv[m * 8 + i + 1]))) AS dist
+        FROM res2, range(8) r(m), rcb2),
+      crk2 AS (SELECT cid, m, kk,
+          ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY dist, kk) AS r FROM cd2),
+      codes2 AS (SELECT cid, m, kk AS code FROM crk2 WHERE r = 1),
+      errs2 AS (SELECT cd2.cid, list_sum(list(cd2.dist ORDER BY cd2.m)) AS err
+          FROM cd2 JOIN codes2 ON codes2.cid = cd2.cid AND codes2.m = cd2.m
+            AND codes2.code = cd2.kk
+          GROUP BY cd2.cid),
+      agg2 AS (SELECT CAST(0 AS BIGINT) AS batch_id,
+          CAST(COUNT(*) AS BIGINT) AS n_sampled,
+          CAST(SUM(CAST(err AS DECIMAL(30,15))) AS DOUBLE) AS sum_err,
+          MAX(err) AS max_err
+        FROM errs2 WHERE cid % 2 = 0)
+      SELECT CAST(1 AS BIGINT) AS audit_round, batch_id, n_sampled,
+          sum_err / CAST(n_sampled AS DOUBLE) AS mean_err, max_err,
+          sum_err / CAST(n_sampled AS DOUBLE) > 8.0 AS drifted
+        FROM agg
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), batch_id, n_sampled,
+          sum_err / CAST(n_sampled AS DOUBLE), max_err,
+          sum_err / CAST(n_sampled AS DOUBLE) > 8.0
+        FROM agg2
+      ORDER BY audit_round, batch_id"""
+    },
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sd02)
+    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23, sd02)
 }

@@ -32,14 +32,22 @@ class ConcurrentAppendSpec extends SparkSpec {
     } finally { pool.shutdownNow(); () }
   }
 
-  // The claim protocol must hold through BOTH shipped ClaimBackends:
-  // the filesystem's atomic create (default) and the conditional-PUT
-  // token protocol (the object-store shape) — same scenarios, same
-  // assertions, backend swapped through the FileUtils seam.
+  // The claim protocol must hold through ALL shipped ClaimBackends:
+  // the filesystem's atomic create (default), the conditional-PUT
+  // token protocol (the object-store shape), and the S3-shaped
+  // adapter — driven through its fault seam with an injected
+  // first-PUT 503 so every claim must survive an S3 transient retry.
+  // Same scenarios, same assertions, backend swapped through the
+  // FileUtils seam.
   private val backends = Seq[(String, () => graft.ingest.ClaimBackend)](
     ("fs", () => graft.ingest.FsClaimBackend),
     ("cput", () => new graft.ingest.ConditionalPutClaimBackend(
-      graft.ingest.HadoopFsConditionalStore)))
+      graft.ingest.HadoopFsConditionalStore)),
+    ("s3", () => new graft.ingest.ConditionalPutClaimBackend(
+      new graft.ingest.S3ConditionalStore(
+        new graft.ingest.S3Fakes.FirstPutFlakyApi(
+          new graft.ingest.S3Fakes.FsBackedS3Api),
+        backoffMs = 1L))))
 
   backends.foreach { case (bname, mkBackend) =>
 
@@ -301,6 +309,168 @@ class ConcurrentAppendSpec extends SparkSpec {
           s"round $i: the forget was dropped (cid 40 resident, no tombstone)")
       } finally FileUtils.rmr(path, conf)
     }
+  }
+
+  test("append racing a save: the epoch check rejects stale-model codes (the gen-0 ABA)") {
+    val emb = Tables(spark, sf0001).embeddings
+    val path = tmpDir("aba_vidx").toString
+    try {
+      VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), path)
+      // a stale appender's view, captured BEFORE the concurrent re-save
+      val epoch0 = graft.ingest.Generations.saveEpoch(path, conf)
+      val staleModel = VectorIndex.loadModel(spark, path)
+      // the concurrent save replaces the quantizers; generation stays 0
+      // and the batches dir name is unchanged — the exact state in
+      // which "marker survived + generation unchanged" alone cannot
+      // detect the replacement
+      VectorIndex.saveVectorIndex(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 200), path)
+      assert(graft.ingest.Generations
+          .currentBatchesDir(path, conf).endsWith("/batches"),
+        "precondition: the re-save must keep the gen-0 dir name — " +
+          "otherwise this is not the ABA schedule")
+      // land the stale appender's commit AFTER the save — the half the
+      // removed sameModel check used to catch
+      val bdir = FileUtils.claimSeqDir(
+        graft.ingest.Generations.currentBatchesDir(path, conf), "b", conf)
+      Similarity.encodeIvfPq(
+          emb.filter(col("vec_id") >= 200 && col("vec_id") < 250), staleModel)
+        .write.mode("overwrite").parquet(s"$bdir/codes")
+      FileUtils.touch(s"$bdir/_COMMITTED", conf)
+      // marker survived and the generation is unchanged — the
+      // pre-epoch verification would have ACCEPTED these stale-model
+      // codes; the monotonic save epoch is what rejects them
+      assert(FileUtils.exists(s"$bdir/_COMMITTED", conf))
+      assert(graft.ingest.Generations.saveEpoch(path, conf) != epoch0,
+        "a save must bump the monotonic epoch so a stale append fails " +
+          "its post-commit verification and re-encodes")
+    } finally FileUtils.rmr(path, conf)
+  }
+
+  test("near-dup re-save bumps the epoch under an unchanged gen-0 dir name") {
+    import spark.implicits._
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "pack my box with five dozen liquor jugs for the judge"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("aba_ndx").toString
+    try {
+      Dedup.saveNearDupIndex(docs, path, numHashes = 32, bands = 16)
+      val epoch0 = graft.ingest.Generations.saveEpoch(path, conf)
+      // re-save with a DIFFERENT geometry — bands banded under the old
+      // (32,16) would collide essentially at random in the new index
+      Dedup.saveNearDupIndex(docs, path, numHashes = 16, bands = 8)
+      assert(graft.ingest.Generations
+        .currentBatchesDir(path, conf).endsWith("/batches"))
+      assert(graft.ingest.Generations.saveEpoch(path, conf) != epoch0,
+        "a geometry re-save must bump the epoch — appendNearDupIndex's " +
+          "only stale-geometry detector")
+    } finally FileUtils.rmr(path, conf)
+  }
+
+  test("vector append racing a save converges to one of the two legal end states") {
+    val emb = Tables(spark, sf0001).embeddings
+    val h0 = emb.filter(col("vec_id") < 100)
+    val h1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val h2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val qs = emb.filter(col("vec_id") < 3)
+    // a save is a FULL REPLACE, so the only legal outcomes are "the
+    // save superseded the append" and "the append landed on the new
+    // index, encoded under the new quantizers" — a third state (the
+    // append's batch present but encoded under the PRE-SAVE model) is
+    // exactly the gen-0 ABA corruption the epoch check closes
+    val refOnly = tmpDir("ras_ref0").toString
+    val refApp = tmpDir("ras_ref1").toString
+    VectorIndex.saveVectorIndex(h2, refOnly)
+    VectorIndex.saveVectorIndex(h2, refApp)
+    VectorIndex.appendVectorIndex(h1, refApp)
+    val wantOnly = VectorIndex.probeVectorIndex(spark, refOnly, qs).collect().toSeq
+    val wantApp = VectorIndex.probeVectorIndex(spark, refApp, qs).collect().toSeq
+    (1 to 3).foreach { i =>
+      val path = tmpDir(s"ras_$i").toString
+      try {
+        VectorIndex.saveVectorIndex(h0, path)
+        inParallel(Seq(
+          () => VectorIndex.appendVectorIndex(h1, path),
+          () => VectorIndex.saveVectorIndex(h2, path)))
+        val got = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+        assert(got == wantOnly || got == wantApp,
+          s"round $i: append racing save left a third (corrupt) state")
+      } finally FileUtils.rmr(path, conf)
+    }
+    Seq(refOnly, refApp).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("near-dup append racing a geometry re-save converges to a legal end state") {
+    val docs = Tables(spark, sf0001).documents
+    val h0 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 3 === 0)
+    val h1 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 3 === 1)
+    val h2 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 3 === 2)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val refOnly = tmpDir("rans_ref0").toString
+    val refApp = tmpDir("rans_ref1").toString
+    Dedup.saveNearDupIndex(h2, refOnly, numHashes = 16, bands = 8)
+    Dedup.saveNearDupIndex(h2, refApp, numHashes = 16, bands = 8)
+    Dedup.appendNearDupIndex(h1, refApp)
+    val wantOnly = Dedup.probeNearDupIndex(spark, refOnly, batch).collect().toSeq
+    val wantApp = Dedup.probeNearDupIndex(spark, refApp, batch).collect().toSeq
+    (1 to 2).foreach { i =>
+      val path = tmpDir(s"rans_$i").toString
+      try {
+        Dedup.saveNearDupIndex(h0, path, numHashes = 32, bands = 16)
+        inParallel(Seq(
+          () => Dedup.appendNearDupIndex(h1, path),
+          () => Dedup.saveNearDupIndex(h2, path, numHashes = 16, bands = 8)))
+        val got = Dedup.probeNearDupIndex(spark, path, batch).collect().toSeq
+        assert(got == wantOnly || got == wantApp,
+          s"round $i: append racing re-save left stale-geometry bands live")
+      } finally FileUtils.rmr(path, conf)
+    }
+    Seq(refOnly, refApp).foreach(FileUtils.rmr(_, conf))
+  }
+
+  test("warehouse erase racing a retired-partition vacuum matches the sequential result") {
+    import spark.implicits._
+    // 8 saved partitions; p0/p1 retired; the erase set holds a key
+    // living ONLY in a retired partition (9 → p1: nothing stored to
+    // rebuild) and one in a live partition (18 → p2: one rebuild).
+    // The vacuum deletes p0/p1 bytes while the erase rebuilds p2 —
+    // manifest-gated readers keep the two writers on disjoint dirs,
+    // whatever the interleaving.
+    def build(path: String): org.apache.spark.sql.DataFrame = {
+      val fact = spark.range(0, 64).select(col("id").as("k"),
+        pmod(col("id"), lit(8)).as("part"))
+      SketchWarehouse.saveHllWarehouse(fact, path, "k", "part")
+      assert(SketchWarehouse.retireWarehousePartitions(spark, path,
+        cutoff = 2L).sorted == Seq(0L, 1L))
+      fact
+    }
+    val ref = tmpDir("wh_race_ref").toString
+    val factR = build(ref)
+    SketchWarehouse.eraseFromWarehouse(factR, ref, Seq(9L, 18L).toDF("k"))
+    SketchWarehouse.vacuumRetired(spark, ref)
+    val want = SketchWarehouse.estimateHllWarehouse(spark, ref)
+      .collect().toSeq
+    (1 to 3).foreach { i =>
+      val path = tmpDir(s"wh_race_$i").toString
+      try {
+        val fact = build(path)
+        inParallel(Seq(
+          () => SketchWarehouse.eraseFromWarehouse(fact, path,
+            Seq(9L, 18L).toDF("k")),
+          () => SketchWarehouse.vacuumRetired(spark, path)))
+        val got = SketchWarehouse.estimateHllWarehouse(spark, path)
+          .collect().toSeq
+        assert(got == want,
+          s"round $i: erase racing vacuum diverged from sequential")
+        // the retired bytes are gone and the erase never resurrected a
+        // retired partition's state dir
+        assert(!FileUtils.exists(s"$path/parts/p0", conf),
+          s"round $i: vacuumed p0 must stay gone")
+        assert(!FileUtils.exists(s"$path/parts/p1", conf),
+          s"round $i: the erase must not rebuild the retired p1")
+      } finally FileUtils.rmr(path, conf)
+    }
+    FileUtils.rmr(ref, conf)
   }
 
   test("consumed manifests: qualified names round-trip and survive the sweep") {

@@ -299,6 +299,12 @@ object Layout {
     clusterBy.fold(data.repartition(nOut))(c =>
         data.repartitionByRange(nOut, col(c)).sortWithinPartitions(c))
       .write.parquet(s"$vdir/data")
+    // record the layout decision beside the data, BEFORE the seal: the
+    // state catalog (ops03) reports it from a 1-line read, and a
+    // future maintenance pass can tell a clustered version from a
+    // round-robin one without scanning a footer
+    clusterBy.foreach(c => graft.ingest.FileUtils.atomicWrite(
+      s"$vdir/cluster_by", c + "\n", conf))
     graft.ingest.FileUtils.touch(s"$vdir/_COMMITTED", conf)
     val after = graft.ingest.FileUtils.listDataFilesWithSize(s"$vdir/data", conf)
     CompactionStats(before.size.toLong, bytesBefore,

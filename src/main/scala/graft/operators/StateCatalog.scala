@@ -77,12 +77,51 @@ object StateCatalog {
         .getName.stripPrefix("p").toLongOption.map(_ -> d))
       .sortBy(_._1)
 
+  /** Whether `base` holds a claimSeqDir family for `prefix` — numbered
+    * dirs or their claim files; the structural signature of the
+    * compacted-table lifecycle's `v<N>` versions (claims land before
+    * any bytes, so even a just-claimed root is recognizable).
+    */
+  private def seqFamilyPresent(base: String, prefix: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    def numbered(n: String): Boolean =
+      n.startsWith(prefix) && n.stripPrefix(prefix).toLongOption.isDefined
+    FileUtils.listSubdirs(base, conf)
+      .exists(d => numbered(new org.apache.hadoop.fs.Path(d).getName)) ||
+    FileUtils.listChildFiles(base, conf)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .exists(n => n.endsWith(".claim") && numbered(n.stripSuffix(".claim")))
+  }
+
+  /** The compacted table's LIVE version dir (highest committed `v<N>`
+    * — exactly what Layout.readCompacted resolves), None before the
+    * first version commits.
+    */
+  private def liveVersionDir(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, String)] =
+    FileUtils.listSubdirs(root, conf)
+      .filter(d => FileUtils.exists(s"$d/_COMMITTED", conf))
+      .flatMap(d => new org.apache.hadoop.fs.Path(d)
+        .getName.stripPrefix("v").toLongOption.map(_ -> d))
+      .sortBy(_._1).lastOption
+
   /** The 1-row meta manifest rendered as a stable `k=v,...` string —
     * the single read beyond listings (geometry is index identity, and
-    * it lives nowhere else).
+    * it lives nowhere else). For a compacted table the "geometry" is
+    * the LIVE version's recorded cluster-by column (a 1-line marker
+    * file — same cost class), empty for round-robin versions.
     */
   private def geometryOf(s: SparkSession, root: String,
       kind: String): String = {
+    if (kind == "compacted_table") {
+      val conf = s.sparkContext.hadoopConfiguration
+      return liveVersionDir(root, conf)
+        .flatMap { case (_, d) =>
+          graft.ingest.HadoopFsConditionalStore.get(s"$d/cluster_by", conf) }
+        .map(b => "cluster_by=" + new String(b,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        .getOrElse("")
+    }
     if (!FileUtils.exists(s"$root/meta",
         s.sparkContext.hadoopConfiguration)) return ""
     val m = s.read.parquet(s"$root/meta").head
@@ -102,9 +141,10 @@ object StateCatalog {
 
   /** One catalog row for the persisted state at `root`. Kind is
     * detected STRUCTURALLY (each lifecycle's layout is disjoint:
-    * `centroids` ⇒ vector index, `parts` ⇒ sketch warehouse, else
-    * `batches`/`meta` ⇒ near-dup index); an unrecognizable root fails
-    * loudly with the three known layouts named.
+    * `centroids` ⇒ vector index, `parts` ⇒ sketch warehouse,
+    * `batches`/`meta` ⇒ near-dup index, else root-level `v<N>`
+    * versions/claims ⇒ compacted table); an unrecognizable root fails
+    * loudly with the four known layouts named.
     *
     * Column semantics by kind — indexes: committed/retired/abandoned
     * count `batches/b<N>` (committed INCLUDES the retired subset),
@@ -112,8 +152,12 @@ object StateCatalog {
     * warehouse: committed/abandoned count state VERSION dirs summed
     * over `parts/p<v>`, erasure_manifests counts committed
     * `erased/e<N>`, live/retired_partitions split the listed `p<v>`
-    * dirs by the retirement manifests. `stale_saving_lease` is the
-    * root `_SAVING` marker.
+    * dirs by the retirement manifests; compacted table:
+    * committed/abandoned count `v<N>` versions, `generation` is the
+    * LIVE version id (highest committed — what Layout.readCompacted
+    * resolves; -1 before the first commit), geometry is the live
+    * version's recorded cluster-by column. `stale_saving_lease` is
+    * the root `_SAVING` marker.
     */
   def describeState(s: SparkSession, root: String): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -122,9 +166,10 @@ object StateCatalog {
       else if (FileUtils.exists(s"$root/parts", conf)) "sketch_warehouse"
       else if (FileUtils.exists(s"$root/batches", conf) ||
         FileUtils.exists(s"$root/meta", conf)) "near_dup_index"
+      else if (seqFamilyPresent(root, "v", conf)) "compacted_table"
       else sys.error(s"$root holds no recognizable engine state " +
         "(vector index: centroids/; sketch warehouse: parts/; " +
-        "near-dup index: batches/ + meta/)")
+        "near-dup index: batches/ + meta/; compacted table: v<N>/)")
     val (batches, parts) =
       if (kind == "sketch_warehouse") {
         val retiredVals = warehouseRetiredParts(root, conf)
@@ -134,16 +179,21 @@ object StateCatalog {
           versions.map(_.abandoned).sum),
           (pds.count(p => !retiredVals(p._1)).toLong,
             pds.count(p => retiredVals(p._1)).toLong))
-      } else (censusSeqDirs(
+      } else if (kind == "compacted_table")
+        (censusSeqDirs(root, "v", conf), (0L, 0L))
+      else (censusSeqDirs(
         graft.ingest.Generations.currentBatchesDir(root, conf), "b", conf),
         (0L, 0L))
     // the LIVE vacuum generation (indexes; 0 = never vacuumed or a
-    // fresh save) — the Generations marker the readers resolve
+    // fresh save) — the Generations marker the readers resolve — or,
+    // for a compacted table, the live VERSION id its readers resolve
     val generation =
       if (kind == "sketch_warehouse") 0L
+      else if (kind == "compacted_table")
+        liveVersionDir(root, conf).map(_._1).getOrElse(-1L)
       else graft.ingest.Generations.currentGen(root, conf)
     val tombstones =
-      if (kind == "sketch_warehouse") 0L
+      if (kind == "sketch_warehouse" || kind == "compacted_table") 0L
       else censusSeqDirs(s"$root/forgotten", "f", conf).committed
     val erasures =
       if (kind == "sketch_warehouse")
@@ -306,5 +356,50 @@ object StateCatalog {
       ORDER BY partition"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ops01, ops02)
+  // ------------------------------------------------------------- ops03
+  // The FOURTH lifecycle in the catalog: a versioned compaction root
+  // (Layout.compact's marker-sealed `v<N>` dirs — the cmp01/cmp02
+  // state). Built in-query on a deterministic literal landing (state
+  // geometry is invariant to corpus size — the ops01 principle): two
+  // committed versions, plain then clustered — the clustered one is
+  // LIVE and carries the recorded cluster-by column — plus one
+  // abandoned version claim (a compactor that crashed before its
+  // seal; its id is burned by protocol). The oracle replays the
+  // lifecycle arithmetic as literals; the spec separately pins the
+  // pre-commit root (claims only → generation -1) and the
+  // unknown-root failure naming all four layouts.
+  private val ops03 = QueryDef(
+    "ops03_compaction_catalog",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ops03_state").toString
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val landing = s"$tmp/landing"
+        s.range(0, 4096).select(col("id").as("k"),
+            pmod(col("id"), lit(64)).as("g"))
+          .repartition(16).write.parquet(landing)
+        val dst = s"$tmp/compacted"
+        Layout.compact(s, landing, dst, targetBytes = 1L << 20)
+        Layout.compact(s, landing, dst, targetBytes = 1L << 20,
+          clusterBy = Some("k"))
+        // a compactor that claimed the next version and crashed
+        // pre-seal — must census as abandoned, never as live
+        val claimed = FileUtils.claimSeqDir(dst, "v", conf)
+        require(claimed.endsWith("/v2"), s"expected to claim v2, got $claimed")
+        describeState(s, dst).localCheckpoint(eager = true)
+      } finally FileUtils.rmr(tmp, s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT * FROM (VALUES
+        ('compacted_table', 'cluster_by=k', CAST(1 AS BIGINT),
+          CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), FALSE))
+        AS t(state_kind, geometry, generation, committed_batches,
+          retired_batches, abandoned_claims, tombstone_logs,
+          erasure_manifests, live_partitions, retired_partitions,
+          stale_saving_lease)"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ops01, ops02, ops03)
 }

@@ -897,7 +897,76 @@ object StreamingParity {
     Some(Sketches.hllSql("orders", "o_custkey", "warehouse_custkey_streamed")),
   )
 
+  // -------------------------------------------------------------- str20
+  // Streaming twin of the MAINTENANCE AUDIT — sim22's quantizer-drift
+  // audit run the way a continuously-ingesting deployment runs it:
+  // installments arrive as files on a stream, each micro-batch lands
+  // in the persisted index (save on first arrival, append after) and
+  // is audited IMMEDIATELY — auditVectorIndexDrift over just the
+  // arrived rows audits exactly the newest stored batch (the audit
+  // joins raw by cid, and batch cid sets are disjoint), under the
+  // save-time model both calls load. The union of per-micro-batch
+  // audit rows must equal sim22's one-shot audit — str20 shares
+  // sim22's oracle, so a hash match certifies the streamed audit end
+  // to end, drifted flags included. Arrival order is forced by
+  // feeding the source incrementally (write file →
+  // processAllAvailable → write file), the installment idiom the
+  // incremental-curation queries drive.
+  private val str20 = QueryDef(
+    "str20_stream_drift_audit_parity",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val tmp = tempDir("graft_str20")
+      val conf = s.sparkContext.hadoopConfiguration
+      val asD = graft.functions.VectorFunctions.asDouble(col("embedding"))
+      // one uniform (vec_id long, embedding double[]) schema for both
+      // installments — a file stream has a single declared schema
+      val base = emb.filter(col("vec_id") < 400)
+        .select(col("vec_id").cast("long").as("vec_id"), asD.as("embedding"))
+      val shifted = emb.filter(col("vec_id") >= 400)
+        .select((col("vec_id").cast("long") + 100000L).as("vec_id"),
+          transform(asD, x => x * lit(3.0d) + lit(1.0d)).as("embedding"))
+      val arrivals = tmp.resolve("arrivals").toString
+      val audits = tmp.resolve("audits").toString
+      val idx = tmp.resolve("vindex").toString
+      // the source dir must exist before the stream initializes (the
+      // first installment lands only after start)
+      graft.ingest.FileUtils.mkdirs(arrivals, conf)
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // a trigger can fire on an empty file set: nothing arrived
+          if (!b.isEmpty) {
+            val batch = b.toDF()
+            if (!graft.ingest.FileUtils.exists(s"$idx/centroids", conf))
+              VectorIndex.saveVectorIndex(batch, idx)
+            else VectorIndex.appendVectorIndex(batch, idx)
+            VectorIndex.auditVectorIndexDrift(s, idx, batch,
+                threshold = 8.0, sampleMod = 2)
+              .write.mode("append").parquet(audits): Unit
+          }
+        }
+        .start()
+      try {
+        base.coalesce(1).write.mode("append").parquet(arrivals)
+        q.processAllAvailable()
+        shifted.coalesce(1).write.mode("append").parquet(arrivals)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.read.parquet(audits)
+        .orderBy("batch_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    VectorIndex.sim22Oracle,
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15, str16, str17, str18, str19)
+      str11, str12, str13, str14, str15, str16, str17, str18, str19, str20)
 }

@@ -70,6 +70,43 @@ class StateCatalogSpec extends SparkSpec {
       StateCatalog.describeState(spark, path))
     assert(e.getMessage.contains("no recognizable engine state"))
     assert(e.getMessage.contains("vector index"))
+    assert(e.getMessage.contains("compacted table"),
+      "the fourth lifecycle must be named in the rejection")
+  }
+
+  test("describeState on a compacted table: live version, abandoned claim, cluster-by") {
+    import spark.implicits._
+    val path = tmpDir("cat_cmp").toString
+    try {
+      val landing = s"$path/landing"
+      spark.range(0, 512).select(col("id").as("k"))
+        .repartition(4).write.parquet(landing)
+      val dst = s"$path/versions"
+      // a compactor that claimed v0 and crashed BEFORE writing: the
+      // root is already recognizable (claims land first), with no
+      // live version yet
+      assert(FileUtils.claimSeqDir(dst, "v", conf).endsWith("/v0"))
+      val r0 = StateCatalog.describeState(spark, dst).head
+      assert(r0.getAs[String]("state_kind") == "compacted_table")
+      assert(r0.getAs[Long]("generation") == -1L,
+        "no committed version yet → no live version")
+      assert(r0.getAs[Long]("abandoned_claims") == 1L)
+      assert(r0.getAs[String]("geometry") == "")
+      // plain v1, then clustered v2 — v2 is live and carries the
+      // recorded cluster-by column; the v0 claim stays abandoned
+      Layout.compact(spark, landing, dst, targetBytes = 1L << 20)
+      Layout.compact(spark, landing, dst, targetBytes = 1L << 20,
+        clusterBy = Some("k"))
+      val r = StateCatalog.describeState(spark, dst).head
+      assert(r.getAs[String]("state_kind") == "compacted_table")
+      assert(r.getAs[Long]("generation") == 2L)
+      assert(r.getAs[Long]("committed_batches") == 2L)
+      assert(r.getAs[Long]("abandoned_claims") == 1L)
+      assert(r.getAs[String]("geometry") == "cluster_by=k")
+      assert(!r.getAs[Boolean]("stale_saving_lease"))
+      // the census agrees with what the reader actually resolves
+      assert(Layout.readCompacted(spark, dst).count() == 512L)
+    } finally FileUtils.rmr(path, conf)
   }
 
   test("describeWarehousePartitions refuses a non-warehouse root") {

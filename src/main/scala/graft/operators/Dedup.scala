@@ -1532,6 +1532,9 @@ object Dedup {
       FROM bc GROUP BY batch_id ORDER BY batch_id"""),
   )
 
+  // shared with str21's streamed per-micro-batch audit (the dd18 twin)
+  private[operators] def dd18Oracle: Option[String] = dd18.oracle
+
   // -------------------------------------------------------------- dm04
   // Duplicate-cluster SIZE DISTRIBUTION — the one-line health metric a
   // dedup report leads with ("how big do duplicate families get"): one

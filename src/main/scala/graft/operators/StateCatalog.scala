@@ -156,8 +156,11 @@ object StateCatalog {
     * committed/abandoned count `v<N>` versions, `generation` is the
     * LIVE version id (highest committed — what Layout.readCompacted
     * resolves; -1 before the first commit), geometry is the live
-    * version's recorded cluster-by column. `stale_saving_lease` is
-    * the root `_SAVING` marker.
+    * version's recorded cluster-by column. `save_epochs` counts the
+    * full saves an index root has absorbed (the monotonic epoch the
+    * ABA-safe append verification rides; 0 for the per-partition /
+    * per-version lifecycles). `stale_saving_lease` is the root
+    * `_SAVING` marker.
     */
   def describeState(s: SparkSession, root: String): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -199,14 +202,23 @@ object StateCatalog {
       if (kind == "sketch_warehouse")
         censusSeqDirs(s"$root/erased", "e", conf).committed
       else 0L
+    // how many full saves this root has absorbed — the monotonic epoch
+    // the ABA-safe append verification rides (index lifecycles only;
+    // the warehouse and compacted table version per-partition/per-dir
+    // instead of replacing wholesale)
+    val epochs =
+      if (kind == "near_dup_index" || kind == "vector_index")
+        graft.ingest.Generations.saveEpoch(root, conf)
+      else 0L
     import s.implicits._
-    Seq((kind, geometryOf(s, root, kind), generation, batches.committed,
-      batches.retired, batches.abandoned, tombstones, erasures,
-      parts._1, parts._2, FileUtils.exists(s"$root/_SAVING", conf)))
-      .toDF("state_kind", "geometry", "generation", "committed_batches",
-        "retired_batches", "abandoned_claims", "tombstone_logs",
-        "erasure_manifests", "live_partitions", "retired_partitions",
-        "stale_saving_lease")
+    Seq((kind, geometryOf(s, root, kind), generation, epochs,
+      batches.committed, batches.retired, batches.abandoned, tombstones,
+      erasures, parts._1, parts._2,
+      FileUtils.exists(s"$root/_SAVING", conf)))
+      .toDF("state_kind", "geometry", "generation", "save_epochs",
+        "committed_batches", "retired_batches", "abandoned_claims",
+        "tombstone_logs", "erasure_manifests", "live_partitions",
+        "retired_partitions", "stale_saving_lease")
   }
 
   /** Per-partition drill-down for a sketch warehouse: one row per
@@ -295,21 +307,24 @@ object StateCatalog {
     },
     Some("""SELECT * FROM (VALUES
         ('near_dup_index', 'num_hashes=32,bands=16', CAST(0 AS BIGINT),
+          CAST(1 AS BIGINT),
           CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), FALSE),
         ('sketch_warehouse', 'kind=hll,key=k,part=part', CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT),
           CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
           CAST(2 AS BIGINT), FALSE),
         ('vector_index', 'n_cells=16,n_sub=8,sub_dim=8', CAST(0 AS BIGINT),
+          CAST(1 AS BIGINT),
           CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), FALSE))
-        AS t(state_kind, geometry, generation, committed_batches,
-          retired_batches, abandoned_claims, tombstone_logs,
-          erasure_manifests, live_partitions, retired_partitions,
-          stale_saving_lease)
+        AS t(state_kind, geometry, generation, save_epochs,
+          committed_batches, retired_batches, abandoned_claims,
+          tombstone_logs, erasure_manifests, live_partitions,
+          retired_partitions, stale_saving_lease)
       ORDER BY state_kind"""),
   )
 
@@ -392,13 +407,14 @@ object StateCatalog {
     },
     Some("""SELECT * FROM (VALUES
         ('compacted_table', 'cluster_by=k', CAST(1 AS BIGINT),
+          CAST(0 AS BIGINT),
           CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           CAST(0 AS BIGINT), FALSE))
-        AS t(state_kind, geometry, generation, committed_batches,
-          retired_batches, abandoned_claims, tombstone_logs,
-          erasure_manifests, live_partitions, retired_partitions,
-          stale_saving_lease)"""),
+        AS t(state_kind, geometry, generation, save_epochs,
+          committed_batches, retired_batches, abandoned_claims,
+          tombstone_logs, erasure_manifests, live_partitions,
+          retired_partitions, stale_saving_lease)"""),
   )
 
   val defs: Seq[QueryDef] = Seq(ops01, ops02, ops03)

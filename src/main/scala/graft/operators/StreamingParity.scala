@@ -966,7 +966,73 @@ object StreamingParity {
     VectorIndex.sim22Oracle,
   )
 
+  // -------------------------------------------------------------- str21
+  // The near-dup side's streamed maintenance audit — dd18's bucket-skew
+  // audit run per appended micro-batch (str20's shape for the OTHER
+  // persisted index): the history installment arrives first and lands
+  // as the save batch, the deliberately boilerplate-heavy installment
+  // lands as the append batch, and after each landing the audit row
+  // for JUST the newest batch is emitted (auditIndexBuckets censuses
+  // every stored batch; the newest-batch filter keeps the streamed
+  // output one row per arrival — and a batch's stored bands never
+  // change after commit, so each row equals its one-shot counterpart).
+  // Union across micro-batches shares dd18's oracle: the history
+  // batch's honest bucket profile, then the boilerplate batch flagged
+  // over the cap.
+  private val str21 = QueryDef(
+    "str21_stream_bucket_audit_parity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val boiler =
+        "the same boilerplate footer appears verbatim on every page of this site"
+      val tmp = tempDir("graft_str21")
+      val conf = s.sparkContext.hadoopConfiguration
+      val hist = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val surge = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          lit(boiler).as("text"))
+      val arrivals = tmp.resolve("arrivals").toString
+      val audits = tmp.resolve("audits").toString
+      val idx = tmp.resolve("ndindex").toString
+      graft.ingest.FileUtils.mkdirs(arrivals, conf)
+      val landed = new AtomicLong(0L)
+      val q = s.readStream.schema(hist.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) {
+            val batch = b.toDF()
+            if (!graft.ingest.FileUtils.exists(s"$idx/meta", conf))
+              Dedup.saveNearDupIndex(batch, idx)
+            else Dedup.appendNearDupIndex(batch, idx)
+            val bid = landed.getAndIncrement()
+            Dedup.auditIndexBuckets(s, idx, cap = 16)
+              .filter(col("batch_id") === lit(bid))
+              .write.mode("append").parquet(audits): Unit
+          }
+        }
+        .start()
+      try {
+        hist.coalesce(1).write.mode("append").parquet(arrivals)
+        q.processAllAvailable()
+        surge.coalesce(1).write.mode("append").parquet(arrivals)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.read.parquet(audits)
+        .orderBy("batch_id")
+        .localCheckpoint(eager = true)
+      deleteQuietly(tmp)
+      out
+    },
+    Dedup.dd18Oracle,
+  )
+
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
-      str11, str12, str13, str14, str15, str16, str17, str18, str19, str20)
+      str11, str12, str13, str14, str15, str16, str17, str18, str19, str20,
+      str21)
 }

@@ -870,6 +870,84 @@ object VectorIndex {
   private[operators] def sim18Oracle: Option[String] = sim18.oracle
   private[operators] def sim22Oracle: Option[String] = sim22.oracle
 
+  /** BULK probe — the unbounded-queries answer to [[MaxProbeQueries]]:
+    * queries stay a DataFrame end to end (no driver collect, no
+    * per-query broadcast LUTs), so a 100-TB deployment can ANN-join a
+    * full corpus against the stored index in one distributed plan.
+    * Topology: each query row computes its `nProbe` coarse cells with
+    * the codegen'd [[graft.functions.TextExpressions.nearest_centroids]]
+    * (the encode-side kernel, same (dist, cell) tie-break as the
+    * oracle), explodes to (qid, qv, cell), and SHUFFLE-JOINS the
+    * tombstone-filtered stored code table on `cell`; the ADC distance
+    * is then computed per candidate directly from (qv, cell, codes)
+    * with the quantizers baked in as literals (the audit's expression
+    * shape — subspace- and dim-ascending folds, so the arithmetic is
+    * bit-identical to the LUT path and the DuckDB replay). One shuffle
+    * on the ~|Q|·nProbe exploded side; per-cell candidate volume is
+    * the IVF pruning (nProbe/nCells of the corpus per query); the
+    * final top-k is a per-qid window over the joined candidates.
+    */
+  def probeVectorIndexBulk(s: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (model, coded) = loadCoded(s, path)
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(
+        graft.functions.TextExpressions.nearest_centroids(
+          col("qv"), model.cen, nProbe)))
+    val cand = coded.join(q, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+    val adist = (0 until model.nSub).map { m =>
+      val cenSub = model.cen
+        .map(_.slice(m * model.subDim, (m + 1) * model.subDim).toSeq).toSeq
+      val rcbSub = model.rcbSub(m).map(_.toSeq).toSeq
+      val qres = zip_with(
+        slice(col("qv"), m * model.subDim + 1, model.subDim),
+        element_at(typedLit(cenSub), col("cell") + 1),
+        (x, cc) => x - cc)
+      val diff = zip_with(qres,
+        element_at(typedLit(rcbSub), col(s"code_$m") + 1),
+        (x, r) => x - r)
+      aggregate(diff, lit(0.0d), (acc, x) => acc + x * x)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    cand.withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "adist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  // The bulk probe proved at full width: EVERY corpus vector is a
+  // query (the embedding-dedup / all-pairs-ANN shape), against the
+  // stored index — sharing sim07's oracle with the query restriction
+  // lifted, so a hash match certifies the distributed join path
+  // computes exactly what the LUT path computes, per-cell candidates,
+  // tie-breaks, and all.
+  private val sim24 = QueryDef(
+    "sim24_bulk_index_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim24_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexBulk(s, path, emb).localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val pAnchor =
+        "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val qAnchor = "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),"
+      Seq(pAnchor, qAnchor).foreach(a =>
+        require(o.contains(a), s"sim07 oracle anchor moved: $a"))
+      o.replace(pAnchor,
+          "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4),")
+        .replace(qAnchor, "q AS (SELECT cid AS qid, cv AS qv FROM c),")
+    },
+  )
+
   // Rolling-window retention end to end: the save batch (which pins
   // the 0..31 training set, the sim12 subset shape) is retired after a
   // recent batch is appended, and the probe must rank candidates from
@@ -1104,5 +1182,6 @@ object VectorIndex {
   )
 
   val defs: Seq[QueryDef] =
-    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23, sd02)
+    Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23,
+      sim24, sd02)
 }

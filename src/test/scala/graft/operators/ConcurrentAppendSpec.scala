@@ -428,6 +428,60 @@ class ConcurrentAppendSpec extends SparkSpec {
     Seq(refOnly, refApp).foreach(FileUtils.rmr(_, conf))
   }
 
+  test("three-way maintenance race (append, save, vacuum) ends in a legal state") {
+    val emb = Tables(spark, sf0001).embeddings
+    val h0 = emb.filter(col("vec_id") < 100)
+    val h1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val h2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val qs = emb.filter(col("vec_id") < 3)
+    // probe results are vacuum-invariant (pinned elsewhere), so the
+    // legal outcomes are exactly the append-vs-save pair's: the save
+    // superseded the append, or the append landed on the new index —
+    // whatever the vacuum interleaved with. A third probe result
+    // means a torn tree or stale-model codes.
+    val refOnly = tmpDir("chaos_ref0").toString
+    val refApp = tmpDir("chaos_ref1").toString
+    val refOld = tmpDir("chaos_ref2").toString
+    VectorIndex.saveVectorIndex(h2, refOnly)
+    VectorIndex.saveVectorIndex(h2, refApp)
+    VectorIndex.appendVectorIndex(h1, refApp)
+    VectorIndex.saveVectorIndex(h0, refOld)
+    VectorIndex.appendVectorIndex(h1, refOld)
+    val wantOnly = VectorIndex.probeVectorIndex(spark, refOnly, qs).collect().toSeq
+    val wantApp = VectorIndex.probeVectorIndex(spark, refApp, qs).collect().toSeq
+    val wantOld = VectorIndex.probeVectorIndex(spark, refOld, qs).collect().toSeq
+    (1 to 3).foreach { i =>
+      val path = tmpDir(s"chaos_$i").toString
+      try {
+        VectorIndex.saveVectorIndex(h0, path)
+        // save and vacuum contend for the same exclusive lease — either
+        // may lose LOUDLY (the contract); the append always lands. So
+        // the legal end states are exactly: save won → {h2-only,
+        // h2+append}; save lost its lease to the vacuum → {h0+append}.
+        val saveWon = new java.util.concurrent.atomic.AtomicBoolean(true)
+        inParallel(Seq(
+          () => VectorIndex.appendVectorIndex(h1, path),
+          () => try VectorIndex.saveVectorIndex(h2, path) catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("another save") =>
+              saveWon.set(false)
+          },
+          () => try VectorIndex.vacuumVectorIndex(spark, path) catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("another save") => ()
+          }))
+        val got = VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq
+        if (saveWon.get)
+          assert(got == wantOnly || got == wantApp,
+            s"round $i: three-way race left an illegal end state")
+        else
+          assert(got == wantOld,
+            s"round $i: lease-lost save must leave the original index + append")
+      } finally FileUtils.rmr(path, conf)
+    }
+    Seq(refOnly, refApp, refOld).foreach(FileUtils.rmr(_, conf))
+  }
+
   test("warehouse erase racing a retired-partition vacuum matches the sequential result") {
     import spark.implicits._
     // 8 saved partitions; p0/p1 retired; the erase set holds a key
@@ -471,6 +525,44 @@ class ConcurrentAppendSpec extends SparkSpec {
       } finally FileUtils.rmr(path, conf)
     }
     FileUtils.rmr(ref, conf)
+  }
+
+  test("awaitNoLease: configurable bound, and the timeout message separates live from crashed") {
+    val root = tmpDir("lease_timeout").toString
+    FileUtils.mkdirs(root, conf)
+    FileUtils.touch(s"$root/_SAVING", conf)
+    try {
+      // a FRESH lease at timeout → the writer is likely still running;
+      // the message must steer toward raising the bound, not deleting
+      // a live writer's lease
+      val live = intercept[IllegalStateException](
+        graft.ingest.Generations.awaitNoLease(root, conf, timeoutMs = 300L))
+      assert(live.getMessage.contains("STILL RUNNING") &&
+        live.getMessage.contains(graft.ingest.Generations.LeaseTimeoutKey),
+        s"fresh-lease timeout must name the raise-the-bound remedy: ${live.getMessage}")
+      // an OLD lease (mtime pushed far past 2x the bound) → the writer
+      // likely crashed; the message must name the delete-and-retry remedy
+      val p = new org.apache.hadoop.fs.Path(s"$root/_SAVING")
+      p.getFileSystem(conf).setTimes(p,
+        System.currentTimeMillis() - 3600L * 1000L, -1L)
+      val crashed = intercept[IllegalStateException](
+        graft.ingest.Generations.awaitNoLease(root, conf, timeoutMs = 200L))
+      assert(crashed.getMessage.contains("CRASHED") &&
+        crashed.getMessage.contains("delete the lease"),
+        s"stale-lease timeout must name the delete remedy: ${crashed.getMessage}")
+      // the fleet-wide conf dial is honored when no per-call bound is given
+      val tuned = new org.apache.hadoop.conf.Configuration(conf)
+      tuned.setLong(graft.ingest.Generations.LeaseTimeoutKey, 250L)
+      val t0 = System.currentTimeMillis()
+      intercept[IllegalStateException](
+        graft.ingest.Generations.awaitNoLease(root, tuned))
+      val waited = System.currentTimeMillis() - t0
+      assert(waited >= 250L && waited < 30000L,
+        s"conf-keyed bound must drive the wait, waited ${waited}ms")
+      // and a released lease ends the wait without error
+      FileUtils.delete(s"$root/_SAVING", recursive = false, conf)
+      graft.ingest.Generations.awaitNoLease(root, conf, timeoutMs = 300L)
+    } finally FileUtils.rmr(root, conf)
   }
 
   test("consumed manifests: qualified names round-trip and survive the sweep") {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
@@ -131,6 +131,78 @@ object TextOps {
       p += 1
     }
     bits
+  }
+
+  /** Indices of the `nProbe` centroids with the LARGEST dot product
+    * against the vector (ties by cell index ascending) — the MIPS
+    * coarse-probe twin of [[nearestCentroids]], dim-ascending dot
+    * folds so the selection matches the oracle's list_sum exactly.
+    */
+  def topDotCells(arr: ArrayData, centroids: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val v = arr.toDoubleArray()
+    val dots = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, cen.length)
+      while (i < n) { d += v(i) * cen(i); i += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val order = dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+    new GenericArrayData(order.take(nProbe).map(_._2.asInstanceOf[Any]))
+  }
+
+  /** Full ADC distance/score for one stored candidate against one
+    * query vector, quantizers baked in — the bulk probes' per-row
+    * kernel. Fold orders are the oracle's exactly: per subspace a
+    * dim-ascending left fold, subspaces summed ascending; MIPS adds
+    * the full-dim q·cen(cell) base term first (dim-ascending), then
+    * the subspace sum — bit-identical to the LUT path's
+    * `base + ((p0+p1)+...)` add order.
+    */
+  def adcDistance(q: ArrayData, cell: Int, codes: ArrayData,
+      cen: Array[Array[Double]], rcb: Array[Array[Double]],
+      subDim: Int, mips: Boolean): Double = {
+    val qv = q.toDoubleArray()
+    val cc = cen(cell)
+    val nSub = codes.numElements()
+    if (mips) {
+      var base = 0.0
+      var i = 0
+      val dim = math.min(qv.length, cc.length)
+      while (i < dim) { base += qv(i) * cc(i); i += 1 }
+      var t = 0.0
+      var m = 0
+      while (m < nSub) {
+        val r = rcb(codes.getInt(m))
+        var d = 0.0
+        var i2 = 0
+        while (i2 < subDim) { val j = m * subDim + i2; d += qv(j) * r(j); i2 += 1 }
+        t += d
+        m += 1
+      }
+      base + t
+    } else {
+      var t = 0.0
+      var m = 0
+      while (m < nSub) {
+        val r = rcb(codes.getInt(m))
+        var d = 0.0
+        var i2 = 0
+        while (i2 < subDim) {
+          val j = m * subDim + i2
+          val x = (qv(j) - cc(j)) - r(j)
+          d += x * x
+          i2 += 1
+        }
+        t += d
+        m += 1
+      }
+      t
+    }
   }
 
   def nearestCentroids(arr: ArrayData, centroids: Array[Array[Double]], nProbe: Int): ArrayData = {
@@ -425,6 +497,58 @@ object TextExpressions {
     override def prettyName: String = "graft_nearest_centroids"
   }
 
+  /** Whole ADC distance (L2) or score (MIPS) per stored candidate,
+    * quantizers baked in — ONE codegen'd call per row where the
+    * higher-order-function formulation (zip_with/aggregate per
+    * subspace) ran interpreted and broke whole-stage codegen: the
+    * difference between the bulk probes scoring millions of
+    * candidates inside a codegen stage and 16 interpreted lambda
+    * evaluations per row.
+    */
+  case class AdcDistance(qv: Expression, cell: Expression, codes: Expression,
+      cen: Array[Array[Double]], rcb: Array[Array[Double]],
+      subDim: Int, mips: Boolean) extends TernaryExpression {
+    override def first: Expression = qv
+    override def second: Expression = cell
+    override def third: Expression = codes
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(q: Any, c: Any, cds: Any): Any =
+      TextOps.adcDistance(q.asInstanceOf[ArrayData],
+        c.asInstanceOf[Int], cds.asInstanceOf[ArrayData],
+        cen, rcb, subDim, mips)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cenRef = ctx.addReferenceObj("graftAdcCen", cen, "double[][]")
+      val rcbRef = ctx.addReferenceObj("graftAdcRcb", rcb, "double[][]")
+      defineCodeGen(ctx, ev, (q, c, cds) =>
+        s"graft.functions.TextOps.adcDistance($q, $c, $cds, $cenRef, $rcbRef, $subDim, $mips)")
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): AdcDistance =
+      copy(qv = newFirst, cell = newSecond, codes = newThird)
+    override def prettyName: String = "graft_adc_distance"
+  }
+
+  /** MIPS coarse-probe cells: indices of the `nProbe` centroids with
+    * the largest dot product, descending (ties by cell ascending) —
+    * [[NearestCentroids]] with the inner-product objective.
+    */
+  case class TopDotCells(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression {
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+    override def nullSafeEval(input: Any): Any =
+      TextOps.topDotCells(input.asInstanceOf[ArrayData], centroids, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextOps.topDotCells($c, $ref, $nProbe)")
+    }
+    override protected def withNewChildInternal(c: Expression): TopDotCells =
+      copy(child = c)
+    override def prettyName: String = "graft_top_dot_cells"
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge
 
   def tokens(c: Column): Column = ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
@@ -443,6 +567,14 @@ object TextExpressions {
     ColumnBridge.column(LshSignBits(ColumnBridge.expression(c), planes.map(_.toArray).toArray))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(c), centroids, nProbe))
+  def top_dot_cells(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(TopDotCells(ColumnBridge.expression(c), centroids, nProbe))
+  def adc_distance(qv: Column, cell: Column, codes: Column,
+      cen: Array[Array[Double]], rcb: Array[Array[Double]],
+      subDim: Int, mips: Boolean): Column =
+    ColumnBridge.column(AdcDistance(ColumnBridge.expression(qv),
+      ColumnBridge.expression(cell), ColumnBridge.expression(codes),
+      cen, rcb, subDim, mips))
   def winnow_fingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
 }

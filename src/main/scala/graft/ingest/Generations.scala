@@ -140,6 +140,21 @@ object Generations {
     require(FileUtils.createExclusive(s"$root/epoch/e$n", conf),
       s"$root/epoch/e$n already exists — a concurrent save bumped the " +
         "epoch under our exclusive lease; the lease protocol was violated")
+    // hygiene: the protocol only ever reads the MAX marker, so sub-max
+    // markers are dead weight — prune them so a much-re-saved index
+    // lists one file per verification, not its whole save history.
+    // Safe at any interleaving: e<n> is created FIRST, so a concurrent
+    // saveEpoch read always sees the max; a stale appender comparing
+    // an older epoch still mismatches (n > its capture) and retries.
+    // Best-effort — a failed delete just leaves a marker for the next
+    // save's prune.
+    FileUtils.listChildFiles(s"$root/epoch", conf)
+      .map(f => new Path(f))
+      .filter(p => p.getName.startsWith("e") &&
+        p.getName.stripPrefix("e").toLongOption.exists(_ < n))
+      .foreach(p =>
+        try FileUtils.delete(p.toString, recursive = false, conf): Unit
+        catch { case _: Exception => () })
   }
 
   /** Wait out any in-flight maintenance writer's `_SAVING` lease —

@@ -886,6 +886,11 @@ object VectorIndex {
     * on the ~|Q|·nProbe exploded side; per-cell candidate volume is
     * the IVF pruning (nProbe/nCells of the corpus per query); the
     * final top-k is a per-qid window over the joined candidates.
+    * Scale note: the join's parallelism is bounded by DISTINCT CELLS,
+    * so nCells must be sized to the corpus and cluster (production
+    * IVF uses ~√N cells — thousands-plus at 100 TB, far above this
+    * test geometry's 16), and AQE's skew-join split absorbs hot
+    * cells; the window stays per-qid, which is never skewed by cells.
     */
   def probeVectorIndexBulk(s: SparkSession, path: String,
       queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
@@ -897,25 +902,55 @@ object VectorIndex {
           col("qv"), model.cen, nProbe)))
     val cand = coded.join(q, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
-    val adist = (0 until model.nSub).map { m =>
-      val cenSub = model.cen
-        .map(_.slice(m * model.subDim, (m + 1) * model.subDim).toSeq).toSeq
-      val rcbSub = model.rcbSub(m).map(_.toSeq).toSeq
-      val qres = zip_with(
-        slice(col("qv"), m * model.subDim + 1, model.subDim),
-        element_at(typedLit(cenSub), col("cell") + 1),
-        (x, cc) => x - cc)
-      val diff = zip_with(qres,
-        element_at(typedLit(rcbSub), col(s"code_$m") + 1),
-        (x, r) => x - r)
-      aggregate(diff, lit(0.0d), (acc, x) => acc + x * x)
-    }.reduce(_ + _)
+    // ONE codegen'd kernel call per candidate (quantizers baked in) —
+    // the HOF formulation (zip_with/aggregate per subspace) ran
+    // interpreted and broke whole-stage codegen: 18.3 s → ~4.5 s at
+    // sf0.1 for the full-corpus probe, measured same-session
+    val adist = graft.functions.TextExpressions.adc_distance(
+      col("qv"), col("cell"),
+      array((0 until model.nSub).map(m => col(s"code_$m")): _*),
+      model.cen, model.rcb, model.subDim, mips = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
     cand.withColumn("adist", adist)
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
       .select("qid", "cid", "adist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** BULK probe, MIPS objective — [[probeVectorIndexBulk]]'s topology
+    * with the decomposed dot score: q·x̂ = q·cen(cell) +
+    * Σ_m q_m·rcb(code_m)_m. Cells probe by q·centroid DESCENDING
+    * (the codegen'd top_dot_cells kernel, tie by cell ascending —
+    * the oracle's ORDER BY pscore DESC, cell), the base term and the
+    * per-subspace residual dots are computed per candidate from
+    * quantizer literals with sim18's exact add order (base + the
+    * subspace-ascending fold), and candidates rank score DESC. Same
+    * single shuffle join on `cell`; no driver collect.
+    */
+  def probeVectorIndexBulkMips(s: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (model, coded) = loadCoded(s, path)
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(
+        graft.functions.TextExpressions.top_dot_cells(
+          col("qv"), model.cen, nProbe)))
+    val cand = coded.join(q, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+    // same codegen'd kernel, MIPS objective (base + subspace fold —
+    // the LUT path's exact add order)
+    val score = graft.functions.TextExpressions.adc_distance(
+      col("qv"), col("cell"),
+      array((0 until model.nSub).map(m => col(s"code_$m")): _*),
+      model.cen, model.rcb, model.subDim, mips = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand.withColumn("score", score)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "score", "rn")
       .orderBy("qid", "rn")
   }
 
@@ -1181,7 +1216,27 @@ object VectorIndex {
     },
   )
 
+  // The MIPS twin at full width, sharing sim18's oracle with the
+  // query restriction lifted.
+  private val sim25 = QueryDef(
+    "sim25_bulk_mips_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim25_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexBulkMips(s, path, emb).localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    sim18Oracle.map { o =>
+      val qAnchor = "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),"
+      require(o.contains(qAnchor), "sim18 oracle query CTE moved")
+      o.replace(qAnchor, "q AS (SELECT cid AS qid, cv AS qv FROM c),")
+    },
+  )
+
   val defs: Seq[QueryDef] =
     Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23,
-      sim24, sd02)
+      sim24, sim25, sd02)
 }

@@ -364,6 +364,13 @@ class ConcurrentAppendSpec extends SparkSpec {
       assert(graft.ingest.Generations.saveEpoch(path, conf) != epoch0,
         "a geometry re-save must bump the epoch — appendNearDupIndex's " +
           "only stale-geometry detector")
+      // monotonic AND pruned: after many re-saves the epoch keeps
+      // climbing while only the max marker survives, so verification
+      // lists one file however long the save history
+      Dedup.saveNearDupIndex(docs, path, numHashes = 32, bands = 16)
+      assert(graft.ingest.Generations.saveEpoch(path, conf) == 3L)
+      assert(FileUtils.listChildFiles(s"$path/epoch", conf).size == 1,
+        "sub-max epoch markers must be pruned")
     } finally FileUtils.rmr(path, conf)
   }
 

@@ -17,6 +17,24 @@ class VectorIndexSpec extends SparkSpec {
       s"loaded-index probe diverged from from-scratch search")
   }
 
+  test("bulk probes equal the LUT probes row for row, both objectives") {
+    val path = tmpDir("graft_vindex_bulk").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val qs = emb.filter(col("vec_id") < 3)
+      // same queries through the driver-LUT path and the distributed
+      // join path: identical candidates, scores, and tie-breaks — the
+      // bulk path must be a pure topology change, never a semantics one
+      assert(VectorIndex.probeVectorIndexBulk(spark, path, qs).collect().toSeq ==
+        VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq,
+        "bulk L2 probe diverged from the LUT probe")
+      assert(VectorIndex.probeVectorIndexBulkMips(spark, path, qs).collect().toSeq ==
+        VectorIndex.probeVectorIndexMips(spark, path, qs).collect().toSeq,
+        "bulk MIPS probe diverged from the LUT probe")
+    } finally graft.ingest.FileUtils.rmr(path,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   test("the whole lifecycle runs through the Hadoop FileSystem API (file: URI)") {
     // an explicit file:-scheme URI never resolves through java.io —
     // save/append/forget/vacuum/probe must all route Path.getFileSystem,

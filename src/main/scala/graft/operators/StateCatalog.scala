@@ -245,6 +245,56 @@ object StateCatalog {
       "retired").orderBy("partition")
   }
 
+  /** Per-batch drill-down for the INDEX lifecycles
+    * ([[describeWarehousePartitions]]'s shape applied to `b<N>`
+    * batches): one row per claimed batch id under the LIVE generation
+    * — committed/retired from the markers, the table dirs present
+    * (codes for a vector index; bands+shingles for near-dup), whether
+    * any data file exists — plus claim-only rows for abandoned ids
+    * (a crashed appender's burned id shows as an uncommitted,
+    * table-less row, never vanishes silently). Listings only; byte
+    * sizes are deliberately NOT in the oracle-facing surface (parquet
+    * encoding makes them unreplayable) — has_data_files carries the
+    * envelope-safe form.
+    */
+  def describeIndexBatches(s: SparkSession, root: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val kind =
+      if (FileUtils.exists(s"$root/centroids", conf)) "vector_index"
+      else if (FileUtils.exists(s"$root/batches", conf) ||
+        FileUtils.exists(s"$root/meta", conf)) "near_dup_index"
+      else sys.error(s"$root is not a persisted index root " +
+        "(vector index: centroids/; near-dup index: batches/ + meta/)")
+    val base = graft.ingest.Generations.currentBatchesDir(root, conf)
+    val dirs = FileUtils.listSubdirs(base, conf)
+      .flatMap { d =>
+        val n = new org.apache.hadoop.fs.Path(d).getName
+        if (n.startsWith("b")) n.stripPrefix("b").toLongOption.map(_ -> d)
+        else None
+      }.toMap
+    val claimIds = FileUtils.listChildFiles(base, conf)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .filter(n => n.startsWith("b") && n.endsWith(".claim"))
+      .flatMap(_.stripPrefix("b").stripSuffix(".claim").toLongOption)
+    import s.implicits._
+    (dirs.keySet ++ claimIds).toSeq.sorted.map { id =>
+      dirs.get(id) match {
+        case Some(d) =>
+          val tables = FileUtils.listSubdirs(d, conf)
+            .map(t => new org.apache.hadoop.fs.Path(t).getName).sorted
+          (kind, id,
+            FileUtils.exists(s"$d/_COMMITTED", conf),
+            FileUtils.exists(s"$d/_RETIRED", conf),
+            tables.mkString(","),
+            tables.exists(t =>
+              FileUtils.listDataFilesWithSize(s"$d/$t", conf).nonEmpty))
+        case None => (kind, id, false, false, "", false)
+      }
+    }.toDF("state_kind", "batch_id", "committed", "retired", "tables",
+      "has_data_files")
+      .orderBy("state_kind", "batch_id")
+  }
+
   // ------------------------------------------------------------- ops01
   // The catalog proved against all three lifecycles at once, each
   // driven through save / append / govern / retire on DETERMINISTIC
@@ -417,5 +467,54 @@ object StateCatalog {
           retired_partitions, stale_saving_lease)"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(ops01, ops02, ops03)
+  // ------------------------------------------------------------- ops04
+  // The per-batch drill-down over BOTH index lifecycles (ops02's
+  // shape for batches): the near-dup index carries a retired save
+  // batch, a live append batch, and an ABANDONED claim (a crashed
+  // appender — its burned id must census as an uncommitted,
+  // table-less row); the vector index carries its save + append
+  // batches. Deterministic lifecycle arithmetic, replayed by the
+  // oracle as literals (the ops01 pattern); bounded inputs keep the
+  // cost flat across SFs.
+  private val ops04 = QueryDef(
+    "ops04_index_batch_census",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ops04_state").toString
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val docs = Tables(s, dir).documents.filter(col("doc_id") < 120)
+        val emb = Tables(s, dir).embeddings
+        val nd = s"$tmp/nd"
+        Dedup.saveNearDupIndex(docs.filter(col("doc_id") % 3 === 0), nd)
+        Dedup.appendNearDupIndex(docs.filter(col("doc_id") % 3 =!= 0), nd)
+        require(Dedup.retireIndexBatches(s, nd, keepLast = 1) == Seq(0L))
+        // a crashed appender: id claimed, nothing written
+        val claimed = FileUtils.claimSeqDir(s"$nd/batches", "b", conf)
+        require(claimed.endsWith("/b2"), s"expected to claim b2, got $claimed")
+        val vx = s"$tmp/vx"
+        VectorIndex.saveVectorIndex(
+          emb.filter(col("vec_id") < 32 || col("vec_id") % 3 === 0), vx)
+        VectorIndex.appendVectorIndex(
+          emb.filter(col("vec_id") >= 32 && col("vec_id") % 3 =!= 0), vx)
+        describeIndexBatches(s, nd)
+          .unionByName(describeIndexBatches(s, vx))
+          .orderBy("state_kind", "batch_id")
+          .localCheckpoint(eager = true)
+      } finally FileUtils.rmr(tmp, s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT * FROM (VALUES
+        ('near_dup_index', CAST(0 AS BIGINT), TRUE, TRUE,
+          'bands,shingles', TRUE),
+        ('near_dup_index', CAST(1 AS BIGINT), TRUE, FALSE,
+          'bands,shingles', TRUE),
+        ('near_dup_index', CAST(2 AS BIGINT), FALSE, FALSE, '', FALSE),
+        ('vector_index', CAST(0 AS BIGINT), TRUE, FALSE, 'codes', TRUE),
+        ('vector_index', CAST(1 AS BIGINT), TRUE, FALSE, 'codes', TRUE))
+        AS t(state_kind, batch_id, committed, retired, tables,
+          has_data_files)
+      ORDER BY state_kind, batch_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(ops01, ops02, ops03, ops04)
 }

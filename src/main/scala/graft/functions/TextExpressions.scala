@@ -151,8 +151,17 @@ object TextOps {
       dots(c) = d
       c += 1
     }
-    val order = dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
-    new GenericArrayData(order.take(nProbe).map(_._2.asInstanceOf[Any]))
+    // descending WITHOUT negation: negating doubles maps 0.0/-0.0 to
+    // -0.0/0.0 and Ordering[Double] distinguishes them, so a +0.0 vs
+    // -0.0 dot-product tie (or a NaN) could rank cells differently
+    // from Double.compare's total order. Explicit comparator —
+    // Double.compare(b, a), index tie-break ascending — matches the
+    // convention nearestCentroids gets for free from ascending sortBy.
+    val order = (0 until dots.length).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(dots(b), dots(a))
+      if (c != 0) c < 0 else a < b
+    }
+    new GenericArrayData(order.take(nProbe).map(_.asInstanceOf[Any]).toArray)
   }
 
   /** Full ADC distance/score for one stored candidate against one

@@ -173,10 +173,25 @@ object Generations {
     * `graft.lease.timeout.ms` in the Hadoop conf (negative `timeoutMs`
     * defers to the conf). The failure message reports the lease's AGE
     * so the operator can tell a live long-running writer (young lease
-    * → raise the timeout) from a crashed one (old lease → delete it
-    * and retry) instead of being handed the crash remedy for both.
+    * → raise the timeout) from a probably-crashed one instead of being
+    * handed the crash remedy for both. The live/crashed split is an
+    * ABSOLUTE age threshold ([[LeaseCrashedAgeKey]], default 30 min) —
+    * deliberately NOT a multiple of the caller's timeout: a
+    * legitimately long production vacuum exceeds any small configured
+    * bound many times over (the very case the configurable bound
+    * exists for), and a relative rule would hand that live writer's
+    * operator a delete remedy that re-opens the save/append race. Even
+    * past the threshold the message keeps deletion a LAST resort,
+    * conditional on verifying no writer process exists — mtime age is
+    * a heuristic, not proof of death.
     */
   val LeaseTimeoutKey = "graft.lease.timeout.ms"
+
+  /** Absolute lease age (ms) past which the timeout hint leans
+    * "probably crashed" — see [[LeaseTimeoutKey]]'s scaladoc for why
+    * this is not derived from the caller's timeout bound.
+    */
+  val LeaseCrashedAgeKey = "graft.lease.crashed.age.ms"
 
   def awaitNoLease(root: String, conf: Configuration,
       timeoutMs: Long = -1L): Unit = {
@@ -193,15 +208,19 @@ object Generations {
             (System.currentTimeMillis() - st.getModificationTime) / 1000L
           } catch { case _: Exception => -1L } // lease vanished / stat failed
         if (age < 0L && !FileUtils.exists(lease, conf)) return // released at the wire
+        val crashedAgeMs = conf.getLong(LeaseCrashedAgeKey, 1800000L)
         val hint =
-          if (age >= 0L && age * 1000L <= 2L * bound)
+          if (age >= 0L && age * 1000L <= crashedAgeMs)
             s"the lease is only ${age}s old — a maintenance writer " +
               s"(save/vacuum) is likely STILL RUNNING; raise $LeaseTimeoutKey " +
               "(or pass a longer timeout) and retry"
           else
-            s"the lease is ${if (age >= 0L) s"${age}s old" else "of unknown age"} — " +
-              "the writer likely CRASHED; verify no save/vacuum is running, " +
-              "delete the lease, and retry"
+            s"the lease is ${if (age >= 0L) s"${age}s old" else "of unknown age"} " +
+              s"(past the $LeaseCrashedAgeKey threshold of ${crashedAgeMs}ms) — " +
+              "the writer likely CRASHED, but age alone is not proof: " +
+              "FIRST verify no save/vacuum process is live (and raise " +
+              s"$LeaseTimeoutKey if one is); only then, as a last resort, " +
+              "delete the lease and retry"
         throw new IllegalStateException(
           s"$lease still held after ${bound}ms; $hint")
       }

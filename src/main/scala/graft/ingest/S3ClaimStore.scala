@@ -77,12 +77,13 @@ trait S3ObjectApi {
 final class S3ConditionalStore(
     api: S3ObjectApi,
     maxAttempts: Int = 5,
-    backoffMs: Long = 50L) extends ConditionalStore {
+    backoffMs: Long = 50L,
+    strictScheme: Boolean = false) extends ConditionalStore {
   require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
 
   def putIfAbsent(path: String, body: Array[Byte],
       conf: Configuration): Boolean = {
-    val (bucket, key) = S3ConditionalStore.parse(path, conf)
+    val (bucket, key) = S3ConditionalStore.parse(path, conf, strictScheme)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -102,32 +103,51 @@ final class S3ConditionalStore(
   }
 
   def get(path: String, conf: Configuration): Option[Array[Byte]] = {
-    val (bucket, key) = S3ConditionalStore.parse(path, conf)
+    val (bucket, key) = S3ConditionalStore.parse(path, conf, strictScheme)
     api.get(bucket, key)
   }
 }
 
 object S3ConditionalStore {
-  /** Conf key for the claim bucket when paths carry no s3 scheme
-    * (contract-suite drives on local paths; a real deployment's
-    * s3a:// paths carry their own bucket).
+  /** Conf key for the claim bucket when paths carry no s3 scheme —
+    * TEST-ONLY (the contract suite drives the claim protocol on local
+    * paths through a fake [[S3ObjectApi]]). The production store
+    * ([[fromClasspath]], i.e. `SPARK_GRAFT_CLAIM_BACKEND=s3`) REFUSES
+    * scheme-less paths instead of using this fallback: a local or
+    * hdfs:// index path would split the protocol across two
+    * namespaces — claim PUTs into the configured bucket via the SDK
+    * while the enumeration/exists/lease-delete half rides the Hadoop
+    * FS on the original path — so the lease object would never be
+    * deleted (every later save fails 412 forever), awaitNoLease would
+    * never see a held lease, and abandoned claim ids would be reused.
+    * Only s3/s3a/s3n paths keep the two access paths on ONE namespace.
     */
   val BucketConfKey = "graft.s3.claim.bucket"
 
-  /** `s3a://bucket/key` (also s3://, s3n://) → (bucket, key); any
-    * other path keeps its full (slash-stripped) form as the key under
-    * the configured claim bucket.
+  /** `s3a://bucket/key` (also s3://, s3n://) → (bucket, key). Any
+    * other path: with `strict` (the production path) fail LOUDLY —
+    * the misconfiguration is otherwise silent (see [[BucketConfKey]]);
+    * without it (test seam) keep the full slash-stripped form as the
+    * key under the configured claim bucket.
     */
-  private[ingest] def parse(path: String,
-      conf: Configuration): (String, String) = {
+  private[ingest] def parse(path: String, conf: Configuration,
+      strict: Boolean = false): (String, String) = {
     val u = try new java.net.URI(path) catch {
       case _: java.net.URISyntaxException => null
     }
     if (u != null && u.getScheme != null &&
         Set("s3", "s3a", "s3n")(u.getScheme) && u.getHost != null)
       (u.getHost, u.getPath.stripPrefix("/"))
-    else
+    else {
+      require(!strict,
+        s"SPARK_GRAFT_CLAIM_BACKEND=s3 requires s3://, s3a:// or s3n:// " +
+          s"paths, got '$path' — a scheme-less path would write claim " +
+          "objects into the configured bucket while the listing/lease " +
+          "half of the protocol rides the Hadoop FS on the original " +
+          "path (two namespaces: leases never released, claims reused); " +
+          "point the index root at the object store itself")
       (conf.get(BucketConfKey, "graft-claims"), path.stripPrefix("/"))
+    }
   }
 
   /** The production store: the reflective AWS SDK binding, or a LOUD
@@ -141,7 +161,9 @@ object S3ConditionalStore {
         s"(${AwsSdkS3ObjectApi.ClientClass}) on the classpath; add " +
         "software.amazon.awssdk:s3 — claims will NOT silently fall " +
         "back to a weaker backend")
-    new S3ConditionalStore(AwsSdkS3ObjectApi())
+    // strictScheme: the production binding refuses scheme-less paths
+    // (see parse) — the conf-bucket fallback is the TEST seam only
+    new S3ConditionalStore(AwsSdkS3ObjectApi(), strictScheme = true)
   }
 }
 

@@ -1026,14 +1026,28 @@ object Dedup {
         // monotonic epoch, so the (num_hashes, bands) we banded under
         // is provably the stored one. Happy path stays filesystem
         // checks only (no meta parquet re-read); the retry path
-        // re-reads the geometry. Consumed-manifest arm is epoch-free:
-        // vacuums never change the geometry.
+        // re-reads the geometry. The consumed arm checks the epoch
+        // TOO: an append racing both a save and a vacuum could land a
+        // stale-geometry batch that the vacuum folds into its manifest
+        // before this verify — consumption would launder it into the
+        // compacted generation. A consumed batch cannot be retracted
+        // (a retry would duplicate it), so an epoch mismatch there
+        // fails LOUDLY instead of treating consumption as validity.
         done = committed.exists { case (epoch0, base, bdir) =>
           (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
             graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
             graft.ingest.Generations.saveEpoch(path, conf) == epoch0) ||
-          graft.ingest.Generations.isConsumed(path,
-            graft.ingest.Generations.qualifiedName(bdir), conf)
+          (graft.ingest.Generations.isConsumed(path,
+            graft.ingest.Generations.qualifiedName(bdir), conf) && {
+            require(graft.ingest.Generations.saveEpoch(path, conf) == epoch0,
+              s"append batch ${graft.ingest.Generations.qualifiedName(bdir)} " +
+                s"of $path was consumed into a compacted generation, but " +
+                "the save epoch changed since the appender read the index " +
+                "geometry — the batch may carry stale-geometry bands and " +
+                "can no longer be retracted (a retry would duplicate it); " +
+                "rebuild or re-save the index rather than trusting it")
+            true
+          })
         }
         // RETRACT a commit that failed verification before retrying:
         // a dir that survived a save's reset (landed after the tree

@@ -643,7 +643,14 @@ object Similarity {
       */
     def mipsProbesOf(qv: Array[Double], nProbe: Int): Seq[Int] = {
       val d = Array.tabulate(nCells)(c => mipsBase(qv, c))
-      d.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2).toSeq
+      // same explicit descending comparator as TextOps.topDotCells (its
+      // codegen'd twin): negating doubles would flip a +0.0/-0.0 tie
+      // relative to Double.compare's total order, and the two paths
+      // must pick IDENTICAL probe lists bit-for-bit (sim25 == sim18)
+      (0 until nCells).sortWith { (a, b) =>
+        val c = java.lang.Double.compare(d(b), d(a))
+        if (c != 0) c < 0 else a < b
+      }.take(nProbe)
     }
     /** q·cen(cell), the cell-constant term of the decomposed dot. */
     def mipsBase(qv: Array[Double], cell: Int): Double = {

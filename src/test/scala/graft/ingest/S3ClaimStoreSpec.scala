@@ -102,6 +102,28 @@ class S3ClaimStoreSpec extends AnyFunSuite {
     assert(S3ConditionalStore.parse("/tmp/x", c2) == ("mybucket", "tmp/x"))
   }
 
+  test("strict parsing (the production path) refuses scheme-less paths loudly") {
+    // a bare or hdfs:// path under the s3 backend would split the
+    // claim protocol across two namespaces (SDK PUTs into the conf
+    // bucket, listing/lease-delete on the Hadoop FS path) — leases
+    // never released, claim ids reused. The production store fails
+    // loudly instead; s3 schemes keep working.
+    assert(S3ConditionalStore.parse("s3a://lake/claims/b0.claim", conf,
+      strict = true) == ("lake", "claims/b0.claim"))
+    for (bad <- Seq("/tmp/idx/_SAVING", "hdfs://nn/idx/_SAVING", "rel/path")) {
+      val e = intercept[IllegalArgumentException](
+        S3ConditionalStore.parse(bad, conf, strict = true))
+      assert(e.getMessage.contains("s3a://") &&
+        e.getMessage.contains("two namespaces"),
+        s"strict parse of $bad must name the split-namespace hazard: ${e.getMessage}")
+    }
+    // the strict store refuses end to end (not just the parser)
+    val strictStore = new S3ConditionalStore(new MemS3, strictScheme = true)
+    intercept[IllegalArgumentException](
+      strictStore.putIfAbsent("/tmp/idx/_SAVING", Array[Byte](1), conf))
+    intercept[IllegalArgumentException](strictStore.get("/tmp/idx/_SAVING", conf))
+  }
+
   test("atomic S3: exactly one of N concurrent claimers wins through the adapter") {
     val backend = new ConditionalPutClaimBackend(
       new S3ConditionalStore(new MemS3))

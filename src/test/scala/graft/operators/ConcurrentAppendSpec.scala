@@ -547,16 +547,41 @@ class ConcurrentAppendSpec extends SparkSpec {
       assert(live.getMessage.contains("STILL RUNNING") &&
         live.getMessage.contains(graft.ingest.Generations.LeaseTimeoutKey),
         s"fresh-lease timeout must name the raise-the-bound remedy: ${live.getMessage}")
-      // an OLD lease (mtime pushed far past 2x the bound) → the writer
-      // likely crashed; the message must name the delete-and-retry remedy
+      // a lease many MULTIPLES of the caller's (small) bound old but
+      // under the ABSOLUTE crashed-age threshold → still the live
+      // hint: a long-running production vacuum exceeds any small
+      // configured bound many times over, and handing its operator a
+      // delete remedy would re-open the save/append race
       val p = new org.apache.hadoop.fs.Path(s"$root/_SAVING")
+      p.getFileSystem(conf).setTimes(p,
+        System.currentTimeMillis() - 60L * 1000L, -1L)
+      val longLive = intercept[IllegalStateException](
+        graft.ingest.Generations.awaitNoLease(root, conf, timeoutMs = 200L))
+      assert(longLive.getMessage.contains("STILL RUNNING"),
+        "a lease older than many timeout multiples but under the " +
+          s"absolute threshold must keep the live hint: ${longLive.getMessage}")
+      // an OLD lease (mtime pushed past the absolute threshold) → the
+      // writer likely crashed; the message must name the verify-first,
+      // delete-as-last-resort remedy
       p.getFileSystem(conf).setTimes(p,
         System.currentTimeMillis() - 3600L * 1000L, -1L)
       val crashed = intercept[IllegalStateException](
         graft.ingest.Generations.awaitNoLease(root, conf, timeoutMs = 200L))
       assert(crashed.getMessage.contains("CRASHED") &&
-        crashed.getMessage.contains("delete the lease"),
-        s"stale-lease timeout must name the delete remedy: ${crashed.getMessage}")
+        crashed.getMessage.contains("delete the lease") &&
+        crashed.getMessage.contains("last resort") &&
+        crashed.getMessage.contains("verify no save/vacuum process is live"),
+        s"stale-lease timeout must name the guarded delete remedy: ${crashed.getMessage}")
+      // the absolute threshold is itself a conf dial: lower it under
+      // the 60s age and the same lease flips to the crashed hint
+      val lowThresh = new org.apache.hadoop.conf.Configuration(conf)
+      lowThresh.setLong(graft.ingest.Generations.LeaseCrashedAgeKey, 1000L)
+      p.getFileSystem(conf).setTimes(p,
+        System.currentTimeMillis() - 60L * 1000L, -1L)
+      val tunedCrash = intercept[IllegalStateException](
+        graft.ingest.Generations.awaitNoLease(root, lowThresh, timeoutMs = 200L))
+      assert(tunedCrash.getMessage.contains("CRASHED"),
+        s"conf-lowered threshold must flip the hint: ${tunedCrash.getMessage}")
       // the fleet-wide conf dial is honored when no per-call bound is given
       val tuned = new org.apache.hadoop.conf.Configuration(conf)
       tuned.setLong(graft.ingest.Generations.LeaseTimeoutKey, 250L)

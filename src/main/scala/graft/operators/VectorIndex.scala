@@ -220,31 +220,51 @@ object VectorIndex {
     (model, coded)
   }
 
-  /** Bounded query collect shared by both probes: the limit(Max+1)
-    * caps what can ever reach the driver BEFORE the require reports
-    * the overflow.
+  /** Bounded query collect shared by the LUT probes: the limit(cap+1)
+    * caps what can ever reach the driver BEFORE the overflow is
+    * decided. `None` = the query set exceeds the cap — the caller
+    * either ROUTES to its bulk twin (the three routed probes) or
+    * fails loudly ([[boundedQueriesStrict]], for the one probe with
+    * no bulk twin).
     */
   private def boundedQueries(queries: DataFrame,
-      extra: Seq[org.apache.spark.sql.Column]): Array[org.apache.spark.sql.Row] = {
+      extra: Seq[org.apache.spark.sql.Column],
+      cap: Int): Option[Array[org.apache.spark.sql.Row]] = {
     val rows = queries.orderBy(col("vec_id"))
       .select(Seq(col("vec_id").cast("long").as("qid"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
         ++ extra: _*)
-      .limit(MaxProbeQueries + 1).collect()
-    require(rows.length <= MaxProbeQueries,
-      s"index probes take at most $MaxProbeQueries query vectors per " +
-        "call (each becomes nProbe broadcast ADC tables); chunk " +
-        "larger query sets")
-    rows
+      .limit(cap + 1).collect()
+    if (rows.length <= cap) Some(rows) else None
   }
 
+  private def boundedQueriesStrict(queries: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column]): Array[org.apache.spark.sql.Row] =
+    boundedQueries(queries, extra, MaxProbeQueries).getOrElse(
+      throw new IllegalArgumentException(
+        s"this probe takes at most $MaxProbeQueries query vectors per " +
+          "call (each becomes nProbe broadcast ADC tables) and has no " +
+          "distributed bulk twin; chunk the query set"))
+
+  /** AUTO-ROUTED probe: query sets within `maxDriverQueries` run the
+    * LUT plan (per-query broadcast ADC tables — the latency shape for
+    * interactive top-k); larger sets DELEGATE to [[probeVectorIndexBulk]]
+    * instead of failing — the two plans are proven row-identical
+    * (sim24 shares sim11's oracle; the parity spec pins bulk == LUT
+    * row-for-row), so the cap is a plan choice, not a correctness
+    * boundary. `maxDriverQueries` is a test seam / tuning dial;
+    * [[MaxProbeQueries]] is the documented driver-safety default.
+    */
   def probeVectorIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val (model, coded) = loadCoded(s, path)
-    val q = boundedQueries(queries, Nil)
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    Similarity.adcRank(coded, q, model, k, nProbe)
-  }
+      k: Int = 5, nProbe: Int = 4,
+      maxDriverQueries: Int = MaxProbeQueries): DataFrame =
+    boundedQueries(queries, Nil, maxDriverQueries) match {
+      case Some(rows) =>
+        val (model, coded) = loadCoded(s, path)
+        val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        Similarity.adcRank(coded, q, model, k, nProbe)
+      case None => probeVectorIndexBulk(s, path, queries, k, nProbe)
+    }
 
   /** INNER-PRODUCT (MIPS) probe of a persisted index — sim06's
     * retrieval objective (DPR-style retrievers score q·d, which ranks
@@ -259,12 +279,15 @@ object VectorIndex {
     * function per query set without a second index.
     */
   def probeVectorIndexMips(s: SparkSession, path: String,
-      queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val (model, coded) = loadCoded(s, path)
-    val q = boundedQueries(queries, Nil)
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    Similarity.adcRank(coded, q, model, k, nProbe, mips = true)
-  }
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4,
+      maxDriverQueries: Int = MaxProbeQueries): DataFrame =
+    boundedQueries(queries, Nil, maxDriverQueries) match {
+      case Some(rows) =>
+        val (model, coded) = loadCoded(s, path)
+        val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        Similarity.adcRank(coded, q, model, k, nProbe, mips = true)
+      case None => probeVectorIndexBulkMips(s, path, queries, k, nProbe)
+    }
 
   /** ADC probe + EXACT COSINE REFINE from the stored index — the
     * deployment shape of a retrieval dense leg (sim17's refine repair
@@ -282,7 +305,12 @@ object VectorIndex {
       nProbe: Int = 4): DataFrame = {
     import s.implicits._
     val (model, coded) = loadCoded(s, path)
-    val q = boundedQueries(queries, Nil)
+    // strict (no auto-route): this probe's refine metric is COSINE
+    // (the retrieval dense leg); the distributed twin
+    // [[probeVectorIndexBulkRefined]] re-scores in exact squared-L2
+    // (sim17's repair objective), so silently routing would change
+    // the ranking semantics, not just the plan
+    val q = boundedQueriesStrict(queries, Nil)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cand = Similarity.adcRank(coded, q, model, Int.MaxValue, nProbe)
       .select("qid", "cid")
@@ -317,23 +345,26 @@ object VectorIndex {
     */
   def probeVectorIndexFiltered(s: SparkSession, path: String,
       queries: DataFrame, meta: DataFrame, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
-    val (model, coded) = loadCoded(s, path)
-    val rows = boundedQueries(queries, Seq(col("label")))
-    // fail fast on a NULL query label: isin/=== never match NULL, so
-    // the probe would silently return ZERO candidates for that query —
-    // indistinguishable from "no neighbors share the label"
-    require(rows.forall(!_.isNullAt(2)),
-      "filtered probe requires a non-NULL label on every query vector " +
-        "(a NULL label matches no candidate under SQL equality)")
-    val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val labelOf: Map[Long, Any] = rows.map(r => r.getLong(0) -> r.get(2)).toMap
-    val wanted = rows.map(_.get(2)).distinct.toSeq
-    val fmeta = meta.filter(col("label").isin(wanted: _*))
-      .select(col("vec_id").cast("long").as("cid"), col("label"))
-    Similarity.adcRank(coded.join(fmeta, "cid"), q, model, k, nProbe,
-      Some(labelOf))
-  }
+      nProbe: Int = 4,
+      maxDriverQueries: Int = MaxProbeQueries): DataFrame =
+    boundedQueries(queries, Seq(col("label")), maxDriverQueries) match {
+      case Some(rows) =>
+        val (model, coded) = loadCoded(s, path)
+        // fail fast on a NULL query label: isin/=== never match NULL, so
+        // the probe would silently return ZERO candidates for that query —
+        // indistinguishable from "no neighbors share the label"
+        require(rows.forall(!_.isNullAt(2)),
+          "filtered probe requires a non-NULL label on every query vector " +
+            "(a NULL label matches no candidate under SQL equality)")
+        val q = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val labelOf: Map[Long, Any] = rows.map(r => r.getLong(0) -> r.get(2)).toMap
+        val wanted = rows.map(_.get(2)).distinct.toSeq
+        val fmeta = meta.filter(col("label").isin(wanted: _*))
+          .select(col("vec_id").cast("long").as("cid"), col("label"))
+        Similarity.adcRank(coded.join(fmeta, "cid"), q, model, k, nProbe,
+          Some(labelOf))
+      case None => probeVectorIndexBulkFiltered(s, path, queries, meta, k, nProbe)
+    }
 
   /** Rehydrate the quantizer state — nCells + nCodes bounded rows. */
   private[operators] def loadModel(s: SparkSession, path: String): Similarity.IvfPqModel = {
@@ -970,6 +1001,115 @@ object VectorIndex {
       .orderBy("qid", "rn")
   }
 
+  /** Ceiling on the DISTINCT LABEL domain the bulk filtered probe
+    * collects to build its pushed-down metadata filter. This is a
+    * bound on the label VOCABULARY (languages, sources, licenses —
+    * small by nature), not on queries or corpus: a 100-TB corpus with
+    * billions of queries still has a collectable label domain. A
+    * domain past the cap fails loudly — the predicate would no longer
+    * be expressible as a pushed In-filter anyway.
+    */
+  val MaxFilterLabels: Int = 65536
+
+  /** FILTERED bulk probe — sim15's pre-filter contract composed with
+    * [[probeVectorIndexBulk]]'s distributed topology: the filtered ANN
+    * JOIN (restrict candidates to rows sharing the query's label,
+    * THEN rank) with queries staying a DataFrame end to end. The only
+    * driver state is the distinct label DOMAIN (bounded by the label
+    * vocabulary — [[MaxFilterLabels]] — never by |Q| or the corpus),
+    * collected to push an In(label, ...) filter into the metadata
+    * parquet scan (PushedFilters, pinned in PlanSpec) so a
+    * label-partitioned metadata table prunes to its shards. Topology:
+    * codes ⋈ metadata is a co-partitioned equi-join on cid (both
+    * corpus-sized — never a broadcast), the query side explodes to
+    * (qid, qv, cell) and shuffle-joins on `cell`, candidates keep
+    * only label == qlabel BEFORE scoring (pre-filter: k fills from
+    * WITHIN the predicate — post-filtering an unfiltered top-k
+    * under-fills whenever matches are scarce in the global
+    * neighborhood), then the shared codegen'd ADC kernel and the
+    * per-qid window. Same arithmetic as the LUT filtered path
+    * (spec-pinned row-for-row).
+    */
+  def probeVectorIndexBulkFiltered(s: SparkSession, path: String,
+      queries: DataFrame, meta: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val (model, coded) = loadCoded(s, path)
+    // label DOMAIN, not query, collect — and a NULL label anywhere in
+    // it fails fast (isin/=== never match NULL: the affected queries
+    // would silently return zero candidates)
+    val wantedRows = queries.select(col("label")).distinct()
+      .limit(MaxFilterLabels + 1).collect()
+    require(wantedRows.length <= MaxFilterLabels,
+      s"bulk filtered probe pushes the query-label domain into the " +
+        s"metadata scan as an In filter; $MaxFilterLabels distinct " +
+        "labels exceeded — this predicate shape no longer fits a " +
+        "pushed filter")
+    require(wantedRows.forall(!_.isNullAt(0)),
+      "filtered probe requires a non-NULL label on every query vector " +
+        "(a NULL label matches no candidate under SQL equality)")
+    val wanted = wantedRows.map(_.get(0)).toSeq
+    val fmeta = meta.filter(col("label").isin(wanted: _*))
+      .select(col("vec_id").cast("long").as("cid"), col("label"))
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+        col("label").as("qlabel"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(
+        graft.functions.TextExpressions.nearest_centroids(
+          col("qv"), model.cen, nProbe)))
+    val cand = coded.join(fmeta, "cid").join(q, Seq("cell"))
+      .filter(col("cid") =!= col("qid") && col("label") === col("qlabel"))
+    val adist = graft.functions.TextExpressions.adc_distance(
+      col("qv"), col("cell"),
+      array((0 until model.nSub).map(m => col(s"code_$m")): _*),
+      model.cen, model.rcb, model.subDim, mips = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    cand.withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "adist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** REFINED bulk probe — sim17's exact-refine repair as a fully
+    * distributed pipeline: the bulk ADC plan nominates the top-`topR`
+    * candidates per query (approximate scores order the SHORTLIST
+    * only), then ONE equi-join back to the raw vector table `raw`
+    * (vec_id, embedding) re-scores each nominee EXACTLY — the
+    * index-ascending squared-L2 fold, sim17's double sequence — and
+    * the final top-k ranks on the exact distances. No driver collect
+    * anywhere: nomination is [[probeVectorIndexBulk]]'s single
+    * cell-join, the refine joins touch |Q|·topR rows against the
+    * corpus-sized raw side (co-partitioned on cid) and the query side
+    * (co-partitioned on qid) — never a broadcast of either. Endpoints
+    * (spec-pinned): topR = k degenerates to re-scoring the ADC top-k;
+    * topR = everything is the exact re-rank of all probed-cell
+    * candidates (sim17's `truth`).
+    */
+  def probeVectorIndexBulkRefined(s: SparkSession, path: String,
+      queries: DataFrame, raw: DataFrame, k: Int = 5, topR: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    require(topR >= k, s"topR ($topR) must be >= k ($k): the refine " +
+      "stage can only re-rank what the ADC stage nominated")
+    val cand = probeVectorIndexBulk(s, path, queries, topR, nProbe)
+      .select("qid", "cid")
+    val qdf = queries.select(col("vec_id").cast("long").as("qid"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val rawSide = raw.select(col("vec_id").cast("long").as("cid"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+    // exact refine distance: sequential (a_i-b_i)^2 fold, index-
+    // ascending — the same double sequence sim17's oracle list_sum runs
+    val diff = zip_with(col("qv"), col("cv"), (a, b) => a - b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("exd"), col("cid"))
+    cand.join(rawSide, "cid").join(qdf, "qid")
+      .withColumn("exd", graft.functions.VectorFunctions.dotD(diff, diff))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "exd", "rn")
+      .orderBy("qid", "rn")
+  }
+
   // The bulk probe proved at full width: EVERY corpus vector is a
   // query (the embedding-dedup / all-pairs-ANN shape), against the
   // stored index — sharing sim07's oracle with the query restriction
@@ -1252,7 +1392,93 @@ object VectorIndex {
     },
   )
 
+  // The FILTERED ANN join at full width: every corpus vector queries
+  // the stored index restricted to candidates sharing its label —
+  // sim15's replay (sim07's oracle + the label predicate on the
+  // candidate set) with the query restriction lifted. A hash match
+  // proves the distributed pre-filter ran BEFORE scoring for every
+  // query at once; the under-fill contrast (post-filtering would
+  // return a different, shorter list) and the PushedFilters pin live
+  // in the specs.
+  private val sim26 = QueryDef(
+    "sim26_bulk_filtered_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim26_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexBulkFiltered(s, path, emb,
+          emb.select("vec_id", "label"))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val pAnchor =
+        "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val qAnchor = "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),"
+      val fAnchor = "WHERE a.cid <> p.qid"
+      Seq(pAnchor, qAnchor, fAnchor).foreach(a =>
+        require(o.contains(a), s"sim07 oracle anchor moved: $a"))
+      o.replace(pAnchor,
+          "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4),")
+        .replace(qAnchor, "q AS (SELECT cid AS qid, cv AS qv FROM c),")
+        .replace(fAnchor,
+          fAnchor +
+            " AND (SELECT el.label FROM embeddings el WHERE el.vec_id = a.cid)" +
+            " = (SELECT eq.label FROM embeddings eq WHERE eq.vec_id = p.qid)")
+    },
+  )
+
+  // The exact-refine repair at full width: the bulk plan nominates the
+  // ADC top-10 per query, one join back to the raw vectors re-scores
+  // exactly, and the final top-5 ranks on the exact distances —
+  // sim17's adrn/ex derivation appended to sim07's oracle with the
+  // query restriction lifted. A hash match certifies nomination,
+  // refine join, and exact fold for every corpus vector as a query;
+  // the topR endpoint proofs and bulk==LUT-shaped parity live in the
+  // spec.
+  private val sim28 = QueryDef(
+    "sim28_bulk_refined_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim28_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexBulkRefined(s, path, emb, emb, k = 5, topR = 10)
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    Similarity.sim07Oracle.map { o =>
+      val pAnchor =
+        "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4 AND cid < 3),"
+      val qAnchor = "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),"
+      val endAnchor =
+        "SELECT qid, cid, adist, rn FROM r2 WHERE rn <= 5 ORDER BY qid, rn"
+      Seq(pAnchor, qAnchor, endAnchor).foreach(a =>
+        require(o.contains(a), s"sim07 oracle anchor moved: $a"))
+      o.replace(pAnchor,
+          "probes AS (SELECT cid AS qid, k AS cell FROM rk WHERE r <= 4),")
+        .replace(qAnchor, "q AS (SELECT cid AS qid, cv AS qv FROM c),")
+        .replace(endAnchor,
+          """,
+      adrn AS (SELECT qid, cid, adist,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS ad_rn
+        FROM ad),
+      ex AS (SELECT a.qid, a.cid,
+          list_sum(list_transform(range(64), i ->
+            (q.qv[i + 1] - cc.cv[i + 1]) * (q.qv[i + 1] - cc.cv[i + 1]))) AS exd
+        FROM adrn a JOIN q ON q.qid = a.qid JOIN c cc ON cc.cid = a.cid
+        WHERE a.ad_rn <= 10),
+      r3 AS (SELECT qid, cid, exd,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exd, cid) AS BIGINT) AS rn
+        FROM ex)
+      SELECT qid, cid, exd, rn FROM r3 WHERE rn <= 5 ORDER BY qid, rn""")
+    },
+  )
+
   val defs: Seq[QueryDef] =
     Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23,
-      sim24, sim25, sd02)
+      sim24, sim25, sim26, sim28, sd02)
 }

@@ -435,6 +435,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim26: bulk filtered probe pushes the label domain into the metadata scan; queries stay a scan") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_sim26_plan")
+    try {
+      val emb = graft.sources.Tables(spark, sf0001).embeddings
+      VectorIndex.saveVectorIndex(emb, base.resolve("vx").toString)
+      val p = VectorIndex.probeVectorIndexBulkFiltered(spark,
+          base.resolve("vx").toString, emb, emb.select("vec_id", "label"))
+        .queryExecution.executedPlan.toString
+      // the query-label domain reaches the metadata parquet scan as a
+      // pushed In filter — a label-partitioned metadata table prunes
+      // to its shards
+      assert(p.contains("PushedFilters") && p.contains("In(label"),
+        s"label domain must push into the metadata scan:\n${p.take(1200)}")
+      // no driver collect of queries: the query side is a parquet SCAN
+      // (embeddings appears as a FileScan at least twice — queries +
+      // metadata — beyond the code-table read), scored by the
+      // codegen'd ADC kernel, not per-query literal LUTs
+      assert(p.sliding("embeddings.parquet".length).count(
+          _ == "embeddings.parquet") >= 2,
+        s"queries and metadata must both be scans, not literals:\n${p.take(1200)}")
+      assert(p.contains("graft_adc_distance"),
+        s"scoring must ride the codegen'd ADC kernel:\n${p.take(1200)}")
+      assert(!p.contains("LocalTableScan"),
+        s"no side of the bulk filtered plan may be a collected literal:\n${p.take(1200)}")
+    } finally {
+      try graft.ingest.FileUtils.delete(base.toString, recursive = true): Unit
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("q47: EWMA window runs event_type-partitioned, never a global sort") {
     val p = plan("q47_ewma_trend")
     assert(p.contains("hashpartitioning(event_type"),

@@ -35,6 +35,135 @@ class VectorIndexSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
   }
 
+  test("bulk filtered probe == LUT filtered probe; pre-filter fills k, post-filter under-fills") {
+    val path = tmpDir("graft_vindex_bulkfilt").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val qs = emb.filter(col("vec_id") < 3)
+      val meta = emb.select("vec_id", "label")
+      // the distributed filtered plan must be a pure topology change
+      // against the LUT filtered path — candidates, scores, tie-breaks
+      val bulk = VectorIndex.probeVectorIndexBulkFiltered(
+        spark, path, qs, meta).collect().toSeq
+      assert(bulk == VectorIndex.probeVectorIndexFiltered(
+        spark, path, qs, meta).collect().toSeq,
+        "bulk filtered probe diverged from the LUT filtered probe")
+      // same pre-filter semantics at full width: every ranked candidate
+      // carries its query's label, and post-filtering the UNFILTERED
+      // bulk top-k under-fills (the classic vector-DB bug, contrasted)
+      val labelOf = emb.select(col("vec_id").cast("long"), col("label"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      val wide = VectorIndex.probeVectorIndexBulkFiltered(
+        spark, path, emb, meta).collect()
+      assert(wide.forall(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0))),
+        "every ranked candidate must carry the query's label")
+      val post = VectorIndex.probeVectorIndexBulk(spark, path, emb).collect()
+        .filter(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0)))
+      assert(post.length < wide.length,
+        s"post-filter kept ${post.length} of ${wide.length} — expected under-fill")
+      // a NULL query label fails fast on the bulk path too
+      val nullQ = qs.withColumn("label",
+        when(col("vec_id") === 1, lit(null).cast("string"))
+          .otherwise(col("label")))
+      val e = intercept[IllegalArgumentException] {
+        VectorIndex.probeVectorIndexBulkFiltered(spark, path, nullQ, meta)
+          .collect()
+      }
+      assert(e.getMessage.contains("non-NULL label"))
+    } finally graft.ingest.FileUtils.rmr(path,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  test("bulk refined probe: LUT-nominated parity and both topR endpoints") {
+    val path = tmpDir("graft_vindex_bulkref").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val qs = emb.filter(col("vec_id") < 3)
+      // reference refine built on the PROVEN LUT nomination (bulk==LUT
+      // is pinned above): same join back to raw, same exact fold, same
+      // rank — the bulk refined pipeline must match row for row
+      def refRefined(topR: Int, k: Int) = {
+        val cand = VectorIndex.probeVectorIndex(spark, path, qs, k = topR)
+          .select("qid", "cid")
+        val qdf = qs.select(col("vec_id").cast("long").as("qid"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+        val raw = emb.select(col("vec_id").cast("long").as("cid"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+        val diff = zip_with(col("qv"), col("cv"), (a, b) => a - b)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("exd"), col("cid"))
+        cand.join(raw, "cid").join(qdf, "qid")
+          .withColumn("exd", graft.functions.VectorFunctions.dotD(diff, diff))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= k)
+          .select("qid", "cid", "exd", "rn").orderBy("qid", "rn")
+      }
+      assert(VectorIndex.probeVectorIndexBulkRefined(spark, path, qs, emb,
+          k = 5, topR = 10).collect().toSeq ==
+        refRefined(10, 5).collect().toSeq,
+        "bulk refined diverged from the LUT-nominated refine")
+      // endpoint topR = k: the refine can only REORDER the ADC top-k —
+      // same cid set per query, ranked by exact distance
+      val adcTop = VectorIndex.probeVectorIndexBulk(spark, path, qs, k = 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val refTop = VectorIndex.probeVectorIndexBulkRefined(spark, path, qs,
+          emb, k = 5, topR = 5).collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      assert(refTop == adcTop,
+        "topR = k must re-rank exactly the ADC top-k set")
+      // endpoint topR = everything: the exact re-rank of ALL
+      // probed-cell candidates (sim17's truth)
+      assert(VectorIndex.probeVectorIndexBulkRefined(spark, path, qs, emb,
+          k = 5, topR = Int.MaxValue).collect().toSeq ==
+        refRefined(Int.MaxValue, 5).collect().toSeq,
+        "topR = everything must equal the exact re-rank of all candidates")
+      // nominating fewer than k is a contract error, not a silent
+      // under-fill
+      intercept[IllegalArgumentException](
+        VectorIndex.probeVectorIndexBulkRefined(spark, path, qs, emb,
+          k = 5, topR = 3))
+    } finally graft.ingest.FileUtils.rmr(path,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  test("oversized query sets route to the bulk plan; only the cosine refine still caps") {
+    val path = tmpDir("graft_vindex_route").toString
+    try {
+      VectorIndex.saveVectorIndex(emb, path)
+      val qs = emb.filter(col("vec_id") < 10)
+      val meta = emb.select("vec_id", "label")
+      // cap below the query count: what used to fail loudly now routes
+      // to the bulk plan — and the routed result is byte-identical to
+      // the LUT plan's (both already proven equal to each other)
+      assert(VectorIndex.probeVectorIndex(spark, path, qs,
+          maxDriverQueries = 3).collect().toSeq ==
+        VectorIndex.probeVectorIndex(spark, path, qs).collect().toSeq,
+        "routed L2 probe diverged from the LUT probe")
+      assert(VectorIndex.probeVectorIndexMips(spark, path, qs,
+          maxDriverQueries = 3).collect().toSeq ==
+        VectorIndex.probeVectorIndexMips(spark, path, qs).collect().toSeq,
+        "routed MIPS probe diverged from the LUT probe")
+      assert(VectorIndex.probeVectorIndexFiltered(spark, path, qs, meta,
+          maxDriverQueries = 3).collect().toSeq ==
+        VectorIndex.probeVectorIndexFiltered(spark, path, qs, meta)
+          .collect().toSeq,
+        "routed filtered probe diverged from the LUT filtered probe")
+      // the cosine refine has no bulk twin (its distributed twin
+      // re-scores in L2 — different semantics), so IT keeps the loud
+      // cap instead of silently routing into a different ranking
+      val many = emb.crossJoin(spark.range(0, 10).select(col("id").as("rep")))
+        .select((col("vec_id").cast("long") * 10 + col("rep")).as("vec_id"),
+          col("embedding"))
+      val e = intercept[IllegalArgumentException](
+        VectorIndex.probeVectorIndexRefined(spark, path, many, emb))
+      assert(e.getMessage.contains("no") &&
+        e.getMessage.contains("bulk twin"),
+        s"refined cap message must say why it cannot route: ${e.getMessage}")
+    } finally graft.ingest.FileUtils.rmr(path,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   test("the whole lifecycle runs through the Hadoop FileSystem API (file: URI)") {
     // an explicit file:-scheme URI never resolves through java.io —
     // save/append/forget/vacuum/probe must all route Path.getFileSystem,

@@ -511,14 +511,44 @@ object VectorIndex {
     * itself (taking it here too would self-deadlock on the nested
     * acquire); the work before that point is reads only, materialized
     * (localCheckpoint) so nothing re-reads files the save deletes.
+    *
+    * GEOMETRY RESIZE: the optional `nCells`/`nSub`/`subDim`/`nCodes`
+    * override the STORED geometry for the retrain (≤ 0 = keep stored,
+    * the erasure-remedy default). This is the maintenance loop's
+    * answer to a corpus that outgrew its save-time cell count — the
+    * bulk probes' join parallelism is bounded by distinct cells
+    * (production IVF sizes ~√N cells), and cells are pinned at save
+    * time, so growth past the geometry previously required a manual
+    * delete + re-save. A resize is exactly a retrain-and-replace:
+    * the nested save re-pins training rows under the NEW geometry,
+    * re-encodes every kept vector, replaces meta/centroids/codebook/
+    * train_ids wholesale, and bumps the save epoch — no batch encoded
+    * under the old geometry can survive (the save's reset clears
+    * every batch tree; the saveVectorIndex stale-batch contract).
     */
   def rebuildVectorIndex(corpus: DataFrame, path: String,
-      erase: DataFrame): Unit = {
+      erase: DataFrame, nCells: Int = -1, nSub: Int = -1,
+      subDim: Int = -1, nCodes: Int = -1): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
     val m = s.read.parquet(s"$path/meta")
       .select("n_cells", "n_sub", "sub_dim").head
-    val nCodes = s.read.parquet(s"$path/codebook").count().toInt
+    val storedCodes = s.read.parquet(s"$path/codebook").count().toInt
+    val (tc, ts, td, tk) = (
+      if (nCells > 0) nCells else m.getInt(0),
+      if (nSub > 0) nSub else m.getInt(1),
+      if (subDim > 0) subDim else m.getInt(2),
+      if (nCodes > 0) nCodes else storedCodes)
+    // a resize may re-partition the subspaces but never the dimension:
+    // the stored codes are replaced wholesale, but the CORPUS vectors
+    // are nSub*subDim doubles and a mismatched product would encode
+    // garbage silently (slice() pads short reads with null → poisoned
+    // codes), so it fails here by name instead
+    require(ts * td == m.getInt(1) * m.getInt(2),
+      s"target geometry nSub*subDim = ${ts * td} must preserve the " +
+        s"vector dimension ${m.getInt(1) * m.getInt(2)} " +
+        "(resize re-partitions subspaces, it cannot change the " +
+        "embedding width)")
     // materialized BEFORE the re-save deletes the tombstone parquet it
     // reads from (the vacuumIndex localCheckpoint rationale)
     val gone = erase.select(col("vec_id").cast("long").as("vec_id"))
@@ -528,7 +558,7 @@ object VectorIndex {
       .localCheckpoint(true)
     val kept = corpus.join(gone,
       corpus("vec_id").cast("long") === gone("vec_id"), "left_anti")
-    saveVectorIndex(kept, path, m.getInt(0), m.getInt(1), m.getInt(2), nCodes)
+    saveVectorIndex(kept, path, tc, ts, td, tk)
   }
 
   // One-shot codes commit, called from the SAVE path (which holds the
@@ -1478,7 +1508,53 @@ object VectorIndex {
     },
   )
 
+  // GEOMETRY-RESIZE rebuild end to end — the maintenance move the bulk
+  // probes' scale note demands (join parallelism ∝ distinct cells, so
+  // a growing corpus needs more cells than its save-time geometry):
+  // the corpus starts SMALL (saved at 8 cells / 8 codes — the √N-ish
+  // sizing for its first installment), grows past it (append), and the
+  // maintenance loop rebuilds AT THE LARGER geometry (16/16) without a
+  // manual delete+re-save. The rebuilt index must be INDISTINGUISHABLE
+  // from one saved fresh at the target geometry — same pinned training
+  // rows, same codes, same probes — which is exactly what sharing
+  // sim07's oracle certifies (the fresh-save construction IS the
+  // oracle's). In-query requires turn a surviving old-geometry batch
+  // or an unbumped save epoch into loud failures; the spec pins both
+  // independently plus the dimension-preservation guard.
+  private val sim27 = QueryDef(
+    "sim27_geometry_resize_rebuild",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim27_vindex").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      try {
+        saveVectorIndex(emb.filter(col("vec_id") < 400), path,
+          nCells = 8, nSub = 8, subDim = 8, nCodes = 8)
+        appendVectorIndex(emb.filter(col("vec_id") >= 400), path)
+        val epochBefore = graft.ingest.Generations.saveEpoch(path, conf)
+        rebuildVectorIndex(emb, path, emb.select("vec_id").limit(0),
+          nCells = 16, nCodes = 16)
+        require(graft.ingest.Generations.saveEpoch(path, conf) > epochBefore,
+          "the resize rebuild must bump the save epoch (appenders must " +
+            "be able to detect the geometry replacement)")
+        val m = s.read.parquet(s"$path/meta").head
+        require(m.getInt(0) == 16,
+          s"stored geometry must be the resize target, got ${m.getInt(0)} cells")
+        // no batch encoded under the 8-cell geometry may survive: the
+        // nested save's reset cleared every batch tree, leaving ONE
+        // fresh full-corpus batch
+        val dirs = committedBatchDirs(path, conf)
+        require(dirs.size == 1,
+          s"old-geometry batches must not survive the resize, found $dirs")
+        probeVectorIndex(s, path, emb.filter(col("vec_id") < 3))
+          .localCheckpoint(eager = true)
+      } finally rmr(path, conf)
+    },
+    Similarity.sim07Oracle,
+  )
+
   val defs: Seq[QueryDef] =
     Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23,
-      sim24, sim25, sim26, sim28, sd02)
+      sim24, sim25, sim26, sim27, sim28, sd02)
 }

@@ -164,6 +164,53 @@ class VectorIndexSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
   }
 
+  test("geometry resize: rebuild at larger nCells == fresh save at that geometry; width guarded") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resized = tmpDir("graft_vindex_resize").toString
+    val fresh = tmpDir("graft_vindex_resize_fresh").toString
+    try {
+      // grow past a small save-time geometry, then resize via rebuild
+      VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), resized,
+        nCells = 8, nSub = 8, subDim = 8, nCodes = 8)
+      VectorIndex.appendVectorIndex(emb.filter(col("vec_id") >= 100), resized)
+      val epoch0 = graft.ingest.Generations.saveEpoch(resized, conf)
+      VectorIndex.rebuildVectorIndex(emb, resized,
+        emb.select("vec_id").limit(0), nCells = 16, nCodes = 16)
+      // the epoch bump is what lets a concurrent appender detect the
+      // geometry replacement — and the old-geometry batches are gone
+      assert(graft.ingest.Generations.saveEpoch(resized, conf) > epoch0,
+        "resize must bump the save epoch")
+      val live = graft.ingest.Generations.currentBatchesDir(resized, conf)
+      assert(graft.ingest.FileUtils.listSubdirs(live, conf).size == 1,
+        "no batch encoded under the old geometry may survive the resize")
+      // indistinguishable from an index saved FRESH at the target
+      // geometry: same quantizer files, same probe rows
+      VectorIndex.saveVectorIndex(emb, fresh, nCells = 16, nSub = 8,
+        subDim = 8, nCodes = 16)
+      def img(p: String) = (
+        spark.read.parquet(s"$p/meta").collect().toSeq,
+        spark.read.parquet(s"$p/centroids").orderBy("cell").collect().toSeq,
+        spark.read.parquet(s"$p/codebook").orderBy("code").collect().toSeq,
+        VectorIndex.probeVectorIndex(spark, p,
+          emb.filter(col("vec_id") < 3)).collect().toSeq)
+      assert(img(resized) == img(fresh),
+        "resized index must be indistinguishable from a fresh save at " +
+          "the target geometry")
+      // a resize may re-partition subspaces (4x16 keeps width 64) but
+      // never change the embedding width — 4x8 fails by name
+      VectorIndex.rebuildVectorIndex(emb, resized,
+        emb.select("vec_id").limit(0), nSub = 4, subDim = 16)
+      val e = intercept[IllegalArgumentException](
+        VectorIndex.rebuildVectorIndex(emb, resized,
+          emb.select("vec_id").limit(0), nSub = 4, subDim = 8))
+      assert(e.getMessage.contains("vector dimension"),
+        s"width-changing resize must fail by name: ${e.getMessage}")
+    } finally {
+      graft.ingest.FileUtils.rmr(resized, conf)
+      graft.ingest.FileUtils.rmr(fresh, conf)
+    }
+  }
+
   test("the whole lifecycle runs through the Hadoop FileSystem API (file: URI)") {
     // an explicit file:-scheme URI never resolves through java.io —
     // save/append/forget/vacuum/probe must all route Path.getFileSystem,

@@ -254,7 +254,9 @@ object Layout {
     * a claimed, marker-sealed VERSION dir under `dst` — the warehouse
     * versioning idiom — so readers ([[readCompacted]]) always see a
     * complete version (the latest committed), a crashed pass leaves
-    * the previous version live, and concurrent passes can't collide.
+    * the previous version live, and a concurrent pass fails loudly on
+    * the `_SAVING` lease (the exclusion that also lets
+    * [[vacuumCompacted]] reclaim abandoned versions safely).
     * The source dir is untouched: cutover (pointing the catalog at the
     * new version, deleting the old) is the caller's atomic step.
     *
@@ -282,33 +284,105 @@ object Layout {
       targetBytes: Long, clusterBy: Option[String] = None): CompactionStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = s.sparkContext.hadoopConfiguration
-    val before = graft.ingest.FileUtils.listDataFilesWithSize(src, conf)
-    require(before.nonEmpty, s"nothing to compact under $src")
-    val bytesBefore = before.map(_._2).sum
-    // overflow-safe ceil(bytesBefore / targetBytes), floored at 1
-    val nOutL = math.max(1L, (bytesBefore - 1) / targetBytes + 1)
-    // a clear contract error, not a negative repartition count: a tiny
-    // targetBytes against a huge landing can push the ceil past Int
-    require(nOutL <= Int.MaxValue.toLong,
-      s"compaction would need $nOutL output files (bytes=$bytesBefore, " +
-        s"targetBytes=$targetBytes) — exceeds Spark's Int partition " +
-        "count; raise targetBytes")
-    val nOut = nOutL.toInt
-    val vdir = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
-    val data = s.read.parquet(src)
-    clusterBy.fold(data.repartition(nOut))(c =>
-        data.repartitionByRange(nOut, col(c)).sortWithinPartitions(c))
-      .write.parquet(s"$vdir/data")
-    // record the layout decision beside the data, BEFORE the seal: the
-    // state catalog (ops03) reports it from a 1-line read, and a
-    // future maintenance pass can tell a clustered version from a
-    // round-robin one without scanning a footer
-    clusterBy.foreach(c => graft.ingest.FileUtils.atomicWrite(
-      s"$vdir/cluster_by", c + "\n", conf))
-    graft.ingest.FileUtils.touch(s"$vdir/_COMMITTED", conf)
-    val after = graft.ingest.FileUtils.listDataFilesWithSize(s"$vdir/data", conf)
-    CompactionStats(before.size.toLong, bytesBefore,
-      after.size.toLong, after.map(_._2).sum)
+    // the exclusive `_SAVING` lease (the index save/vacuum discipline):
+    // a concurrent pass fails loudly instead of running beside us, and
+    // — the load-bearing half — [[vacuumCompacted]] holding this lease
+    // PROVES no compactor is mid-write, so every non-live version it
+    // sees is reclaimable, including abandoned claims above the live
+    // id that would otherwise be indistinguishable from an in-flight
+    // writer. (The version claim below still guards the namespace: a
+    // crashed pass burns its id, never a reader-visible artifact.)
+    graft.ingest.FileUtils.withSaveLease(dst, conf) {
+      val before = graft.ingest.FileUtils.listDataFilesWithSize(src, conf)
+      require(before.nonEmpty, s"nothing to compact under $src")
+      val bytesBefore = before.map(_._2).sum
+      // overflow-safe ceil(bytesBefore / targetBytes), floored at 1
+      val nOutL = math.max(1L, (bytesBefore - 1) / targetBytes + 1)
+      // a clear contract error, not a negative repartition count: a tiny
+      // targetBytes against a huge landing can push the ceil past Int
+      require(nOutL <= Int.MaxValue.toLong,
+        s"compaction would need $nOutL output files (bytes=$bytesBefore, " +
+          s"targetBytes=$targetBytes) — exceeds Spark's Int partition " +
+          "count; raise targetBytes")
+      val nOut = nOutL.toInt
+      val vdir = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
+      val data = s.read.parquet(src)
+      clusterBy.fold(data.repartition(nOut))(c =>
+          data.repartitionByRange(nOut, col(c)).sortWithinPartitions(c))
+        .write.parquet(s"$vdir/data")
+      // record the layout decision beside the data, BEFORE the seal: the
+      // state catalog (ops03) reports it from a 1-line read, and a
+      // future maintenance pass can tell a clustered version from a
+      // round-robin one without scanning a footer
+      clusterBy.foreach(c => graft.ingest.FileUtils.atomicWrite(
+        s"$vdir/cluster_by", c + "\n", conf))
+      graft.ingest.FileUtils.touch(s"$vdir/_COMMITTED", conf)
+      val after = graft.ingest.FileUtils.listDataFilesWithSize(s"$vdir/data", conf)
+      CompactionStats(before.size.toLong, bytesBefore,
+        after.size.toLong, after.map(_._2).sum)
+    }
+  }
+
+  /** What [[vacuumCompacted]] reclaimed: the live version it kept and
+    * the superseded/abandoned versions (and their bytes) it dropped.
+    */
+  final case class CompactionVacuumStats(liveVersion: Long,
+      droppedVersions: Long, droppedBytes: Long)
+
+  /** COMPACTION-VERSION VACUUM — the missing retention half of the
+    * [[compact]] lifecycle (the indexes have vacuumIndex/vacuumRetired,
+    * the warehouse has vacuumRetired; versioned compaction roots
+    * accumulated a full table copy PER PASS forever). Under the same
+    * exclusive `_SAVING` lease compact holds, every version except the
+    * newest committed one is reclaimed: superseded committed versions,
+    * abandoned uncommitted dirs, and stale claim files — holding the
+    * lease proves no compactor is mid-write, so an unclaimed-looking
+    * dir above the live id is a crashed pass, never an in-flight one.
+    * Per dead version the `_COMMITTED` marker goes FIRST (one atomic
+    * op takes the version out of every new reader's choice) and the
+    * bytes after — a vacuum killed anywhere leaves the live version
+    * serving (readers resolve the newest committed marker) and a
+    * re-run finishes the sweep. Claim-id reuse after a vacuum is
+    * clean by the same lease argument: the dir a reused id would
+    * collide with was deleted while provably no writer held it.
+    * Metadata-only except the deletes: one LIST of the root, never a
+    * read of the data.
+    */
+  def vacuumCompacted(s: org.apache.spark.sql.SparkSession,
+      dst: String): CompactionVacuumStats = {
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.ingest.FileUtils.withSaveLease(dst, conf) {
+      val versionOf: String => Option[Long] = n =>
+        if (n.startsWith("v")) n.stripPrefix("v").toLongOption else None
+      val dirs = graft.ingest.FileUtils.listSubdirs(dst, conf)
+        .flatMap(d => versionOf(new org.apache.hadoop.fs.Path(d).getName))
+      val committed = dirs.filter(v =>
+        graft.ingest.FileUtils.exists(s"$dst/v$v/_COMMITTED", conf))
+      require(committed.nonEmpty,
+        s"no committed compaction under $dst — nothing is safely " +
+          "reclaimable without a live version to keep serving")
+      val live = committed.max
+      val dead = dirs.filterNot(_ == live)
+      var bytes = 0L
+      dead.foreach { v =>
+        bytes += graft.ingest.FileUtils
+          .listDataFilesWithSize(s"$dst/v$v/data", conf).map(_._2).sum
+        try graft.ingest.FileUtils.delete(
+          s"$dst/v$v/_COMMITTED", recursive = false, conf): Unit
+        catch { case _: Exception => () }
+        graft.ingest.FileUtils.rmr(s"$dst/v$v", conf)
+      }
+      // stale claims of dead ids (id monotonicity survives: the live
+      // dir keeps the max visible to claimSeqDir's enumeration)
+      graft.ingest.FileUtils.listChildFiles(dst, conf)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName)
+        .filter(n => n.endsWith(".claim") &&
+          versionOf(n.stripSuffix(".claim")).exists(_ != live))
+        .foreach(n =>
+          try graft.ingest.FileUtils.delete(s"$dst/$n", recursive = false, conf): Unit
+          catch { case _: Exception => () })
+      CompactionVacuumStats(live, dead.size.toLong, bytes)
+    }
   }
 
   /** The newest complete compaction under `dst` — readers never see a
@@ -449,5 +523,71 @@ object Layout {
         TRUE AS clustered_scans_at_most_half"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01, cmp01, cmp02)
+  // -------------------------------------------------------------- cmp03
+  // The vacuum half of the compaction lifecycle end to end: two
+  // committed passes (v0 superseded, v1 live) plus a crashed pass
+  // (claimed v2, partial dir, no seal) are censused, vacuumed, and the
+  // LIVE version must keep serving byte-identically — the aggregate
+  // the oracle replays over the ORIGINAL rows, with the census
+  // arithmetic as literal columns (in-query requires turn any census
+  // mismatch into a loud named failure first). The spec separately
+  // pins the killed-vacuum crash path, the lease exclusion against a
+  // concurrent compact, and ops03's post-vacuum census.
+  private val cmp03 = QueryDef(
+    "cmp03_compaction_vacuum",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cmp03").toString
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val landing = s"$tmp/landing"
+        Tables(s, dir).lineitem.repartition(64)
+          .write.mode("overwrite").parquet(landing)
+        val bytes = graft.ingest.FileUtils
+          .listDataFilesWithSize(landing, conf).map(_._2).sum
+        val dst = s"$tmp/compacted"
+        compact(s, landing, dst, (bytes - 1) / 8 + 1)
+        compact(s, landing, dst, (bytes - 1) / 4 + 1)
+        // a compactor that claimed v2 and crashed pre-seal, partial dir
+        val claimed = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
+        require(claimed.endsWith("/v2"), s"expected to claim v2, got $claimed")
+        graft.ingest.FileUtils.mkdirs(s"$claimed/data", conf)
+        require(graft.ingest.FileUtils.listSubdirs(dst, conf).size == 3,
+          "expected 3 version dirs before the vacuum")
+        val stats = vacuumCompacted(s, dst)
+        require(stats == CompactionVacuumStats(1L, 2L, stats.droppedBytes) &&
+            stats.droppedBytes > 0L,
+          s"vacuum must keep v1 and drop v0 + the abandoned v2: $stats")
+        require(graft.ingest.FileUtils.listSubdirs(dst, conf).size == 1,
+          "only the live version dir may survive the vacuum")
+        readCompacted(s, dst)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+              .as("sum_price"))
+          .withColumn("versions_before", lit(3L))
+          .withColumn("versions_after", lit(1L))
+          .withColumn("live_version", lit(stats.liveVersion))
+          .withColumn("dropped_versions", lit(stats.droppedVersions))
+          .withColumn("reclaimed_bytes_positive", lit(stats.droppedBytes > 0L))
+          .orderBy("l_returnflag")
+          .localCheckpoint(eager = true)
+      } finally graft.ingest.FileUtils.rmr(tmp,
+        s.sparkContext.hadoopConfiguration)
+    },
+    Some("""SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        CAST(3 AS BIGINT) AS versions_before,
+        CAST(1 AS BIGINT) AS versions_after,
+        CAST(1 AS BIGINT) AS live_version,
+        CAST(2 AS BIGINT) AS dropped_versions,
+        TRUE AS reclaimed_bytes_positive
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(zo01, zo02, dpp01, cmp01, cmp02, cmp03)
 }

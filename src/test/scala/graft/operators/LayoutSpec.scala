@@ -126,6 +126,64 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readCompacted(spark, dst).count() == lineitem.count())
   }
 
+  test("cmp03: vacuum crash safety, lease exclusion, and the post-vacuum catalog census") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft_cmp03_spec")
+    val landing = dir.resolve("landing").toString
+    val dst = dir.resolve("compacted").toString
+    spark.range(0, 4096).select(col("id").as("k"))
+      .repartition(16).write.parquet(landing)
+    Layout.compact(spark, landing, dst, 1L << 20)
+    Layout.compact(spark, landing, dst, 1L << 20)
+    val claimed = graft.ingest.FileUtils.claimSeqDir(dst, "v", conf)
+    graft.ingest.FileUtils.mkdirs(s"$claimed/data", conf)
+    // a vacuum KILLED mid-sweep: it had atomically unsealed v0 (the
+    // marker goes first) and died before finishing the bytes — readers
+    // must still resolve the live v1, and a re-run must finish
+    graft.ingest.FileUtils.delete(s"$dst/v0/_COMMITTED",
+      recursive = false, conf)
+    assert(Layout.readCompacted(spark, dst).count() == 4096L,
+      "a killed vacuum must leave the live version serving")
+    val stats = Layout.vacuumCompacted(spark, dst)
+    assert(stats.liveVersion == 1L && stats.droppedVersions == 2L,
+      s"re-run vacuum must finish the sweep: $stats")
+    assert(Layout.readCompacted(spark, dst).count() == 4096L)
+    assert(graft.ingest.FileUtils.listSubdirs(dst, conf).size == 1 &&
+      !graft.ingest.FileUtils.exists(s"$dst/v2.claim", conf),
+      "superseded/abandoned dirs and stale claims must be reclaimed")
+    // vacuuming again is a clean no-op census (idempotent maintenance)
+    assert(Layout.vacuumCompacted(spark, dst) ==
+      Layout.CompactionVacuumStats(1L, 0L, 0L))
+    // the state catalog reflects the reclaim: one committed version,
+    // zero abandoned claims, generation = the live version id
+    val census = StateCatalog.describeState(spark, dst)
+      .select("state_kind", "generation", "committed_batches",
+        "abandoned_claims").head
+    assert(census.getString(0) == "compacted_table" &&
+      census.getLong(1) == 1L && census.getLong(2) == 1L &&
+      census.getLong(3) == 0L, s"post-vacuum census off: $census")
+    // the lease excludes maintenance overlap BOTH ways: a held lease
+    // (a live compactor or vacuum) makes the other fail loudly naming
+    // the remedy instead of running beside it
+    graft.ingest.FileUtils.touch(s"$dst/_SAVING", conf)
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        Layout.vacuumCompacted(spark, dst))
+      assert(e1.getMessage.contains("_SAVING"))
+      val e2 = intercept[IllegalArgumentException](
+        Layout.compact(spark, landing, dst, 1L << 20))
+      assert(e2.getMessage.contains("_SAVING"))
+    } finally graft.ingest.FileUtils.delete(s"$dst/_SAVING",
+      recursive = false, conf)
+    // vacuum refuses a root with no committed version at all (nothing
+    // safe to keep serving)
+    val empty = dir.resolve("never_committed").toString
+    graft.ingest.FileUtils.mkdirs(s"$empty/v0/data", conf)
+    val e3 = intercept[IllegalArgumentException](
+      Layout.vacuumCompacted(spark, empty))
+    assert(e3.getMessage.contains("no committed compaction"))
+  }
+
   test("compact clusterBy: files carry disjoint-ish min-max bounds on the cluster column") {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = tmpDir("graft_compact_cluster")

@@ -732,11 +732,13 @@ object StreamingParity {
   // the streaming shell must be byte-identical around either.
   private def streamedIndexProbe(s: SparkSession, dir: String, tag: String,
       probe: (SparkSession, String, org.apache.spark.sql.DataFrame) =>
-        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        org.apache.spark.sql.DataFrame,
+      queryFilter: org.apache.spark.sql.Column = col("vec_id") < 3)
+      : org.apache.spark.sql.DataFrame = {
     val emb = Tables(s, dir).embeddings
     val tmp = tempDir(s"graft_$tag")
     VectorIndex.saveVectorIndex(emb, tmp.resolve("vindex").toString)
-    emb.filter(col("vec_id") < 3).repartition(3)
+    emb.filter(queryFilter).repartition(3)
       .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
     val landed = tmp.resolve("landed").toString
     val q = s.readStream.schema(emb.schema)
@@ -778,6 +780,31 @@ object StreamingParity {
     (s, dir) => streamedIndexProbe(s, dir, "str18",
       (ss, path, batch) => VectorIndex.probeVectorIndexMips(ss, path, batch)),
     VectorIndex.sim18Oracle,
+  )
+
+  // -------------------------------------------------------------- str22
+  // The BULK plan through the same build-once/stream-queries shell:
+  // query micro-batches probe via the distributed cell-join topology
+  // (probeVectorIndexBulk — no per-batch driver collect, no LUT
+  // broadcasts), at the all-pairs width sim24 proved (EVERY corpus
+  // vector arrives as a query, split across triggers). Per-query
+  // results are independent, so the union across micro-batches must
+  // equal the one-shot bulk probe — str22 shares sim24's oracle, and a
+  // hash match certifies the streamed distributed plan end to end.
+  // This is the continuous embedding-dedup deployment shape: corpus
+  // slices arrive, each slice ANN-joins the stored index in one
+  // distributed plan per trigger.
+  private val str22 = QueryDef(
+    "str22_stream_bulk_probe_parity",
+    (s, dir) => streamedIndexProbe(s, dir, "str22",
+      // through the ROUTED entry with the driver cap forced to zero:
+      // every micro-batch overflows the cap and delegates to the bulk
+      // plan — the oversized-probe routing exercised in the streaming
+      // topology, not just the one-shot spec
+      (ss, path, batch) =>
+        VectorIndex.probeVectorIndex(ss, path, batch, maxDriverQueries = 0),
+      queryFilter = lit(true)),
+    VectorIndex.sim24Oracle,
   )
 
   // -------------------------------------------------------------- str16
@@ -1034,5 +1061,5 @@ object StreamingParity {
   val defs: Seq[QueryDef] =
     Seq(str01, str02, str03, str04, str05, str06, str07, str08, str09, str10,
       str11, str12, str13, str14, str15, str16, str17, str18, str19, str20,
-      str21)
+      str21, str22)
 }

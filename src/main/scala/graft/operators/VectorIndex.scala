@@ -946,6 +946,9 @@ object VectorIndex {
   // against the SAME oracle rebuild.
   private[operators] def sim18Oracle: Option[String] = sim18.oracle
   private[operators] def sim22Oracle: Option[String] = sim22.oracle
+  // Shared by StreamingParity's str22: the streamed BULK probe must
+  // emit the exact ranking the one-shot bulk probe derives.
+  private[operators] def sim24Oracle: Option[String] = sim24.oracle
 
   /** BULK probe — the unbounded-queries answer to [[MaxProbeQueries]]:
     * queries stay a DataFrame end to end (no driver collect, no

@@ -157,6 +157,48 @@ object Generations {
         catch { case _: Exception => () })
   }
 
+  /** Post-commit verification shared by the self-healing appends
+    * (VectorIndex.appendVectorIndex / Dedup.appendNearDupIndex), run
+    * AFTER [[awaitNoLease]]: true ⟹ the committed batch is valid and
+    * durable. Two arms:
+    *
+    *  - marker survived + generation unchanged + SAVE EPOCH unchanged
+    *    ⟹ no maintenance replaced the index since the appender read
+    *    its model/geometry (a vacuum flips the generation; a save —
+    *    which keeps gen 0 and the same dir name — always bumps the
+    *    monotonic epoch). Filesystem checks only, no parquet re-read.
+    *  - the batch's qualified name is in a committed generation's
+    *    consumed manifest (a concurrent vacuum folded it into the
+    *    compaction chain) — valid ONLY if the epoch is ALSO unchanged:
+    *    an append racing both a save and a vacuum can land a
+    *    stale-model batch that the vacuum consumes before this check,
+    *    laundering stale codes into the compacted generation. A
+    *    consumed batch cannot be retracted (a retry would duplicate
+    *    it), so an epoch mismatch here FAILS LOUDLY instead of
+    *    returning false into a retry.
+    *
+    * False ⟹ the commit died with a replaced/swept tree (or survived
+    * a save's reset holding possibly-stale codes): the caller retracts
+    * the commit (marker first, then bytes) and retries under the
+    * CURRENT model. `what` names the stale artifact in the loud
+    * failure ("stale-model codes" / "stale-geometry bands").
+    */
+  def verifyAppendCommit(root: String, epoch0: Long, base: String,
+      bdir: String, what: String, conf: Configuration): Boolean =
+    (FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
+      currentBatchesDir(root, conf) == base &&
+      saveEpoch(root, conf) == epoch0) ||
+    (isConsumed(root, qualifiedName(bdir), conf) && {
+      require(saveEpoch(root, conf) == epoch0,
+        s"append batch ${qualifiedName(bdir)} of $root was consumed " +
+          "into a compacted generation, but the save epoch changed " +
+          "since the appender read the index state — the batch may " +
+          s"carry $what and can no longer be retracted (a retry would " +
+          "duplicate it); rebuild or re-save the index rather than " +
+          "trusting it")
+      true
+    })
+
   /** Wait out any in-flight maintenance writer's `_SAVING` lease —
     * the gate that makes a self-healing append/forget's post-commit
     * verification sound: once no lease is held at the moment of the

@@ -1024,30 +1024,16 @@ object Dedup {
         // geometry read: a vacuum flips the generation, and a save —
         // which keeps gen 0 and the same dir name — always bumps the
         // monotonic epoch, so the (num_hashes, bands) we banded under
-        // is provably the stored one. Happy path stays filesystem
-        // checks only (no meta parquet re-read); the retry path
-        // re-reads the geometry. The consumed arm checks the epoch
-        // TOO: an append racing both a save and a vacuum could land a
-        // stale-geometry batch that the vacuum folds into its manifest
-        // before this verify — consumption would launder it into the
-        // compacted generation. A consumed batch cannot be retracted
-        // (a retry would duplicate it), so an epoch mismatch there
-        // fails LOUDLY instead of treating consumption as validity.
+        // is provably the stored one. Shared verification
+        // (Generations.verifyAppendCommit): happy path stays
+        // filesystem checks only (no meta parquet re-read); the
+        // consumed arm checks the epoch TOO and fails loudly on
+        // mismatch (a consumed stale-geometry batch cannot be
+        // retracted); false sends us to the retract + retry below,
+        // which re-reads the geometry.
         done = committed.exists { case (epoch0, base, bdir) =>
-          (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-            graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
-            graft.ingest.Generations.saveEpoch(path, conf) == epoch0) ||
-          (graft.ingest.Generations.isConsumed(path,
-            graft.ingest.Generations.qualifiedName(bdir), conf) && {
-            require(graft.ingest.Generations.saveEpoch(path, conf) == epoch0,
-              s"append batch ${graft.ingest.Generations.qualifiedName(bdir)} " +
-                s"of $path was consumed into a compacted generation, but " +
-                "the save epoch changed since the appender read the index " +
-                "geometry — the batch may carry stale-geometry bands and " +
-                "can no longer be retracted (a retry would duplicate it); " +
-                "rebuild or re-save the index rather than trusting it")
-            true
-          })
+          graft.ingest.Generations.verifyAppendCommit(path, epoch0, base,
+            bdir, "stale-geometry bands", conf)
         }
         // RETRACT a commit that failed verification before retrying:
         // a dir that survived a save's reset (landed after the tree

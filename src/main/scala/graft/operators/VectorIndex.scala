@@ -150,31 +150,14 @@ object VectorIndex {
       // vacuum flips the generation, and a save — which keeps gen 0
       // and the same dir name — always bumps the monotonic epoch, so
       // the quantizers we encoded under are provably the stored ones.
-      // Still filesystem checks only on the happy path (no parquet
-      // re-read); the retry path reloads the model. The consumed arm
-      // checks the epoch TOO: without it, an append racing both a save
-      // and a vacuum could land a stale-model batch that the vacuum
-      // folds into its manifest before this verify runs — consumption
-      // would then launder the stale codes into the compacted
-      // generation, the exact corruption the epoch check exists to
-      // stop. A consumed batch cannot be retracted from the compaction
-      // chain (a retry would duplicate it), so an epoch mismatch there
-      // must FAIL LOUDLY, not retry.
+      // Shared verification (Generations.verifyAppendCommit — see its
+      // scaladoc): happy path is filesystem checks only; the consumed
+      // arm checks the epoch TOO and fails loudly on mismatch (a
+      // consumed stale-model batch cannot be retracted); false sends
+      // us to the retract + retry below, which reloads the model.
       done = committed.exists { case (epoch0, base, bdir) =>
-        (graft.ingest.FileUtils.exists(s"$bdir/_COMMITTED", conf) &&
-          graft.ingest.Generations.currentBatchesDir(path, conf) == base &&
-          graft.ingest.Generations.saveEpoch(path, conf) == epoch0) ||
-        (graft.ingest.Generations.isConsumed(path,
-          graft.ingest.Generations.qualifiedName(bdir), conf) && {
-          require(graft.ingest.Generations.saveEpoch(path, conf) == epoch0,
-            s"append batch ${graft.ingest.Generations.qualifiedName(bdir)} " +
-              s"of $path was consumed into a compacted generation, but " +
-              "the save epoch changed since the appender loaded its " +
-              "quantizers — the batch may carry stale-model codes and " +
-              "can no longer be retracted (a retry would duplicate it); " +
-              "rebuild or re-save the index rather than trusting it")
-          true
-        })
+        graft.ingest.Generations.verifyAppendCommit(path, epoch0, base,
+          bdir, "stale-model codes", conf)
       }
       // RETRACT a commit that failed verification before retrying: if
       // the dir survived a save's reset (landed after the tree clear),

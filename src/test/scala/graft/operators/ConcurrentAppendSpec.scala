@@ -347,6 +347,55 @@ class ConcurrentAppendSpec extends SparkSpec {
     } finally FileUtils.rmr(path, conf)
   }
 
+  test("consumed-arm epoch check: a vacuumed stale-model batch fails loudly, a vacuumed clean one verifies") {
+    val emb = Tables(spark, sf0001).embeddings
+    val path = tmpDir("aba_consumed").toString
+    try {
+      VectorIndex.saveVectorIndex(emb.filter(col("vec_id") < 100), path)
+      // --- the BENIGN half first: an append consumed by a vacuum
+      // under an UNCHANGED epoch verifies through the consumed arm ---
+      val epochClean = graft.ingest.Generations.saveEpoch(path, conf)
+      val baseClean = graft.ingest.Generations.currentBatchesDir(path, conf)
+      VectorIndex.appendVectorIndex(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 200), path)
+      val cleanDir = s"$baseClean/b1"
+      assert(FileUtils.exists(s"$cleanDir/_COMMITTED", conf))
+      VectorIndex.vacuumVectorIndex(spark, path) // folds b0+b1 into gen 1
+      assert(graft.ingest.Generations.verifyAppendCommit(path, epochClean,
+          baseClean, cleanDir, "stale-model codes", conf),
+        "a consumed batch under an unchanged epoch must verify")
+      // --- the ADVICE schedule: appender reads epoch + model, a SAVE
+      // replaces the quantizers (epoch bump), the stale-model batch
+      // commits into the fresh tree, and a vacuum consumes it into its
+      // manifest BEFORE the appender's verification runs ---
+      val epoch0 = graft.ingest.Generations.saveEpoch(path, conf)
+      val staleModel = VectorIndex.loadModel(spark, path)
+      VectorIndex.saveVectorIndex(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 300), path)
+      val base = graft.ingest.Generations.currentBatchesDir(path, conf)
+      val bdir = FileUtils.claimSeqDir(base, "b", conf)
+      Similarity.encodeIvfPq(
+          emb.filter(col("vec_id") >= 300 && col("vec_id") < 350), staleModel)
+        .write.mode("overwrite").parquet(s"$bdir/codes")
+      FileUtils.touch(s"$bdir/_COMMITTED", conf)
+      VectorIndex.vacuumVectorIndex(spark, path)
+      assert(graft.ingest.Generations.isConsumed(path,
+          graft.ingest.Generations.qualifiedName(bdir), conf),
+        "precondition: the vacuum must have consumed the stale batch — " +
+          "otherwise this is not the laundering schedule")
+      // consumption alone must NOT prove validity: the epoch moved, the
+      // batch cannot be retracted, so the verification fails LOUDLY
+      // instead of accepting or silently retrying
+      val e = intercept[IllegalArgumentException](
+        graft.ingest.Generations.verifyAppendCommit(path, epoch0, base,
+          bdir, "stale-model codes", conf))
+      assert(e.getMessage.contains("consumed") &&
+        e.getMessage.contains("stale-model codes") &&
+        e.getMessage.contains("can no longer be retracted"),
+        s"the consumed-epoch mismatch must name the laundering hazard: ${e.getMessage}")
+    } finally FileUtils.rmr(path, conf)
+  }
+
   test("near-dup re-save bumps the epoch under an unchanged gen-0 dir name") {
     import spark.implicits._
     val docs = Seq((0L, "the quick brown fox jumps over the lazy dog again"),

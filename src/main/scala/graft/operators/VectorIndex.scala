@@ -1045,10 +1045,20 @@ object VectorIndex {
     * neighborhood), then the shared codegen'd ADC kernel and the
     * per-qid window. Same arithmetic as the LUT filtered path
     * (spec-pinned row-for-row).
+    *
+    * `mips = true` flips the scoring objective to inner product (the
+    * retrieval deployment's filtered dense leg — DPR-style scoring
+    * restricted by a metadata predicate): cells probe by q·centroid
+    * descending via the codegen'd top_dot_cells kernel, the score is
+    * the decomposed dot with sim18's exact add order, the rank flips
+    * to score DESC, and the column is named `score` (sim06/sim18's
+    * shape). Everything else — domain collect, pushed metadata
+    * filter, cid equi-join, cell shuffle, pre-filter-before-scoring —
+    * is the same topology, so the two objectives cannot drift.
     */
   def probeVectorIndexBulkFiltered(s: SparkSession, path: String,
       queries: DataFrame, meta: DataFrame, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, mips: Boolean = false): DataFrame = {
     val (model, coded) = loadCoded(s, path)
     // label DOMAIN, not query, collect — and a NULL label anywhere in
     // it fails fast (isin/=== never match NULL: the affected queries
@@ -1066,24 +1076,29 @@ object VectorIndex {
     val wanted = wantedRows.map(_.get(0)).toSeq
     val fmeta = meta.filter(col("label").isin(wanted: _*))
       .select(col("vec_id").cast("long").as("cid"), col("label"))
+    val cells =
+      if (mips) graft.functions.TextExpressions.top_dot_cells(
+        col("qv"), model.cen, nProbe)
+      else graft.functions.TextExpressions.nearest_centroids(
+        col("qv"), model.cen, nProbe)
     val q = queries.select(col("vec_id").cast("long").as("qid"),
         col("label").as("qlabel"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
-      .withColumn("cell", explode(
-        graft.functions.TextExpressions.nearest_centroids(
-          col("qv"), model.cen, nProbe)))
+      .withColumn("cell", explode(cells))
     val cand = coded.join(fmeta, "cid").join(q, Seq("cell"))
       .filter(col("cid") =!= col("qid") && col("label") === col("qlabel"))
-    val adist = graft.functions.TextExpressions.adc_distance(
+    val scoreName = if (mips) "score" else "adist"
+    val score = graft.functions.TextExpressions.adc_distance(
       col("qv"), col("cell"),
       array((0 until model.nSub).map(m => col(s"code_$m")): _*),
-      model.cen, model.rcb, model.subDim, mips = false)
+      model.cen, model.rcb, model.subDim, mips = mips)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    cand.withColumn("adist", adist)
+      .partitionBy(col("qid"))
+      .orderBy(if (mips) col(scoreName).desc else col(scoreName), col("cid"))
+    cand.withColumn(scoreName, score)
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
-      .select("qid", "cid", "adist", "rn")
+      .select("qid", "cid", scoreName, "rn")
       .orderBy("qid", "rn")
   }
 
@@ -1540,7 +1555,41 @@ object VectorIndex {
     Similarity.sim07Oracle,
   )
 
+  // The filtered ANN join under the RETRIEVAL objective: every corpus
+  // vector MIPS-queries the stored index restricted to candidates
+  // sharing its label — sim18's full MIPS rebuild with the query
+  // restriction lifted and the label predicate on the candidate set
+  // (sim26's surgery applied to the dot-product derivation). A hash
+  // match proves the pre-filter composes with the decomposed-dot
+  // scoring and descending rank exactly; this completes the bulk
+  // matrix: {L2, MIPS} x {plain, filtered} + exact-refine.
+  private val sim29 = QueryDef(
+    "sim29_bulk_filtered_mips_probe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sim29_vindex").toString
+      try {
+        saveVectorIndex(emb, path)
+        probeVectorIndexBulkFiltered(s, path, emb,
+          emb.select("vec_id", "label"), mips = true)
+          .localCheckpoint(eager = true)
+      } finally rmr(path, s.sparkContext.hadoopConfiguration)
+    },
+    sim18Oracle.map { o =>
+      val qAnchor = "q AS (SELECT cid AS qid, cv AS qv FROM c WHERE cid < 3),"
+      val fAnchor = "WHERE a.cid <> p.qid)"
+      Seq(qAnchor, fAnchor).foreach(a =>
+        require(o.contains(a), s"sim18 oracle anchor moved: $a"))
+      o.replace(qAnchor, "q AS (SELECT cid AS qid, cv AS qv FROM c),")
+        .replace(fAnchor,
+          "WHERE a.cid <> p.qid" +
+            " AND (SELECT el.label FROM embeddings el WHERE el.vec_id = a.cid)" +
+            " = (SELECT eq.label FROM embeddings eq WHERE eq.vec_id = p.qid))")
+    },
+  )
+
   val defs: Seq[QueryDef] =
     Seq(sim11, sim12, sim13, sim15, sim16, sim18, sim20, sim22, sim23,
-      sim24, sim25, sim26, sim27, sim28, sd02)
+      sim24, sim25, sim26, sim27, sim28, sim29, sd02)
 }

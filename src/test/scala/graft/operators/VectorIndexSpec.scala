@@ -61,6 +61,24 @@ class VectorIndexSpec extends SparkSpec {
         .filter(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0)))
       assert(post.length < wide.length,
         s"post-filter kept ${post.length} of ${wide.length} — expected under-fill")
+      // the MIPS objective composes with the same pre-filter: every
+      // candidate shares its query's label, and post-filtering the
+      // unfiltered MIPS top-k under-fills the same way
+      val wideM = VectorIndex.probeVectorIndexBulkFiltered(
+        spark, path, emb, meta, mips = true).collect()
+      assert(wideM.forall(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0))),
+        "every MIPS-ranked candidate must carry the query's label")
+      val postM = VectorIndex.probeVectorIndexBulkMips(spark, path, emb)
+        .collect().filter(r => labelOf(r.getLong(1)) == labelOf(r.getLong(0)))
+      assert(postM.length < wideM.length,
+        s"MIPS post-filter kept ${postM.length} of ${wideM.length} — expected under-fill")
+      // and the two objectives genuinely rank differently under the
+      // same filter (corpus norms vary — the reason MIPS exists)
+      val wideL2 = VectorIndex.probeVectorIndexBulkFiltered(
+        spark, path, emb, meta).collect()
+      assert(wideM.map(r => (r.getLong(0), r.getLong(1))).toSeq !=
+        wideL2.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        "filtered MIPS and L2 rankings should diverge on this corpus")
       // a NULL query label fails fast on the bulk path too
       val nullQ = qs.withColumn("label",
         when(col("vec_id") === 1, lit(null).cast("string"))

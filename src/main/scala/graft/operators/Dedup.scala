@@ -938,11 +938,12 @@ object Dedup {
     // geometry metadata FIRST: a probe against bands built with a
     // different (numHashes, bands) would collide essentially at
     // random and silently miss true near-dups — append/probe read the
-    // stored geometry instead of trusting a caller to repeat it
-    val s = corpus.sparkSession
-    import s.implicits._
-    Seq((numHashes, bands)).toDF("num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // stored geometry instead of trusting a caller to repeat it.
+    // Driver-side write (TinyParquet): 1 row, no Spark job.
+    import graft.ingest.TinyParquet.IntCol
+    graft.ingest.TinyParquet.write(s"$path/meta", hconf,
+      Seq(IntCol("num_hashes"), IntCol("bands")),
+      Seq(Seq(numHashes, bands)))
     commitIndexBatch(corpus, path, numHashes, bands)
     // LAST step, still under the lease: advance the monotonic save
     // epoch (Generations.saveEpoch). Ordering is load-bearing — the
@@ -1002,9 +1003,7 @@ object Dedup {
             val base = graft.ingest.Generations.currentBatchesDir(path, conf)
             val bdir = graft.ingest.FileUtils.claimSeqDir(base, "b", conf)
             try {
-              bandTableFromShingles(sh, nh, b)
-                .write.mode("overwrite").parquet(s"$bdir/bands")
-              sh.write.mode("overwrite").parquet(s"$bdir/shingles")
+              writeBatchTables(sh, bdir, nh, b)
               graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
               Some((epoch0, base, bdir))
             } catch {
@@ -1090,11 +1089,34 @@ object Dedup {
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bandTableFromShingles(sh, numHashes, bands)
-        .write.mode("overwrite").parquet(s"$bdir/bands")
-      sh.write.mode("overwrite").parquet(s"$bdir/shingles")
+      writeBatchTables(sh, bdir, numHashes, bands)
       graft.ingest.FileUtils.touch(s"$bdir/_COMMITTED", conf)
     } finally { sh.unpersist(blocking = false); () }
+  }
+
+  // The two batch tables derive from ONE persisted shingle set and are
+  // independent of each other, so they are written as two CONCURRENT
+  // jobs (guide §2.6: overlap independent jobs) — the scheduler
+  // interleaves their tasks and the cache lock guarantees each shingle
+  // partition is still computed once (the first task to need it fills
+  // the cache; the other job's task reads it). Sequentially the save
+  // paid shingle-compute + band-compute + two write tails end to end.
+  // Failure semantics are unchanged: both futures are awaited, the
+  // first failure rethrows BEFORE the commit marker is touched.
+  private def writeBatchTables(sh: DataFrame, bdir: String,
+      numHashes: Int, bands: Int): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fBands = Future(bandTableFromShingles(sh, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$bdir/bands"))
+    val fSh = Future(sh.write.mode("overwrite").parquet(s"$bdir/shingles"))
+    // await BOTH (even when one failed) so no write is still in flight
+    // when the caller reacts to the failure
+    val r1 = scala.util.Try(Await.result(fBands, Duration.Inf))
+    val r2 = scala.util.Try(Await.result(fSh, Duration.Inf))
+    r1.get; r2.get
   }
 
   private def committedBatchDirs(path: String,
@@ -1144,9 +1166,14 @@ object Dedup {
     retire
   }
 
+  // geometry is a 1-row manifest: read driver-side (TinyParquet), no
+  // Spark job — every append attempt and probe pays this read
   private def indexGeometry(s: SparkSession, path: String): (Int, Int) = {
-    val m = s.read.parquet(s"$path/meta").select("num_hashes", "bands").head
-    (m.getInt(0), m.getInt(1))
+    import graft.ingest.TinyParquet.IntCol
+    val m = graft.ingest.TinyParquet.read(s"$path/meta",
+      s.sparkContext.hadoopConfiguration,
+      Seq(IntCol("num_hashes"), IntCol("bands"))).head
+    (m(0).asInstanceOf[Int], m(1).asInstanceOf[Int])
   }
 
   /** Probe a batch against a PERSISTED index — identical semantics to

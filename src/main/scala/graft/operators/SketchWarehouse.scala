@@ -89,6 +89,25 @@ object SketchWarehouse {
   private def conf(df: DataFrame) =
     df.sparkSession.sparkContext.hadoopConfiguration
 
+  /** Driver-side read of the 1-row warehouse meta manifest
+    * (TinyParquet — bounded by [[MaxParts]], so no Spark job):
+    * (kind, key_col, part_col, val_col, parts).
+    */
+  private def readMeta(hconf: org.apache.hadoop.conf.Configuration,
+      path: String): (String, String, String, Option[String], Seq[Long]) = {
+    import graft.ingest.TinyParquet.{LongArrayCol, StringCol}
+    require(FileUtils.exists(s"$path/meta", hconf),
+      s"$path has no warehouse meta — the save never completed " +
+        "(meta commits last); re-run the save")
+    val m = graft.ingest.TinyParquet.read(s"$path/meta", hconf,
+      Seq(StringCol("kind"), StringCol("key_col"), StringCol("part_col"),
+        StringCol("val_col"), LongArrayCol("parts"))).head
+    (m(0).asInstanceOf[String], m(1).asInstanceOf[String],
+      m(2).asInstanceOf[String],
+      Option(m(3).asInstanceOf[String]).filter(_.nonEmpty),
+      m(4).asInstanceOf[Seq[Long]])
+  }
+
   /** Build + persist the per-partition HLL register warehouse for
     * `key` over `fact`, REPLACING anything at `path`.
     */
@@ -146,9 +165,12 @@ object SketchWarehouse {
     // from a partial register set; readers also cross-check every
     // listed partition has a committed version (a deleted partition
     // dir cannot silently shrink the estimate either).
-    Seq((kind, key, partCol, valCol.getOrElse(""), parts.toSeq))
-      .toDF("kind", "key_col", "part_col", "val_col", "parts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // Driver-side write (TinyParquet): 1 bounded row, no Spark job.
+    import graft.ingest.TinyParquet.{LongArrayCol, StringCol}
+    graft.ingest.TinyParquet.write(s"$path/meta", hconf,
+      Seq(StringCol("kind"), StringCol("key_col"), StringCol("part_col"),
+        StringCol("val_col"), LongArrayCol("parts")),
+      Seq(Seq(kind, key, partCol, valCol.getOrElse(""), parts.toSeq)))
   }
 
   // partition-domain collect shared by save and erase: bounded, sorted,
@@ -225,14 +247,11 @@ object SketchWarehouse {
       path: String): (Seq[Long], Seq[Long]) = {
     val s = fact.sparkSession
     val hconf = conf(fact)
-    val m = s.read.parquet(s"$path/meta")
-      .select("kind", "key_col", "part_col", "val_col", "parts").head
-    val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
-    val valCol = Option(m.getString(3)).filter(_.nonEmpty)
+    val (kind, key, partCol, valCol, metaParts) = readMeta(hconf, path)
     // retired values count as known even after vacuum deleted their
     // dirs (and their _APPENDED markers): late-arriving data for an
     // expired window must NOT resurrect it
-    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet ++
+    val known = (metaParts ++ appendedParts(path, hconf)).toSet ++
       retiredParts(path, hconf)
     val batch = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
@@ -293,11 +312,7 @@ object SketchWarehouse {
   def retireWarehousePartitions(s: SparkSession, path: String,
       cutoff: Long): Seq[Long] = {
     val hconf = s.sparkContext.hadoopConfiguration
-    require(FileUtils.exists(s"$path/meta", hconf),
-      s"$path has no warehouse meta — the save never completed " +
-        "(meta commits last); re-run the save before retiring from it")
-    val m = s.read.parquet(s"$path/meta").select("parts").head
-    val known = m.getSeq[Long](0) ++ appendedParts(path, hconf)
+    val known = readMeta(hconf, path)._5 ++ appendedParts(path, hconf)
     val already = retiredParts(path, hconf)
     val fresh = known.distinct.filter(p => p < cutoff && !already(p))
     if (fresh.nonEmpty) {
@@ -344,10 +359,7 @@ object SketchWarehouse {
       eraseKeys: DataFrame): Unit = {
     val s = fact.sparkSession
     val hconf = conf(fact)
-    val m = s.read.parquet(s"$path/meta")
-      .select("kind", "key_col", "part_col", "val_col", "parts").head
-    val (kind, key, partCol) = (m.getString(0), m.getString(1), m.getString(2))
-    val valCol = Option(m.getString(3)).filter(_.nonEmpty)
+    val (kind, key, partCol, valCol, metaParts) = readMeta(hconf, path)
     // manifest FIRST: a crash after the manifest commits but before the
     // rebuilds leaves the request durable — RETRYING the erase is the
     // documented repair (it recomputes this manifest's partitions, and
@@ -370,7 +382,7 @@ object SketchWarehouse {
     // ... and MINUS retired partitions: their state is already out of
     // every reader's set (and possibly vacuumed), so rebuilding one
     // would only write orphan versions
-    val known = (m.getSeq[Long](4) ++ appendedParts(path, hconf)).toSet --
+    val known = (metaParts ++ appendedParts(path, hconf)).toSet --
       retiredParts(path, hconf)
     val affected = boundedParts(
       fact.join(mine, fact(key).cast("long") === mine("k"), "left_semi")
@@ -389,12 +401,7 @@ object SketchWarehouse {
     */
   private def latestStates(s: SparkSession, path: String): Seq[String] = {
     val hconf = s.sparkContext.hadoopConfiguration
-    require(FileUtils.exists(s"$path/meta", hconf),
-      s"$path has no warehouse meta — the save never completed " +
-        "(meta commits last); re-run the save")
-    val expected = (s.read.parquet(s"$path/meta")
-      .select("parts").head.getSeq[Long](0) ++
-      appendedParts(path, hconf))
+    val expected = (readMeta(hconf, path)._5 ++ appendedParts(path, hconf))
       .distinct.filterNot(retiredParts(path, hconf))
     require(expected.nonEmpty,
       s"warehouse at $path lists no live partitions (all saved " +

@@ -122,19 +122,27 @@ object StateCatalog {
           java.nio.charset.StandardCharsets.UTF_8).trim)
         .getOrElse("")
     }
-    if (!FileUtils.exists(s"$root/meta",
-        s.sparkContext.hadoopConfiguration)) return ""
-    val m = s.read.parquet(s"$root/meta").head
+    val hconf = s.sparkContext.hadoopConfiguration
+    if (!FileUtils.exists(s"$root/meta", hconf)) return ""
+    // the 1-row meta manifest is read driver-side (TinyParquet) — the
+    // catalog's "handful of LISTs" cost model, with no Spark job even
+    // for its single bounded read
+    import graft.ingest.TinyParquet.{IntCol, StringCol}
     kind match {
       case "near_dup_index" =>
-        s"num_hashes=${m.getAs[Int]("num_hashes")},bands=${m.getAs[Int]("bands")}"
+        val m = graft.ingest.TinyParquet.read(s"$root/meta", hconf,
+          Seq(IntCol("num_hashes"), IntCol("bands"))).head
+        s"num_hashes=${m(0)},bands=${m(1)}"
       case "vector_index" =>
-        s"n_cells=${m.getAs[Int]("n_cells")},n_sub=${m.getAs[Int]("n_sub")}," +
-          s"sub_dim=${m.getAs[Int]("sub_dim")}"
+        val m = graft.ingest.TinyParquet.read(s"$root/meta", hconf,
+          Seq(IntCol("n_cells"), IntCol("n_sub"), IntCol("sub_dim"))).head
+        s"n_cells=${m(0)},n_sub=${m(1)},sub_dim=${m(2)}"
       case _ =>
-        val vc = m.getAs[String]("val_col")
-        s"kind=${m.getAs[String]("kind")},key=${m.getAs[String]("key_col")}," +
-          s"part=${m.getAs[String]("part_col")}" +
+        val m = graft.ingest.TinyParquet.read(s"$root/meta", hconf,
+          Seq(StringCol("kind"), StringCol("key_col"),
+            StringCol("part_col"), StringCol("val_col"))).head
+        val vc = m(3).asInstanceOf[String]
+        s"kind=${m(0)},key=${m(1)},part=${m(2)}" +
           (if (vc == null || vc.isEmpty) "" else s",val=$vc")
     }
   }

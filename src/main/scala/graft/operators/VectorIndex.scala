@@ -62,26 +62,31 @@ object VectorIndex {
     // inherit the tombstone that prompted it)
     rmr(s"$path/forgotten", conf)
     val s = emb.sparkSession
-    import s.implicits._
     // ONE bounded collect serves training AND the persisted id list
     val pinned = Similarity.pinnedTrainRows(emb, nCells + nCodes)
     val model = Similarity.trainIvfPqPinned(pinned.map(_._2),
       nCells, nSub, subDim, nCodes)
     // geometry + quantizers FIRST: a code table without its quantizers
-    // is unreadable, and append/probe trust the stored state only
-    Seq((nCells, nSub, subDim)).toDF("n_cells", "n_sub", "sub_dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // is unreadable, and append/probe trust the stored state only.
+    // All four manifests are driver-known and bounded (nCells + nCodes
+    // rows by contract), so they are written driver-side
+    // (TinyParquet) — same files, no Spark job each (guide §1.2: the
+    // save used to pay four scheduler round-trips for kilobytes).
+    import graft.ingest.TinyParquet._
+    graft.ingest.TinyParquet.write(s"$path/meta", conf,
+      Seq(IntCol("n_cells"), IntCol("n_sub"), IntCol("sub_dim")),
+      Seq(Seq(nCells, nSub, subDim)))
     // the EXACT vec_ids the quantizers were trained on — the erasure
     // guard checks membership here, not a dense-id heuristic, so it
     // stays correct after a rebuild leaves gaps in the id space
-    pinned.map(_._1).toSeq.toDF("vec_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/train_ids")
-    model.cen.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    model.rcb.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("code", "rv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    graft.ingest.TinyParquet.write(s"$path/train_ids", conf,
+      Seq(LongCol("vec_id")), pinned.map(r => Seq[Any](r._1)).toSeq)
+    graft.ingest.TinyParquet.write(s"$path/centroids", conf,
+      Seq(IntCol("cell"), DoubleArrayCol("v")),
+      model.cen.zipWithIndex.map { case (v, i) => Seq[Any](i, v.toSeq) }.toSeq)
+    graft.ingest.TinyParquet.write(s"$path/codebook", conf,
+      Seq(IntCol("code"), DoubleArrayCol("rv")),
+      model.rcb.zipWithIndex.map { case (v, i) => Seq[Any](i, v.toSeq) }.toSeq)
     commitCodesBatch(emb, path, model)
     // LAST step, still under the lease: advance the monotonic save
     // epoch (Generations.saveEpoch). Ordering is load-bearing — the
@@ -349,14 +354,27 @@ object VectorIndex {
       case None => probeVectorIndexBulkFiltered(s, path, queries, meta, k, nProbe)
     }
 
-  /** Rehydrate the quantizer state — nCells + nCodes bounded rows. */
+  /** Rehydrate the quantizer state — nCells + nCodes bounded rows.
+    * The model always lands on the driver (the probe builds LUTs from
+    * it), so the tables are read driver-side (TinyParquet): same
+    * files, no Spark job per table — a probe used to pay three
+    * scheduler round-trips before its first real stage.
+    */
   private[operators] def loadModel(s: SparkSession, path: String): Similarity.IvfPqModel = {
-    val m = s.read.parquet(s"$path/meta").select("n_cells", "n_sub", "sub_dim").head
-    val (nCells, nSub, subDim) = (m.getInt(0), m.getInt(1), m.getInt(2))
-    val cen = s.read.parquet(s"$path/centroids").orderBy("cell")
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val rcb = s.read.parquet(s"$path/codebook").orderBy("code")
-      .select("rv").collect().map(_.getSeq[Double](0).toArray)
+    import graft.ingest.TinyParquet._
+    val conf = s.sparkContext.hadoopConfiguration
+    val m = graft.ingest.TinyParquet.read(s"$path/meta", conf,
+      Seq(IntCol("n_cells"), IntCol("n_sub"), IntCol("sub_dim"))).head
+    val (nCells, nSub, subDim) =
+      (m(0).asInstanceOf[Int], m(1).asInstanceOf[Int], m(2).asInstanceOf[Int])
+    val cen = graft.ingest.TinyParquet.read(s"$path/centroids", conf,
+        Seq(IntCol("cell"), DoubleArrayCol("v")))
+      .sortBy(_.head.asInstanceOf[Int])
+      .map(_(1).asInstanceOf[Seq[Double]].toArray).toArray
+    val rcb = graft.ingest.TinyParquet.read(s"$path/codebook", conf,
+        Seq(IntCol("code"), DoubleArrayCol("rv")))
+      .sortBy(_.head.asInstanceOf[Int])
+      .map(_(1).asInstanceOf[Seq[Double]].toArray).toArray
     require(cen.length == nCells,
       s"$path/centroids holds ${cen.length} rows, geometry says $nCells")
     Similarity.IvfPqModel(nCells, nSub, subDim, cen, rcb)
@@ -514,22 +532,26 @@ object VectorIndex {
       subDim: Int = -1, nCodes: Int = -1): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
-    val m = s.read.parquet(s"$path/meta")
-      .select("n_cells", "n_sub", "sub_dim").head
-    val storedCodes = s.read.parquet(s"$path/codebook").count().toInt
+    import graft.ingest.TinyParquet.IntCol
+    val hconf = s.sparkContext.hadoopConfiguration
+    val m = graft.ingest.TinyParquet.read(s"$path/meta", hconf,
+      Seq(IntCol("n_cells"), IntCol("n_sub"), IntCol("sub_dim"))).head
+      .map(_.asInstanceOf[Int])
+    val storedCodes = graft.ingest.TinyParquet.read(s"$path/codebook",
+      hconf, Seq(IntCol("code"))).size
     val (tc, ts, td, tk) = (
-      if (nCells > 0) nCells else m.getInt(0),
-      if (nSub > 0) nSub else m.getInt(1),
-      if (subDim > 0) subDim else m.getInt(2),
+      if (nCells > 0) nCells else m(0),
+      if (nSub > 0) nSub else m(1),
+      if (subDim > 0) subDim else m(2),
       if (nCodes > 0) nCodes else storedCodes)
     // a resize may re-partition the subspaces but never the dimension:
     // the stored codes are replaced wholesale, but the CORPUS vectors
     // are nSub*subDim doubles and a mismatched product would encode
     // garbage silently (slice() pads short reads with null → poisoned
     // codes), so it fails here by name instead
-    require(ts * td == m.getInt(1) * m.getInt(2),
+    require(ts * td == m(1) * m(2),
       s"target geometry nSub*subDim = ${ts * td} must preserve the " +
-        s"vector dimension ${m.getInt(1) * m.getInt(2)} " +
+        s"vector dimension ${m(1) * m(2)} " +
         "(resize re-partitions subspaces, it cannot change the " +
         "embedding width)")
     // materialized BEFORE the re-save deletes the tombstone parquet it
@@ -1539,9 +1561,11 @@ object VectorIndex {
         require(graft.ingest.Generations.saveEpoch(path, conf) > epochBefore,
           "the resize rebuild must bump the save epoch (appenders must " +
             "be able to detect the geometry replacement)")
-        val m = s.read.parquet(s"$path/meta").head
-        require(m.getInt(0) == 16,
-          s"stored geometry must be the resize target, got ${m.getInt(0)} cells")
+        val storedCells = graft.ingest.TinyParquet.read(s"$path/meta", conf,
+          Seq(graft.ingest.TinyParquet.IntCol("n_cells")))
+          .head.head.asInstanceOf[Int]
+        require(storedCells == 16,
+          s"stored geometry must be the resize target, got $storedCells cells")
         // no batch encoded under the 8-cell geometry may survive: the
         // nested save's reset cleared every batch tree, leaving ONE
         // fresh full-corpus batch

@@ -764,43 +764,64 @@ object Similarity {
       k: Int, nProbe: Int,
       queryLabels: Option[Map[Long, Any]] = None,
       mips: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = coded.sparkSession
     val scoreName = if (mips) "score" else "adist"
-    val perQC = queries.flatMap { case (qid, qv) =>
+    // One probe-table row per (query, probed cell), with that pair's
+    // ADC lookup tables as DATA: `luts(m)(code)` is the subspace-m
+    // score contribution, `base` the cell-constant MIPS dot (0 for
+    // L2, where lutFor already folds the cell in). The pre-rewrite
+    // shape shipped every LUT as a typedLit inside an exploded struct
+    // array — O(nQ·nProbe·nSub·nCodes) doubles of PLAN, so driver
+    // planning/codegen dominated many-query probes (sd02 measured 3 s
+    // of driver gap on 11 jobs), and every coded row materialized all
+    // nQ·nProbe structs before the cell filter. As a broadcast hash
+    // join the plan is constant-size, the LUTs cross the wire once as
+    // broadcast data, and candidates are hash-matched on `cell`
+    // instead of generated-and-filtered (guide §2.4/§3.1).
+    val rows = queries.toSeq.flatMap { case (qid, qv) =>
       val cells =
         if (mips) model.mipsProbesOf(qv, nProbe) else model.probesOf(qv, nProbe)
       // MIPS LUTs are CELL-independent (the residual term of the
-      // decomposed dot), so they hoist out of the per-cell loop — one
-      // literal array per (query, subspace) instead of nProbe copies
-      // in the shipped plan
-      val mipsLuts = if (mips) Some((0 until model.nSub).map(m =>
-          element_at(typedLit(model.mipsLutFor(qv, m)), col(s"code_$m") + 1))
-        .reduce(_ + _)) else None
+      // decomposed dot) — computed once per query, shared by its rows
+      val mipsLuts = if (mips)
+        Some((0 until model.nSub).map(m => model.mipsLutFor(qv, m))) else None
       cells.map { cell =>
-        // subspace-ascending add order in both modes, same as the oracle
-        val sc = mipsLuts match {
-          case Some(luts) => lit(model.mipsBase(qv, cell)) + luts
-          case None => (0 until model.nSub).map(m =>
-              element_at(typedLit(model.lutFor(qv, cell, m)), col(s"code_$m") + 1))
-            .reduce(_ + _)
-        }
-        val fields = Seq(lit(qid).as("qid"), lit(cell).as("pcell"),
-          sc.as(scoreName)) ++
-          queryLabels.map(m => lit(m(qid)).as("qlabel"))
-        struct(fields: _*)
+        val luts = mipsLuts.getOrElse(
+          (0 until model.nSub).map(m => model.lutFor(qv, cell, m)))
+        val base = if (mips) model.mipsBase(qv, cell) else 0.0
+        val fields = Seq[Any](qid, cell, base, luts) ++
+          queryLabels.map(_(qid))
+        org.apache.spark.sql.Row(fields: _*)
       }
     }
+    // label type mirrors what lit(value) would have inferred
+    val labelField = queryLabels.map(m => StructField("qlabel",
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        m.values.head).dataType))
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("pcell", IntegerType, nullable = false),
+      StructField("base", DoubleType, nullable = false),
+      StructField("luts", ArrayType(ArrayType(DoubleType, false), false),
+        nullable = false)) ++ labelField)
+    val probeTbl = s.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    // subspace-ascending add order in both modes, same as the oracle;
+    // MIPS adds the base LAST-to-FIRST exactly as before:
+    // base + ((l0 + l1) + ...)
+    val lutSum = (0 until model.nSub).map(m =>
+        element_at(element_at(col("luts"), m + 1), col(s"code_$m") + 1))
+      .reduce(_ + _)
+    val sc = if (mips) col("base") + lutSum else lutSum
     val w = Window.partitionBy(col("qid")).orderBy(
       if (mips) col(scoreName).desc else col(scoreName), col("cid"))
-    val cellMatch = col("qa.pcell") === col("cell") && col("qa.qid") =!= col("cid")
+    val cellMatch = col("pcell") === col("cell") && col("qid") =!= col("cid")
     val cond = queryLabels
-      .fold(cellMatch)(_ => cellMatch && col("qa.qlabel") === col("label"))
-    val cols = Seq(col("cid"), col("cell")) ++
-      queryLabels.map(_ => col("label")) :+
-      explode(array(perQC.toIndexedSeq: _*)).as("qa")
-    coded.select(cols: _*)
-      .filter(cond)
-      .select(col("qa.qid").as("qid"), col("cid"),
-        col(s"qa.$scoreName").as(scoreName))
+      .fold(cellMatch)(_ => cellMatch && col("qlabel") === col("label"))
+    coded.join(broadcast(probeTbl), cond)
+      .select(col("qid"), col("cid"), sc.as(scoreName))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
       .select("qid", "cid", scoreName, "rn")

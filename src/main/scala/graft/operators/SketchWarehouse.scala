@@ -146,19 +146,44 @@ object SketchWarehouse {
 
   private def doSaveWarehouse(fact: DataFrame, path: String, key: String,
       partCol: String, kind: String, valCol: Option[String]): Unit = {
-    val s = fact.sparkSession
     val hconf = conf(fact)
     // clear the warehouse's subtrees, not the root — the save lease
     // lives at the root and must survive the clear
     Seq("parts", "erased", "retired", "meta")
       .foreach(t => FileUtils.rmr(s"$path/$t", hconf))
-    import s.implicits._
     // bounded by contract: the partition domain drives per-partition
     // writes, so it must be small (see MaxParts)
     val parts = boundedParts(
       fact.select(col(partCol).cast("long").as("p")), partCol)
-    forEachPart(parts.toSeq)(p =>
-      writePartState(fact, path, kind, key, valCol, partCol, p, None))
+    // A fresh save builds EVERY partition's state, so it runs as ONE
+    // distributed pass over the fact via the grouped sketch kernels
+    // (the same kernels the per-group queries use — per-group rows are
+    // identical to the per-slice builders by construction), written
+    // partition-directory style in one job and moved into the claimed
+    // version dirs driver-side. The previous shape ran one filtered
+    // scan + aggregation + write PER partition (8-12 Spark jobs per
+    // save; guide §1.2 — one pass was always sufficient). The claimed
+    // v0-dir + _COMMITTED layout is byte-compatible: append/erase
+    // rebuilds (partition-scoped by design) keep the per-partition
+    // writePartState path.
+    val tagged = fact.withColumn("_wh_p", col(partCol).cast("long"))
+    val state = kind match {
+      case "hll" => Sketches.hllRegisterUpdatesBy(tagged, "_wh_p", key)
+      case "quantile" => Sketches.quantileSketchBy(tagged, "_wh_p", key, valCol.get)
+      case "cms" => Sketches.countMinCellsBy(tagged, "_wh_p", key)
+      case other => sys.error(s"unknown warehouse kind: $other")
+    }
+    val vdirs = parts.map(p =>
+      p -> FileUtils.claimSeqDir(s"$path/parts/p$p", "v", hconf)).toMap
+    val staging = s"$path/_staging_save"
+    state.write.mode("overwrite").partitionBy("_wh_p").parquet(staging)
+    parts.foreach { p =>
+      FileUtils.mkdirs(vdirs(p), hconf)
+      require(FileUtils.move(s"$staging/_wh_p=$p", s"${vdirs(p)}/state", hconf),
+        s"staging move failed for warehouse partition $p under $path")
+      FileUtils.touch(s"${vdirs(p)}/_COMMITTED", hconf)
+    }
+    FileUtils.rmr(staging, hconf)
     // meta LAST, carrying the full partition list: it is the
     // warehouse-level commit marker. A save that crashes mid-way leaves
     // no meta, so readers fail loudly instead of silently estimating

@@ -35,7 +35,10 @@ object ProfileQueries {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    args.foreach { name =>
+    val names =
+      if (args.sameElements(Array("all"))) Registry.all.map(_.name).sorted
+      else args.toSeq
+    names.foreach { name =>
       def once(): (Double, Int, Double) = {
         jobs = 0; jobNanos = 0L
         val t0 = System.nanoTime()

@@ -245,10 +245,50 @@ object TextOps {
     // length, and the k-char inputs are tiny).
     val chars = s.toCharArray
     val hashes = new Array[Long](n)
+    // Hot path: encode the lowercased text to UTF-8 ONCE and hash byte
+    // windows via per-char byte offsets — the per-position String +
+    // UTF8String round-trip allocated three objects and re-encoded k
+    // chars per position. Byte-identical to encoding each k-char slice
+    // separately because every non-surrogate char encodes independently
+    // of its neighbours; surrogates (absent from this corpus, but
+    // guarded anyway) fall back to the slice-encoding path, whose
+    // replacement-char behaviour on split pairs differs.
+    var hasSurrogate = false
+    var ci = 0
+    while (ci < chars.length && !hasSurrogate) {
+      if (chars(ci) >= 0xD800 && chars(ci) <= 0xDFFF) hasSurrogate = true
+      ci += 1
+    }
     var i = 0
-    while (i < n) {
-      hashes(i) = md5Prefix(UTF8String.fromString(new String(chars, i, k)), 8) >>> 4
-      i += 1
+    if (!hasSurrogate) {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val offs = new Array[Int](chars.length + 1)
+      var bo = 0
+      ci = 0
+      while (ci < chars.length) {
+        offs(ci) = bo
+        val c = chars(ci)
+        bo += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+        ci += 1
+      }
+      offs(chars.length) = bo
+      val md = md5Local.get()
+      val dig = new Array[Byte](16)
+      while (i < n) {
+        md.reset()
+        md.update(bytes, offs(i), offs(i + k) - offs(i))
+        md.digest(dig, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xFFL); b += 1 }
+        hashes(i) = h >>> 4
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        hashes(i) = md5Prefix(UTF8String.fromString(new String(chars, i, k)), 8) >>> 4
+        i += 1
+      }
     }
     val selected = new java.util.TreeSet[java.lang.Long]()
     var start = 0

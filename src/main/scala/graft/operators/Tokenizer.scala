@@ -36,16 +36,33 @@ object Tokenizer {
     * token-frequency table of `docs`.
     */
   def bpeMerges(spark: SparkSession, docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val (merges, wf0) = trainMerges(spark, docs, rounds)
+    wf0.unpersist(blocking = false)
+    merges
+  }
+
+  /** Training core: returns (merges as a literal DataFrame, the
+    * PERSISTED base word-frequency table (w, freq, s)). The word table
+    * is Zipf-compact (vocab-, not corpus-sized), and every round's
+    * pair-count aggregation re-reads it — without the persist, round
+    * r's lineage recomputes the corpus explode + groupBy from scratch
+    * (rounds+1 corpus scans per training run; with it, exactly one).
+    * The caller owns the unpersist.
+    */
+  private def trainMerges(spark: SparkSession, docs: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val toks = graft.functions.TextExpressions.tokens(col("text"))
     // Zipf-compact word-frequency table; symbols start as characters,
     // space-joined with sentinel spaces so a merge is a pure replace
-    var wf = docs.select(explode(toks).as("w"))
+    val wf0 = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("s", concat(lit(" "),
         array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), " "),
         lit(" ")))
       .select("w", "freq", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var wf = wf0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       // pair counts: adjacent symbol pairs weighted by word frequency
@@ -72,9 +89,9 @@ object Tokenizer {
           expr(s"replace(s, ' ${q(pair)} ', ' ${q(merged)} ')"))
       }
     }
-    merges.result().toDF("round", "pair", "merged", "cnt")
+    (merges.result().toDF("round", "pair", "merged", "cnt")
       .withColumn("round", col("round").cast("bigint"))
-      .orderBy("round")
+      .orderBy("round"), wf0)
   }
 
   // The oracle unrolls the same four rounds as a CTE chain: pair
@@ -121,19 +138,23 @@ object Tokenizer {
     * explode + hash aggregation + broadcast join, all linear.
     */
   def bpeEncode(spark: SparkSession, docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val trained = bpeMerges(spark, docs, rounds)
+    val (mergesDf, wf0) = trainMerges(spark, docs, rounds)
+    val trained = mergesDf
       .select("pair", "merged").collect() // bounded: `rounds` rows
     val toks = graft.functions.TextExpressions.tokens(col("text"))
     val q = (x: String) => x.replace("'", "''")
-    // vocab-sized word table; replay the merge chain in training order
-    val words0 = docs.select(explode(toks).as("w")).distinct()
-      .withColumn("s", concat(lit(" "),
-        array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), " "),
-        lit(" ")))
-    val words = trained.foldLeft(words0) { (df, m) =>
+    // The persisted training word table IS the distinct-word table with
+    // the fresh sentinel spelling (groupBy("w") == distinct on the
+    // exploded words; `s` is built by the same expression) — replay the
+    // merge chain over it instead of re-deriving the vocabulary from
+    // the corpus, and materialize the vocab-sized result eagerly so the
+    // persist can be released before the corpus-side aggregation runs.
+    val words = trained.foldLeft(wf0.select(col("w"), col("s"))) { (df, m) =>
       df.withColumn("s",
         expr(s"replace(s, ' ${q(m.getString(0))} ', ' ${q(m.getString(1))} ')"))
     }.select(col("w"), size(split(trim(col("s")), " ")).cast("bigint").as("n_syms"))
+      .localCheckpoint(eager = true)
+    wf0.unpersist(blocking = false)
     docs.select(col("doc_id"), explode(toks).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .join(broadcast(words), "w")
